@@ -1,24 +1,49 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — driver runs this per round at sf0.1 (BENCH_r{N}.json).
+  *
+  * Methodology (VERDICT.md round-1 fixes):
+  *   - every query executes through the `noop` write sink, so all projected
+  *     expressions actually run (a bare `count()` lets Catalyst prune the
+  *     whole projection and times only the scan);
+  *   - one full untimed warmup pass first (JIT, codegen cache, FS cache) —
+  *     round-1 `q_select_one` at 3.8 s was pure session warmup;
+  *   - failures are recorded per query as -1 with an `errors` map instead of
+  *     being silently swallowed;
+  *   - the JSON line is the last stdout line, printed after `spark.stop()`,
+  *     so log noise can't interleave with it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = Sessions.local()
+
+    def runOnce(name: String): Option[String] =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        None
+      } catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(runOnce) // warmup pass, untimed
+
+    val timed = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = runOnce(name)
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = timed.map { case (n, sec, err) =>
+      s"${jstr(n)}:${if (err.isDefined) -1.0 else sec}"
+    }.mkString("{", ",", "}")
+    val errs = timed.collect { case (n, _, Some(e)) => s"${jstr(n)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = timed.collect { case (_, sec, None) => sec }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -13,10 +13,27 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * as a timestamp (PARQUET_TYPE_ILLEGAL). Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.configure]]),
+    * which surfaces the column as ns-since-epoch LONG. Ordering/grouping on
+    * the long is identical to ordering on the ns timestamp, so oracle
+    * queries that only use `ts` for ORDER BY stay comparable with DuckDB
+    * (which reads it as TIMESTAMP_NS). Never output raw `ts`.
+    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Register every table as a temp view, for SQL-form queries. */
+  /** Register exactly the named tables as temp views (SQL-form queries).
+    * Deliberately NOT all tables: an eager register-everything forces a read
+    * of every file's footer per query — wasteful, and one bad table poisons
+    * unrelated queries (round-1 ERR root cause, VERDICT.md "What's wrong" #1).
+    */
+  def register(spark: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register every table as a temp view. Kept for interactive use; query
+    * builders should use [[register]] with the tables they need. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir, names: _*)
 }

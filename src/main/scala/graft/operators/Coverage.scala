@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Coverage for the SURVEY.md §2 rows a round-1 query didn't exercise
+  * (VERDICT.md "Next round" #9): explicit repartition/coalesce shapes,
+  * per-partition sort, struct unnest, EXPLAIN, regex predicates, in-memory
+  * scans, and placeholder parameters.
+  */
+object Coverage {
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.t(s, d, n)
+
+  /** RepartitionExec hash mode (proto:1250-1266; planner.rs:127-130): an
+    * explicit hash exchange on the grouping key. Because the data is then
+    * already hash-distributed on `c_nationkey`, the downstream aggregation
+    * needs no second shuffle — the same co-partitioning trick that lets a
+    * 100 TB pipeline reuse one exchange across stages. */
+  private val repartitionHash = QueryDef(
+    "q_repartition_hash",
+    (s, d) =>
+      t(s, d, "customer")
+        .repartition(8, col("c_nationkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n")),
+    Some("SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY c_nationkey"))
+
+  /** RepartitionExec round-robin mode + CoalescePartitionsExec
+    * (proto:1240-1258): scatter to 16 then coalesce to 4 — the classic
+    * rebalance-after-skewed-filter shape; the global agg proves the row set
+    * is preserved. */
+  private val repartitionRoundRobin = QueryDef(
+    "q_repartition_roundrobin",
+    (s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_totalprice") > 50000)
+        .repartition(16)
+        .coalesce(4)
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key")),
+    Some("""SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key
+      FROM orders WHERE o_totalprice > 50000"""))
+
+  /** SortExec preserve_partitioning=true (proto:1211-1217): hash exchange +
+    * per-partition sort, no global merge — the write-side layout op for
+    * sorted parquet/bucketed output at scale. Output hash is row-order
+    * insensitive, so the oracle is the plain projection. */
+  private val sortWithinPartitions = QueryDef(
+    "q_sort_within_partitions",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .repartition(8, col("l_returnflag"))
+        .sortWithinPartitions(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber")),
+    Some("SELECT l_returnflag, l_orderkey, l_linenumber FROM lineitem"))
+
+  /** Struct unnest (UnnestOptions struct fields, proto:799-810): build a
+    * struct, expand with `.*`, plus `inline()` over an array-of-struct (the
+    * Generator form). Oracle = the equivalent UNION ALL. */
+  private val unnestStruct = QueryDef(
+    "q_unnest_struct",
+    (s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          expr("inline(array(" +
+            "named_struct('tag', p_brand, 'v', cast(p_size as bigint)), " +
+            "named_struct('tag', p_type, 'v', cast(floor(p_retailprice) as bigint))))")),
+    Some("""SELECT p_partkey, p_brand AS tag, CAST(p_size AS BIGINT) AS v FROM part
+      UNION ALL
+      SELECT p_partkey, p_type AS tag, CAST(FLOOR(p_retailprice) AS BIGINT) AS v FROM part"""))
+
+  /** ExplainExec (proto:1100-1111): EXPLAIN as a queryable relation. The
+    * plan text is engine-specific, so this is a rows-only entry (no oracle),
+    * like the reference's own EXPLAIN output. */
+  private val explainQ = QueryDef(
+    "q_explain",
+    (s, d) => {
+      Tables.register(s, d, "lineitem")
+      s.sql("EXPLAIN FORMATTED SELECT l_returnflag, count(*) FROM lineitem " +
+        "WHERE l_quantity > 10 GROUP BY l_returnflag")
+    },
+    None)
+
+  /** SIMILAR TO / regex predicate surface (proto:356): `rlike` filter +
+    * `regexp_extract` projection. */
+  private val regexMatch = QueryDef(
+    "q_regex_match",
+    (s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_name").rlike("[0-9]{2}$"))
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)$", 1).as("name_num")),
+    Some("""SELECT c_custkey, regexp_extract(c_name, '([0-9]+)$', 1) AS name_num
+      FROM customer WHERE regexp_matches(c_name, '[0-9]{2}$')"""))
+
+  /** MemoryScanExecNode (proto:1045-1052): a driver-local in-memory relation
+    * (LocalTableScan) broadcast-joined against a parquet dim — the
+    * reference's MemTable pattern (integration-tests/src/data.rs:36-92).
+    * Small local data stays on the driver; only the 5-row literal ships. */
+  private val memoryScan = QueryDef(
+    "q_memory_scan",
+    (s, d) => {
+      val mem = s.createDataFrame(Seq((0, "priority-zone"), (2, "priority-zone"),
+        (3, "watch-zone"))).toDF("rk", "zone")
+      mem.join(broadcast(t(s, d, "region")), col("rk") === col("r_regionkey"))
+        .select(col("rk"), col("zone"), col("r_name"))
+    },
+    Some("""SELECT rk, zone, r_name
+      FROM (VALUES (0, 'priority-zone'), (2, 'priority-zone'), (3, 'watch-zone')) m(rk, zone)
+      JOIN region ON rk = r_regionkey"""))
+
+  /** Placeholder parameters (`$1`, proto:381): Spark named-parameter SQL —
+    * the literal is bound at parse time, so pushdown still sees a constant. */
+  private val paramQuery = QueryDef(
+    "q_param",
+    (s, d) => {
+      Tables.register(s, d, "orders")
+      s.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+          "WHERE o_totalprice > :threshold ORDER BY o_orderkey LIMIT 50",
+        Map("threshold" -> 300000))
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > 300000 ORDER BY o_orderkey LIMIT 50"""))
+
+  val all: Seq[QueryDef] = Seq(repartitionHash, repartitionRoundRobin,
+    sortWithinPartitions, unnestStruct, explainQ, regexMatch, memoryScan,
+    paramQuery)
+}
