@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** All verifiable queries, in registration order. */
   val defs: Seq[QueryDef] =
-    operators.Relational.all ++ operators.Coverage.all ++ sources.Sinks.all
+    operators.Relational.all ++ operators.Coverage.all ++ sources.Sinks.all ++
+      gateway.GatewayQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

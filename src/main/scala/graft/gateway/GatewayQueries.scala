@@ -1,0 +1,34 @@
+package graft.gateway
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** CORRECTNESS-gate entries for the gateway layer (SURVEY §2.3 rows 62-65):
+  * the `running_jobs` virtual table observed mid-lifecycle. */
+object GatewayQueries {
+
+  /** Submit two tracked-but-unfetched jobs, snapshot `running_jobs` via SQL.
+    * job_id/created_at are run-specific, so the checked output is the
+    * deterministic `job_meta` column; the oracle is the expected literal
+    * relation. Proves rows 12+62/63: registry, submit, and the queryable
+    * observability view (`integration-tests/app/src/table.rs:30-61`). */
+  private val runningJobs = QueryDef(
+    "q_running_jobs",
+    (s, d) => {
+      val rt = new JobRuntime(s)
+      try {
+        rt.submit("SELECT 1 AS one", Map("name" -> "job-a"))
+        rt.submitDataFrame(
+          Tables.t(s, d, "nation").groupBy(col("n_regionkey")).count(),
+          Map("name" -> "job-b"))
+        rt.registerRunningJobsView()
+        // Snapshot is a LocalRelation — stays valid after the runtime closes.
+        s.sql("SELECT job_meta FROM running_jobs ORDER BY job_meta")
+      } finally rt.close()
+    },
+    Some("""SELECT job_meta
+      FROM (VALUES ('{"name": "job-a", "query": "SELECT 1 AS one"}'), ('{"name": "job-b"}')) t(job_meta)
+      ORDER BY job_meta"""))
+
+  val all: Seq[QueryDef] = Seq(runningJobs)
+}

@@ -1,0 +1,252 @@
+package graft.gateway
+
+import java.util.UUID
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, Executors, ScheduledExecutorService, TimeUnit}
+import scala.collection.concurrent.TrieMap
+import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, JobSucceeded}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Job status lifecycle, mirroring the reference's registry semantics
+  * (`dist/src/runtime.rs:128-251`, `dist/src/event.rs:22-454`): a job is
+  * visible in `running_jobs` from submit until cleanup; cleanup fires on
+  * completion (all result partitions delivered), cancellation, TTL expiry,
+  * or the client never fetching a ticket in time.
+  */
+sealed trait JobStatus
+object JobStatus {
+  case object Submitted extends JobStatus
+  case object Running extends JobStatus
+  case object Completed extends JobStatus
+  case class Failed(reason: String) extends JobStatus
+  case object Cancelled extends JobStatus
+}
+
+/** Lifecycle knobs — names and defaults from `dist/src/config.rs:12-22`
+  * (job_ttl 30 min, ttl check 5 min, stage-0 poll timeout 10 s). Tests dial
+  * these down like the reference app does (`app/src/main.rs:53-55`). */
+final case class GatewayConfig(
+    jobTtl: FiniteDuration = 30.minutes,
+    ttlCheckInterval: FiniteDuration = 5.minutes,
+    neverFetchedTimeout: FiniteDuration = 10.seconds)
+
+/** One result ticket = one partition of the job's final stage — the Spark
+  * analog of the reference's stage-0 `TaskId` tickets
+  * (`integration-tests/app/src/main.rs:296-330`). */
+final case class Ticket(jobId: String, partition: Int)
+
+private[gateway] final class JobState(
+    val jobId: String,
+    val createdAtMs: Long,
+    val meta: Map[String, String],
+    val df: DataFrame) {
+  @volatile var status: JobStatus = JobStatus.Submitted
+  @volatile var firstFetchAtMs: Long = -1L
+  val fetchedPartitions = ConcurrentHashMap.newKeySet[Int]()
+  // Spark-side execution bookkeeping for the stages JSON (listener-fed).
+  val sparkJobs = new TrieMap[Int, String]()   // spark job id -> state
+  val sparkStages = new TrieMap[Int, (Int, String)]() // stage id -> (numTasks, state)
+  // The final-stage RDD, materialized+cached on first fetch so later tickets
+  // don't recompute lineage (reference TaskSet reuse, runtime.rs:499-525).
+  lazy val rdd = {
+    val r = df.rdd
+    r.persist(StorageLevel.MEMORY_AND_DISK)
+    r
+  }
+  def numPartitions: Int = rdd.getNumPartitions
+  val completion = new CountDownLatch(1)
+}
+
+/** Per-job result handle: tickets, per-partition fetch, cancellation. */
+final class JobHandle private[gateway] (runtime: JobRuntime, state: JobState) {
+  def jobId: String = state.jobId
+  def schema: StructType = state.df.schema
+  def status: JobStatus = state.status
+  /** One ticket per final-stage partition (lifecycle step 5 in SURVEY §3.1). */
+  def tickets: Seq[Ticket] =
+    (0 until state.numPartitions).map(Ticket(state.jobId, _))
+  /** Stream one partition's rows. Re-fetching a ticket recomputes from the
+    * cached final RDD — same semantics as the reference's fresh-TaskSet
+    * re-execution. */
+  def fetch(ticket: Ticket): Seq[Row] = runtime.fetch(state, ticket.partition)
+  /** Drain every ticket in partition order. */
+  def fetchAll(): Seq[Row] = tickets.flatMap(fetch)
+  def cancel(): Unit = runtime.cancel(state.jobId)
+  def awaitCompletion(timeout: FiniteDuration): Boolean =
+    state.completion.await(timeout.toMillis, TimeUnit.MILLISECONDS)
+}
+
+/** The gateway: submit SQL/DataFrames as tracked jobs, fetch per-partition
+  * ticketed results, observe live jobs through `running_jobs`, and clean up
+  * on completion / TTL / never-fetched / cancel.
+  *
+  * This is the Spark-native build of the reference's product layer
+  * (SURVEY §2.3/§3.1): plan shipping, stage scheduling, shuffle and task
+  * retry are Spark-native (DAGScheduler), so the custom surface is exactly
+  * the job registry + ticket delivery + lifecycle that
+  * `dist/src/runtime.rs`/`event.rs` implement in Rust. Everything here is
+  * driver-side control plane — no data-plane work happens on this thread
+  * pool, and result partitions are pulled one `runJob` at a time, so a
+  * 1000-executor cluster streams results without collecting the whole
+  * result set to the driver.
+  */
+final class JobRuntime(
+    val spark: SparkSession,
+    config: GatewayConfig = GatewayConfig()) extends AutoCloseable {
+
+  private val registry = new ConcurrentHashMap[String, JobState]()
+
+  /** Maps Spark-scheduler events back to gateway jobs via the job group —
+    * the Spark analog of the reference's TaskStream metrics + completion
+    * events (`dist/src/runtime.rs:598-686`). */
+  private val listener = new SparkListener {
+    override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+      val group = Option(jobStart.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+      Option(registry.get(group)).foreach { st =>
+        st.sparkJobs.put(jobStart.jobId, "running")
+        if (st.status == JobStatus.Submitted) st.status = JobStatus.Running
+        jobStart.stageInfos.foreach(si =>
+          st.sparkStages.put(si.stageId, (si.numTasks, "submitted")))
+      }
+    }
+    override def onJobEnd(jobEnd: SparkListenerJobEnd): Unit = {
+      registry.values.asScala.find(_.sparkJobs.contains(jobEnd.jobId)).foreach { st =>
+        st.sparkJobs.put(jobEnd.jobId,
+          if (jobEnd.jobResult == JobSucceeded) "succeeded" else "failed")
+      }
+    }
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val sid = sc.stageInfo.stageId
+      registry.values.asScala.find(_.sparkStages.contains(sid)).foreach { st =>
+        val state =
+          if (sc.stageInfo.failureReason.isDefined) "failed" else "succeeded"
+        st.sparkStages.put(sid, (sc.stageInfo.numTasks, state))
+      }
+    }
+  }
+  spark.sparkContext.addSparkListener(listener)
+
+  /** TTL + never-fetched sweeper — the reference's event loop
+    * (`dist/src/runtime.rs:688-731`, `event.rs:427-454`) as a scheduled
+    * driver task. */
+  private val sweeper: ScheduledExecutorService =
+    Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-gateway-sweeper"); t.setDaemon(true); t
+    })
+  sweeper.scheduleWithFixedDelay(() => sweep(),
+    config.ttlCheckInterval.toMillis, config.ttlCheckInterval.toMillis,
+    TimeUnit.MILLISECONDS)
+
+  private def sweep(): Unit = {
+    val now = System.currentTimeMillis()
+    registry.values.asScala.foreach { st =>
+      val age = now - st.createdAtMs
+      val neverFetched = st.firstFetchAtMs < 0 &&
+        age > config.neverFetchedTimeout.toMillis
+      if (age > config.jobTtl.toMillis || neverFetched)
+        cleanup(st, JobStatus.Cancelled)
+    }
+  }
+
+  /** SQL entry (SURVEY §3.1 step 2-5): parse/plan via Catalyst, register,
+    * return the ticketed handle. Execution is pull-based — nothing runs
+    * until a ticket is fetched, mirroring the reference's streaming pulls. */
+  def submit(sql: String, meta: Map[String, String] = Map.empty): JobHandle =
+    submitDataFrame(spark.sql(sql), meta + ("query" -> sql))
+
+  /** Programmatic entry (SURVEY §3.2): any DataFrame as a tracked job. */
+  def submitDataFrame(df: DataFrame, meta: Map[String, String] = Map.empty): JobHandle = {
+    val jobId = UUID.randomUUID().toString
+    val st = new JobState(jobId, System.currentTimeMillis(), meta, df)
+    registry.put(jobId, st)
+    new JobHandle(this, st)
+  }
+
+  private[gateway] def fetch(st: JobState, partition: Int): Seq[Row] = {
+    if (!registry.containsKey(st.jobId))
+      throw new IllegalStateException(s"job ${st.jobId} is not live (cleaned up or cancelled)")
+    if (st.firstFetchAtMs < 0) st.firstFetchAtMs = System.currentTimeMillis()
+    val sc = spark.sparkContext
+    // Job group = cancellation + listener correlation handle; FAIR pool
+    // keeps gateway job work from starving other pools' health queries.
+    sc.setJobGroup(st.jobId, s"graft job ${st.jobId} partition $partition",
+      interruptOnCancel = true)
+    sc.setLocalProperty("spark.scheduler.pool", "graft-jobs")
+    try {
+      val res = sc.runJob(st.rdd, (it: Iterator[Row]) => it.toArray,
+        Seq(partition)).head.toSeq
+      st.fetchedPartitions.add(partition)
+      // CheckJobCompleted: all final-stage partitions delivered → cleanup
+      // (reference event.rs:185-334).
+      if (st.fetchedPartitions.size == st.numPartitions)
+        cleanup(st, JobStatus.Completed)
+      res
+    } catch {
+      case e: Throwable =>
+        cleanup(st, JobStatus.Failed(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        throw e
+    } finally {
+      sc.setLocalProperty("spark.scheduler.pool", null)
+      sc.clearJobGroup()
+    }
+  }
+
+  def cancel(jobId: String): Unit =
+    Option(registry.get(jobId)).foreach { st =>
+      spark.sparkContext.cancelJobGroup(jobId)
+      cleanup(st, JobStatus.Cancelled)
+    }
+
+  private def cleanup(st: JobState, terminal: JobStatus): Unit = {
+    registry.remove(st.jobId)
+    st.status = terminal
+    try st.rdd.unpersist(blocking = false) catch { case _: Throwable => () }
+    st.completion.countDown()
+  }
+
+  def liveJobIds: Set[String] = registry.keySet.asScala.toSet
+
+  /** The `running_jobs` observability relation — schema per
+    * `dist/src/util.rs:148-158` (job_id, created_at ms, job_meta JSON,
+    * stages JSON), queryable like any other table. The registry is
+    * driver-local, so the scan is a LocalTableScan — exactly the
+    * reference's MemTable-backed virtual table
+    * (`integration-tests/app/src/table.rs:30-61`). */
+  def runningJobs(): DataFrame = {
+    def jstr(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val rows = registry.values.asScala.toSeq.sortBy(_.jobId).map { st =>
+      val metaJson = st.meta.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+        .mkString("{", ", ", "}")
+      val stagesJson = st.sparkStages.toSeq.sortBy(_._1)
+        .map { case (sid, (n, state)) =>
+          s"${jstr(sid.toString)}: {\"num_tasks\": $n, \"state\": ${jstr(state)}}" }
+        .mkString("{", ", ", "}")
+      Row(st.jobId, new java.sql.Timestamp(st.createdAtMs), metaJson, stagesJson)
+    }
+    val schema = StructType(Seq(
+      StructField("job_id", StringType, nullable = false),
+      StructField("created_at", TimestampType, nullable = false),
+      StructField("job_meta", StringType, nullable = false),
+      StructField("stages", StringType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** (Re-)register `running_jobs` as a temp view. The snapshot is taken at
+    * registration (LocalRelation) — call again for a fresh view, the same
+    * refresh-on-scan the reference gets from `RunningJobsTable.scan`. */
+  def registerRunningJobsView(): Unit =
+    runningJobs().createOrReplaceTempView("running_jobs")
+
+  override def close(): Unit = {
+    sweeper.shutdownNow()
+    registry.values.asScala.toSeq.foreach(st => cleanup(st, JobStatus.Cancelled))
+    spark.sparkContext.removeSparkListener(listener)
+  }
+}

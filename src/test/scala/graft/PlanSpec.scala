@@ -1,0 +1,88 @@
+package graft
+
+/** Golden-plan layer (SURVEY §5 layer 2, reference `planner.rs:12-249`):
+  * assertions on operator *classes* in the executed plan, not display
+  * strings — Spark plan strings are version-fragile. These encode the
+  * 100 TB scale contract: pushdown reaches the scan, small dims broadcast,
+  * big joins shuffle, no accidental cartesian products, no global
+  * single-partition windows.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planString(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q_scan_project pushes the filter and prunes columns") {
+    val p = planString("q_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_shipdate:timestamp"), p)
+  }
+
+  test("q_join_broadcast broadcasts the dims, never shuffles the fact side") {
+    val p = planString("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // The only exchange over customer data must be the final aggregation's,
+    // not a join shuffle of the fact table.
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_join_inner is a co-partitioned join when neither side broadcasts") {
+    // At sf0.001 Spark rightly broadcasts the small side; force the at-scale
+    // shape (no broadcastable side) and assert it degrades to a shuffle
+    // join on the key, never to a nested loop.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = planString("q_join_inner")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("Exchange hashpartitioning(l_orderkey") ||
+        p.contains("Exchange hashpartitioning(o_orderkey"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("q_join_theta is the only nested-loop shape") {
+    assert(planString("q_join_theta").contains("BroadcastNestedLoopJoin"))
+    for (q <- Seq("q_join_inner", "q_join_left", "q_join_semi", "q_join_anti"))
+      assert(!planString(q).contains("NestedLoopJoin"), s"$q degenerated to NLJ")
+  }
+
+  test("q_join_cross is the only cartesian shape among joins") {
+    val p = planString("q_join_cross")
+    assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("no window runs without a partition spec") {
+    // 'Window.orderBy' with no partitionBy funnels all rows to one task —
+    // the round-1 scale bug. Every window query must partition.
+    for (q <- Seq("q_window_rank", "q_window_ranking", "q_window_running_sum",
+      "q_window_range", "q_window_lead_lag")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+      import org.apache.spark.sql.execution.window.WindowExec
+      plan.foreach {
+        case w: WindowExec =>
+          assert(w.partitionSpec.nonEmpty, s"$q has a global (unpartitioned) window")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q_repartition_hash contains an explicit hash exchange, reused by the agg") {
+    val p = planString("q_repartition_hash")
+    assert(p.contains("Exchange hashpartitioning(c_nationkey"), p)
+  }
+
+  test("q_topk compiles to TakeOrderedAndProject, not a global sort") {
+    assert(planString("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q1_agg aggregates partially before the shuffle") {
+    val p = planString("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Exchange hashpartitioning(l_returnflag"), p)
+  }
+
+  test("q_memory_scan keeps the literal relation local and broadcasts it") {
+    val p = planString("q_memory_scan")
+    assert(p.contains("LocalTableScan"), p)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+/** slt-style corpus layer (SURVEY §5 layer 1, mirroring
+  * `integration-tests/tests/sqllogictest.slt:1-301`): every SparkEntry query
+  * executes at sf0.001, with exact result checks where the expected relation
+  * is scale-independent.
+  */
+class QueriesSpec extends SparkSpec {
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name executes") {
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      // q_empty by construction; q_except/q_join_anti are legitimately empty
+      // on this data (every nationkey/custkey has a match); dedup/similarity
+      // candidate queries may be pairless at tiny sf.
+      val mayBeEmpty = Set("q_empty", "q_except", "q_join_anti")
+      if (!mayBeEmpty.contains(name) && !name.startsWith("q_dedup") &&
+        !name.startsWith("q_ann"))
+        assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q_select_one returns exactly 1") {
+    assert(SparkEntry.queries("q_select_one")(spark, sfDir).collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("q_empty returns 0 rows") {
+    assert(SparkEntry.queries("q_empty")(spark, sfDir).count() == 0)
+  }
+
+  test("q_generate_series is 1..100") {
+    val got = SparkEntry.queries("q_generate_series")(spark, sfDir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 100L))
+  }
+
+  test("q_join_cross is |region| x |nation| = 125") {
+    assert(SparkEntry.queries("q_join_cross")(spark, sfDir).count() == 125)
+  }
+
+  test("q_window_range matches the naive global window") {
+    // The bucketed+borrowed rewrite must be value-identical to the simple
+    // single-partition formulation it replaced.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val naive = Tables.t(spark, sfDir, "orders")
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        count(lit(1)).over(
+          Window.orderBy(col("o_orderkey")).rangeBetween(-100, Window.currentRow))
+          .as("n_near"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = SparkEntry.queries("q_window_range")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == naive)
+  }
+
+  test("events table reads (nanos-as-long) and lead/lag orders by ns") {
+    val df = SparkEntry.queries("q_window_lead_lag")(spark, sfDir)
+    assert(df.count() > 0)
+    assert(Tables.t(spark, sfDir, "events").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+}
