@@ -12,7 +12,8 @@ object SparkEntry {
   /** All verifiable queries, in registration order. */
   val defs: Seq[QueryDef] =
     operators.Relational.all ++ operators.Coverage.all ++ sources.Sinks.all ++
-      gateway.GatewayQueries.all
+      gateway.GatewayQueries.all ++ pipeline.TextAnalysis.all ++
+      pipeline.Dedup.all ++ pipeline.Similarity.all ++ pipeline.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the core of a training-data
+  * pipeline. Four escalating strategies:
+  *
+  *   - exact:   hash-groupBy on normalized text (one shuffle of digests)
+  *   - n-gram:  *exact* Jaccard similarity join with prefix filtering —
+  *              complete (no missed pairs, provably) yet never all-pairs
+  *   - minhash: MinHash signatures + LSH banding (probabilistic, cheapest
+  *              at extreme scale)
+  *   - simhash: 64-bit fingerprints + hamming banding
+  *
+  * Scale notes: every strategy shuffles keys/buckets, never documents ×
+  * documents. The prefix filter orders shingles by global rarity so the hot
+  * "common shingle" buckets are never join keys; banding joins group by
+  * (band, signature) which is uniformly distributed by construction.
+  */
+object Dedup {
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "documents")
+
+  /** Word-trigram shingle set, deduplicated. */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles",
+        expr("array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+          "i -> concat_ws(' ', slice(toks, i, 3))))"))
+
+  /** Exact dedup: sha256 over normalized text; keep the smallest doc_id per
+    * digest. One shuffle keyed by digest — uniform by construction, so no
+    * skew at any scale. */
+  private val dedupExact = QueryDef(
+    "q_dedup_exact",
+    (s, d) =>
+      docs(s, d)
+        .groupBy(sha2(lower(trim(col("text"))), 256).as("digest"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+    Some("""SELECT sha256(lower(trim(text))) AS digest, MIN(doc_id) AS keep_id,
+      COUNT(*) AS n_copies FROM documents GROUP BY 1"""))
+
+  /** Near-dup via exact n-gram Jaccard with **prefix filtering** (the
+    * PPJoin family): a pair with J >= t must share a shingle within each
+    * document's first `n - ceil(t*n) + 1` shingles under a global
+    * rarity order (overlap >= ceil(t*n) is implied by J >= t). Candidates
+    * come only from prefix-shingle buckets, then exact Jaccard verifies.
+    * Complete — same output as all-pairs — with candidate generation
+    * keyed on *rare* shingles, so no quadratic blowup and no hot buckets
+    * at 100 TB. Oracle is the all-pairs formulation (feasible at sf0.01).
+    */
+  private val dedupNgram = QueryDef(
+    "q_dedup_ngram",
+    (s, d) => {
+      val t = 0.5
+      val sh = withShingles(docs(s, d))
+        .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+        .filter(col("n") > 0)
+      val exploded = sh.select(col("doc_id"), col("n"),
+        explode(col("shingles")).as("shingle"))
+      // Global shingle rarity (document frequency); broadcast — the shingle
+      // dictionary is orders of magnitude smaller than the corpus.
+      val dfreq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val ranked = exploded.join(broadcast(dfreq), "shingle")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+        .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+        .select(col("doc_id"), col("shingle"))
+      // Candidate pairs: prefix-bucket self-join (a < b), dedup.
+      val cands = ranked.as("x").join(ranked.as("y"), "shingle")
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      // Exact verification on the full shingle sets.
+      val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"), col("n").as("na"))
+      val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"), col("n").as("nb"))
+      cands.join(a, "a_id").join(b, "b_id")
+        .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("j", col("i").cast("double") /
+          nullif(col("na") + col("nb") - col("i"), lit(0)))
+        .filter(col("j") >= t)
+        .select(col("a_id"), col("b_id"), floor(col("j") * 1e6).as("j_e6"))
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id,
+          list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) shingles
+        FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+      ), sized AS (SELECT doc_id, shingles, len(shingles) n FROM sh WHERE len(shingles) > 0)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(FLOOR(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+          nullif(a.n + b.n - len(list_intersect(a.shingles, b.shingles)), 0) * 1e6) AS BIGINT) AS j_e6
+      FROM sized a, sized b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+          nullif(a.n + b.n - len(list_intersect(a.shingles, b.shingles)), 0) >= 0.5"""))
+
+  /** MinHash + LSH banding (probabilistic near-dup at extreme scale):
+    * 32 minhashes = 8 bands x 4 rows; docs sharing any band signature are
+    * candidates; exact Jaccard verifies (so no false positives — only
+    * recall is probabilistic: P(detect) = 1-(1-J^4)^8, ~1 at J >= 0.9).
+    * No SQL oracle (hash seeds are engine-specific) — rows-only plus a
+    * planted-duplicate recall test in DedupSpec. */
+  private val NUM_HASHES = 32
+  private val BAND_ROWS = 4
+  private def minhashCols: Seq[Column] =
+    (0 until NUM_HASHES).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+
+  private val dedupMinhash = QueryDef(
+    "q_dedup_minhash",
+    (s, d) => {
+      val t = 0.5
+      val sh = withShingles(docs(s, d))
+        .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+        .filter(col("n") > 0)
+      val sigs = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(minhashCols.head, minhashCols.tail: _*)
+      // Band signatures: hash each r-row slice of the signature.
+      val bands = (0 until NUM_HASHES / BAND_ROWS).map { b =>
+        val cols = (0 until BAND_ROWS).map(r => col(s"h${b * BAND_ROWS + r}"))
+        struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+      }
+      val buckets = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      val cands = buckets.as("x").join(buckets.as("y"), Seq("band", "sig"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"), col("n").as("na"))
+      val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"), col("n").as("nb"))
+      cands.join(a, "a_id").join(b, "b_id")
+        .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("j", col("i").cast("double") /
+          nullif(col("na") + col("nb") - col("i"), lit(0)))
+        .filter(col("j") >= t)
+        .select(col("a_id"), col("b_id"), floor(col("j") * 1e6).as("j_e6"))
+    },
+    None)
+
+  /** SimHash: 64-bit fingerprint = sign of the tf-weighted sum of each
+    * token-hash bit; near-dups = hamming distance <= 3, found by banding
+    * the fingerprint into 4 x 16-bit chunks (a pair within hamming 3 must
+    * agree exactly on at least one chunk — pigeonhole, so recall is 100%
+    * for the chosen radius). */
+  private val dedupSimhash = QueryDef(
+    "q_dedup_simhash",
+    (s, d) => {
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitSums = (0 until 64).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("tf"))
+          .otherwise(-col("tf"))).as(s"b$j"))
+      val fps = tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(j =>
+            when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+            .reduce(_.bitwiseOR(_)).as("simhash"))
+      val chunks = (0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("sig")))
+      val buckets = fps.select(col("doc_id"), col("simhash"),
+        explode(array(chunks: _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.chunk").as("chunk"), col("bk.sig").as("sig"))
+      buckets.as("x").join(buckets.as("y"), Seq("chunk", "sig"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash)
+}

@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim).
+  *
+  * Two paths: brute-force cosine top-k (exact baseline, oracle-checked
+  * against DuckDB `list_cosine_similarity`) and random-hyperplane LSH
+  * (the scale path: buckets, then exact re-rank inside candidates).
+  * Cosine is computed with `zip_with`/`aggregate` — codegen'd expressions,
+  * no UDF — in double precision after an explicit cast, so Spark and
+  * DuckDB do the identical left-to-right IEEE summation.
+  */
+object Similarity {
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "embeddings")
+
+  private val K = 5
+  private val NQ = 10 // query vectors: vec_id < NQ
+
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  /** dot(a,b) / (|a| * |b|), all in double, left-to-right summation. */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force exact top-k: broadcast the (small) query set against the
+    * corpus — one map-side pass over N rows plus a top-k shuffle of only
+    * NQ*K candidates per partition... at 100 TB the corpus side stays
+    * partition-parallel; only the tiny query set replicates. Similarity is
+    * floor-truncated at 1e-6 and ranked by (s DESC, nid) so ordering is
+    * engine-stable. */
+  private val annBrute = QueryDef(
+    "q_ann_brute",
+    (s, d) => {
+      val e = emb(s, d)
+      val q = broadcast(e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv")))
+      val scored = q.join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          floor(cosine(col("qv"), asDouble(col("embedding"))) * 1e6).as("s"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("s").desc, col("nid"))))
+        .filter(col("rn") <= K)
+        .select(col("qid"), col("nid"), col("s"), col("rn"))
+    },
+    Some(s"""WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < $NQ),
+      scored AS (
+        SELECT qid, vec_id AS nid,
+          CAST(FLOOR(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS s
+        FROM q, embeddings WHERE vec_id <> qid),
+      ranked AS (
+        SELECT qid, nid, s,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+        FROM scored)
+      SELECT qid, nid, s, rn FROM ranked WHERE rn <= $K"""))
+
+  /** Deterministic pseudo-random hyperplanes (seeded — reproducible across
+    * runs and executors; components in [-0.5, 0.5)). L tables x B bits:
+    * for hyperplane LSH, P(bucket match) = (1 - θ/π)^B per table, so B
+    * sets bucket selectivity and L sets recall; 8x4 targets ~0.7 recall
+    * even for the weak (~0.3 cosine) neighbors of random vectors, while
+    * real near-dup embeddings (cosine > 0.9) are caught with P ~ 1. */
+  private val TABLES = 8
+  private val BITS = 4
+  private val DIM = 64
+  private[pipeline] def hyperplanes(): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(TABLES, BITS, DIM)(rng.nextDouble() - 0.5)
+  }
+
+  /** LSH bucket signature per table: sign bits of the dot products with the
+    * table's hyperplanes. */
+  private def bucketCols(v: Column): Seq[Column] = {
+    val planes = hyperplanes()
+    (0 until TABLES).map { t =>
+      val bits = (0 until BITS).map { b =>
+        val plane = array(planes(t)(b).map(lit): _*)
+        when(aggregate(zip_with(v, plane, (x, p) => x * p),
+          lit(0.0), (acc, x) => acc + x) >= 0, shiftleft(lit(1), b))
+          .otherwise(lit(0))
+      }
+      struct(lit(t).as("table"), bits.reduce(_ + _).as("sig"))
+    }
+  }
+
+  /** ANN via hyperplane LSH: corpus and queries bucket into (table, sig);
+    * candidates are bucket-mates in any table; exact cosine re-ranks.
+    * The corpus-side explode is x4 (TABLES), the join is keyed on
+    * uniformly-distributed 8-bit signatures per table — no all-pairs, no
+    * hot keys; recall vs brute force is asserted in SimilaritySpec.
+    * Rows-only entry (bucket membership is seed-specific). */
+  private val annLsh = QueryDef(
+    "q_ann_lsh",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val buckets = e.select(col("vec_id"), col("v"),
+          explode(array(bucketCols(col("v")): _*)).as("bk"))
+        .select(col("vec_id"), col("v"),
+          col("bk.table").as("table"), col("bk.sig").as("sig"))
+      val q = broadcast(buckets.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("table"), col("sig")))
+      val cands = q.join(buckets.filter(col("vec_id") >= NQ), Seq("table", "sig"))
+        .select(col("qid"), col("qv"), col("vec_id").as("nid"), col("v"))
+        .distinct()
+      cands
+        .select(col("qid"), col("nid"), floor(cosine(col("qv"), col("v")) * 1e6).as("s"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("s").desc, col("nid"))))
+        .filter(col("rn") <= K)
+        .select(col("qid"), col("nid"), col("s"), col("rn"))
+    },
+    None)
+
+  /** Embedding-cosine near-duplicate pairs (the "semantic dedup" stage):
+    * same LSH bucketing, symmetric self-join, exact cosine >= 0.95.
+    * Rows-only (possibly empty on random vectors at small sf) — recall
+    * semantics covered by SimilaritySpec's planted duplicates. */
+  private val dedupEmbedding = QueryDef(
+    "q_dedup_embedding",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val buckets = e.select(col("vec_id"), col("v"),
+          explode(array(bucketCols(col("v")): _*)).as("bk"))
+        .select(col("vec_id"), col("v"),
+          col("bk.table").as("table"), col("bk.sig").as("sig"))
+      buckets.as("x").join(buckets.as("y"), Seq("table", "sig"))
+        .filter(col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+          col("x.v").as("va"), col("y.v").as("vb"))
+        .distinct()
+        .select(col("a_id"), col("b_id"), floor(cosine(col("va"), col("vb")) * 1e6).as("s"))
+        .filter(col("s") >= 950000)
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(annBrute, annLsh, dedupEmbedding)
+}

@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over the `documents` table — the per-document
+  * scoring pass of a training-data pipeline (language ID, quality scoring,
+  * token counting, fingerprinting). Everything is expression-level
+  * (codegen'd built-ins, no UDFs), so at 100 TB this is a single
+  * embarrassingly-parallel scan stage: no shuffle except the final small
+  * aggregations.
+  */
+object TextAnalysis {
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "documents")
+
+  /** Corpus stats per language: the profiling query every pipeline runs
+    * first. Decimal-exact avg per the oracle-parity conventions. */
+  private val textStats = QueryDef(
+    "q_text_stats",
+    (s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("n_chars").cast(DecimalType(18, 2))).cast(DoubleType) /
+            count(lit(1))).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          countDistinct(col("source")).as("n_sources")),
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_chars,
+      MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      COUNT(DISTINCT source) AS n_sources
+      FROM documents GROUP BY lang"""))
+
+  /** Per-document quality scoring: token count, mean token length,
+    * punctuation ratio, stopword ratio, and a keep/drop flag — the C4-style
+    * heuristic filter stage. Ratios are floor-truncated at 1e-6 for
+    * cross-engine hash stability. */
+  private val textQuality = QueryDef(
+    "q_text_quality",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_stop",
+          size(expr("filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')")))
+        .withColumn("n_punct",
+          length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          floor(length(col("text")).cast(DoubleType) / col("n_tokens") * 1e6).as("mean_tok_len_e6"),
+          floor(col("n_punct").cast(DoubleType) / length(col("text")) * 1e6).as("punct_ratio_e6"),
+          floor(col("n_stop").cast(DoubleType) / col("n_tokens") * 1e6).as("stop_ratio_e6"),
+          (col("n_tokens") >= 10 && col("n_stop") > 0).as("keep")),
+    Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      CAST(FLOOR(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) * 1e6) AS BIGINT) AS mean_tok_len_e6,
+      CAST(FLOOR(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) * 1e6) AS BIGINT) AS punct_ratio_e6,
+      CAST(FLOOR(CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS DOUBLE) / len(string_split(text, ' ')) * 1e6) AS BIGINT) AS stop_ratio_e6,
+      len(string_split(text, ' ')) >= 10 AND
+        len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) > 0 AS keep
+      FROM documents"""))
+
+  /** Language ID by stopword-marker scoring (n-gram-heuristic family):
+    * count hits for per-language marker words, argmax with a deterministic
+    * tie order (en > de > fr > es > unk). Pure expressions — at scale this
+    * is a map-only stage. */
+  private val langId = QueryDef(
+    "q_lang_id",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("s_en", size(expr("filter(toks, t -> t = 'the' OR t = 'and' OR t = 'of')")))
+        .withColumn("s_de", size(expr("filter(toks, t -> t = 'der' OR t = 'und' OR t = 'die')")))
+        .withColumn("s_fr", size(expr("filter(toks, t -> t = 'le' OR t = 'et' OR t = 'la')")))
+        .withColumn("s_es", size(expr("filter(toks, t -> t = 'el' OR t = 'y' OR t = 'los')")))
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          when(greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es")) === 0, "unk")
+            .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+            .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+            .when(col("s_fr") >= col("s_es"), "fr")
+            .otherwise("es").as("pred_lang")),
+    Some("""WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(lower(text),' '), t -> t = 'the' OR t = 'and' OR t = 'of')) s_en,
+        len(list_filter(string_split(lower(text),' '), t -> t = 'der' OR t = 'und' OR t = 'die')) s_de,
+        len(list_filter(string_split(lower(text),' '), t -> t = 'le' OR t = 'et' OR t = 'la')) s_fr,
+        len(list_filter(string_split(lower(text),' '), t -> t = 'el' OR t = 'y' OR t = 'los')) s_es
+      FROM documents)
+      SELECT doc_id, lang AS labeled_lang,
+        CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unk'
+             WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+             WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es' END AS pred_lang
+      FROM scored"""))
+
+  /** Token counting with a BPE-ish regex tokenizer (words / numbers /
+    * single punctuation), aggregated per source — the billing query of a
+    * data pipeline. */
+  private val tokenCount = QueryDef(
+    "q_token_count",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("n_tok",
+          size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("total_tokens"),
+          count(lit(1)).as("n_docs"),
+          max(col("n_tok")).as("max_doc_tokens")),
+    Some("""SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total_tokens, COUNT(*) AS n_docs,
+      MAX(n_tok) AS max_doc_tokens FROM (
+        SELECT source, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) n_tok
+        FROM documents) GROUP BY source"""))
+
+  /** Document fingerprinting: md5 over the sorted distinct token set (a
+    * bag-of-words content fingerprint — order-insensitive, so reworded
+    * shuffles of the same vocabulary collide, which is the point). */
+  private val fingerprint = QueryDef(
+    "q_fingerprint",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(lower(col("text")), " "))))).as("fp")),
+    Some("""SELECT doc_id,
+      md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+      FROM documents"""))
+
+  val all: Seq[QueryDef] =
+    Seq(textStats, textQuality, langId, tokenCount, fingerprint)
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the LLM-pipeline operators that have no SQL oracle
+  * (probabilistic bucketing, seed-specific hashes, binary decode): planted
+  * duplicates must be found, LSH recall must beat a floor, and the stubbed
+  * multimodal decode must match an independent computation.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("q_dedup_ngram finds exactly the planted near-dup pairs (vs all-pairs truth)") {
+    // Ground truth by brute force at sf0.001: all pairs with trigram
+    // Jaccard >= 0.5. The prefix-filtered join must match exactly.
+    val sh = Tables.t(spark, sfDir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles",
+        expr("array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+          "i -> concat_ws(' ', slice(toks, i, 3))))"))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+      .filter(col("n") > 0)
+    val truth = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("i", size(array_intersect(col("a.shingles"), col("b.shingles"))))
+      .withColumn("j", col("i").cast("double") /
+        (col("a.n") + col("b.n") - col("i")))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test data should contain planted near-dups")
+    assert(got == truth,
+      s"prefix-filtered join diverged from all-pairs truth: got ${got.size}, want ${truth.size}")
+  }
+
+  test("q_dedup_minhash recalls all planted pairs with J >= 0.9") {
+    val strong = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
+      .filter(col("j_e6") >= 900000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty)
+    // P(miss a J>=0.9 pair) = (1-0.9^4)^8 ~ 2e-4 per pair.
+    assert(strong.subsetOf(got),
+      s"minhash missed strong pairs: ${strong -- got}")
+  }
+
+  test("q_dedup_simhash buckets near-identical docs together") {
+    val got = SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Planted word-level near-dups share almost all tokens -> hamming ~ 0;
+    // simhash must surface a nonempty overlap with the strong ngram pairs.
+    val strong = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
+      .filter(col("j_e6") >= 900000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((got intersect strong).nonEmpty,
+      "simhash found none of the planted near-dups")
+  }
+
+  test("q_ann_lsh recall@5 vs brute force is reasonable") {
+    val brute = SparkEntry.queries("q_ann_brute")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_ann_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    info(f"ANN LSH recall@5 = $recall%.2f (${lsh.size} candidates returned)")
+    // Random 64-dim embeddings are a worst case for hyperplane LSH; the
+    // gate is deliberately loose — the point is the bucketed plan shape.
+    assert(recall >= 0.3, f"LSH recall collapsed: $recall%.2f")
+  }
+
+  test("multimodal stub features match an independent computation") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val feats = SparkEntry.queries("q_multimodal_features")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(feats.keySet == docs.keySet)
+    for ((id, text) <- docs.take(20)) {
+      val bytes = text.getBytes("UTF-8")
+      val mean = if (bytes.isEmpty) 0L
+        else bytes.map(_ & 0xFF).map(_.toLong).sum * 1000L / bytes.length
+      val distinct = bytes.map(_ & 0xFF).distinct.length
+      assert(feats(id) == ((bytes.length.toLong, mean, distinct)),
+        s"doc $id features diverged")
+    }
+  }
+
+  test("pipeline plans never go quadratic (no cartesian/NLJ in dedup paths)") {
+    for (q <- Seq("q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash",
+      "q_dedup_simhash", "q_dedup_embedding")) {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop join")
+    }
+  }
+}
