@@ -68,10 +68,13 @@ object Dedup {
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
         .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
-        .select(col("doc_id"), col("shingle"))
-      // Candidate pairs: prefix-bucket self-join (a < b), dedup.
+        .select(col("doc_id"), col("n"), col("shingle"))
+      // Candidate pairs: prefix-bucket self-join (a < b) with the length
+      // filter (J >= t implies t <= |A|/|B| <= 1/t — prunes most spurious
+      // bucket-mates before the distinct), then dedup.
       val cands = ranked.as("x").join(ranked.as("y"), "shingle")
-        .filter(col("x.doc_id") < col("y.doc_id"))
+        .filter(col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") * t <= col("y.n") && col("y.n") * t <= col("x.n"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
       // Exact verification on the full shingle sets.

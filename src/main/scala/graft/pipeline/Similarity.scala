@@ -74,23 +74,25 @@ object Similarity {
   private val TABLES = 8
   private val BITS = 4
   private val DIM = 64
-  private[pipeline] def hyperplanes(): Array[Array[Array[Double]]] = {
+  private[pipeline] def hyperplanes(tables: Int, bits: Int): Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(42)
-    Array.fill(TABLES, BITS, DIM)(rng.nextDouble() - 0.5)
+    Array.fill(tables, bits, DIM)(rng.nextDouble() - 0.5)
   }
 
   /** LSH bucket signature per table: sign bits of the dot products with the
-    * table's hyperplanes. */
-  private def bucketCols(v: Column): Seq[Column] = {
-    val planes = hyperplanes()
-    (0 until TABLES).map { t =>
-      val bits = (0 until BITS).map { b =>
+    * table's hyperplanes. Selectivity dial: P(bucket match) per table is
+    * (1-θ/π)^bits, so k-NN search over weak neighbors wants few bits/many
+    * tables while high-threshold near-dup detection wants many bits. */
+  private def bucketCols(v: Column, tables: Int, bits: Int): Seq[Column] = {
+    val planes = hyperplanes(tables, bits)
+    (0 until tables).map { t =>
+      val bitCols = (0 until bits).map { b =>
         val plane = array(planes(t)(b).map(lit): _*)
         when(aggregate(zip_with(v, plane, (x, p) => x * p),
           lit(0.0), (acc, x) => acc + x) >= 0, shiftleft(lit(1), b))
           .otherwise(lit(0))
       }
-      struct(lit(t).as("table"), bits.reduce(_ + _).as("sig"))
+      struct(lit(t).as("table"), bitCols.reduce(_ + _).as("sig"))
     }
   }
 
@@ -105,7 +107,7 @@ object Similarity {
     (s, d) => {
       val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val buckets = e.select(col("vec_id"), col("v"),
-          explode(array(bucketCols(col("v")): _*)).as("bk"))
+          explode(array(bucketCols(col("v"), TABLES, BITS): _*)).as("bk"))
         .select(col("vec_id"), col("v"),
           col("bk.table").as("table"), col("bk.sig").as("sig"))
       val q = broadcast(buckets.filter(col("vec_id") < NQ)
@@ -123,22 +125,28 @@ object Similarity {
     None)
 
   /** Embedding-cosine near-duplicate pairs (the "semantic dedup" stage):
-    * same LSH bucketing, symmetric self-join, exact cosine >= 0.95.
-    * Rows-only (possibly empty on random vectors at small sf) — recall
-    * semantics covered by SimilaritySpec's planted duplicates. */
+    * LSH bucketing tuned tight (8 tables x 8 bits — at cosine 0.95,
+    * P(detect) ~ 0.99 while random pairs rarely collide, keeping candidate
+    * volume ~bucket-sized), symmetric self-join on ids only (vectors are
+    * re-joined after the pair dedup, so `distinct` never hashes arrays),
+    * exact cosine >= 0.95 verification. Rows-only (may be empty on random
+    * vectors); recall covered in PipelineSpec via planted duplicates. */
+  private val DEDUP_TABLES = 8
+  private val DEDUP_BITS = 8
   private val dedupEmbedding = QueryDef(
     "q_dedup_embedding",
     (s, d) => {
       val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val buckets = e.select(col("vec_id"), col("v"),
-          explode(array(bucketCols(col("v")): _*)).as("bk"))
-        .select(col("vec_id"), col("v"),
-          col("bk.table").as("table"), col("bk.sig").as("sig"))
-      buckets.as("x").join(buckets.as("y"), Seq("table", "sig"))
+      val buckets = e.select(col("vec_id"),
+          explode(array(bucketCols(col("v"), DEDUP_TABLES, DEDUP_BITS): _*)).as("bk"))
+        .select(col("vec_id"), col("bk.table").as("table"), col("bk.sig").as("sig"))
+      val cands = buckets.as("x").join(buckets.as("y"), Seq("table", "sig"))
         .filter(col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
-          col("x.v").as("va"), col("y.v").as("vb"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
         .distinct()
+      cands
+        .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
         .select(col("a_id"), col("b_id"), floor(cosine(col("va"), col("vb")) * 1e6).as("s"))
         .filter(col("s") >= 950000)
     },
