@@ -30,5 +30,20 @@ object GatewayQueries {
       FROM (VALUES ('{"name": "job-a", "query": "SELECT 1 AS one"}'), ('{"name": "job-b"}')) t(job_meta)
       ORDER BY job_meta"""))
 
-  val all: Seq[QueryDef] = Seq(runningJobs)
+  /** The cluster membership view (SURVEY §2 row 65). Counts and capacity
+    * are host-specific → the checked output is the deterministic shape:
+    * one Available row per node (local[n] = 1). */
+  private val clusterNodes = QueryDef(
+    "q_cluster_nodes",
+    (s, _) => {
+      val rt = new JobRuntime(s)
+      try {
+        rt.registerClusterNodesView()
+        s.sql("""SELECT status, count(*) AS n_nodes FROM cluster_nodes
+          WHERE cpu_cores > 0 AND total_memory > 0 GROUP BY status""")
+      } finally rt.close()
+    },
+    Some("SELECT 'Available' AS status, CAST(1 AS BIGINT) AS n_nodes"))
+
+  val all: Seq[QueryDef] = Seq(runningJobs, clusterNodes)
 }

@@ -244,6 +244,37 @@ final class JobRuntime(
   def registerRunningJobsView(): Unit =
     runningJobs().createOrReplaceTempView("running_jobs")
 
+  /** Cluster/heartbeat observability — the reference's `cluster_nodes`
+    * membership table fed by `Heartbeater` upserts
+    * (`dist/src/heartbeat.rs:21-73`, `clusters/postgres/src/cluster.rs:
+    * 62-193`: NodeId{host,port} + NodeState{status, memory, cpu, running
+    * tasks}). Spark maintains the same state natively via executor
+    * heartbeats; this surfaces the status tracker's live view as SQL. On
+    * local[n] there is exactly one row (the driver executor); on a
+    * 1000-executor cluster, one per executor. */
+  def clusterNodes(): DataFrame = {
+    val rt = Runtime.getRuntime
+    val rows = spark.sparkContext.statusTracker.getExecutorInfos.toSeq.map { e =>
+      Row(e.host(), e.port(), "Available",
+        rt.totalMemory(), rt.freeMemory(),
+        e.usedOnHeapStorageMemory() + e.usedOffHeapStorageMemory(),
+        rt.availableProcessors(), e.numRunningTasks())
+    }
+    val schema = StructType(Seq(
+      StructField("host", StringType, nullable = false),
+      StructField("port", IntegerType, nullable = false),
+      StructField("status", StringType, nullable = false),
+      StructField("total_memory", LongType, nullable = false),
+      StructField("free_memory", LongType, nullable = false),
+      StructField("used_storage_memory", LongType, nullable = false),
+      StructField("cpu_cores", IntegerType, nullable = false),
+      StructField("running_tasks", IntegerType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  def registerClusterNodesView(): Unit =
+    clusterNodes().createOrReplaceTempView("cluster_nodes")
+
   override def close(): Unit = {
     sweeper.shutdownNow()
     registry.values.asScala.toSeq.foreach(st => cleanup(st, JobStatus.Cancelled))

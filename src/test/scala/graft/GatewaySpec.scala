@@ -122,6 +122,17 @@ class GatewaySpec extends SparkSpec {
     }
   }
 
+  test("cluster_nodes exposes live executor membership as SQL") {
+    withRuntime() { rt =>
+      rt.registerClusterNodesView()
+      val rows = spark.sql(
+        """SELECT host, status, cpu_cores, running_tasks FROM cluster_nodes""").collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getString(1) == "Available"))
+      assert(rows.forall(_.getInt(2) > 0))
+    }
+  }
+
   test("cpu_intensive computes the reference's wrapping fibonacci") {
     assert(gateway.Udfs.fib(10) == 55L)
     assert(gateway.Udfs.fib(0) == 0L)
