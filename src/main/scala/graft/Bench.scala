@@ -35,8 +35,10 @@ object Bench {
     }
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // 3-decimal timings keep the single JSON line short enough that no
+    // output-capture tail window clips it (round-1 failure mode).
     val qs = timed.map { case (n, sec, err) =>
-      s"${jstr(n)}:${if (err.isDefined) -1.0 else sec}"
+      s"${jstr(n)}:${if (err.isDefined) -1.0 else math.rint(sec * 1000) / 1000}"
     }.mkString("{", ",", "}")
     val errs = timed.collect { case (n, _, Some(e)) => s"${jstr(n)}:${jstr(e)}" }
       .mkString("{", ",", "}")

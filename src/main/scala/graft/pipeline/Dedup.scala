@@ -61,10 +61,12 @@ object Dedup {
         .filter(col("n") > 0)
       val exploded = sh.select(col("doc_id"), col("n"),
         explode(col("shingles")).as("shingle"))
-      // Global shingle rarity (document frequency); broadcast — the shingle
-      // dictionary is orders of magnitude smaller than the corpus.
+      // Global shingle rarity (document frequency). No broadcast hint: the
+      // shingle dictionary grows with the corpus (would not fit the driver
+      // at 100 TB) — the shingle-keyed shuffle join co-partitions with the
+      // explode output, and AQE still broadcasts when it is actually small.
       val dfreq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      val ranked = exploded.join(broadcast(dfreq), "shingle")
+      val ranked = exploded.join(dfreq, "shingle")
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
         .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
