@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.CosineSimilarity
+
+/** Session extensions: graft's native functions, injected at session build
+  * (`spark.sql.extensions=graft.GraftExtensions`). This is the sanctioned
+  * Catalyst extension point — custom expressions participate in whole-stage
+  * codegen like built-ins, unlike Scala UDFs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_cosine(a, b) takes two array<double> arguments")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

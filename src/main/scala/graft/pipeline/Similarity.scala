@@ -24,8 +24,16 @@ object Similarity {
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
-  /** dot(a,b) / (|a| * |b|), all in double, left-to-right summation. */
-  private def cosine(a: Column, b: Column): Column = {
+  /** dot(a,b) / (|a| * |b|), all in double, left-to-right summation —
+    * graft's native codegen'd expression (functions/CosineSimilarity.scala).
+    * Bit-identical to the composable HOF form (asserted in FunctionsSpec)
+    * but one fused loop inside whole-stage codegen. */
+  private def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
+  /** The composable formulation, kept as the differential-testing oracle
+    * for the native expression. */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) = aggregate(
       zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Differential + codegen tests for graft's native Catalyst expressions. */
+class FunctionsSpec extends SparkSpec {
+
+  private def vecs = Tables.t(spark, sfDir, "embeddings")
+    .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+  test("graft_cosine is bit-identical to the composable HOF formulation") {
+    val a = vecs.as("a")
+    val b = vecs.as("b")
+    val pairs = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .filter(col("a.vec_id") < 20 && col("b.vec_id") < 20)
+      .select(
+        call_function("graft_cosine", col("a.v"), col("b.v")).as("native"),
+        pipeline.Similarity.cosineHof(col("a.v"), col("b.v")).as("hof"))
+    val rows = pairs.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // Exact equality, not tolerance: same IEEE operation order is the
+      // contract that keeps the DuckDB oracle hash-stable.
+      assert(r.getDouble(0) == r.getDouble(1), s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+    }
+  }
+
+  test("graft_cosine is usable from SQL via the injected function") {
+    vecs.createOrReplaceTempView("fx_vecs")
+    val r = spark.sql(
+      """SELECT graft_cosine(a.v, a.v) AS self FROM fx_vecs a WHERE a.vec_id = 0""")
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("graft_cosine null semantics: null/length-mismatch/zero-norm -> NULL") {
+    val r = spark.sql(
+      """SELECT
+           graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS n1,
+           graft_cosine(array(1.0d, 2.0d), array(1.0d)) AS n2,
+           graft_cosine(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS n3,
+           graft_cosine(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS n4""")
+      .collect().head
+    assert((0 until 4).forall(r.isNullAt), r.toString)
+  }
+
+  test("graft_cosine participates in whole-stage codegen") {
+    val df = vecs.select(call_function("graft_cosine", col("v"), col("v")).as("s"))
+    df.collect() // force execution so a codegen fallback would surface
+    // The `*(n)` prefix marks operators fused into a WholeStageCodegen
+    // stage; the graft_cosine projection must carry it (the HOF transform
+    // projection below it notably does not — that's the win).
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_cosine.*"), plan)
+  }
+}
