@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+import org.apache.spark.sql.functions._
+
+/** Property layer (SURVEY §5 plan item 5): randomized invariants of the
+  * helper math the pipeline operators rest on (seeded — reproducible). */
+class PropertySpec extends AnyFunSuite {
+  private val rng = new Random(42)
+  private def randomSet(): Set[Int] =
+    (0 until (1 + rng.nextInt(40))).map(_ => rng.nextInt(60)).toSet
+
+  test("fib is non-negative-symmetric and matches the additive recurrence") {
+    for (_ <- 0 until 200) {
+      val n = rng.nextInt(80).toLong
+      assert(gateway.Udfs.fib(n) == gateway.Udfs.fib(-n))
+      if (n >= 2) assert(gateway.Udfs.fib(n) ==
+        gateway.Udfs.fib(n - 1) + gateway.Udfs.fib(n - 2))
+    }
+  }
+
+  test("jaccard of sets is within [0,1], 1 iff equal, symmetric") {
+    for (_ <- 0 until 500) {
+      val a = randomSet(); val b = randomSet()
+      val i = (a intersect b).size.toDouble
+      val j = i / (a.size + b.size - i)
+      assert(j >= 0.0 && j <= 1.0)
+      assert((j == 1.0) == (a == b))
+      assert(j == i / (b.size + a.size - i))
+    }
+  }
+
+  test("prefix length bound: sets with J >= t share a prefix element") {
+    // The invariant q_dedup_ngram's completeness rests on: under any total
+    // order, two sets with jaccard >= t intersect within the first
+    // n - ceil(t*n) + 1 elements of each. Generate correlated pairs so
+    // high-J cases actually occur.
+    val t = 0.5
+    var highJ = 0
+    for (_ <- 0 until 2000) {
+      val a = randomSet()
+      val b = if (rng.nextBoolean()) {
+        // mutate a: drop/add a few elements -> often J >= t
+        a.filter(_ => rng.nextDouble() > 0.15) ++ Set(rng.nextInt(60))
+      } else randomSet()
+      if (a.nonEmpty && b.nonEmpty) {
+        val i = (a intersect b).size.toDouble
+        val j = i / (a.size + b.size - i)
+        if (j >= t) {
+          highJ += 1
+          val prefA = a.toSeq.sorted.take(a.size - math.ceil(t * a.size).toInt + 1).toSet
+          val prefB = b.toSeq.sorted.take(b.size - math.ceil(t * b.size).toInt + 1).toSet
+          assert((prefA intersect b).nonEmpty, s"prefix filter would miss ($a, $b)")
+          assert((prefB intersect a).nonEmpty)
+        }
+      }
+    }
+    assert(highJ > 100, s"test generated too few high-J pairs ($highJ)")
+  }
+}
+
+/** Spark-backed equivalence check for the salting utilities. */
+class SkewSpec extends SparkSpec {
+  import graft.operators.Skew
+
+  test("saltedAggregate equals direct groupBy on a skewed key") {
+    // 90% of rows share one key — the shape salting exists for.
+    val df = spark.range(0, 100000)
+      .select(when(col("id") % 10 === 0, col("id") % 7).otherwise(0L).as("k"),
+        col("id").as("v"))
+    val direct = df.groupBy(col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedAggregate(df, Seq(col("k")), 16,
+      partials = Seq(sum(col("v")).as("ps"), count(lit(1)).as("pn")),
+      merge = Seq(sum(col("ps")).as("s"), sum(col("pn")).as("n")))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(salted == direct)
+  }
+
+  test("saltedBroadcastJoin equals the plain join") {
+    val fact = spark.range(0, 50000)
+      .select((col("id") % 5).as("fk"), col("id").as("v"))
+    val dim = spark.range(0, 5).select(col("id").as("dk"),
+      concat(lit("dim-"), col("id")).as("name"))
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .groupBy(col("name")).agg(sum(col("v")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = Skew.saltedBroadcastJoin(fact, dim, col("fk"), col("dk"), 8)
+      .groupBy(col("name")).agg(sum(col("v")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == plain)
+  }
+}
