@@ -24,6 +24,9 @@ object Sinks {
       case "parquet" =>
         src.write.mode("overwrite").parquet(out)
         s.read.parquet(out)
+      case "orc" =>
+        src.write.mode("overwrite").orc(out)
+        s.read.orc(out)
       case "csv" =>
         src.write.mode("overwrite").option("header", "true").csv(out)
         s.read.option("header", "true").schema(src.schema).csv(out)
@@ -38,5 +41,26 @@ object Sinks {
     (s, d) => roundtrip(fmt)(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
 
-  val all: Seq[QueryDef] = Seq(q("parquet"), q("csv"), q("json"))
+  /** Partitioned sink + partition-pruned scan (`FileSinkConfig.table_
+    * partition_cols`, proto:743-753): write orders hive-partitioned by
+    * order year, read back with a year predicate. At 100 TB this is THE
+    * layout decision — the filter prunes whole directories before any IO
+    * (PlanSpec asserts PartitionFilters is populated). */
+  private val partitionedSink = QueryDef(
+    "q_sink_partitioned",
+    (s, d) => {
+      val dir = Files.createTempDirectory("graft_sink_part").toString
+      Tables.t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(s"$dir/orders")
+      s.read.parquet(s"$dir/orders")
+        .filter(col("o_year") === 1995)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n FROM orders
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY o_orderstatus"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q("parquet"), q("orc"), q("csv"), q("json"), partitionedSink)
 }

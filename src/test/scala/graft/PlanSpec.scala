@@ -85,4 +85,39 @@ class PlanSpec extends SparkSpec {
     val p = planString("q_memory_scan")
     assert(p.contains("LocalTableScan"), p)
   }
+
+  test("q_sink_partitioned prunes partition directories at the scan") {
+    val p = planString("q_sink_partitioned")
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"), p)
+    assert(p.contains("= 1995)"), p)
+  }
+
+  test("bucketed tables co-locate the join: no exchange at all") {
+    // The write-side answer to repeated 100 TB joins: bucket both fact
+    // tables on the join key and the shuffle disappears from every
+    // subsequent join. (In-memory catalog; bucket info lives in the
+    // session catalog like a metastore would hold it.)
+    import org.apache.spark.sql.functions._
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.t(spark, sfDir, "orders")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_bkt")
+      Tables.t(spark, sfDir, "lineitem")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_bkt")
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("o_orderstatus"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
 }

@@ -42,6 +42,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream inner join with watermarks (SymmetricHashJoin analog)") {
+    // The reference wire carries SymmetricHashJoinExec (proto:1080-1090,
+    // never exercised by its tests); Spark's stream-stream join is the
+    // native equivalent: two unbounded sides, incremental hash join, state
+    // bounded by watermark + time-range condition.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val clicks = MemoryStream[EventRow]
+    val views = MemoryStream[EventRow]
+    val joined = clicks.toDF().select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", "1 minute")
+      .join(
+        views.toDF().select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+            col("value").as("view_value"))
+          .withWatermark("view_ts", "1 minute"),
+        expr("""user_id = v_user AND
+          view_ts BETWEEN click_ts AND click_ts + INTERVAL 2 MINUTES"""))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(EventRow(1, ts(0), 7, "click", 1.0))
+      views.addData(
+        EventRow(2, ts(1), 7, "view", 2.0),   // within 2 min -> joins
+        EventRow(3, ts(5), 7, "view", 3.0),   // outside window -> no join
+        EventRow(4, ts(1), 8, "view", 4.0))   // other user -> no join
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, click_value, view_value FROM ss_join").collect()
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet ==
+        Set((7L, 1.0, 2.0)))
+    } finally q.stop()
+  }
+
   test("sessionization accumulates per-user state across micro-batches") {
     // ProcessingTimeTimeout makes a default-trigger query re-fire batches
     // continuously to evaluate timeouts, so drive it with AvailableNow runs
