@@ -47,6 +47,9 @@ private[gateway] final class JobState(
   @volatile var status: JobStatus = JobStatus.Submitted
   @volatile var firstFetchAtMs: Long = -1L
   val fetchedPartitions = ConcurrentHashMap.newKeySet[Int]()
+  // Per-ticket delivery metrics (reference TaskStream row counting,
+  // dist/src/runtime.rs:598-686).
+  val partitionRows = new TrieMap[Int, Long]()
   // Spark-side execution bookkeeping for the stages JSON (listener-fed).
   val sparkJobs = new TrieMap[Int, String]()   // spark job id -> state
   val sparkStages = new TrieMap[Int, (Int, String)]() // stage id -> (numTasks, state)
@@ -99,6 +102,13 @@ final class JobRuntime(
     config: GatewayConfig = GatewayConfig()) extends AutoCloseable {
 
   private val registry = new ConcurrentHashMap[String, JobState]()
+
+  /** Graceful-shutdown latch: a Terminating gateway rejects new work but
+    * lets live jobs drain (reference `dist/src/runtime.rs:120-126,320-325`:
+    * nodes reject task sends when not Available). */
+  @volatile private var terminating = false
+  def beginShutdown(): Unit = { terminating = true }
+  def isTerminating: Boolean = terminating
 
   /** Maps Spark-scheduler events back to gateway jobs via the job group —
     * the Spark analog of the reference's TaskStream metrics + completion
@@ -161,6 +171,8 @@ final class JobRuntime(
 
   /** Programmatic entry (SURVEY §3.2): any DataFrame as a tracked job. */
   def submitDataFrame(df: DataFrame, meta: Map[String, String] = Map.empty): JobHandle = {
+    if (terminating)
+      throw new IllegalStateException("gateway is terminating: new jobs rejected")
     val jobId = UUID.randomUUID().toString
     val st = new JobState(jobId, System.currentTimeMillis(), meta, df)
     registry.put(jobId, st)
@@ -180,6 +192,7 @@ final class JobRuntime(
     try {
       val res = sc.runJob(st.rdd, (it: Iterator[Row]) => it.toArray,
         Seq(partition)).head.toSeq
+      st.partitionRows.put(partition, res.size.toLong)
       st.fetchedPartitions.add(partition)
       // CheckJobCompleted: all final-stage partitions delivered → cleanup
       // (reference event.rs:185-334).
@@ -224,9 +237,13 @@ final class JobRuntime(
       val metaJson = st.meta.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
         .mkString("{", ", ", "}")
-      val stagesJson = st.sparkStages.toSeq.sortBy(_._1)
+      val resultEntry =
+        "\"result\": {\"fetched_partitions\": " + st.fetchedPartitions.size +
+          ", \"delivered_rows\": " + st.partitionRows.values.sum + "}"
+      val stagesJson = (st.sparkStages.toSeq.sortBy(_._1)
         .map { case (sid, (n, state)) =>
           s"${jstr(sid.toString)}: {\"num_tasks\": $n, \"state\": ${jstr(state)}}" }
+        :+ resultEntry)
         .mkString("{", ", ", "}")
       Row(st.jobId, new java.sql.Timestamp(st.createdAtMs), metaJson, stagesJson)
     }

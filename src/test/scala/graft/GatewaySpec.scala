@@ -122,6 +122,28 @@ class GatewaySpec extends SparkSpec {
     }
   }
 
+  test("graceful shutdown: Terminating gateway rejects new jobs, drains live ones") {
+    withRuntime() { rt =>
+      val live = rt.submit("SELECT id FROM range(0, 100, 1, 2)")
+      rt.beginShutdown()
+      intercept[IllegalStateException] { rt.submit("SELECT 1") }
+      // In-flight job still drains to completion.
+      assert(live.fetchAll().size == 100)
+      assert(live.status == gateway.JobStatus.Completed)
+    }
+  }
+
+  test("per-ticket delivery metrics surface in running_jobs stages JSON") {
+    withRuntime() { rt =>
+      val h = rt.submit("SELECT id FROM range(0, 100, 1, 4)")
+      h.fetch(h.tickets.head)
+      rt.registerRunningJobsView()
+      val stages = spark.sql("SELECT stages FROM running_jobs").collect().head.getString(0)
+      assert(stages.contains("\"fetched_partitions\": 1"), stages)
+      assert(stages.contains("\"delivered_rows\": 25"), stages)
+    }
+  }
+
   test("cluster_nodes exposes live executor membership as SQL") {
     withRuntime() { rt =>
       rt.registerClusterNodesView()
