@@ -86,6 +86,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LocalTableScan"), p)
   }
 
+  test("TPC-H composites: broadcast dims, single fact shuffle, top-k without global sort") {
+    val q3 = planString("q_tpch_q3")
+    assert(q3.contains("BroadcastHashJoin"), q3)          // customer dim
+    assert(q3.contains("TakeOrderedAndProject"), q3)      // LIMIT 10 top-k
+    val q5 = planString("q_tpch_q5")
+    assert(q5.contains("BroadcastHashJoin"), q5)          // nation/region
+    assert(!q5.contains("CartesianProduct"), q5)
+    val q10 = planString("q_tpch_q10")
+    assert(q10.contains("TakeOrderedAndProject"), q10)
+    // Returned-items filter must reach the lineitem scan.
+    assert(q10.contains("EqualTo(l_returnflag,R)"), q10)
+  }
+
+  test("global sweep: no query plans a cartesian product or NLJ unless it IS one") {
+    val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+        if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
+      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated to a nested-loop join")
+    }
+  }
+
   test("q_sink_partitioned prunes partition directories at the scan") {
     val p = planString("q_sink_partitioned")
     assert(p.contains("PartitionFilters: [isnotnull(o_year"), p)
