@@ -31,6 +31,15 @@ object Dedup {
         expr("array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), " +
           "i -> concat_ws(' ', slice(toks, i, 3))))"))
 
+  /** Same set, as xxhash64 fingerprints: set operations on 8-byte longs
+    * instead of ~20-char strings — smaller shuffles, cheaper intersects.
+    * Jaccard over the hashed sets equals Jaccard over the strings unless
+    * xxhash64 collides inside one pair's union (~140 values vs 2^64 —
+    * never at any realistic corpus size). */
+  private def withHashedShingles(df: DataFrame): DataFrame =
+    withShingles(df)
+      .withColumn("shingles", expr("array_distinct(transform(shingles, s -> xxhash64(s)))"))
+
   /** Exact dedup: sha256 over normalized text; keep the smallest doc_id per
     * digest. One shuffle keyed by digest — uniform by construction, so no
     * skew at any scale. */
@@ -56,7 +65,7 @@ object Dedup {
     "q_dedup_ngram",
     (s, d) => {
       val t = 0.5
-      val sh = withShingles(docs(s, d))
+      val sh = withHashedShingles(docs(s, d))
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
         .filter(col("n") > 0)
       val exploded = sh.select(col("doc_id"), col("n"),
@@ -117,7 +126,7 @@ object Dedup {
     "q_dedup_minhash",
     (s, d) => {
       val t = 0.5
-      val sh = withShingles(docs(s, d))
+      val sh = withHashedShingles(docs(s, d))
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
         .filter(col("n") > 0)
       val sigs = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
