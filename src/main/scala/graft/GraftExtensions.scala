@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, JaccardSimilarity}
 
 /** Session extensions: graft's native functions, injected at session build
   * (`spark.sql.extensions=graft.GraftExtensions`). This is the sanctioned
@@ -18,6 +18,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_cosine(a, b) takes two array<double> arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getName, "graft_jaccard"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_jaccard(a, b) takes two sorted-distinct array<bigint> arguments")
+        JaccardSimilarity(children.head, children(1))
       }))
   }
 }

@@ -31,14 +31,17 @@ object Dedup {
         expr("array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), " +
           "i -> concat_ws(' ', slice(toks, i, 3))))"))
 
-  /** Same set, as xxhash64 fingerprints: set operations on 8-byte longs
-    * instead of ~20-char strings — smaller shuffles, cheaper intersects.
-    * Jaccard over the hashed sets equals Jaccard over the strings unless
-    * xxhash64 collides inside one pair's union (~140 values vs 2^64 —
-    * never at any realistic corpus size). */
+  /** Same set, as SORTED xxhash64 fingerprints: set operations on 8-byte
+    * longs instead of ~20-char strings — smaller shuffles, and the sorted
+    * order lets `graft_jaccard` (functions/JaccardSimilarity.scala) verify
+    * pairs with a single allocation-free merge-walk. Jaccard over the
+    * hashed sets equals Jaccard over the strings unless xxhash64 collides
+    * inside one pair's union (~140 values vs 2^64 — never at any realistic
+    * corpus size). */
   private def withHashedShingles(df: DataFrame): DataFrame =
     withShingles(df)
-      .withColumn("shingles", expr("array_distinct(transform(shingles, s -> xxhash64(s)))"))
+      .withColumn("shingles",
+        expr("array_sort(array_distinct(transform(shingles, s -> xxhash64(s))))"))
 
   /** Exact dedup: sha256 over normalized text; keep the smallest doc_id per
     * digest. One shuffle keyed by digest — uniform by construction, so no
@@ -89,12 +92,10 @@ object Dedup {
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
       // Exact verification on the full shingle sets.
-      val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"), col("n").as("na"))
-      val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"), col("n").as("nb"))
+      val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
+      val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
       cands.join(a, "a_id").join(b, "b_id")
-        .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
-        .withColumn("j", col("i").cast("double") /
-          nullif(col("na") + col("nb") - col("i"), lit(0)))
+        .withColumn("j", call_function("graft_jaccard", col("sa"), col("sb")))
         .filter(col("j") >= t)
         .select(col("a_id"), col("b_id"), floor(col("j") * 1e6).as("j_e6"))
     },
@@ -143,12 +144,10 @@ object Dedup {
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"), col("n").as("na"))
-      val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"), col("n").as("nb"))
+      val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
+      val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
       cands.join(a, "a_id").join(b, "b_id")
-        .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
-        .withColumn("j", col("i").cast("double") /
-          nullif(col("na") + col("nb") - col("i"), lit(0)))
+        .withColumn("j", call_function("graft_jaccard", col("sa"), col("sb")))
         .filter(col("j") >= t)
         .select(col("a_id"), col("b_id"), floor(col("j") * 1e6).as("j_e6"))
     },

@@ -44,6 +44,22 @@ class FunctionsSpec extends SparkSpec {
     assert((0 until 4).forall(r.isNullAt), r.toString)
   }
 
+  test("graft_jaccard equals the array_intersect formulation on random sorted sets") {
+    val df = spark.range(0, 2000)
+      .selectExpr("id",
+        "array_sort(array_distinct(transform(sequence(1, 1 + cast(id % 37 as int)), " +
+          "i -> xxhash64(concat(cast(id % 13 as string), '-', cast(i % 29 as string)))))) as sa",
+        "array_sort(array_distinct(transform(sequence(1, 1 + cast(id % 23 as int)), " +
+          "i -> xxhash64(concat(cast(id % 7 as string), '-', cast(i % 31 as string)))))) as sb")
+      .selectExpr("graft_jaccard(sa, sb) as native",
+        "cast(size(array_intersect(sa, sb)) as double) / " +
+          "nullif(size(sa) + size(sb) - size(array_intersect(sa, sb)), 0) as composed")
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), r.toString)
+    }
+  }
+
   test("graft_cosine participates in whole-stage codegen") {
     val df = vecs.select(call_function("graft_cosine", col("v"), col("v")).as("s"))
     df.collect() // force execution so a codegen fallback would surface
