@@ -124,7 +124,31 @@ object Coverage {
     Some("""SELECT o_orderkey, o_totalprice FROM orders
       WHERE o_totalprice > 300000 ORDER BY o_orderkey LIMIT 50"""))
 
+  /** Remaining scalar-expression surface (proto:347-406): IS [NOT]
+    * TRUE/FALSE/UNKNOWN three-valued predicates, TRY_CAST, ILIKE. */
+  private val exprBool = QueryDef(
+    "q_expr_bool",
+    (s, d) => {
+      Tables.register(s, d, "customer")
+      s.sql("""SELECT c_custkey,
+        (c_acctbal > 5000) IS TRUE AS rich,
+        (nullif(c_nationkey, c_nationkey) = 0) IS UNKNOWN AS unk,
+        (c_mktsegment = 'BUILDING') IS NOT FALSE AS maybe_building,
+        TRY_CAST(substr(c_name, 1, 3) AS INT) AS bad_cast,
+        TRY_CAST(c_custkey AS STRING) AS ok_cast,
+        c_mktsegment ILIKE 'bUiLd%' AS ilike_hit
+        FROM customer""")
+    },
+    Some("""SELECT c_custkey,
+      (c_acctbal > 5000) IS TRUE AS rich,
+      (nullif(c_nationkey, c_nationkey) = 0) IS UNKNOWN AS unk,
+      (c_mktsegment = 'BUILDING') IS NOT FALSE AS maybe_building,
+      TRY_CAST(substr(c_name, 1, 3) AS INT) AS bad_cast,
+      TRY_CAST(c_custkey AS VARCHAR) AS ok_cast,
+      c_mktsegment ILIKE 'bUiLd%' AS ilike_hit
+      FROM customer"""))
+
   val all: Seq[QueryDef] = Seq(repartitionHash, repartitionRoundRobin,
     sortWithinPartitions, unnestStruct, explainQ, regexMatch, memoryScan,
-    paramQuery)
+    paramQuery, exprBool)
 }
