@@ -132,6 +132,54 @@ object Similarity {
     },
     None)
 
+  /** ANN via IVF (inverted-file index): k-means coarse quantizer assigns
+    * every vector to one of K cells; a query probes only the NPROBE cells
+    * whose centroids are most cosine-similar, then exact-re-ranks inside
+    * them. The complementary scale path to hyperplane LSH: the index adapts
+    * to the data distribution (centroids), probing is tunable, and at
+    * 100 TB the per-cell candidate lists are the classic IVF posting
+    * lists — the scan touches NPROBE/K of the corpus. Centroids are tiny
+    * (K x DIM doubles) and ship as literals; only cell ids shuffle.
+    * Rows-only (k-means cells are seed/instance-specific); recall gated in
+    * PipelineSpec. */
+  private val IVF_K = 16
+  private val NPROBE = 4
+  private val annIvf = QueryDef(
+    "q_ann_ivf",
+    (s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val fea = e.withColumn("features", array_to_vector(col("v")))
+      val model = new KMeans().setK(IVF_K).setSeed(42).setMaxIter(10).fit(fea)
+      val assigned = model.transform(fea)
+        .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+      // Centroid table as a literal relation (K x DIM doubles).
+      val centroidRows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.toSeq)
+      }.toSeq
+      val centroids = s.createDataFrame(centroidRows).toDF("cell", "centroid")
+      // Each query probes its NPROBE nearest cells by centroid cosine.
+      val q = assigned.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val probes = broadcast(q.crossJoin(broadcast(centroids))
+        .select(col("qid"), col("qv"), col("cell"),
+          cosine(col("qv"), col("centroid")).as("cs"))
+        .withColumn("pr", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cell"))))
+        .filter(col("pr") <= NPROBE)
+        .select(col("qid"), col("qv"), col("cell")))
+      // Candidates = vectors in probed cells; exact re-rank.
+      probes.join(assigned.filter(col("vec_id") >= NQ), Seq("cell"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          floor(cosine(col("qv"), col("v")) * 1e6).as("s"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("s").desc, col("nid"))))
+        .filter(col("rn") <= K)
+        .select(col("qid"), col("nid"), col("s"), col("rn"))
+    },
+    None)
+
   /** Embedding-cosine near-duplicate pairs (the "semantic dedup" stage):
     * LSH bucketing tuned tight (8 tables x 8 bits — at cosine 0.95,
     * P(detect) ~ 0.99 while random pairs rarely collide, keeping candidate
@@ -160,5 +208,5 @@ object Similarity {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(annBrute, annLsh, dedupEmbedding)
+  val all: Seq[QueryDef] = Seq(annBrute, annLsh, annIvf, dedupEmbedding)
 }

@@ -70,6 +70,16 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, f"LSH recall collapsed: $recall%.2f")
   }
 
+  test("q_ann_ivf recall@5 vs brute force is reasonable") {
+    val brute = SparkEntry.queries("q_ann_brute")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(f"ANN IVF recall@5 = $recall%.2f (nprobe 4/16 cells)")
+    assert(recall >= 0.25, f"IVF recall collapsed: $recall%.2f")
+  }
+
   test("multimodal stub features match an independent computation") {
     val docs = Tables.t(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
