@@ -363,6 +363,35 @@ object Relational {
     Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""))
 
+  /** Exact interpolated percentiles (the p50/p90 of any 100 TB latency or
+    * price distribution; distributed as partial sort + merge by Spark).
+    * Truncated at cents x 100 — both engines interpolate identically on
+    * doubles, truncation absorbs the last-ulp risk. */
+  private val aggPercentile = QueryDef(
+    "q_agg_percentile",
+    (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          floor(expr("percentile(o_totalprice, 0.5)") * 100).as("med_c"),
+          floor(expr("percentile(o_totalprice, 0.9)") * 100).as("p90_c"),
+          count(lit(1)).as("n")),
+    Some("""SELECT o_orderstatus,
+      CAST(FLOOR(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS med_c,
+      CAST(FLOOR(quantile_cont(o_totalprice, 0.9) * 100) AS BIGINT) AS p90_c,
+      COUNT(*) AS n FROM orders GROUP BY o_orderstatus"""))
+
+  /** Ordered string aggregation (LISTAGG family): collect + sort + join —
+    * deterministic output independent of partitioning. */
+  private val aggStringAgg = QueryDef(
+    "q_agg_stringagg",
+    (s, d) =>
+      t(s, d, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("names")),
+    Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+      FROM nation GROUP BY n_regionkey"""))
+
   /** NULL group keys form their own group (slt:136-147). */
   private val aggNullKeys = QueryDef(
     "q_agg_null_keys",
@@ -726,7 +755,7 @@ object Relational {
     joinInner, joinBroadcast, joinLeft, joinRight, joinFull, joinSemi,
     joinAnti, joinCross, joinTheta, joinNullSafe,
     q1Agg, aggGlobal, aggHaving, distinctRows, aggCountDistinct, aggFilter,
-    aggRollup, aggCube, aggGroupingSets, aggNullKeys,
+    aggRollup, aggCube, aggGroupingSets, aggNullKeys, aggPercentile, aggStringAgg,
     windowRank, windowRanks, windowRunning, windowRange, windowLeadLag,
     sortNulls, topK, limitOffset,
     unionAll, unionDistinct, intersectQ, exceptQ, intersectAll, exceptAll,
