@@ -363,10 +363,15 @@ object Relational {
     Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""))
 
-  /** Exact interpolated percentiles (the p50/p90 of any 100 TB latency or
-    * price distribution; distributed as partial sort + merge by Spark).
-    * Truncated at cents x 100 — both engines interpolate identically on
-    * doubles, truncation absorbs the last-ulp risk. */
+  /** Exact interpolated percentiles. Parity rests on both engines
+    * producing bit-identical interpolated doubles (verified empirically on
+    * the gate data — same lerp arithmetic); the cents truncation is
+    * presentation, not an ulp guard (a 1-ulp divergence exactly on a cent
+    * boundary would still flip the floor). Scale note: Spark's exact
+    * `percentile` buffers a per-group distinct-value map — fine for the
+    * grouped-by-status probe here, but a 100 TB continuous distribution
+    * wants `approx_percentile` (t-digest, mergeable partials); exact is
+    * the correctness oracle, approx is the scale path. */
   private val aggPercentile = QueryDef(
     "q_agg_percentile",
     (s, d) =>
