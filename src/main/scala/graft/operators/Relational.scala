@@ -499,6 +499,32 @@ object Relational {
       (ORDER BY o_orderkey RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS n_near
       FROM orders WHERE o_custkey % 100 = 0"""))
 
+  /** GROUPS frame emulation (frame units proto:597-622 list
+    * ROWS/RANGE/GROUPS; neither Spark nor DuckDB implements GROUPS, so the
+    * semantics are delivered by rewrite): `GROUPS BETWEEN 1 PRECEDING AND
+    * CURRENT ROW` ≡ dense_rank() the peer groups, then a RANGE frame of
+    * width 1 over the rank. Both windows share the partition key — one
+    * shuffle, scale-safe. */
+  private val windowGroups = QueryDef(
+    "q_window_groups",
+    (s, d) => {
+      val byDate = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderdate"))
+      val byGrp = Window.partitionBy(col("o_orderstatus")).orderBy(col("g"))
+        .rangeBetween(-1, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("g", dense_rank().over(byDate))
+        .select(col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(byGrp)
+            .cast(DoubleType).as("grp_sum"))
+    },
+    Some("""SELECT o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_orderstatus ORDER BY g
+        RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_sum
+      FROM (SELECT o_orderkey, o_orderstatus, o_totalprice,
+              DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate) AS g
+            FROM orders)"""))
+
   /** lead/lag navigation over event streams (UDWF surface, proto:881-895). */
   private val windowLeadLag = QueryDef(
     "q_window_lead_lag",
@@ -761,7 +787,7 @@ object Relational {
     joinAnti, joinCross, joinTheta, joinNullSafe,
     q1Agg, aggGlobal, aggHaving, distinctRows, aggCountDistinct, aggFilter,
     aggRollup, aggCube, aggGroupingSets, aggNullKeys, aggPercentile, aggStringAgg,
-    windowRank, windowRanks, windowRunning, windowRange, windowLeadLag,
+    windowRank, windowRanks, windowRunning, windowRange, windowGroups, windowLeadLag,
     sortNulls, topK, limitOffset,
     unionAll, unionDistinct, intersectQ, exceptQ, intersectAll, exceptAll,
     unnestQ, exprScalar, funcString, funcMath, funcDate,
