@@ -116,8 +116,13 @@ object Dedup {
     * 32 minhashes = 8 bands x 4 rows; docs sharing any band signature are
     * candidates; exact Jaccard verifies (so no false positives — only
     * recall is probabilistic: P(detect) = 1-(1-J^4)^8, ~1 at J >= 0.9).
+    * Signatures come from explode + 32 codegen'd `min(xxhash64(i, s))`
+    * aggregates — measured 8x faster than the shuffle-free nested
+    * transform/array_min form (interpreted HOF lambdas cost far more than
+    * the doc-keyed combine shuffle they avoid; map-side partial min makes
+    * that shuffle carry one row per doc anyway).
     * No SQL oracle (hash seeds are engine-specific) — rows-only plus a
-    * planted-duplicate recall test in DedupSpec. */
+    * planted-duplicate recall test in PipelineSpec. */
   private val NUM_HASHES = 32
   private val BAND_ROWS = 4
   private def minhashCols: Seq[Column] =
