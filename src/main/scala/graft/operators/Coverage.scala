@@ -110,19 +110,26 @@ object Coverage {
       FROM (VALUES (0, 'priority-zone'), (2, 'priority-zone'), (3, 'watch-zone')) m(rk, zone)
       JOIN region ON rk = r_regionkey"""))
 
-  /** Placeholder parameters (`$1`, proto:381): Spark named-parameter SQL —
-    * the literal is bound at parse time, so pushdown still sees a constant. */
+  /** Placeholder parameters (`$1`, proto:381): Spark named (`:name`) AND
+    * positional (`?`) parameter markers — both bind literals at parse
+    * time, so pushdown still sees constants. */
   private val paramQuery = QueryDef(
     "q_param",
     (s, d) => {
       Tables.register(s, d, "orders")
-      s.sql(
+      val named = s.sql(
         "SELECT o_orderkey, o_totalprice FROM orders " +
           "WHERE o_totalprice > :threshold ORDER BY o_orderkey LIMIT 50",
         Map("threshold" -> 300000))
+      val positional = s.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+          "WHERE o_totalprice > ? ORDER BY o_orderkey LIMIT 50",
+        Array(300000.asInstanceOf[AnyRef]))
+      named.unionAll(positional)
     },
-    Some("""SELECT o_orderkey, o_totalprice FROM orders
-      WHERE o_totalprice > 300000 ORDER BY o_orderkey LIMIT 50"""))
+    Some("""WITH p AS (SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 300000 ORDER BY o_orderkey LIMIT 50)
+      SELECT * FROM p UNION ALL SELECT * FROM p"""))
 
   /** Remaining scalar-expression surface (proto:347-406): IS [NOT]
     * TRUE/FALSE/UNKNOWN three-valued predicates, TRY_CAST, ILIKE. */

@@ -42,6 +42,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window aggregation closes sessions after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[EventRow]
+    val q = input.toDF()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "2 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("user_id"), col("n"), col("v"))
+      .writeStream.format("memory").queryName("sessions_native")
+      .outputMode("append").start()
+    try {
+      // Two bursts for user 1, gap > 2 min between them -> two sessions.
+      input.addData(EventRow(1, ts(0), 1, "a", 1.0), EventRow(2, ts(1), 1, "a", 2.0))
+      q.processAllAvailable()
+      input.addData(EventRow(3, ts(10), 1, "a", 4.0))
+      q.processAllAvailable()
+      input.addData(EventRow(4, ts(30), 9, "a", 0.0)) // advance watermark, close all
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n, v FROM sessions_native WHERE user_id = 1")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((2L, 3.0), (1L, 4.0)), rows.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream inner join with watermarks (SymmetricHashJoin analog)") {
     // The reference wire carries SymmetricHashJoinExec (proto:1080-1090,
     // never exercised by its tests); Spark's stream-stream join is the
