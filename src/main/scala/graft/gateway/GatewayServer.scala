@@ -131,7 +131,18 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0) extends AutoClosea
         val p = field(line, "partition").getOrElse("0").toInt
         val h = handles.getOrElse(jobId,
           throw new IllegalStateException(s"unknown job $jobId"))
-        val n = streamRows(h.fetch(Ticket(jobId, p)).iterator, out)
+        val n =
+          try streamRows(h.fetch(Ticket(jobId, p)).iterator, out)
+          catch { case e: Throwable => handles.remove(jobId); throw e }
+        // Evict once the job reaches a terminal state (all partitions
+        // delivered → runtime cleaned up); otherwise the handle map — and
+        // the DataFrame/RDD it pins — grows without bound in a long-lived
+        // gateway.
+        h.status match {
+          case JobStatus.Completed | JobStatus.Cancelled | JobStatus.Failed(_) =>
+            handles.remove(jobId)
+          case _ => ()
+        }
         out.println(s"""{"ok": true, "rows": $n}""")
       case Some("running_jobs") =>
         val n = streamRows(runtime.runningJobs().collect().iterator, out)
@@ -140,7 +151,10 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0) extends AutoClosea
         val n = streamRows(runtime.clusterNodes().collect().iterator, out)
         out.println(s"""{"ok": true, "rows": $n}""")
       case Some("cancel") =>
-        field(line, "job_id").foreach(runtime.cancel)
+        field(line, "job_id").foreach { id =>
+          runtime.cancel(id)
+          handles.remove(id)
+        }
         out.println("""{"ok": true}""")
       case other =>
         throw new IllegalArgumentException(s"unknown op: $other")

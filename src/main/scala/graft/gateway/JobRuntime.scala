@@ -270,12 +270,22 @@ final class JobRuntime(
     * local[n] there is exactly one row (the driver executor); on a
     * 1000-executor cluster, one per executor. */
   def clusterNodes(): DataFrame = {
-    val rt = Runtime.getRuntime
-    val rows = spark.sparkContext.statusTracker.getExecutorInfos.toSeq.map { e =>
+    val sc = spark.sparkContext
+    // Per-executor cores: executor conf on a real cluster; thread count on
+    // local[n]. Driver-JVM Runtime values would be wrong on a multi-executor
+    // cluster (every row would report driver-local memory/cpu).
+    val localN = """local\[(\d+|\*)\]""".r
+    val coresPerExecutor = sc.master match {
+      case localN(n) =>
+        if (n == "*") Runtime.getRuntime.availableProcessors else n.toInt
+      case _ => sc.getConf.getInt("spark.executor.cores", 1)
+    }
+    val rows = sc.statusTracker.getExecutorInfos.toSeq.map { e =>
+      val total = e.totalOnHeapStorageMemory() + e.totalOffHeapStorageMemory()
+      val used = e.usedOnHeapStorageMemory() + e.usedOffHeapStorageMemory()
       Row(e.host(), e.port(), "Available",
-        rt.totalMemory(), rt.freeMemory(),
-        e.usedOnHeapStorageMemory() + e.usedOffHeapStorageMemory(),
-        rt.availableProcessors(), e.numRunningTasks())
+        total, total - used, used,
+        coresPerExecutor, e.numRunningTasks())
     }
     val schema = StructType(Seq(
       StructField("host", StringType, nullable = false),

@@ -500,11 +500,15 @@ object Relational {
       FROM orders WHERE o_custkey % 100 = 0"""))
 
   /** GROUPS frame emulation (frame units proto:597-622 list
-    * ROWS/RANGE/GROUPS; neither Spark nor DuckDB implements GROUPS, so the
-    * semantics are delivered by rewrite): `GROUPS BETWEEN 1 PRECEDING AND
-    * CURRENT ROW` ≡ dense_rank() the peer groups, then a RANGE frame of
-    * width 1 over the rank. Both windows share the partition key — one
-    * shuffle, scale-safe. */
+    * ROWS/RANGE/GROUPS; Spark has no GROUPS mode, and the oracle engine
+    * here — DuckDB 1.0.0 — rejects it too ("GROUPS mode for window
+    * functions is not implemented yet"; newer DuckDB does support it), so
+    * the semantics are delivered by rewrite on both sides: `GROUPS BETWEEN
+    * 1 PRECEDING AND CURRENT ROW` ≡ dense_rank() the peer groups, then a
+    * RANGE frame of width 1 over the rank. The rewrite itself is verified
+    * against native GROUPS semantics in QueriesSpec on a hand-computed
+    * fixture. Both windows share the partition key — one shuffle,
+    * scale-safe. */
   private val windowGroups = QueryDef(
     "q_window_groups",
     (s, d) => {

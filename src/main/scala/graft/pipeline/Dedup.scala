@@ -24,12 +24,17 @@ object Dedup {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.t(s, d, "documents")
 
-  /** Word-trigram shingle set, deduplicated. */
+  /** Word-trigram shingle set, deduplicated. Docs with fewer than 3 tokens
+    * have no trigram and get an empty set — the guard matters because
+    * `sequence(1, 0)` is the DESCENDING array [1, 0] (not empty), whose
+    * index 0 would crash `slice` (SQL arrays are 1-based). */
   private def withShingles(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
       .withColumn("shingles",
-        expr("array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), " +
-          "i -> concat_ws(' ', slice(toks, i, 3))))"))
+        when(size(col("toks")) >= 3,
+          expr("array_distinct(transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', slice(toks, i, 3))))"))
+          .otherwise(expr("CAST(array() AS array<string>)")))
 
   /** Same set, as SORTED xxhash64 fingerprints: set operations on 8-byte
     * longs instead of ~20-char strings — smaller shuffles, and the sorted

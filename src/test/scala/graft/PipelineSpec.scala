@@ -97,6 +97,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedup survives corpora with short/empty documents") {
+    // sequence(1, 0) is the DESCENDING array [1, 0], so an unguarded
+    // shingle transform would call slice(toks, 0, 3) and crash on any doc
+    // with fewer than 3 tokens (SQL arrays are 1-based). Build a corpus of
+    // exactly such docs plus one near-dup pair and run every dedup query.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-short-docs").toString
+    val long1 = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val long2 = (1 to 11).map(i => s"tok$i").mkString(" ") + " tokX"
+    Seq(
+      (1L, "", "en", "t", 0L),
+      (2L, "one", "en", "t", 3L),
+      (3L, "two words", "en", "t", 9L),
+      (4L, "a b c", "en", "t", 5L),
+      (5L, long1, "en", "t", long1.length.toLong),
+      (6L, long2, "en", "t", long2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (q <- Seq("q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash")) {
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows != null, s"$q crashed on short docs")
+    }
+    // The near-dup pair among the long docs must still be found.
+    val ngram = SparkEntry.queries("q_dedup_ngram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ngram == Set((5L, 6L)), s"expected the planted (5,6) pair, got $ngram")
+  }
+
   test("pipeline plans never go quadratic (no cartesian/NLJ in dedup paths)") {
     for (q <- Seq("q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash",
       "q_dedup_simhash", "q_dedup_embedding")) {

@@ -57,6 +57,33 @@ class QueriesSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("GROUPS-frame rewrite matches native GROUPS semantics on a fixture") {
+    // Neither Spark nor the oracle DuckDB 1.0.0 implements GROUPS frames,
+    // so q_window_groups verifies a rewrite against the same rewrite. This
+    // test closes the loop: an independent Scala computation of GROUPS
+    // BETWEEN 1 PRECEDING AND CURRENT ROW (sum over current + previous peer
+    // group) on a fixture with real peer groups (duplicate order dates).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq( // (key, grpOrd, price) — grpOrd has ties = peer groups
+      (1L, 1, 10.0), (2L, 1, 20.0), (3L, 2, 5.0),
+      (4L, 3, 7.0), (5L, 3, 8.0), (6L, 4, 1.0))
+    val expected: Map[Long, Double] = {
+      val byGrp = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      rows.map { case (k, g, _) =>
+        k -> (byGrp(g) + byGrp.getOrElse(g - 1, 0.0))
+      }.toMap
+    }
+    val df = rows.toDF("k", "ord", "price")
+    val byOrd = Window.orderBy(col("ord"))
+    val byG = Window.orderBy(col("g")).rangeBetween(-1, Window.currentRow)
+    val got = df.withColumn("g", dense_rank().over(byOrd))
+      .select(col("k"), sum(col("price")).over(byG).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected, s"rewrite diverged from native GROUPS truth: $got vs $expected")
+  }
+
   test("events table reads (nanos-as-long) and lead/lag orders by ns") {
     val df = SparkEntry.queries("q_window_lead_lag")(spark, sfDir)
     assert(df.count() > 0)
