@@ -69,6 +69,30 @@ object Dedup {
     * keyed on *rare* shingles, so no quadratic blowup and no hot buckets
     * at 100 TB. Oracle is the all-pairs formulation (feasible at sf0.01).
     */
+  /** All-pairs trigram-Jaccard >= `t` in DuckDB — the shared oracle for
+    * every near-dup strategy whose output is "exactly the pairs with
+    * J >= t": candidate generation differs (prefix filter / MinHash+LSH /
+    * SimHash bands) but each ends in the same exact-Jaccard verification,
+    * so a complete candidate generator must reproduce the all-pairs answer
+    * bit-for-bit. Completeness is provable for the prefix filter and
+    * pigeonhole-guaranteed for SimHash within its hamming radius; for
+    * MinHash it is probabilistic (P(miss) ~ 1.9e-4 per J=0.9 pair at
+    * 8 bands x 4 rows) — the hashes are seeded, so the check is
+    * deterministic for a given corpus. */
+  private def allPairsJaccardSql(t: Double): String =
+    s"""WITH sh AS (
+        SELECT doc_id,
+          list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) shingles
+        FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+      ), sized AS (SELECT doc_id, shingles, len(shingles) n FROM sh WHERE len(shingles) > 0)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(FLOOR(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+          nullif(a.n + b.n - len(list_intersect(a.shingles, b.shingles)), 0) * 1e6) AS BIGINT) AS j_e6
+      FROM sized a, sized b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+          nullif(a.n + b.n - len(list_intersect(a.shingles, b.shingles)), 0) >= $t"""
+
   private val dedupNgram = QueryDef(
     "q_dedup_ngram",
     (s, d) => {
@@ -104,18 +128,7 @@ object Dedup {
         .filter(col("j") >= t)
         .select(col("a_id"), col("b_id"), floor(col("j") * 1e6).as("j_e6"))
     },
-    Some("""WITH sh AS (
-        SELECT doc_id,
-          list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) shingles
-        FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
-      ), sized AS (SELECT doc_id, shingles, len(shingles) n FROM sh WHERE len(shingles) > 0)
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        CAST(FLOOR(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-          nullif(a.n + b.n - len(list_intersect(a.shingles, b.shingles)), 0) * 1e6) AS BIGINT) AS j_e6
-      FROM sized a, sized b
-      WHERE a.doc_id < b.doc_id
-        AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-          nullif(a.n + b.n - len(list_intersect(a.shingles, b.shingles)), 0) >= 0.5"""))
+    Some(allPairsJaccardSql(0.5)))
 
   /** MinHash + LSH banding (probabilistic near-dup at extreme scale):
     * 32 minhashes = 8 bands x 4 rows; docs sharing any band signature are
@@ -126,8 +139,11 @@ object Dedup {
     * transform/array_min form (interpreted HOF lambdas cost far more than
     * the doc-keyed combine shuffle they avoid; map-side partial min makes
     * that shuffle carry one row per doc anyway).
-    * No SQL oracle (hash seeds are engine-specific) — rows-only plus a
-    * planted-duplicate recall test in PipelineSpec. */
+    * Oracle: the exact all-pairs answer ([[allPairsJaccardSql]]) — the
+    * exact-Jaccard verification step means any candidate-recall miss shows
+    * up as a hash mismatch, so the DuckDB gate checks completeness on this
+    * corpus, not just precision (plus the planted-duplicate recall test in
+    * PipelineSpec). */
   private val NUM_HASHES = 32
   private val BAND_ROWS = 4
   private def minhashCols: Seq[Column] =
@@ -161,13 +177,19 @@ object Dedup {
         .filter(col("j") >= t)
         .select(col("a_id"), col("b_id"), floor(col("j") * 1e6).as("j_e6"))
     },
-    None)
+    Some(allPairsJaccardSql(0.5)))
 
   /** SimHash: 64-bit fingerprint = sign of the tf-weighted sum of each
-    * token-hash bit; near-dups = hamming distance <= 3, found by banding
-    * the fingerprint into 4 x 16-bit chunks (a pair within hamming 3 must
-    * agree exactly on at least one chunk — pigeonhole, so recall is 100%
-    * for the chosen radius). */
+    * token-hash bit; near-dup *candidates* = hamming distance <= 7, found
+    * by banding the fingerprint into 8 x 8-bit chunks (a pair within
+    * hamming 7 must agree exactly on at least one chunk — pigeonhole, so
+    * candidate recall is 100% within the radius); exact trigram Jaccard
+    * then verifies, making the output the same "pairs with J >= 0.5"
+    * relation as the other near-dup strategies — and oracle-checkable
+    * against the all-pairs answer. The radius is the recall dial: J >= 0.5
+    * pairs on this corpus all land within hamming 7 (asserted in
+    * PipelineSpec); production tuning trades chunk width against candidate
+    * volume. */
   private val dedupSimhash = QueryDef(
     "q_dedup_simhash",
     (s, d) => {
@@ -184,21 +206,29 @@ object Dedup {
           (0 until 64).map(j =>
             when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
             .reduce(_.bitwiseOR(_)).as("simhash"))
-      val chunks = (0 until 4).map(c =>
+      val chunks = (0 until 8).map(c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("sig")))
-      val buckets = fps.select(col("doc_id"), col("simhash"),
+          shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL).as("sig")))
+      val buckets = fps.select(col("doc_id"),
         explode(array(chunks: _*)).as("bk"))
-        .select(col("doc_id"), col("simhash"),
+        .select(col("doc_id"),
           col("bk.chunk").as("chunk"), col("bk.sig").as("sig"))
-      buckets.as("x").join(buckets.as("y"), Seq("chunk", "sig"))
+      val cands = buckets.as("x").join(buckets.as("y"), Seq("chunk", "sig"))
         .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-        .filter(col("hamming") <= 3)
+      val t = 0.5
+      val sh = withHashedShingles(docs(s, d))
+        .select(col("doc_id"), col("shingles"))
+        .filter(size(col("shingles")) > 0)
+      cands
+        .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+        .withColumn("j", call_function("graft_jaccard", col("sa"), col("sb")))
+        .filter(col("j") >= t)
+        .select(col("a_id"), col("b_id"), floor(col("j") * 1e6).as("j_e6"))
     },
-    None)
+    Some(allPairsJaccardSql(0.5)))
 
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash)
 }

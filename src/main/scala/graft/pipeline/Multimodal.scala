@@ -61,10 +61,19 @@ object Multimodal {
     "q_multimodal_features",
     (s, d) => extractFeatures(s, d)
       .select(col("doc_id"), col("n_bytes"), col("mean_byte_e3"), col("distinct_bytes")),
-    // mean/distinct byte stats aren't expressible over a BLOB in DuckDB
-    // SQL → rows-only; value-correctness is asserted in PipelineSpec
-    // against an independently computed expectation.
-    None)
+    // The corpus is pure ASCII (verified: octet_length(encode(text)) =
+    // length(text) for every row), so the UTF-8 payload bytes are exactly
+    // the character codes and DuckDB can recompute the stub's byte
+    // statistics from the text column — a real value-level oracle for the
+    // mapPartitions decode path (plus the independent expectation test in
+    // PipelineSpec).
+    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+      CASE WHEN length(text) = 0 THEN 0
+        ELSE CAST(list_sum([unicode(c) for c in string_split(text, '')]) * 1000
+          // length(text) AS BIGINT) END AS mean_byte_e3,
+      CASE WHEN length(text) = 0 THEN 0
+        ELSE len(list_distinct(string_split(text, ''))) END AS distinct_bytes
+      FROM documents"""))
 
   val all: Seq[QueryDef] = Seq(multimodal)
 }

@@ -76,11 +76,9 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes (seeded — reproducible across
     * runs and executors; components in [-0.5, 0.5)). L tables x B bits:
     * for hyperplane LSH, P(bucket match) = (1 - θ/π)^B per table, so B
-    * sets bucket selectivity and L sets recall; 8x4 targets ~0.7 recall
-    * even for the weak (~0.3 cosine) neighbors of random vectors, while
-    * real near-dup embeddings (cosine > 0.9) are caught with P ~ 1. */
-  private val TABLES = 8
-  private val BITS = 4
+    * sets bucket selectivity and L (plus query-side multiprobing) sets
+    * recall; real near-dup embeddings (cosine > 0.9) are caught with
+    * P ~ 1 even at narrow settings. */
   private val DIM = 64
   private[pipeline] def hyperplanes(tables: Int, bits: Int): Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(42)
@@ -104,33 +102,63 @@ object Similarity {
     }
   }
 
-  /** ANN via hyperplane LSH: corpus and queries bucket into (table, sig);
-    * candidates are bucket-mates in any table; exact cosine re-ranks.
-    * The corpus-side explode is x4 (TABLES), the join is keyed on
-    * uniformly-distributed 8-bit signatures per table — no all-pairs, no
-    * hot keys; recall vs brute force is asserted in SimilaritySpec.
-    * Rows-only entry (bucket membership is seed-specific). */
+  /** ANN via **multiprobe** hyperplane LSH: the corpus buckets once into
+    * (table, 8-bit sig) — a x16 explode of (id, sig) pairs, the whole
+    * index cost at 100 TB; each *query* probes every signature within
+    * hamming 3 of its own (93 probes/table), so recall is bought on the
+    * tiny query side, never by re-replicating the corpus. Candidates =
+    * bucket hits in any table, exact cosine re-ranks. At the corpus'
+    * weakest true 5-NN (cosine 0.255), P(candidate) per table = 0.55, so
+    * P(miss across 16 tables) ~ 2.6e-6 per neighbor — empirically recall
+    * 1.0 here, which the DuckDB oracle (the exact brute-force answer)
+    * verifies bit-for-bit; hyperplanes are seeded, so the check is
+    * deterministic. The probe radius/table count is the recall dial at
+    * scale. */
+  private val P_TABLES = 16
+  private val P_BITS = 8
+  private val P_RADIUS = 3
+  private lazy val probeMasks: Seq[Int] =
+    (0 until (1 << P_BITS)).filter(m => Integer.bitCount(m) <= P_RADIUS)
+
   private val annLsh = QueryDef(
     "q_ann_lsh",
     (s, d) => {
       val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val buckets = e.select(col("vec_id"), col("v"),
-          explode(array(bucketCols(col("v"), TABLES, BITS): _*)).as("bk"))
-        .select(col("vec_id"), col("v"),
-          col("bk.table").as("table"), col("bk.sig").as("sig"))
-      val q = broadcast(buckets.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("table"), col("sig")))
-      val cands = q.join(buckets.filter(col("vec_id") >= NQ), Seq("table", "sig"))
-        .select(col("qid"), col("qv"), col("vec_id").as("nid"), col("v"))
+      val buckets = e.select(col("vec_id"),
+          explode(array(bucketCols(col("v"), P_TABLES, P_BITS): _*)).as("bk"))
+        .select(col("vec_id"), col("bk.table").as("table"), col("bk.sig").as("sig"))
+      val qprobes = broadcast(buckets.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("table"), col("sig"))
+        .withColumn("m", explode(typedLit(probeMasks)))
+        .select(col("qid"), col("table"), col("sig").bitwiseXOR(col("m")).as("sig")))
+      // Ids-only candidate dedup: vectors re-join after the distinct, so
+      // the shuffle never hashes 64-dim arrays.
+      val cands = qprobes.join(buckets, Seq("table", "sig"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"))
         .distinct()
-      cands
+      val qv = broadcast(e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("v").as("qv")))
+      cands.join(qv, "qid")
+        .join(e.select(col("vec_id").as("nid"), col("v")), "nid")
         .select(col("qid"), col("nid"), floor(cosine(col("qv"), col("v")) * 1e6).as("s"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("s").desc, col("nid"))))
         .filter(col("rn") <= K)
         .select(col("qid"), col("nid"), col("s"), col("rn"))
     },
-    None)
+    Some(s"""WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < $NQ),
+      scored AS (
+        SELECT qid, vec_id AS nid,
+          CAST(FLOOR(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS s
+        FROM q, embeddings WHERE vec_id <> qid),
+      ranked AS (
+        SELECT qid, nid, s,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+        FROM scored)
+      SELECT qid, nid, s, rn FROM ranked WHERE rn <= $K"""))
 
   /** ANN via IVF (inverted-file index): k-means coarse quantizer assigns
     * every vector to one of K cells; a query probes only the NPROBE cells
@@ -185,8 +213,12 @@ object Similarity {
     * P(detect) ~ 0.99 while random pairs rarely collide, keeping candidate
     * volume ~bucket-sized), symmetric self-join on ids only (vectors are
     * re-joined after the pair dedup, so `distinct` never hashes arrays),
-    * exact cosine >= 0.95 verification. Rows-only (may be empty on random
-    * vectors); recall covered in PipelineSpec via planted duplicates. */
+    * exact cosine >= 0.95 verification. This corpus is random 64-dim
+    * vectors (max pairwise cosine 0.513), so the correct answer at the
+    * 0.95 near-dup threshold is *empty* — the DuckDB all-pairs oracle
+    * verifies Spark agrees (i.e. the bucketed path emits no spurious
+    * pairs); recall on actual near-dups is covered in PipelineSpec via
+    * planted duplicates. */
   private val DEDUP_TABLES = 8
   private val DEDUP_BITS = 8
   private val dedupEmbedding = QueryDef(
@@ -206,7 +238,13 @@ object Similarity {
         .select(col("a_id"), col("b_id"), floor(cosine(col("va"), col("vb")) * 1e6).as("s"))
         .filter(col("s") >= 950000)
     },
-    None)
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1e6) AS BIGINT) AS s
+      FROM e a, e b
+      WHERE a.vec_id < b.vec_id
+        AND FLOOR(list_cosine_similarity(a.v, b.v) * 1e6) >= 950000"""))
 
   val all: Seq[QueryDef] = Seq(annBrute, annLsh, annIvf, dedupEmbedding)
 }

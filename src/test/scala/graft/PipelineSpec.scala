@@ -46,28 +46,31 @@ class PipelineSpec extends SparkSpec {
       s"minhash missed strong pairs: ${strong -- got}")
   }
 
-  test("q_dedup_simhash buckets near-identical docs together") {
+  test("q_dedup_simhash candidate radius covers every J >= 0.5 pair (output == all-pairs)") {
+    // SimHash banding (8 x 8-bit chunks = hamming <= 7 pigeonhole) is the
+    // candidate generator; exact Jaccard verifies. On this corpus every
+    // J >= 0.5 pair falls within the radius, so the verified output must
+    // equal the complete prefix-filtered answer exactly.
     val got = SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // Planted word-level near-dups share almost all tokens -> hamming ~ 0;
-    // simhash must surface a nonempty overlap with the strong ngram pairs.
-    val strong = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
-      .filter(col("j_e6") >= 900000)
+    val truth = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert((got intersect strong).nonEmpty,
-      "simhash found none of the planted near-dups")
+    assert(got == truth,
+      s"simhash candidates missed pairs: ${truth -- got} / spurious: ${got -- truth}")
   }
 
-  test("q_ann_lsh recall@5 vs brute force is reasonable") {
+  test("q_ann_lsh multiprobe recall@5 vs brute force is 1.0") {
     val brute = SparkEntry.queries("q_ann_brute")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = SparkEntry.queries("q_ann_lsh")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
     info(f"ANN LSH recall@5 = $recall%.2f (${lsh.size} candidates returned)")
-    // Random 64-dim embeddings are a worst case for hyperplane LSH; the
-    // gate is deliberately loose — the point is the bucketed plan shape.
-    assert(recall >= 0.3, f"LSH recall collapsed: $recall%.2f")
+    // Query-side multiprobing (hamming <= 3 of 8 bits x 16 tables) makes
+    // P(miss) ~ 1e-5 even at the weakest true neighbors of this random
+    // corpus — the result must be the exact brute-force top-k (which is
+    // what the DuckDB oracle asserts at sf0.01 too).
+    assert(recall == 1.0, f"multiprobe LSH missed true neighbors: $recall%.2f")
   }
 
   test("q_ann_ivf recall@5 vs brute force is reasonable") {
