@@ -12,9 +12,10 @@ object SparkEntry {
   /** All verifiable queries, in registration order. */
   val defs: Seq[QueryDef] =
     operators.Relational.all ++ operators.Coverage.all ++ operators.Tpch.all ++
-      sources.Sinks.all ++
+      operators.EventOps.all ++ sources.Sinks.all ++
       gateway.GatewayQueries.all ++ pipeline.TextAnalysis.all ++
-      pipeline.Dedup.all ++ pipeline.Similarity.all ++ pipeline.Multimodal.all
+      pipeline.Dedup.all ++ pipeline.Similarity.all ++ pipeline.Multimodal.all ++
+      pipeline.Sampling.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

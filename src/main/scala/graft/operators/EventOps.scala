@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the `events` table — the operator family the
+  * reference lacks entirely ("No range/as-of/interval join operators exist
+  * in the reference", SURVEY §2.2 joins note) but that any event/feature
+  * pipeline at 100 TB needs. Each is built from Spark primitives in a
+  * shape that keeps the work key-partitioned (one shuffle on the natural
+  * key, windows inside partitions, banded buckets instead of theta joins),
+  * and each is value-checked against DuckDB's native implementation
+  * (ASOF JOIN / inequality join / window SQL).
+  *
+  * `events.ts` arrives as ns-since-epoch LONG (see [[graft.Tables.t]]);
+  * DuckDB sees TIMESTAMP_NS and converts via epoch_ns() — both engines
+  * then do exact int64 arithmetic, so no float/rounding parity risk.
+  */
+object EventOps {
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "events")
+
+  /** As-of join: for every purchase, the most recent view by the same user
+    * at-or-before the purchase time.
+    *
+    * Spark has no ASOF JOIN operator; the scale-correct formulation is the
+    * union + running `last(ignoreNulls)` window: tag both sides, sort each
+    * user's merged timeline once, and carry the latest view id forward.
+    * One shuffle on `user_id`, no join at all — at 100 TB this is a single
+    * hash exchange + per-partition sort, versus the quadratic blowup of a
+    * naive `v.ts <= p.ts` theta join (which Spark would execute as
+    * BroadcastNestedLoopJoin). Views order before purchases at equal ts
+    * (side 0 < side 1), matching ASOF's inclusive `v.ts <= p.ts` bound;
+    * (user_id, ts) is unique in this corpus so no further tie-break is
+    * needed on the view side. */
+  private val asofJoin = QueryDef(
+    "q_asof_join",
+    (s, d) => {
+      val e = ev(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("event_id").as("vid"), lit(null).cast("long").as("pid"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast("long").as("vid"), col("event_id").as("pid"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purchases)
+        .withColumn("matched_view", last(col("vid"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("pid").as("purchase_id"), col("user_id"), col("matched_view"))
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS matched_view
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND v.ts <= p.ts"""))
+
+  /** Banded range join: for every error event, how many signup events —
+    * across ALL users, no equi key — happened within ±60 s.
+    *
+    * A pure time-interval predicate would plan as a nested-loop join
+    * (O(n²) compares). The scale shape: quantize time into 60 s buckets,
+    * explode the probe side to its bucket ±1 (any |Δ| <= 60 s pair must
+    * land in adjacent buckets), equi-join on the bucket, then verify the
+    * exact predicate. Each qualifying pair matches in exactly one bucket
+    * (the build side has a single bucket), so no dedup is needed. The
+    * bucket key is time — uniformly distributed by construction — and the
+    * probe-side explode is a fixed x3, so the join stays a hash join with
+    * no hot keys at any scale. DuckDB's oracle runs its native IEJoin on
+    * the same predicate. */
+  private val rangeJoin = QueryDef(
+    "q_range_join",
+    (s, d) => {
+      val bandNs = 60L * 1000 * 1000 * 1000
+      val errors = ev(s, d).filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("ets"))
+        .withColumn("bucket",
+          explode(array(Seq(-1, 0, 1).map(off =>
+            floor(col("ets") / bandNs) + off): _*)))
+      val signups = ev(s, d).filter(col("event_type") === "signup")
+        .select(col("event_id").as("sig_id"), col("ts").as("sts"))
+        .withColumn("bucket", floor(col("sts") / bandNs))
+      errors.join(signups,
+          errors("bucket") === signups("bucket") &&
+            abs(col("ets") - col("sts")) <= bandNs, "left")
+        .groupBy(col("err_id"))
+        .agg(count(col("sig_id")).as("n_close"))
+    },
+    Some("""SELECT e.event_id AS err_id, count(s.event_id) AS n_close
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON abs(epoch_ns(e.ts) - epoch_ns(s.ts)) <= 60000000000
+      GROUP BY 1"""))
+
+  /** Sessionization: split each user's event stream into sessions at
+    * >30 min gaps, then summarize per user. The batch formulation of what
+    * streaming/EventStream.scala does with session windows: lag() marks
+    * session starts, a running sum numbers them, two aggregations roll up —
+    * everything inside one `user_id` partitioning, no data ever leaves its
+    * key's partition until the final tiny per-user rollup. */
+  private val sessionize = QueryDef(
+    "q_sessionize",
+    (s, d) => {
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d)
+        .withColumn("new_sess",
+          when(col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1L)
+            .when(lag(col("ts"), 1).over(w).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("sess_events"))
+        .groupBy(col("user_id"))
+        .agg(max(col("sess")).as("n_sessions"),
+          max(col("sess_events")).as("max_session_events"),
+          sum(col("sess_events")).as("n_events"))
+    },
+    Some("""WITH marked AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+               OR lag(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), numbered AS (
+        SELECT user_id,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess
+        FROM marked
+      ), per_sess AS (
+        SELECT user_id, sess, count(*) AS sess_events
+        FROM numbered GROUP BY 1, 2)
+      SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions,
+        CAST(max(sess_events) AS BIGINT) AS max_session_events,
+        CAST(sum(sess_events) AS BIGINT) AS n_events
+      FROM per_sess GROUP BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(asofJoin, rangeJoin, sessionize)
+}

@@ -113,6 +113,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("event ops plan scale-safe: as-of join has no join, range join stays equi") {
+    // The as-of join is the union + running-last window — there must be NO
+    // join operator anywhere (the naive v.ts <= p.ts formulation would be
+    // a BroadcastNestedLoopJoin), and every window must be partitioned.
+    val asof = planString("q_asof_join")
+    assert(!asof.contains("Join"), s"as-of join planned an actual join:\n$asof")
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_asof_join", "q_sessionize")) {
+      SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.foreach {
+        case w: WindowExec =>
+          assert(w.partitionSpec.nonEmpty, s"$q has a global (unpartitioned) window")
+        case _ => ()
+      }
+    }
+    // The banded range join must execute as an equi join on the time
+    // bucket (hash or broadcast), with the exact |Δ|<=60s predicate as a
+    // residual — never a nested loop over the raw interval predicate.
+    val range = planString("q_range_join")
+    assert(range.contains("BroadcastHashJoin") || range.contains("SortMergeJoin") ||
+      range.contains("ShuffledHashJoin"), s"range join is not an equi join:\n$range")
+  }
+
   test("q_sink_partitioned prunes partition directories at the scan") {
     val p = planString("q_sink_partitioned")
     assert(p.contains("PartitionFilters: [isnotnull(o_year"), p)
