@@ -82,6 +82,41 @@ object Coverage {
     },
     None)
 
+  /** AnalyzeExec (proto:1100-1111, EXPLAIN ANALYZE): execute the query,
+    * then surface the *runtime* operator metrics as a queryable relation.
+    * Plan text is engine-specific, but runtime row counts are not — the
+    * oracle recomputes the filter's true selectivity, so this checks that
+    * the executed plan's instrumentation reports reality (the part of
+    * EXPLAIN ANALYZE that actually matters). */
+  private val explainAnalyze = QueryDef(
+    "q_explain_analyze",
+    (s, d) => {
+      import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val df = t(s, d, "lineitem").filter(col("l_quantity") > 10)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      df.collect() // ANALYZE = run it; metrics populate on execution
+      // AQE wraps completed stages in leaf QueryStageExec nodes, so a plain
+      // collect() never sees inside them — descend explicitly.
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: QueryStageExec => flatten(q.plan)
+        case other => other.children.flatMap(flatten)
+      })
+      val filterRows = flatten(df.queryExecution.executedPlan).collect {
+        case f: FilterExec => f.metrics("numOutputRows").value
+      }.max
+      val groups = df.count()
+      import s.implicits._
+      Seq(("filter_output_rows", filterRows), ("result_groups", groups))
+        .toDF("metric", "rows")
+    },
+    Some("""SELECT 'filter_output_rows' AS metric, count(*) AS rows
+        FROM lineitem WHERE l_quantity > 10
+      UNION ALL
+      SELECT 'result_groups', count(DISTINCT l_returnflag)
+        FROM lineitem WHERE l_quantity > 10"""))
+
   /** SIMILAR TO / regex predicate surface (proto:356): `rlike` filter +
     * `regexp_extract` projection. */
   private val regexMatch = QueryDef(
@@ -156,6 +191,6 @@ object Coverage {
       FROM customer"""))
 
   val all: Seq[QueryDef] = Seq(repartitionHash, repartitionRoundRobin,
-    sortWithinPartitions, unnestStruct, explainQ, regexMatch, memoryScan,
-    paramQuery, exprBool)
+    sortWithinPartitions, unnestStruct, explainQ, explainAnalyze, regexMatch,
+    memoryScan, paramQuery, exprBool)
 }

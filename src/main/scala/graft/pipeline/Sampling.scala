@@ -42,5 +42,59 @@ object Sampling {
         min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM documents GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(sampleSplit)
+  /** Stratified sampling with exact per-stratum quotas: the k
+    * "first-by-hash-order" documents of every language. rand()-free and
+    * reproducible like [[sampleSplit]]; the per-stratum top-k is a
+    * partitioned window (row_number over the hash order), so each
+    * stratum's selection runs where its rows live — the shuffle carries
+    * language keys, and at 100 TB skewed strata are exactly what AQE's
+    * skew handling sees. The alternative `df.stat.sampleBy` is
+    * probabilistic (no exact quotas, not reproducible across retries). */
+  private val sampleStratified = QueryDef(
+    "q_sample_stratified",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = (col("doc_id") * 40503L) % 65536L
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      Tables.t(s, d, "documents")
+        .withColumn("h", h)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("doc_id"), col("rk"))
+    },
+    Some("""SELECT lang, doc_id, rk FROM (
+        SELECT lang, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY (doc_id * 40503) % 65536, doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 20"""))
+
+  /** Weighted source mixing: down-sample each source to a target fraction
+    * (e.g. keep 100% of wiki-like sources, 25% of web crawl) with the same
+    * deterministic hash — the "dataset mixture" stage of a training run.
+    * Pure map-side filter: no shuffle at all until the audit rollup. */
+  private val mixSources = QueryDef(
+    "q_mix_sources",
+    (s, d) => {
+      val bucket = (col("doc_id") * 40503L) % 65536L % 100L
+      // Sources are src0..src19 in this corpus; weight a few down the way
+      // a real mixture config would (keep 25% of src0-4, 75% of src5-9,
+      // everything else whole).
+      val srcNum = regexp_extract(col("source"), "\\d+", 0).cast("long")
+      val keepPct = when(srcNum < 5, 25L).when(srcNum < 10, 75L).otherwise(100L)
+      Tables.t(s, d, "documents")
+        .filter(bucket < keepPct)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    },
+    Some("""SELECT source, count(*) AS n_kept,
+        CAST(sum(n_chars) AS BIGINT) AS kept_chars
+      FROM documents
+      WHERE (doc_id * 40503) % 65536 % 100 <
+        CASE WHEN CAST(regexp_extract(source, '\d+', 0) AS BIGINT) < 5 THEN 25
+             WHEN CAST(regexp_extract(source, '\d+', 0) AS BIGINT) < 10 THEN 75
+             ELSE 100 END
+      GROUP BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(sampleSplit, sampleStratified, mixSources)
 }

@@ -130,6 +130,29 @@ object TextAnalysis {
       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
       FROM documents"""))
 
+  /** Vocabulary building: corpus-wide token frequencies, top 100. The
+    * tokenizer-training precursor (BPE/unigram trainers start from exactly
+    * this table). Explode + two-phase count means the shuffle carries
+    * (token, partial_count) — already combined map-side — and the top-k is
+    * TakeOrderedAndProject, never a global sort. Ties are broken by token
+    * text so the result is total-ordered and oracle-stable. */
+  private val vocab = QueryDef(
+    "q_vocab_topk",
+    (s, d) =>
+      docs(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok"))
+        .limit(100),
+    Some("""SELECT tok, freq FROM (
+        SELECT tok, count(*) AS freq
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        WHERE len(tok) > 0
+        GROUP BY tok)
+      ORDER BY freq DESC, tok LIMIT 100"""))
+
   val all: Seq[QueryDef] =
-    Seq(textStats, textQuality, langId, tokenCount, fingerprint)
+    Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab)
 }
