@@ -179,42 +179,61 @@ object Dedup {
     },
     Some(allPairsJaccardSql(0.5)))
 
-  /** SimHash: 64-bit fingerprint = sign of the tf-weighted sum of each
-    * token-hash bit; near-dup *candidates* = hamming distance <= 7, found
+  /** 64-bit SimHash fingerprints: sign of the tf-weighted sum of each
+    * token-hash bit. Exposed for the spec layer, which measures true
+    * hamming distances to validate the radius below. */
+  private[graft] def simhashFingerprints(df: DataFrame): DataFrame = {
+    val tf = df
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"b$j"))
+    tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup: candidates = pairs at hamming distance <= 7, found
     * by banding the fingerprint into 8 x 8-bit chunks (a pair within
     * hamming 7 must agree exactly on at least one chunk — pigeonhole, so
-    * candidate recall is 100% within the radius); exact trigram Jaccard
-    * then verifies, making the output the same "pairs with J >= 0.5"
-    * relation as the other near-dup strategies — and oracle-checkable
-    * against the all-pairs answer. The radius is the recall dial: J >= 0.5
-    * pairs on this corpus all land within hamming 7 (asserted in
-    * PipelineSpec); production tuning trades chunk width against candidate
-    * volume. */
+    * candidate recall is 100% *within the radius*); exact trigram Jaccard
+    * then verifies, so precision is exact at any scale.
+    *
+    * The radius is simhash's semantic boundary, and it is a different
+    * similarity than set-Jaccard: the fingerprint is tf-weighted, so a
+    * near-dup whose token *frequencies* diverge (e.g. one side repeats or
+    * appends content) can sit far outside the radius while its trigram
+    * *set* overlap stays high — sf0.001 contains a real J=0.89 pair at
+    * hamming 53. On the sf0.01 gate corpus every J >= 0.5 pair lies within
+    * hamming 5, so the all-pairs Jaccard oracle is exact there;
+    * PipelineSpec asserts the precise contract (== all J >= 0.5 pairs
+    * within the radius) with independently measured hamming. MinHash
+    * ([[dedupMinhash]]) is the strategy without this blind spot; simhash
+    * buys the cheapest signatures (64 bits/doc) in exchange. */
   private val dedupSimhash = QueryDef(
     "q_dedup_simhash",
     (s, d) => {
-      val tf = docs(s, d)
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("h", xxhash64(col("tok")))
-      val bitSums = (0 until 64).map(j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("tf"))
-          .otherwise(-col("tf"))).as(s"b$j"))
-      val fps = tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(j =>
-            when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-            .reduce(_.bitwiseOR(_)).as("simhash"))
+      val fps = simhashFingerprints(docs(s, d))
       val chunks = (0 until 8).map(c =>
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL).as("sig")))
-      val buckets = fps.select(col("doc_id"),
+      val buckets = fps.select(col("doc_id"), col("simhash"),
         explode(array(chunks: _*)).as("bk"))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("simhash"),
           col("bk.chunk").as("chunk"), col("bk.sig").as("sig"))
+      // Chunk-mates are only *possible* hamming<=7 pairs: a random pair
+      // collides on some 8-bit chunk with p ~ 8/256 but sits at hamming
+      // ~32, so the exact bit_count filter — ints already in the join row,
+      // no extra data fetched — kills the bulk of the candidate stream
+      // before the (expensive) shingle-set join and Jaccard verify.
       val cands = buckets.as("x").join(buckets.as("y"), Seq("chunk", "sig"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
+        .filter(col("x.doc_id") < col("y.doc_id") &&
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= 7)
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
       val t = 0.5
