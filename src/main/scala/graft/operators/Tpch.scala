@@ -127,5 +127,37 @@ object Tpch {
       GROUP BY c_custkey, c_name, c_acctbal, n_name
       ORDER BY revenue DESC, c_custkey LIMIT 20"""))
 
-  val all: Seq[QueryDef] = Seq(q3, q5, q10)
+  /** Q18 shape: large-volume orders — aggregate the fact table first
+    * (partial agg + HAVING carries only qualifying order keys out of the
+    * shuffle), then enrich the survivors with orders/customer. The
+    * pre-aggregate-then-join order is the 100 TB-critical choice: joining
+    * first would shuffle every lineitem row against orders; aggregating
+    * first shrinks the fact stream to |qualifying orders| before any join.
+    * l_quantity is integral, so the sum is cast to BIGINT — exact in any
+    * summation order, no float-parity risk. */
+  private val q18 = QueryDef(
+    "q_tpch_q18",
+    (s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 200)
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 200) big
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  val all: Seq[QueryDef] = Seq(q3, q5, q10, q18)
 }

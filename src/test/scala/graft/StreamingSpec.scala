@@ -42,6 +42,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    val q = EventStream.streamingDedup(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventRow(1, ts(0, 10), 1, "click", 1.0),
+        EventRow(2, ts(0, 20), 2, "view", 2.0),
+        EventRow(1, ts(0, 10), 1, "click", 1.0)) // same-batch redelivery
+      q.processAllAvailable()
+      input.addData(
+        EventRow(2, ts(0, 21), 2, "view", 2.0),  // cross-batch redelivery
+        EventRow(3, ts(1, 0), 3, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_out").collect()
+        .map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L),
+        s"dedup emitted $ids — redeliveries must be dropped exactly once")
+    } finally q.stop()
+  }
+
   test("native session_window aggregation closes sessions after the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
