@@ -750,6 +750,82 @@ object Relational {
       o_orderdate + INTERVAL 30 DAY AS plus_30d,
       LAST_DAY(o_orderdate) AS month_end FROM orders"""))
 
+  /** Array-function surface (SURVEY §2.2 scalar-expression note: "all
+    * scalar functions as named UDFs … array/map/json"): build, index,
+    * search, sort, slice, dedup. Array outputs are stringified
+    * (concat_ws) so the hash compare sees identical scalars on both
+    * engines; element ordering parity holds because both sort strings in
+    * binary order (corpus is ASCII). */
+  private val funcArray = QueryDef(
+    "q_func_array",
+    (s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          element_at(col("toks"), 1).as("first_tok"),
+          element_at(col("toks"), -1).as("last_tok"),
+          array_contains(col("toks"), "the").as("has_the"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          concat_ws("|", slice(sort_array(col("toks")), 1, 3)).as("sorted_head"),
+          coalesce(array_position(col("toks"), "the"), lit(0L)).as("the_pos")),
+    Some("""SELECT doc_id,
+        len(toks) AS n_toks, toks[1] AS first_tok, toks[-1] AS last_tok,
+        list_contains(toks, 'the') AS has_the,
+        len(list_distinct(toks)) AS n_distinct,
+        array_to_string(list_sort(toks)[1:3], '|') AS sorted_head,
+        CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS the_pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"""))
+
+  /** Map-function surface: construct, key/value projection, lookup.
+    * DuckDB's map extraction returns a single-element list, hence the
+    * trailing [1]; Spark's element_at returns the value directly. */
+  private val funcMap = QueryDef(
+    "q_func_map",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("m", map_from_arrays(
+          array(lit("qty"), lit("line")),
+          array(col("l_quantity").cast("long"), col("l_linenumber").cast("long"))))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          element_at(col("m"), "qty").as("qty_val"),
+          concat_ws(",", map_keys(col("m"))).as("keys"),
+          element_at(map_values(col("m")), 2).as("second_val")),
+    Some("""SELECT l_orderkey, l_linenumber,
+        m['qty'][1] AS qty_val,
+        array_to_string(map_keys(m), ',') AS keys,
+        map_values(m)[2] AS second_val
+      FROM (SELECT l_orderkey, l_linenumber,
+              map(['qty','line'],
+                  [CAST(l_quantity AS BIGINT), CAST(l_linenumber AS BIGINT)]) AS m
+            FROM lineitem)"""))
+
+  /** JSON-function surface over the `events.props` JSON column: extract +
+    * cast, re-serialize (both engines emit compact JSON), and aggregate on
+    * extracted values. */
+  private val funcJson = QueryDef(
+    "q_func_json",
+    (s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .select(col("event_type"), col("k"),
+          to_json(struct(col("event_id"), col("k"))).as("rebuilt"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"),
+          count(col("k")).as("n_k"),
+          max(length(col("rebuilt"))).as("max_json_len")),
+    Some("""SELECT event_type,
+        CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(k) AS n_k,
+        CAST(MAX(length(rebuilt)) AS BIGINT) AS max_json_len
+      FROM (SELECT event_type,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+              to_json(struct_pack(event_id := event_id,
+                k := CAST(json_extract_string(props, '$.k') AS BIGINT)))::VARCHAR AS rebuilt
+            FROM events)
+      GROUP BY event_type"""))
+
   // -------------------------------------------------------------- subquery
 
   /** Uncorrelated scalar subquery (exact-decimal avg → stable threshold). */
@@ -795,5 +871,6 @@ object Relational {
     sortNulls, topK, limitOffset,
     unionAll, unionDistinct, intersectQ, exceptQ, intersectAll, exceptAll,
     unnestQ, exprScalar, funcString, funcMath, funcDate,
+    funcArray, funcMap, funcJson,
     subqueryScalar, subqueryIn, subqueryExists)
 }
