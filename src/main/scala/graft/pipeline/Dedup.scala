@@ -36,17 +36,38 @@ object Dedup {
             "i -> concat_ws(' ', slice(toks, i, 3))))"))
           .otherwise(expr("CAST(array() AS array<string>)")))
 
-  /** Same set, as SORTED xxhash64 fingerprints: set operations on 8-byte
-    * longs instead of ~20-char strings — smaller shuffles, and the sorted
-    * order lets `graft_jaccard` (functions/JaccardSimilarity.scala) verify
-    * pairs with a single allocation-free merge-walk. Jaccard over the
-    * hashed sets equals Jaccard over the strings unless xxhash64 collides
-    * inside one pair's union (~140 values vs 2^64 — never at any realistic
-    * corpus size). */
-  private def withHashedShingles(df: DataFrame): DataFrame =
+  /** The shingle set as SORTED xxhash64 fingerprints: set operations on
+    * 8-byte longs instead of ~20-char strings (smaller shuffles), and the
+    * sorted order lets `graft_jaccard` (functions/JaccardSimilarity.scala)
+    * verify pairs with a single allocation-free merge-walk. Jaccard over
+    * the hashed sets equals Jaccard over the strings unless xxhash64
+    * collides inside one pair's union (~140 values vs 2^64 — never at any
+    * realistic corpus size). */
+  private def hashedShingles(df: DataFrame): DataFrame =
     withShingles(df)
       .withColumn("shingles",
         expr("array_sort(array_distinct(transform(shingles, s -> xxhash64(s))))"))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+      .filter(col("n") > 0)
+
+  /** [[hashedShingles]], materialized to parquet before use.
+    *
+    * The prefix-filter join references the shingle sets from ~6 plan
+    * subtrees (both self-join sides, the document-frequency count inside
+    * each, both verification probes), and Spark re-evaluates the shingle
+    * build — interpreted HOF lambdas, the most expensive expression in
+    * this module — in every one (alias-renamed exchanges defeat
+    * ReuseExchange). Materializing once is the production shape anyway: at
+    * 100 TB the shingle index is built in one pass and reused across every
+    * dedup run against it, exactly like an inverted index. Measured ~1.5x
+    * on q_dedup_ngram at sf0.1; NOT used by minhash/simhash, whose 2-3
+    * references don't repay the blocking write. */
+  private def materializedShingles(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shingle-idx").toString
+    hashedShingles(docs(s, d)).write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
 
   /** Exact dedup: sha256 over normalized text; keep the smallest doc_id per
     * digest. One shuffle keyed by digest — uniform by construction, so no
@@ -97,9 +118,7 @@ object Dedup {
     "q_dedup_ngram",
     (s, d) => {
       val t = 0.5
-      val sh = withHashedShingles(docs(s, d))
-        .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
-        .filter(col("n") > 0)
+      val sh = materializedShingles(s, d)
       val exploded = sh.select(col("doc_id"), col("n"),
         explode(col("shingles")).as("shingle"))
       // Global shingle rarity (document frequency). No broadcast hint: the
@@ -153,9 +172,7 @@ object Dedup {
     "q_dedup_minhash",
     (s, d) => {
       val t = 0.5
-      val sh = withHashedShingles(docs(s, d))
-        .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
-        .filter(col("n") > 0)
+      val sh = hashedShingles(docs(s, d))
       val sigs = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
         .groupBy(col("doc_id"))
         .agg(minhashCols.head, minhashCols.tail: _*)
@@ -237,9 +254,7 @@ object Dedup {
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
       val t = 0.5
-      val sh = withHashedShingles(docs(s, d))
-        .select(col("doc_id"), col("shingles"))
-        .filter(size(col("shingles")) > 0)
+      val sh = hashedShingles(docs(s, d)).select(col("doc_id"), col("shingles"))
       cands
         .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
         .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
