@@ -12,7 +12,7 @@ object SparkEntry {
   /** All verifiable queries, in registration order. */
   val defs: Seq[QueryDef] =
     operators.Relational.all ++ operators.Coverage.all ++ operators.Tpch.all ++
-      operators.EventOps.all ++ sources.Sinks.all ++
+      operators.EventOps.all ++ operators.Skew.all ++ sources.Sinks.all ++
       gateway.GatewayQueries.all ++ pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++ pipeline.Similarity.all ++ pipeline.Multimodal.all ++
       pipeline.Sampling.all

@@ -280,10 +280,14 @@ final class JobRuntime(
         if (n == "*") Runtime.getRuntime.availableProcessors else n.toInt
       case _ => sc.getConf.getInt("spark.executor.cores", 1)
     }
+    // Reference NodeStatus semantics (dist/src/cluster.rs:18-68): a
+    // Terminating gateway drains — visible in the membership view so
+    // schedulers stop routing to it.
+    val status = if (terminating) "Terminating" else "Available"
     val rows = sc.statusTracker.getExecutorInfos.toSeq.map { e =>
       val total = e.totalOnHeapStorageMemory() + e.totalOffHeapStorageMemory()
       val used = e.usedOnHeapStorageMemory() + e.usedOffHeapStorageMemory()
-      Row(e.host(), e.port(), "Available",
+      Row(e.host(), e.port(), status,
         total, total - used, used,
         coresPerExecutor, e.numRunningTasks())
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -58,4 +59,30 @@ object Skew {
       factKey === dimKey && saltedFact("__salt") === replicatedDim("__salt"))
       .drop("__salt")
   }
+
+  /** The salted aggregation as a gate-level query: `l_returnflag` has only
+    * 3 values over the whole fact table — the textbook hot-reducer shape
+    * (every row funnels into 3 reduce groups). Salting spreads each group
+    * over 8 sub-groups before the merge. The salt is physical only, so the
+    * result must equal the plain GROUP BY — which is exactly what the
+    * DuckDB oracle asserts (and why any salt leak into the output would be
+    * caught). Sums are cast to BIGINT (integral quantities) for
+    * summation-order-independent parity. */
+  private val skewSaltedAgg = QueryDef(
+    "q_skew_salted_agg",
+    (s, d) =>
+      saltedAggregate(
+        Tables.t(s, d, "lineitem"),
+        keys = Seq(col("l_returnflag")),
+        saltBuckets = 8,
+        partials = Seq(sum(col("l_quantity").cast("long")).as("p_qty"),
+          count(lit(1)).as("p_n")),
+        merge = Seq(sum(col("p_qty")).as("sum_qty"),
+          sum(col("p_n")).as("n_rows"))),
+    Some("""SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  val all: Seq[QueryDef] = Seq(skewSaltedAgg)
 }

@@ -127,6 +127,9 @@ class GatewaySpec extends SparkSpec {
       val live = rt.submit("SELECT id FROM range(0, 100, 1, 2)")
       rt.beginShutdown()
       intercept[IllegalStateException] { rt.submit("SELECT 1") }
+      // The membership view reflects the drain (reference NodeStatus
+      // Terminating, dist/src/cluster.rs:18-68).
+      assert(rt.clusterNodes().collect().forall(_.getString(2) == "Terminating"))
       // In-flight job still drains to completion.
       assert(live.fetchAll().size == 100)
       assert(live.status == gateway.JobStatus.Completed)
