@@ -79,6 +79,38 @@ class SkewSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("hash split is deterministic, total, and balanced near 80/10/10") {
+    // The q_sample_split assignment function, as pure math: every id lands
+    // in exactly one split, rerunning changes nothing, and over a dense id
+    // range the empirical mix is near the configured 80/10/10.
+    def split(id: Long): String = {
+      val b = (id * 40503L) % 65536L % 10L
+      if (b < 8) "train" else if (b == 8) "valid" else "test"
+    }
+    val ids = (0L until 20000L).toSeq
+    val first = ids.map(split)
+    assert(ids.map(split) == first) // deterministic
+    val frac = first.groupBy(identity).view.mapValues(_.size / 20000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.02, s"train ${frac("train")}")
+    assert(math.abs(frac("valid") - 0.1) < 0.02, s"valid ${frac("valid")}")
+    assert(math.abs(frac("test") - 0.1) < 0.02, s"test ${frac("test")}")
+  }
+
+  test("simhash banding pigeonhole: hamming <= 7 pairs always share an 8-bit chunk") {
+    // The q_dedup_simhash candidate guarantee, on random fingerprints with
+    // randomly planted <=7-bit flips.
+    val rng = new scala.util.Random(42)
+    for (_ <- 0 until 2000) {
+      val a = rng.nextLong()
+      val flips = rng.nextInt(8) // 0..7 bit flips
+      val b = (0 until flips).foldLeft(a)((x, _) => x ^ (1L << rng.nextInt(64)))
+      val shared = (0 until 8).exists(c =>
+        ((a >>> (c * 8)) & 0xFFL) == ((b >>> (c * 8)) & 0xFFL))
+      assert(shared,
+        f"hamming=${java.lang.Long.bitCount(a ^ b)} pair shares no chunk: $a%x vs $b%x")
+    }
+  }
+
   test("saltedBroadcastJoin equals the plain join") {
     val fact = spark.range(0, 50000)
       .select((col("id") % 5).as("fk"), col("id").as("v"))
