@@ -117,6 +117,28 @@ object Coverage {
       SELECT 'result_groups', count(DISTINCT l_returnflag)
         FROM lineitem WHERE l_quantity > 10"""))
 
+  /** Custom aggregate through the typed `Aggregator` + `udaf()` API — the
+    * Spark registration path for what the reference ships as named UDAFs
+    * over the wire (proto:513, 869-879): weighted mean of quantity by line
+    * number per return flag. Exact Long buffer sums make the result
+    * independent of partial-aggregation merge order. */
+  private val customUdaf = QueryDef(
+    "q_agg_custom_udaf",
+    (s, d) => {
+      s.udf.register("graft_wmean",
+        org.apache.spark.sql.functions.udaf(graft.functions.WeightedMean))
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("v"),
+          col("l_linenumber").cast("long").as("w"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("graft_wmean(v, w)").as("wmean_qty"))
+    },
+    Some("""SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS DOUBLE)
+          / CAST(SUM(CAST(l_linenumber AS BIGINT)) AS DOUBLE) AS wmean_qty
+      FROM lineitem GROUP BY l_returnflag"""))
+
   /** SIMILAR TO / regex predicate surface (proto:356): `rlike` filter +
     * `regexp_extract` projection. */
   private val regexMatch = QueryDef(
@@ -192,5 +214,5 @@ object Coverage {
 
   val all: Seq[QueryDef] = Seq(repartitionHash, repartitionRoundRobin,
     sortWithinPartitions, unnestStruct, explainQ, explainAnalyze, regexMatch,
-    memoryScan, paramQuery, exprBool)
+    memoryScan, paramQuery, exprBool, customUdaf)
 }
