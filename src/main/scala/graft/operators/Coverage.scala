@@ -117,6 +117,55 @@ object Coverage {
       SELECT 'result_groups', count(DISTINCT l_returnflag)
         FROM lineitem WHERE l_quantity > 10"""))
 
+  /** GenerateSeriesNode's date/timestamp range form (proto:1346-1356 lists
+    * int64, timestamp, and date ranges; q_generate_series covers int64):
+    * `sequence(date, date, interval)` + explode. */
+  private val generateSeriesDate = QueryDef(
+    "q_generate_series_date",
+    (s, _) =>
+      s.range(1).select(explode(expr(
+        "sequence(DATE'1995-01-01', DATE'1995-03-01', INTERVAL 1 WEEK)")).as("d"))
+        .select(col("d"), year(col("d")).as("y"), weekofyear(col("d")).as("w")),
+    Some("""SELECT CAST(generate_series AS DATE) AS d,
+        EXTRACT(YEAR FROM generate_series) AS y,
+        EXTRACT(WEEK FROM generate_series) AS w
+      FROM generate_series(DATE '1995-01-01', DATE '1995-03-01', INTERVAL 1 WEEK)"""))
+
+  /** PIVOT: orders per year x status as a wide relation. Counts (exact
+    * ints) rather than double sums keep cross-engine parity trivial;
+    * na.fill(0) aligns Spark's null-for-missing-combo with COUNT's 0. */
+  private val pivotQ = QueryDef(
+    "q_pivot",
+    (s, d) =>
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L),
+    Some("""SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+        CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+        CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+        CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+      FROM orders GROUP BY 1"""))
+
+  /** UNPIVOT/melt: wide metric columns back to (id, metric, value) rows —
+    * the inverse reshape, raw values so no arithmetic parity risk. */
+  private val unpivotQ = QueryDef(
+    "q_unpivot",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value"),
+    Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem"""))
+
   /** Custom aggregate through the typed `Aggregator` + `udaf()` API — the
     * Spark registration path for what the reference ships as named UDAFs
     * over the wire (proto:513, 869-879): weighted mean of quantity by line
@@ -214,5 +263,6 @@ object Coverage {
 
   val all: Seq[QueryDef] = Seq(repartitionHash, repartitionRoundRobin,
     sortWithinPartitions, unnestStruct, explainQ, explainAnalyze, regexMatch,
-    memoryScan, paramQuery, exprBool, customUdaf)
+    memoryScan, paramQuery, exprBool, customUdaf,
+    generateSeriesDate, pivotQ, unpivotQ)
 }
