@@ -166,12 +166,16 @@ object Similarity {
     * them. The complementary scale path to hyperplane LSH: the index adapts
     * to the data distribution (centroids), probing is tunable, and at
     * 100 TB the per-cell candidate lists are the classic IVF posting
-    * lists — the scan touches NPROBE/K of the corpus. Centroids are tiny
+    * lists — the scan touches NPROBE/K of the corpus. Random vectors are
+    * IVF's worst case (recall 0.68 at 6/16 cells here, vs ~1 for
+    * clustered real embeddings whose neighbors share cells); the
+    * multiprobe LSH path (q_ann_lsh) is the exact-recall option on such
+    * data. Centroids are tiny
     * (K x DIM doubles) and ship as literals; only cell ids shuffle.
     * Rows-only (k-means cells are seed/instance-specific); recall gated in
     * PipelineSpec. */
   private val IVF_K = 16
-  private val NPROBE = 4
+  private val NPROBE = 6
   private val annIvf = QueryDef(
     "q_ann_ivf",
     (s, d) => {

@@ -91,8 +91,11 @@ class PipelineSpec extends SparkSpec {
     val ivf = SparkEntry.queries("q_ann_ivf")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
-    info(f"ANN IVF recall@5 = $recall%.2f (nprobe 4/16 cells)")
-    assert(recall >= 0.25, f"IVF recall collapsed: $recall%.2f")
+    info(f"ANN IVF recall@5 = $recall%.2f (nprobe 6/16 cells)")
+    // Random 64-dim vectors are IVF's worst case (true neighbors scatter
+    // across cells); measured 0.68 @ nprobe=6, 0.78 @ nprobe=8 — the
+    // curve, not the implementation, is the limit here.
+    assert(recall >= 0.6, f"IVF recall collapsed: $recall%.2f")
   }
 
   test("multimodal stub features match an independent computation") {
