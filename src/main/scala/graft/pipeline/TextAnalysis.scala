@@ -153,6 +153,29 @@ object TextAnalysis {
         GROUP BY tok)
       ORDER BY freq DESC, tok LIMIT 100"""))
 
+  /** True rolling-hash fingerprint (Rabin–Karp polynomial over character
+    * codes, mod 1e9+7 — the modulus keeps every intermediate product under
+    * 3.2e10, inside exact int64 range on both engines; DuckDB *errors* on
+    * int64 overflow where Spark wraps, so overflow-freedom is a
+    * correctness requirement of the oracle, not a style choice).
+    * Complements [[fingerprint]]: md5-bag-of-words is order-insensitive,
+    * the rolling hash is order-sensitive — rewordings collide there and
+    * differ here. Content-defined chunking at scale anchors on exactly
+    * this hash. */
+  private val fingerprintRolling = QueryDef(
+    "q_fingerprint_rolling",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          expr("""aggregate(filter(split(text, ''), c -> c != ''),
+            0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""").as("rh")),
+    Some("""SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(unicode(c) AS BIGINT) for c in string_split(text, '')]),
+          (a, b) -> (a * 31 + b) % 1000000007) AS rh
+      FROM documents"""))
+
   val all: Seq[QueryDef] =
-    Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab)
+    Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab,
+      fingerprintRolling)
 }
