@@ -114,10 +114,10 @@ object Dedup {
         AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
           nullif(a.n + b.n - len(list_intersect(a.shingles, b.shingles)), 0) >= $t"""
 
-  private val dedupNgram = QueryDef(
-    "q_dedup_ngram",
-    (s, d) => {
-      val t = 0.5
+  /** The complete verified near-dup pair set (a_id, b_id, j) at threshold
+    * `t`, via the prefix-filtered join — shared by [[dedupNgram]] (which
+    * emits it) and [[dedupClusters]] (which builds components on it). */
+  private def verifiedPairs(s: SparkSession, d: String, t: Double): DataFrame = {
       val sh = materializedShingles(s, d)
       val exploded = sh.select(col("doc_id"), col("n"),
         explode(col("shingles")).as("shingle"))
@@ -145,8 +145,14 @@ object Dedup {
       cands.join(a, "a_id").join(b, "b_id")
         .withColumn("j", call_function("graft_jaccard", col("sa"), col("sb")))
         .filter(col("j") >= t)
-        .select(col("a_id"), col("b_id"), floor(col("j") * 1e6).as("j_e6"))
-    },
+        .select(col("a_id"), col("b_id"), col("j"))
+  }
+
+  private val dedupNgram = QueryDef(
+    "q_dedup_ngram",
+    (s, d) =>
+      verifiedPairs(s, d, 0.5)
+        .select(col("a_id"), col("b_id"), floor(col("j") * 1e6).as("j_e6")),
     Some(allPairsJaccardSql(0.5)))
 
   /** MinHash + LSH banding (probabilistic near-dup at extreme scale):
@@ -264,5 +270,66 @@ object Dedup {
     },
     Some(allPairsJaccardSql(0.5)))
 
-  val all: Seq[QueryDef] = Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash)
+  /** Dedup *clustering*: near-dup pairs are only half the decision — a
+    * keep/drop policy needs connected components over the pair graph
+    * (A~B, B~C ⇒ {A,B,C} is one duplicate cluster even when A~C misses
+    * the threshold). Components come from distributed min-label
+    * propagation — each round every node takes the min label among itself
+    * and its neighbors; converges in O(component diameter) rounds, each
+    * round one co-partitioned join + aggregate, `localCheckpoint` capping
+    * lineage growth (the GraphX-Pregel shape without the GraphX
+    * dependency). Convergence is detected by the strictly-decreasing label
+    * sum — one scalar per round, no plan-growing comparisons. The oracle
+    * computes the same components via a recursive CTE. Output: every
+    * clustered doc with its cluster id (= min doc_id in the component —
+    * the canonical "keep" representative). */
+  private val dedupClusters = QueryDef(
+    "q_dedup_clusters",
+    (s, d) => {
+      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+      val edges = pairs
+        .union(pairs.select(col("b_id"), col("a_id")))
+        .toDF("u", "v")
+        .localCheckpoint()
+      var labels = edges.select(col("u").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .localCheckpoint()
+      var prevSum = Long.MaxValue
+      var curSum = labels.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+      var rounds = 0
+      while (curSum != prevSum && rounds < 30) {
+        val viaNeighbors = edges
+          .join(labels.select(col("id").as("v"), col("lbl")), "v")
+          .select(col("u").as("id"), col("lbl"))
+        labels = labels.select(col("id"), col("lbl"))
+          .union(viaNeighbors)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        prevSum = curSum
+        curSum = labels.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+        rounds += 1
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    },
+    Some("""WITH RECURSIVE sh AS (
+        SELECT doc_id,
+          list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) shingles
+        FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+      ), sized AS (SELECT doc_id, shingles, len(shingles) n FROM sh WHERE len(shingles) > 0),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sized a, sized b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+            nullif(a.n + b.n - len(list_intersect(a.shingles, b.shingles)), 0) >= 0.5),
+      edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      reach(src, dst) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+      SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src"""))
+
+  val all: Seq[QueryDef] =
+    Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupClusters)
 }

@@ -143,6 +143,28 @@ class PipelineSpec extends SparkSpec {
     assert(ngram == Set((5L, 6L)), s"expected the planted (5,6) pair, got $ngram")
   }
 
+  test("q_dedup_clusters closes transitively: A~B, B~C, A!~C is one cluster") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cluster-docs").toString
+    def doc(lo: Int, hi: Int) = (lo to hi).map(i => s"t$i").mkString(" ")
+    // d1~d2 and d2~d3 at trigram J=7/13~0.54; d1 vs d3 at 4/16=0.25 —
+    // below threshold, so only transitive closure links them.
+    Seq(
+      (1L, doc(1, 12), "en", "t", 0L),
+      (2L, doc(4, 15), "en", "t", 0L),
+      (3L, doc(7, 18), "en", "t", 0L),
+      (9L, doc(50, 61), "en", "t", 0L)) // isolated: no pairs, no cluster row
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"fixture pairs: $pairs")
+    val clusters = SparkEntry.queries("q_dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"transitive closure broken: $clusters")
+  }
+
   test("pipeline plans never go quadratic (no cartesian/NLJ in dedup paths)") {
     for (q <- Seq("q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash",
       "q_dedup_simhash", "q_dedup_embedding")) {
