@@ -274,7 +274,8 @@ final class JobRuntime(
     // Per-executor cores: executor conf on a real cluster; thread count on
     // local[n]. Driver-JVM Runtime values would be wrong on a multi-executor
     // cluster (every row would report driver-local memory/cpu).
-    val localN = """local\[(\d+|\*)\]""".r
+    // Covers local[N], local[*], and local[N,maxFailures].
+    val localN = """local\[(\d+|\*)(?:,\d+)?\]""".r
     val coresPerExecutor = sc.master match {
       case localN(n) =>
         if (n == "*") Runtime.getRuntime.availableProcessors else n.toInt

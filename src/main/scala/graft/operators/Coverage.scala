@@ -95,7 +95,7 @@ object Coverage {
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       val df = t(s, d, "lineitem").filter(col("l_quantity") > 10)
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-      df.collect() // ANALYZE = run it; metrics populate on execution
+      val result = df.collect() // ANALYZE = run it; metrics populate on execution
       // AQE wraps completed stages in leaf QueryStageExec nodes, so a plain
       // collect() never sees inside them — descend explicitly.
       def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
@@ -106,7 +106,7 @@ object Coverage {
       val filterRows = flatten(df.queryExecution.executedPlan).collect {
         case f: FilterExec => f.metrics("numOutputRows").value
       }.max
-      val groups = df.count()
+      val groups = result.length.toLong // from the run whose metrics we read
       import s.implicits._
       Seq(("filter_output_rows", filterRows), ("result_groups", groups))
         .toDF("metric", "rows")

@@ -62,10 +62,26 @@ object Dedup {
     * dedup run against it, exactly like an inverted index. Measured ~1.5x
     * on q_dedup_ngram at sf0.1; NOT used by minhash/simhash, whose 2-3
     * references don't repay the blocking write. */
+  /** One index per (corpus dir) per JVM: the content is a pure function of
+    * the input parquet, so concurrent queries and repeated runs share a
+    * single copy instead of leaking a fresh temp directory per invocation
+    * (a long-lived gateway would otherwise grow /tmp without bound). The
+    * shutdown hook reclaims the copies. */
+  private val shingleIndexCache =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  sys.addShutdownHook {
+    shingleIndexCache.values.foreach { dir =>
+      scala.reflect.io.Path(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   private def materializedShingles(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-shingle-idx").toString
-    hashedShingles(docs(s, d)).write.mode("overwrite").parquet(dir)
+    val dir = shingleIndexCache.getOrElseUpdate(new java.io.File(d).getCanonicalPath, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-shingle-idx").toString
+      hashedShingles(docs(s, d)).write.mode("overwrite").parquet(out)
+      out
+    })
     s.read.parquet(dir)
   }
 
@@ -301,14 +317,30 @@ object Dedup {
         val viaNeighbors = edges
           .join(labels.select(col("id").as("v"), col("lbl")), "v")
           .select(col("u").as("id"), col("lbl"))
-        labels = labels.select(col("id"), col("lbl"))
+        // The checkpoint before the self-join both caps lineage growth and
+        // gives the lookup side independent attributes.
+        val propagated = labels.select(col("id"), col("lbl"))
           .union(viaNeighbors)
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        // Pointer jumping (path compression): also adopt the label of the
+        // current label — labels are node ids, so label(label(id)) is
+        // always defined and <= label(id) under min-propagation. This
+        // turns O(diameter) convergence into O(log diameter), so the
+        // round cap is a genuine safety net (2^30 diameter), not a
+        // correctness cliff for long duplicate chains.
+        val lookup = propagated.toDF("lbl", "lbl2")
+        labels = propagated.join(lookup, "lbl")
+          .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
           .localCheckpoint()
         prevSum = curSum
         curSum = labels.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
         rounds += 1
       }
+      // Fail loudly rather than emit wrong components: non-convergence is
+      // detectable (the label sum is still falling), so never discard it.
+      require(curSum == prevSum,
+        s"label propagation did not converge in $rounds rounds")
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     },
     Some("""WITH RECURSIVE sh AS (

@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * SQL-portable. */
 object Sampling {
 
+  /** The shared deterministic mix: pure function of doc_id, no overflow
+    * for any int64 id range used here (kept in one place so the three
+    * sampling queries cannot silently diverge; mirrored verbatim in each
+    * oracle's SQL). */
+  private def splitHash(id: org.apache.spark.sql.Column) =
+    (id * 40503L) % 65536L
+
   /** 80/10/10 split by hashed doc_id, with per-split corpus stats. The
     * aggregation is a two-level rollup: everything before the final 3-row
     * result is map-side partial aggregation — nothing shuffles but the
@@ -24,7 +31,7 @@ object Sampling {
   private val sampleSplit = QueryDef(
     "q_sample_split",
     (s, d) => {
-      val h = (col("doc_id") * 40503L) % 65536L
+      val h = splitHash(col("doc_id"))
       val bucket = h % 10
       Tables.t(s, d, "documents")
         .withColumn("split",
@@ -54,7 +61,7 @@ object Sampling {
     "q_sample_stratified",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val h = (col("doc_id") * 40503L) % 65536L
+      val h = splitHash(col("doc_id"))
       val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
       Tables.t(s, d, "documents")
         .withColumn("h", h)
@@ -76,7 +83,7 @@ object Sampling {
   private val mixSources = QueryDef(
     "q_mix_sources",
     (s, d) => {
-      val bucket = (col("doc_id") * 40503L) % 65536L % 100L
+      val bucket = splitHash(col("doc_id")) % 100L
       // Sources are src0..src19 in this corpus; weight a few down the way
       // a real mixture config would (keep 25% of src0-4, 75% of src5-9,
       // everything else whole).

@@ -169,10 +169,14 @@ object TextAnalysis {
         .select(col("doc_id"),
           expr("""aggregate(filter(split(text, ''), c -> c != ''),
             0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""").as("rh")),
+    // Empty-doc guard: DuckDB string_split('','') yields [''] and
+    // unicode('') = -1 where Spark's filtered fold yields 0 — same class
+    // of edge the multimodal oracle guards.
     Some("""SELECT doc_id,
-        list_reduce(list_prepend(CAST(0 AS BIGINT),
-          [CAST(unicode(c) AS BIGINT) for c in string_split(text, '')]),
-          (a, b) -> (a * 31 + b) % 1000000007) AS rh
+        CASE WHEN length(text) = 0 THEN 0 ELSE
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(unicode(c) AS BIGINT) for c in string_split(text, '')]),
+            (a, b) -> (a * 31 + b) % 1000000007) END AS rh
       FROM documents"""))
 
   val all: Seq[QueryDef] =

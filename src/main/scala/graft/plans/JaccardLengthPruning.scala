@@ -32,17 +32,28 @@ object JaccardLengthPruning extends Rule[LogicalPlan] {
       LessThanOrEqual(Multiply(sb, t), sa))
   }
 
+  /** A guard (or a user's own hand-tuned equivalent) already exists for
+    * this jaccard call iff the condition measures `size(...)` of either of
+    * its argument arrays — per-expression, so an unrelated `size(toks)`
+    * conjunct elsewhere in the filter doesn't suppress the rewrite. Also
+    * the idempotence check: the injected guard itself contains
+    * `Size(j.left)`, so fixpoint iterations of the optimizer batch don't
+    * re-wrap. */
+  private def hasSizeGuard(cond: Expression, j: JaccardSimilarity): Boolean =
+    cond.collect { case s: Size => s.child }
+      .exists(c => c.semanticEquals(j.left) || c.semanticEquals(j.right))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, _)
-        if !cond.exists(_.isInstanceOf[Size]) =>
+    case f @ Filter(cond, _) =>
       // transformUp: the rewrite embeds the matched node in its
       // replacement, which transformDown would descend into forever.
       val augmented = cond.transformUp {
         case geq @ GreaterThanOrEqual(j: JaccardSimilarity,
-            t @ Literal(v: Double, DoubleType)) if v > 0 =>
+            t @ Literal(v: Double, DoubleType))
+            if v > 0 && !hasSizeGuard(cond, j) =>
           And(lengthGuard(j, t), geq)
         case leq @ LessThanOrEqual(t @ Literal(v: Double, DoubleType),
-            j: JaccardSimilarity) if v > 0 =>
+            j: JaccardSimilarity) if v > 0 && !hasSizeGuard(cond, j) =>
           And(lengthGuard(j, t), leq)
       }
       if (augmented.fastEquals(cond)) f else f.copy(condition = augmented)
