@@ -427,6 +427,40 @@ object Relational {
       (SELECT *, RANK() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC NULLS LAST) AS rk
        FROM lineitem) WHERE rk = 1"""))
 
+  /** Window value functions + distribution functions (the rest of the
+    * UDWF surface, proto:881-895): first/last/nth_value with explicit
+    * frames, percent_rank, cume_dist. last_value needs the
+    * unbounded-following frame (the default frame ends at CURRENT ROW,
+    * where last_value degenerates to the current row) — same spelling in
+    * the oracle. Partitioned by status — scale-safe. */
+  private val windowValueFns = QueryDef(
+    "q_window_value_fns",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .filter(col("o_custkey") % 50 === 0)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(full).as("last_price"),
+          nth_value(col("o_totalprice"), 3).over(full).as("third_price"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+    },
+    Some("""SELECT o_orderstatus, o_orderkey,
+        FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        LAST_VALUE(o_totalprice) OVER
+          (PARTITION BY o_orderstatus ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+        NTH_VALUE(o_totalprice, 3) OVER
+          (PARTITION BY o_orderstatus ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_price,
+        PERCENT_RANK() OVER w AS pr,
+        CUME_DIST() OVER w AS cd
+      FROM orders WHERE o_custkey % 50 = 0
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)"""))
+
   /** row_number / dense_rank / ntile / percent_rank over a total order. */
   private val windowRanks = QueryDef(
     "q_window_ranking",
@@ -868,6 +902,7 @@ object Relational {
     q1Agg, aggGlobal, aggHaving, distinctRows, aggCountDistinct, aggFilter,
     aggRollup, aggCube, aggGroupingSets, aggNullKeys, aggPercentile, aggStringAgg,
     windowRank, windowRanks, windowRunning, windowRange, windowGroups, windowLeadLag,
+    windowValueFns,
     sortNulls, topK, limitOffset,
     unionAll, unionDistinct, intersectQ, exceptQ, intersectAll, exceptAll,
     unnestQ, exprScalar, funcString, funcMath, funcDate,
