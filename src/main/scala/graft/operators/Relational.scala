@@ -895,6 +895,39 @@ object Relational {
     Some("""SELECT s_suppkey, s_name FROM supplier WHERE EXISTS
       (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 45)"""))
 
+  /** EXISTS under a disjunction — the shape that genuinely exercises
+    * Catalyst's ExistenceJoin (the reference's MARK join,
+    * `datafusion_common.proto:84-90`): a plain EXISTS rewrites to a
+    * LeftSemi join, but OR-ed with another predicate the subquery must
+    * produce a boolean *mark* column instead of filtering — exactly MARK
+    * semantics. Plan-asserted in PlanSpec. */
+  private val subqueryExistsOr = QueryDef(
+    "q_subquery_exists_or",
+    (s, d) => {
+      Tables.register(s, d, "supplier", "lineitem")
+      s.sql("""SELECT s_suppkey, s_name FROM supplier
+        WHERE s_acctbal > 9000 OR EXISTS
+          (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)""")
+    },
+    Some("""SELECT s_suppkey, s_name FROM supplier
+      WHERE s_acctbal > 9000 OR EXISTS
+        (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)"""))
+
+  /** Correlated scalar subquery (decorrelation surface distinct from the
+    * uncorrelated [[subqueryScalar]]): per-order max picked via a
+    * correlated aggregate — Catalyst rewrites to aggregate + join. */
+  private val subqueryCorrelated = QueryDef(
+    "q_subquery_correlated",
+    (s, d) => {
+      Tables.register(s, d, "lineitem")
+      s.sql("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem l1
+        WHERE l_quantity = (SELECT MAX(l_quantity) FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey)""")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem l1
+      WHERE l_quantity = (SELECT MAX(l_quantity) FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey)"""))
+
   val all: Seq[QueryDef] = Seq(
     scanProject, filterComplex, selectOne, emptyRel, genSeries,
     joinInner, joinBroadcast, joinLeft, joinRight, joinFull, joinSemi,
@@ -907,5 +940,6 @@ object Relational {
     unionAll, unionDistinct, intersectQ, exceptQ, intersectAll, exceptAll,
     unnestQ, exprScalar, funcString, funcMath, funcDate,
     funcArray, funcMap, funcJson,
-    subqueryScalar, subqueryIn, subqueryExists)
+    subqueryScalar, subqueryIn, subqueryExists, subqueryExistsOr,
+    subqueryCorrelated)
 }

@@ -135,6 +135,15 @@ class PlanSpec extends SparkSpec {
       range.contains("ShuffledHashJoin"), s"range join is not an equi join:\n$range")
   }
 
+  test("q_subquery_exists_or plans an ExistenceJoin (MARK join), not a semi join") {
+    // Under a disjunction the EXISTS must become a mark column — the
+    // reference's MARK join (datafusion_common.proto:84-90). A plain
+    // EXISTS (q_subquery_exists) correctly degenerates to LeftSemi.
+    val p = planString("q_subquery_exists_or")
+    assert(p.contains("ExistenceJoin"), s"no ExistenceJoin in:\n$p")
+    assert(planString("q_subquery_exists").contains("LeftSemi"))
+  }
+
   test("q_sink_partitioned prunes partition directories at the scan") {
     val p = planString("q_sink_partitioned")
     assert(p.contains("PartitionFilters: [isnotnull(o_year"), p)
