@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's single JSON stdout line. With the default
+// LoggedOutput strategy sbt prefixes every forked-stdout line with "[info] "
+// and appends its own "[success] Total time" line, so the JSON is never a
+// clean final line (BENCH_r{1..3}.json all show "parsed": null). Inherit the
+// child's stdout/stderr unmodified and drop the success banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
