@@ -5,10 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional extra args: run only the named queries (dev iteration);
+    // the driver passes exactly two args and gets the full suite.
+    val only = args.drop(2).toSet
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       // repartition(1) (not coalesce): keeps the query's own stages at full
       // parallelism and only funnels the final (small) result to one file.
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")

@@ -159,5 +159,190 @@ object Tpch {
       JOIN customer ON o_custkey = c_custkey
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
 
-  val all: Seq[QueryDef] = Seq(q3, q5, q10, q18)
+  /** Q4 shape: order-priority checking — orders with at least one
+    * late-shipped lineitem (l_shipdate > o_orderdate stands in for the
+    * reference schema's commitdate/receiptdate pair), counted per
+    * priority. The EXISTS becomes a LEFT SEMI join: both sides shuffle
+    * once on the order key, the semi join emits each order at most once
+    * (no post-join dedup), and the count aggregate is partial/final. */
+  private val q4 = QueryDef(
+    "q_tpch_q4",
+    (s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01") &&
+          col("o_orderdate") < lit("1996-10-01"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority"""))
+
+  /** Q7 shape: volume shipping between two nations, per direction per
+    * year. Both nation lookups broadcast; the fact chain
+    * lineitem ⋈ orders ⋈ customer shuffles on the order key and
+    * lineitem ⋈ supplier on the supplier key — the nation-pair filter
+    * rides the broadcast joins, never a shuffle of its own. */
+  private val q7 = QueryDef(
+    "q_tpch_q7",
+    (s, d) => {
+      val (na, nb) = ("NATION_1", "NATION_2")
+      val l = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"),
+          year(col("l_shipdate")).as("l_year"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n1 = broadcast(t(s, d, "nation")
+        .filter(col("n_name").isin(na, nb))
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, d, "nation")
+        .filter(col("n_name").isin(na, nb))
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(n1, sup("s_nationkey") === col("n1_key"))
+        .join(n2, c("c_nationkey") === col("n2_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+    },
+    Some(s"""SELECT supp_nation, cust_nation, l_year,
+        ${DREV.format("l_extendedprice", "l_discount")} AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS INTEGER) AS l_year,
+          l_extendedprice, l_discount
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01')
+      GROUP BY supp_nation, cust_nation, l_year"""))
+
+  /** Q14 shape: promo-revenue split — a conditional aggregate over one
+    * broadcast-enriched fact scan. Emits the exact decimal numerator and
+    * denominator rather than their ratio: the division would round twice
+    * (once per engine, in different modes), while the sums stay exact.
+    * The CASE has no ELSE, so non-promo rows contribute NULL (ignored by
+    * SUM) identically on both engines. */
+  private val q14 = QueryDef(
+    "q_tpch_q14",
+    (s, d) => {
+      val p = broadcast(t(s, d, "part").select(col("p_partkey"), col("p_type")))
+      val l = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01") &&
+          col("l_shipdate") < lit("1996-10-01"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val dec = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", dec)).cast(DoubleType).as("promo_revenue"),
+          sum(dec).cast(DoubleType).as("total_revenue"))
+    },
+    Some(s"""SELECT
+        CAST(SUM(CASE WHEN p_type = 'PROMO'
+          THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END)
+          AS DOUBLE) AS promo_revenue,
+        ${DREV.format("l_extendedprice", "l_discount")} AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'"""))
+
+  /** Q17 shape: small-quantity-order revenue for one brand. The
+    * correlated per-part average becomes an aggregate-then-join: one pass
+    * over lineitem computes each part's quantity threshold (partial/final
+    * agg, shuffle carries one row per part), which then joins back to the
+    * brand-filtered fact rows on the part key. The threshold expression
+    * (0.2 * exact-BIGINT sum / count, one IEEE op per step) is evaluated
+    * in the same order on both engines, so the filter is bit-stable. */
+  private val q17 = QueryDef(
+    "q_tpch_q17",
+    (s, d) => {
+      val p = broadcast(t(s, d, "part").filter(col("p_brand") === "Brand#13")
+        .select(col("p_partkey")))
+      val l = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val limits = l.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((lit(0.2) * (sum(col("l_quantity").cast(LongType)).cast(DoubleType) /
+          count(lit(1)))).as("qty_limit"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(limits, l("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_limit"))
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType) / lit(7.0)).as("avg_yearly"))
+    },
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        AS avg_yearly
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN (SELECT l_partkey AS t_partkey,
+              0.2 * (CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*))
+                AS qty_limit
+            FROM lineitem GROUP BY 1) t ON l_partkey = t_partkey
+      WHERE p_brand = 'Brand#13' AND l_quantity < qty_limit"""))
+
+  /** Q21 shape: suppliers who alone shipped late on a multi-supplier
+    * order ("kept the order waiting"). The classic double-EXISTS
+    * decorrelates into one per-order aggregate — distinct suppliers and
+    * distinct *late* suppliers — joined back to the late lineitems; at
+    * scale that is one orderkey shuffle plus a broadcast of the supplier
+    * dimension, instead of two correlated probes per row. Lateness =
+    * shipped more than 45 days after the order date (this schema has no
+    * commit/receipt dates). The oracle keeps the textbook EXISTS / NOT
+    * EXISTS form, so the gate also proves the rewrite's equivalence. */
+  private val q21 = QueryDef(
+    "q_tpch_q21",
+    (s, d) => {
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS")
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late", late)
+      val perOrder = l.groupBy(col("l_orderkey").as("g_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supps"))
+      val sup = broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_name")))
+      l.filter(col("is_late"))
+        .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+        .filter(col("n_supps") > 1 && col("n_late_supps") === 1)
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+    Some("""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM lineitem l1
+      JOIN orders ON l1.l_orderkey = o_orderkey
+      JOIN supplier ON l1.l_suppkey = s_suppkey
+      WHERE l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 45 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name LIMIT 100"""))
+
+  val all: Seq[QueryDef] = Seq(q3, q4, q5, q7, q10, q14, q17, q18, q21)
 }
