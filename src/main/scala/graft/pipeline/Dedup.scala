@@ -133,7 +133,7 @@ object Dedup {
   /** The complete verified near-dup pair set (a_id, b_id, j) at threshold
     * `t`, via the prefix-filtered join — shared by [[dedupNgram]] (which
     * emits it) and [[dedupClusters]] (which builds components on it). */
-  private def verifiedPairs(s: SparkSession, d: String, t: Double): DataFrame = {
+  private[pipeline] def verifiedPairs(s: SparkSession, d: String, t: Double): DataFrame = {
       val sh = materializedShingles(s, d)
       val exploded = sh.select(col("doc_id"), col("n"),
         explode(col("shingles")).as("shingle"))
