@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-corpus preparation pipeline, as ONE dataflow:
@@ -35,13 +34,18 @@ object Prep {
       val base = Tables.t(s, d, "documents")
         .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
         .filter(col("n_chars") >= 100 && col("lang") =!= "zh" && col("n_toks") >= 20)
-      // Stage 3: exact dedup — keep the smallest doc_id per content digest
-      // (one digest-keyed shuffle, uniform by construction).
-      val exact = base
-        .withColumn("keep", min(col("doc_id")).over(
-          Window.partitionBy(sha2(lower(trim(col("text"))), 256))))
-        .filter(col("doc_id") === col("keep"))
-        .drop("keep")
+      // Stage 3: exact dedup — keep the smallest doc_id per content
+      // digest. The digest group-by runs on a NARROW (digest, doc_id)
+      // projection, so only 40-byte rows shuffle by digest; the full text
+      // then moves once, in the doc_id semi-join — the same partitioning
+      // the stage-4 anti join needs, so the text is shuffled exactly once
+      // end-to-end. (A window over the digest partition would drag the
+      // text through the digest shuffle too.)
+      val keepIds = base
+        .select(sha2(lower(trim(col("text"))), 256).as("digest"), col("doc_id"))
+        .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val exact = base.join(keepIds, Seq("doc_id"), "left_semi")
       // Stage 4: near-dup drop. verifiedPairs is the exact J >= t pair
       // relation (a_id < b_id) — corpus-independent, so restricting the
       // smaller endpoint to survivors equals recomputing pairs on the
