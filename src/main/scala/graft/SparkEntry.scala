@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** All verifiable queries, in registration order. */
   val defs: Seq[QueryDef] =
-    operators.Relational.all ++ operators.Coverage.all ++ operators.Tpch.all ++
+    operators.Relational.all ++ operators.Coverage.all ++ operators.Analytics.all ++
+      operators.Tpch.all ++
       operators.EventOps.all ++ operators.Skew.all ++ sources.Sinks.all ++
       gateway.GatewayQueries.all ++ pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++ pipeline.Similarity.all ++ pipeline.Multimodal.all ++

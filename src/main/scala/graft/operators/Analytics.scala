@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+
+/** Analytic-surface extensions: grouping metadata functions, LATERAL
+  * correlated subqueries, and a distributed cardinality sketch built from
+  * relational primitives only.
+  */
+object Analytics {
+
+  /** grouping() / grouping_id() over ROLLUP — the metadata functions that
+    * let a consumer tell a real NULL group key from a rollup subtotal
+    * (datafusion proto:421-430 carries grouping sets; the grouping_id
+    * expression is how results stay self-describing). Cast to BIGINT on
+    * both sides: Spark returns TINYINT/BIGINT, DuckDB BIGINT. */
+  private val groupingFn = QueryDef(
+    "q_agg_grouping_fn",
+    (s, d) => {
+      Tables.register(s, d, "orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        count(*) AS n
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""))
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT (top-2 suppliers
+    * per nation): the SQL-surface twin of the window top-k —
+    * DecorrelateInnerQuery rewrites the per-row LIMIT into a ranked
+    * window, so the executed plan is the same scale-safe partitioned
+    * top-k, not a per-nation re-scan. */
+  private val lateralTopK = QueryDef(
+    "q_lateral",
+    (s, d) => {
+      Tables.register(s, d, "nation", "supplier")
+      s.sql("""SELECT n_name, s_name, s_acctbal
+        FROM nation,
+        LATERAL (SELECT s_name, s_acctbal FROM supplier
+                 WHERE s_nationkey = n_nationkey
+                 ORDER BY s_acctbal DESC, s_name LIMIT 2) t""")
+    },
+    Some("""SELECT n_name, s_name, s_acctbal
+      FROM nation,
+      LATERAL (SELECT s_name, s_acctbal FROM supplier
+               WHERE s_nationkey = n_nationkey
+               ORDER BY s_acctbal DESC, s_name LIMIT 2) t"""))
+
+  /** HyperLogLog registers from relational primitives: a 256-bucket HLL
+    * over customer keys. Neither engine shares a native 64-bit hash, so
+    * the "hash" is a portable 32-bit multiply/xor-shift avalanche mix —
+    * every product stays under 2^63 (DuckDB errors on int64 overflow
+    * where Spark wraps), every step is exact integer math, and xor/idiv
+    * are just spelled per engine (`^`+`div` vs `xor()`+`//`). Avalanche
+    * matters: a bare multiplicative mix leaves the bucket byte bijective
+    * in the key, so sequential keys spread perfectly evenly and linear
+    * counting over-estimates ~50%. The rank is trailing-zeros+1 of the
+    * payload via the `bit_count((x & -x) - 1)` identity, so DuckDB
+    * checks all 256 registers bit-for-bit. This is the distributed-
+    * sketch shape at 100 TB: partial aggregates max registers map-side,
+    * the shuffle carries at most 256 rows per partition, and merging
+    * sketches = element-wise MAX — the same merge an `Aggregator`-based
+    * production HLL would use. (Estimate derivation + the accuracy and
+    * mergeability properties are asserted in AnalyticsSpec; the
+    * registers ARE the sketch.) */
+  private def hllSql(xor: (String, String) => String, idiv: String): String = {
+    val mix =
+      s"""SELECT ${xor("f", s"f $idiv 65536")} AS h FROM (
+            SELECT (e * 1540483477) % 4294967296 AS f FROM (
+              SELECT ${xor("c2", s"c2 $idiv 8192")} AS e FROM (
+                SELECT (b2 * 2146121005) % 4294967296 AS c2 FROM (
+                  SELECT ${xor("a", s"a $idiv 65536")} AS b2 FROM (
+                    SELECT (c_custkey * 2654435761) % 4294967296 AS a
+                    FROM customer)))))"""
+    s"""SELECT bucket, MAX(rho) AS max_rho FROM (
+        SELECT h % 256 AS bucket,
+          CASE WHEN h $idiv 256 = 0 THEN 57
+               ELSE CAST(bit_count(((h $idiv 256) & -(h $idiv 256)) - 1) AS BIGINT) + 1
+          END AS rho
+        FROM ($mix))
+      GROUP BY bucket"""
+  }
+
+  private[graft] val hllSparkSql: String =
+    hllSql((p, q) => s"($p ^ $q)", "div")
+
+  private val sketchHll = QueryDef(
+    "q_sketch_hll",
+    (s, d) => {
+      Tables.register(s, d, "customer")
+      s.sql(hllSparkSql)
+    },
+    Some(hllSql((p, q) => s"xor($p, $q)", "//")))
+
+  val all: Seq[QueryDef] = Seq(groupingFn, lateralTopK, sketchHll)
+}

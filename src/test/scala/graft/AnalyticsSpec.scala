@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The Analytics queries' semantic contracts beyond the oracle gate:
+  * the HLL registers actually estimate, and the LATERAL top-k plan is a
+  * decorrelated window, not a per-outer-row re-scan. */
+class AnalyticsSpec extends SparkSpec {
+
+  test("HLL registers yield an estimate within 10% of the true cardinality") {
+    val regs = SparkEntry.queries("q_sketch_hll")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = 256
+    // Standard HLL estimator: alpha_m * m^2 / sum(2^-rho), empty buckets
+    // contribute 2^0; linear-counting correction for the small range.
+    val invSum = (0 until m).map(b => math.pow(2.0, -regs.getOrElse(b.toLong, 0L).toDouble)).sum
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val raw = alpha * m * m / invSum
+    val zeros = (0 until m).count(b => !regs.contains(b.toLong))
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+    val truth = Tables.t(spark, sfDir, "customer")
+      .select(countDistinct(col("c_custkey"))).head.getLong(0)
+    // HLL-256's theoretical standard error is 1.04/sqrt(256) = 6.5%;
+    // at this corpus the linear-counting range applies (~3% observed).
+    val err = math.abs(est - truth) / truth
+    assert(err < 0.10, s"HLL estimate $est vs true $truth (err $err)")
+  }
+
+  test("LATERAL top-k decorrelates to a ranked window, not a re-scan join") {
+    val df = SparkEntry.queries("q_lateral")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window") || plan.contains("WindowGroupLimit"),
+      s"expected decorrelated window plan:\n$plan")
+    // Exactly 2 suppliers per nation that has any supplier.
+    val counts = df.groupBy(col("n_name")).count().collect()
+    assert(counts.forall(_.getLong(1) <= 2))
+  }
+
+  test("merging partial HLL sketches = element-wise register MAX") {
+    // Split the corpus in half, sketch each, merge via max — must equal
+    // the single-pass sketch (the property that makes HLL distributable).
+    val c = Tables.t(spark, sfDir, "customer")
+    // The exact production SQL, pointed at a half-corpus view.
+    def sketch(dfq: org.apache.spark.sql.DataFrame) = {
+      dfq.createOrReplaceTempView("customer")
+      spark.sql(operators.Analytics.hllSparkSql)
+    }
+    val whole = sketch(c).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lo = sketch(c.filter(col("c_custkey") % 2 === 0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hi = sketch(c.filter(col("c_custkey") % 2 === 1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = (lo.keySet ++ hi.keySet).map(b =>
+      b -> math.max(lo.getOrElse(b, 0L), hi.getOrElse(b, 0L))).toMap
+    assert(merged == whole)
+  }
+}
