@@ -140,5 +140,81 @@ object EventOps {
         CAST(sum(sess_events) AS BIGINT) AS n_events
       FROM per_sess GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(asofJoin, rangeJoin, sessionize)
+  /** Ordered funnel (view -> click -> purchase): how many users reach each
+    * stage, where each stage's event must be strictly after the previous
+    * stage's first event. Three chained `min(CASE)` windows over ONE
+    * user_id partitioning — Catalyst plans a single exchange reused by
+    * all three window frames (same trick as sessionize), then a per-user
+    * rollup; no self-joins, no event_type shuffles. At 100 TB: one hash
+    * exchange of the event stream + |users| rows upward. */
+  private val funnel = QueryDef(
+    "q_funnel",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      ev(s, d)
+        .withColumn("t_a",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_b",
+          min(when(col("event_type") === "click" && col("ts") > col("t_a"),
+            col("ts"))).over(w))
+        .withColumn("t_c",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t_b"),
+            col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("t_a")).as("t_a"), max(col("t_b")).as("t_b"),
+          max(col("t_c")).as("t_c"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("t_a")).as("n_view"),
+          count(col("t_b")).as("n_view_click"),
+          count(col("t_c")).as("n_full_funnel"))
+    },
+    Some("""WITH per AS (
+        SELECT user_id,
+          min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_a
+        FROM events GROUP BY user_id),
+      b AS (
+        SELECT e.user_id, min(epoch_ns(e.ts)) AS t_b
+        FROM events e JOIN per ON e.user_id = per.user_id
+        WHERE e.event_type = 'click' AND epoch_ns(e.ts) > per.t_a
+        GROUP BY e.user_id),
+      c AS (
+        SELECT e.user_id, min(epoch_ns(e.ts)) AS t_c
+        FROM events e JOIN b ON e.user_id = b.user_id
+        WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > b.t_b
+        GROUP BY e.user_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+        CAST(count(t_a) AS BIGINT) AS n_view,
+        CAST(count(t_b) AS BIGINT) AS n_view_click,
+        CAST(count(t_c) AS BIGINT) AS n_full_funnel
+      FROM per
+      LEFT JOIN b ON per.user_id = b.user_id
+      LEFT JOIN c ON per.user_id = c.user_id"""))
+
+  /** Cohort retention: users bucketed by the epoch-week of their first
+    * event; for each (cohort week, weeks-since-first) cell, how many of
+    * the cohort's users were active. The first-event table and the event
+    * stream co-partition on user_id (one shuffle, reused by the join);
+    * week arithmetic is exact int64 division of the ns timestamps — a
+    * double division would already be lossy at ns magnitudes (2^53 <
+    * 1e18). */
+  private val cohortRetention = QueryDef(
+    "q_cohort_retention",
+    (s, d) => {
+      val first = ev(s, d).groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      ev(s, d).join(first, "user_id")
+        .withColumn("cohort_wk", expr("t0 div 604800000000000"))
+        .withColumn("wk_offset", expr("(ts - t0) div 604800000000000"))
+        .groupBy(col("cohort_wk"), col("wk_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""WITH first AS (
+        SELECT user_id, min(epoch_ns(ts)) AS t0 FROM events GROUP BY user_id)
+      SELECT t0 // 604800000000000 AS cohort_wk,
+        (epoch_ns(ts) - t0) // 604800000000000 AS wk_offset,
+        CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+      FROM events e JOIN first ON e.user_id = first.user_id
+      GROUP BY 1, 2"""))
+
+  val all: Seq[QueryDef] =
+    Seq(asofJoin, rangeJoin, sessionize, funnel, cohortRetention)
 }
