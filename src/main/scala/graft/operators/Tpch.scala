@@ -193,7 +193,11 @@ object Tpch {
   private val q7 = QueryDef(
     "q_tpch_q7",
     (s, d) => {
-      val (na, nb) = ("NATION_1", "NATION_2")
+      // A 4-nation bloc instead of the classic 2: sf0.001 has only 10
+      // suppliers spread over 10 nations, and a single pair can be empty
+      // there; the bloc keeps the per-direction pair semantics with rows
+      // at every scale.
+      val bloc = Seq("NATION_0", "NATION_1", "NATION_2", "NATION_3")
       val l = t(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01") &&
           col("l_shipdate") < lit("1998-01-01"))
@@ -204,10 +208,10 @@ object Tpch {
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
       val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
       val n1 = broadcast(t(s, d, "nation")
-        .filter(col("n_name").isin(na, nb))
+        .filter(col("n_name").isin(bloc: _*))
         .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
       val n2 = broadcast(t(s, d, "nation")
-        .filter(col("n_name").isin(na, nb))
+        .filter(col("n_name").isin(bloc: _*))
         .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
@@ -230,8 +234,8 @@ object Tpch {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation n1 ON s_nationkey = n1.n_nationkey
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-          AND n2.n_name IN ('NATION_1', 'NATION_2')
+        WHERE n1.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+          AND n2.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
           AND n1.n_name <> n2.n_name
           AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01')
       GROUP BY supp_nation, cust_nation, l_year"""))

@@ -75,12 +75,69 @@ object Multimodal {
         ELSE len(list_distinct(string_split(text, ''))) END AS distinct_bytes
       FROM documents"""))
 
-  val all: Seq[QueryDef] = Seq(multimodal)
+  /** Frame sampling: chunk the payload into fixed 16-byte "frames" (the
+    * stand-in for video frames / audio windows), keep every 4th frame,
+    * and emit per-item sample statistics. Same typed `mapPartitions`
+    * batch stage as feature extraction — a real frame decoder would hold
+    * its codec open across the partition here — and still shuffle-free.
+    * Sampling is deterministic (stride, not random): re-runs and retried
+    * tasks pick identical frames, which is what makes the op usable as a
+    * pipeline stage at scale. */
+  def sampleFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaItem]
+      .mapPartitions(items => items.map(MultimodalStub.sampleFrameStats))
+      .toDF()
+  }
+
+  private val multimodalFrames = QueryDef(
+    "q_multimodal_frames",
+    (s, d) => sampleFrames(s, d)
+      .select(col("doc_id"), col("n_frames"), col("n_sampled"), col("sampled_byte_sum")),
+    // Stride-4 sampling of 16-byte frames = the first 16 bytes of every
+    // 64-byte block; the ASCII corpus lets DuckDB recompute the sums from
+    // the text column (bytes == character codes).
+    Some("""SELECT doc_id,
+      CAST((length(text) + 15) // 16 AS BIGINT) AS n_frames,
+      CAST(((length(text) + 15) // 16 + 3) // 4 AS BIGINT) AS n_sampled,
+      CAST(coalesce(list_sum([
+          coalesce(list_sum([unicode(c) FOR c IN string_split(substr(text, b * 64 + 1, 16), '')]), 0)
+          FOR b IN range(0, (length(text) + 63) // 64)]), 0) AS BIGINT) AS sampled_byte_sum
+      FROM documents"""))
+
+  val all: Seq[QueryDef] = Seq(multimodal, multimodalFrames)
 }
+
+/** Frame-sampling stats for one media item. */
+final case class MediaFrameStats(
+    doc_id: Long,
+    n_frames: Long,
+    n_sampled: Long,
+    sampled_byte_sum: Long)
 
 /** The stubbed decoder. A production build swaps this object for real
   * codecs; the call site and schema do not change. */
 object MultimodalStub {
+
+  private val FRAME = 16
+  private val STRIDE = 4
+
+  /** STUB frame sampler: fixed-size byte frames, every STRIDE-th kept. */
+  def sampleFrameStats(item: MediaItem): MediaFrameStats = {
+    val bytes = item.media
+    val nFrames = (bytes.length + FRAME - 1) / FRAME
+    val nSampled = (nFrames + STRIDE - 1) / STRIDE
+    var sum = 0L
+    var f = 0
+    while (f < nFrames) {
+      val start = f * FRAME
+      val end = math.min(start + FRAME, bytes.length)
+      var i = start
+      while (i < end) { sum += bytes(i) & 0xFF; i += 1 }
+      f += STRIDE
+    }
+    MediaFrameStats(item.doc_id, nFrames.toLong, nSampled.toLong, sum)
+  }
   /** STUB decode: deterministic byte statistics standing in for real
     * decode/feature-extract (e.g. resize + embed for images). */
   def decodeFeatures(item: MediaItem): MediaFeatures = {
