@@ -25,7 +25,10 @@ object Bench {
         None
       } catch { case e: Throwable => Some(e.getClass.getSimpleName) }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args: bench only the named queries (dev iteration); the
+    // driver passes none and times the full suite.
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.isEmpty) names0 else names0.filter(args.toSet)
     names.foreach(runOnce) // warmup pass, untimed
 
     val timed = names.map { name =>
