@@ -179,7 +179,54 @@ object TextAnalysis {
             (a, b) -> (a * 31 + b) % 1000000007) END AS rh
       FROM documents"""))
 
+  /** TF-IDF keyword extraction: each document's top-3 tokens by
+    * tf * ln(N/df) — the feature-weighting stage between tokenization and
+    * vocabulary building. Two key-partitioned aggregations (tf per
+    * (doc, token), df per token) joined on the token key, then a per-doc
+    * ranked window; the token-keyed join co-partitions with the df
+    * aggregate, so the corpus shuffles twice total and never by document
+    * pair. Scores are floor-truncated at 1e-6 with identical operation
+    * order on both engines (ln is the only transcendental; never ROUND
+    * it), ties broken by token, so the oracle compares exactly. */
+  private val tfidfKeywords = QueryDef(
+    "q_tfidf_keywords",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nDocs = docs(s, d).count() // one tiny job; a literal in the plan
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_e6").desc, col("tok"))
+      tf.join(df, "tok")
+        .withColumn("score_e6",
+          floor(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1e6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("tok"), col("score_e6"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+      df AS (SELECT tok, count(*) AS df FROM
+               (SELECT DISTINCT doc_id, tok FROM toks2) GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, tok,
+          CAST(FLOOR(tf * ln(n_docs / df) * 1e6) AS BIGINT) AS score_e6
+        FROM tf JOIN df USING (tok), n),
+      ranked AS (
+        SELECT doc_id, tok, score_e6,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score_e6 DESC, tok) AS rk
+        FROM scored)
+      SELECT doc_id, rk, tok, score_e6 FROM ranked WHERE rk <= 3"""))
+
   val all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab,
-      fingerprintRolling)
+      fingerprintRolling, tfidfKeywords)
 }
