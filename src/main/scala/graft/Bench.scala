@@ -26,8 +26,11 @@ object Bench {
       } catch { case e: Throwable => Some(e.getClass.getSimpleName) }
 
     // Optional args: bench only the named queries (dev iteration); the
-    // driver passes none and times the full suite.
+    // driver passes none and times the full suite. Unknown names abort:
+    // a typo must not produce a clean-looking empty run.
     val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val unknown = args.toSet -- names0
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val names = if (args.isEmpty) names0 else names0.filter(args.toSet)
     names.foreach(runOnce) // warmup pass, untimed
 

@@ -8,7 +8,10 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional extra args: run only the named queries (dev iteration);
     // the driver passes exactly two args and gets the full suite.
+    // Unknown names abort: a typo must not exit 0 having verified nothing.
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -78,9 +78,13 @@ object Analytics {
                   SELECT ${xor("a", s"a $idiv 65536")} AS b2 FROM (
                     SELECT (c_custkey * 2654435761) % 4294967296 AS a
                     FROM customer)))))"""
+    // The rank payload is 32 - 8 = 24 bits, so a zero payload records the
+    // sketch-geometry maximum rho = 24 + 1 (NOT 57, the 64-bit-hash
+    // constant): registers must stay inside the range the geometry
+    // implies or a consumer that bit-packs/validates them breaks.
     s"""SELECT bucket, MAX(rho) AS max_rho FROM (
         SELECT h % 256 AS bucket,
-          CASE WHEN h $idiv 256 = 0 THEN 57
+          CASE WHEN h $idiv 256 = 0 THEN 25
                ELSE CAST(bit_count(((h $idiv 256) & -(h $idiv 256)) - 1) AS BIGINT) + 1
           END AS rho
         FROM ($mix))

@@ -119,19 +119,29 @@ object Dedup {
     * MinHash it is probabilistic (P(miss) ~ 1.9e-4 per J=0.9 pair at
     * 8 bands x 4 rows) — the hashes are seeded, so the check is
     * deterministic for a given corpus. */
-  private def allPairsJaccardSql(t: Double): String =
-    s"""WITH sh AS (
+  /** The sh/sized/pairs CTE bodies over a given source relation — THE
+    * single definition of "trigram-shingle all-pairs Jaccard >= t" on the
+    * oracle side, shared by every dedup oracle and by Prep's end-to-end
+    * pipeline oracle (so a tokenizer/shingle change can never silently
+    * diverge between them). Compose inside a WITH clause. */
+  private[pipeline] def pairsCteSql(rel: String, t: Double): String =
+    s"""sh AS (
         SELECT doc_id,
           list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) shingles
-        FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
-      ), sized AS (SELECT doc_id, shingles, len(shingles) n FROM sh WHERE len(shingles) > 0)
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        CAST(FLOOR(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-          nullif(a.n + b.n - len(list_intersect(a.shingles, b.shingles)), 0) * 1e6) AS BIGINT) AS j_e6
-      FROM sized a, sized b
-      WHERE a.doc_id < b.doc_id
-        AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-          nullif(a.n + b.n - len(list_intersect(a.shingles, b.shingles)), 0) >= $t"""
+        FROM (SELECT doc_id, string_split(text, ' ') toks FROM $rel)
+      ), sized AS (SELECT doc_id, shingles, len(shingles) n FROM sh WHERE len(shingles) > 0),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(FLOOR(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+            nullif(a.n + b.n - len(list_intersect(a.shingles, b.shingles)), 0) * 1e6) AS BIGINT) AS j_e6
+        FROM sized a, sized b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+            nullif(a.n + b.n - len(list_intersect(a.shingles, b.shingles)), 0) >= $t)"""
+
+  private def allPairsJaccardSql(t: Double): String =
+    s"""WITH ${pairsCteSql("documents", t)}
+      SELECT a_id, b_id, j_e6 FROM pairs"""
 
   /** The complete verified near-dup pair set (a_id, b_id, j) at threshold
     * `t`, via the prefix-filtered join — shared by [[dedupNgram]] (which
@@ -346,17 +356,7 @@ object Dedup {
         s"label propagation did not converge in $rounds rounds")
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     },
-    Some("""WITH RECURSIVE sh AS (
-        SELECT doc_id,
-          list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) shingles
-        FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
-      ), sized AS (SELECT doc_id, shingles, len(shingles) n FROM sh WHERE len(shingles) > 0),
-      pairs AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM sized a, sized b
-        WHERE a.doc_id < b.doc_id
-          AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-            nullif(a.n + b.n - len(list_intersect(a.shingles, b.shingles)), 0) >= 0.5),
+    Some(s"""WITH RECURSIVE ${pairsCteSql("documents", 0.5)},
       edges AS (SELECT a_id AS u, b_id AS v FROM pairs
                 UNION SELECT b_id, a_id FROM pairs),
       reach(src, dst) AS (

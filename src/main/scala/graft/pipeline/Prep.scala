@@ -55,9 +55,10 @@ object Prep {
         .join(survIds, "a_id")
         .select(col("b_id").as("doc_id")).distinct()
       val deduped = exact.join(drops, Seq("doc_id"), "left_anti")
-      // Stage 5+6: deterministic split (Sampling's portable hash) and the
-      // audit rollup — partial/final agg, 15 output rows.
-      val bucket = (col("doc_id") * 40503L) % 65536L % 10
+      // Stage 5+6: deterministic split (Sampling's shared hash — same
+      // function object, so the pipeline's splits can never silently
+      // diverge from q_sample_split's) and the audit rollup.
+      val bucket = Sampling.splitHash(col("doc_id")) % 10
       deduped
         .withColumn("split",
           when(bucket < 8, "train").when(bucket === 8, "valid").otherwise("test"))
@@ -67,7 +68,7 @@ object Prep {
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
     },
-    Some("""WITH base AS (
+    Some(s"""WITH base AS (
         SELECT doc_id, lang, text, n_chars,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
           sha256(lower(trim(text))) AS digest
@@ -77,17 +78,7 @@ object Prep {
       exact AS (
         SELECT * FROM base
         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY digest)),
-      sh AS (
-        SELECT doc_id,
-          list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM exact)),
-      sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
-      pairs AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM sized a, sized b
-        WHERE a.doc_id < b.doc_id
-          AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-            nullif(a.n + b.n - len(list_intersect(a.shingles, b.shingles)), 0) >= 0.5),
+      ${Dedup.pairsCteSql("exact", 0.5)},
       deduped AS (
         SELECT * FROM exact e
         WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.b_id = e.doc_id))

@@ -21,7 +21,7 @@ object Sampling {
     * for any int64 id range used here (kept in one place so the three
     * sampling queries cannot silently diverge; mirrored verbatim in each
     * oracle's SQL). */
-  private def splitHash(id: org.apache.spark.sql.Column) =
+  private[pipeline] def splitHash(id: org.apache.spark.sql.Column) =
     (id * 40503L) % 65536L
 
   /** 80/10/10 split by hashed doc_id, with per-split corpus stats. The

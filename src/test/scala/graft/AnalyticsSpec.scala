@@ -41,16 +41,19 @@ class AnalyticsSpec extends SparkSpec {
     // Split the corpus in half, sketch each, merge via max — must equal
     // the single-pass sketch (the property that makes HLL distributable).
     val c = Tables.t(spark, sfDir, "customer")
-    // The exact production SQL, pointed at a half-corpus view.
+    // The exact production SQL, pointed at a half-corpus view. The view
+    // must be dropped afterwards: the session is JVM-shared across all
+    // suites, and a leaked "customer" bound to a half-corpus filter would
+    // silently halve any later unqualified `FROM customer`.
     def sketch(dfq: org.apache.spark.sql.DataFrame) = {
       dfq.createOrReplaceTempView("customer")
-      spark.sql(operators.Analytics.hllSparkSql)
+      try spark.sql(operators.Analytics.hllSparkSql)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.catalog.dropTempView("customer")
     }
-    val whole = sketch(c).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = sketch(c)
     val lo = sketch(c.filter(col("c_custkey") % 2 === 0))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hi = sketch(c.filter(col("c_custkey") % 2 === 1))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val merged = (lo.keySet ++ hi.keySet).map(b =>
       b -> math.max(lo.getOrElse(b, 0L), hi.getOrElse(b, 0L))).toMap
     assert(merged == whole)
