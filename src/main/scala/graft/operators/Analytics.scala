@@ -102,5 +102,60 @@ object Analytics {
     },
     Some(hllSql((p, q) => s"xor($p, $q)", "//")))
 
-  val all: Seq[QueryDef] = Seq(groupingFn, lateralTopK, sketchHll)
+  /** Recursive CTE (Spark 4's UnionLoop operator): a recursively built
+    * month spine LEFT-joined to orders — the "fill gaps in a report
+    * axis" use the construct exists for. The recursion happens on the
+    * driver-planned loop over tiny frames; the join and aggregate stay
+    * distributed. */
+  private val recursiveCte = QueryDef(
+    "q_recursive_cte",
+    (s, d) => {
+      Tables.register(s, d, "orders")
+      s.sql("""WITH RECURSIVE months(m) AS (
+          SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12)
+        SELECT m, count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON month(o_orderdate) = m AND year(o_orderdate) = 1996
+        GROUP BY m""")
+    },
+    Some("""WITH RECURSIVE months(m) AS (
+        SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12)
+      SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+      FROM months LEFT JOIN orders
+        ON month(o_orderdate) = m AND year(o_orderdate) = 1996
+      GROUP BY m"""))
+
+  /** observe() / CollectMetricsExec: named aggregate metrics collected on
+    * the rows of a pass WITHOUT a second scan — the runtime-metrics
+    * surface a gateway exposes per query (the reference streams
+    * TaskMetrics the same way, dist/src/runtime.rs:598-686). The query
+    * runs one action to drive rows through the metrics node, then
+    * returns the observed values as a relation; the oracle recomputes
+    * them with plain aggregates. */
+  private val observeMetrics = QueryDef(
+    "q_observe_metrics",
+    (s, d) => {
+      import org.apache.spark.sql.Observation
+      import org.apache.spark.sql.functions._
+      val obs = Observation()
+      val base = Tables.t(s, d, "lineitem")
+        .filter(col("l_quantity") > 10)
+        .observe(obs, count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"))
+      base.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("sum_qty").asInstanceOf[Long],
+        m("min_key").asInstanceOf[Long], m("max_key").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_qty", "min_key", "max_key")
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+      FROM lineitem WHERE l_quantity > 10"""))
+
+  val all: Seq[QueryDef] =
+    Seq(groupingFn, lateralTopK, sketchHll, recursiveCte, observeMetrics)
 }

@@ -215,6 +215,44 @@ object EventOps {
       FROM events e JOIN first ON e.user_id = first.user_id
       GROUP BY 1, 2"""))
 
+  /** Native session_window aggregation (the operator behind streaming
+    * session windows, here in batch): 30-minute-gap sessions per user via
+    * Spark's SessionWindow expression — windows [t, t+gap) merged while
+    * overlapping, so an event exactly at the previous session's end
+    * starts a NEW session (end-exclusive). The oracle rebuilds the same
+    * sessions with the lag/running-sum idiom and a `>= gap` boundary to
+    * match the exclusivity. Timestamps: ns LONG -> exact integer div to
+    * micros -> timestamp_micros (never float). Complements q_sessionize,
+    * which proves the manual idiom on the Spark side too. */
+  private val sessionWindow = QueryDef(
+    "q_session_window",
+    (s, d) => {
+      val e = ev(s, d)
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      e.groupBy(col("user_id"), session_window(col("t"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n_events"))
+    },
+    Some("""WITH e AS (
+        SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+      m AS (
+        SELECT user_id, tus,
+          CASE WHEN lag(tus) OVER w IS NULL
+                 OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      sess AS (
+        SELECT user_id, tus,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m)
+      SELECT user_id, MIN(tus) AS session_start_us,
+        MAX(tus) + 1800000000 AS session_end_us,
+        CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid"""))
+
   val all: Seq[QueryDef] =
-    Seq(asofJoin, rangeJoin, sessionize, funnel, cohortRetention)
+    Seq(asofJoin, rangeJoin, sessionize, funnel, cohortRetention, sessionWindow)
 }
