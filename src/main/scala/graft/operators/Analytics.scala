@@ -156,6 +156,29 @@ object Analytics {
         min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
       FROM lineitem WHERE l_quantity > 10"""))
 
+  /** Spark 4 VARIANT: parse the semi-structured `events.props` JSON into
+    * the binary variant encoding once, then typed-path-extract inside
+    * aggregates — the open-schema column shape for event payloads at
+    * scale (parse once per row, extract many times, no per-path string
+    * re-parsing). The oracle extracts the same path with DuckDB's JSON
+    * operators. */
+  private val variantExtract = QueryDef(
+    "q_variant",
+    (s, d) => {
+      Tables.register(s, d, "events")
+      s.sql("""SELECT event_type, count(*) AS n,
+        CAST(SUM(variant_get(parse_json(props), '$.k', 'bigint')) AS BIGINT) AS sum_k,
+        MIN(variant_get(parse_json(props), '$.k', 'bigint')) AS min_k,
+        MAX(variant_get(parse_json(props), '$.k', 'bigint')) AS max_k
+        FROM events GROUP BY event_type""")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      MIN(CAST(props::JSON ->> 'k' AS BIGINT)) AS min_k,
+      MAX(CAST(props::JSON ->> 'k' AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type"""))
+
   val all: Seq[QueryDef] =
-    Seq(groupingFn, lateralTopK, sketchHll, recursiveCte, observeMetrics)
+    Seq(groupingFn, lateralTopK, sketchHll, recursiveCte, observeMetrics,
+      variantExtract)
 }
