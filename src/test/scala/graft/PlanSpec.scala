@@ -150,6 +150,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("= 1995)"), p)
   }
 
+  test("round-4 additions keep their scale-contract plans") {
+    // Q21's two-level distinct must not plan Catalyst's Expand (which
+    // would double the pre-shuffle stream).
+    assert(!planString("q_tpch_q21").contains("Expand"), "q21 expanded")
+    // The funnel is windows over ONE user_id exchange — no join operator
+    // and exactly one hash exchange below the final rollup.
+    val funnel = planString("q_funnel")
+    assert(!funnel.contains("Join"), s"funnel joined:\n$funnel")
+    assert("Exchange hashpartitioning".r.findAllIn(funnel).size == 1, funnel)
+    // Quantization is a pure per-row map: no exchange anywhere.
+    assert(!planString("q_embed_quantize").contains("Exchange"), "quantize shuffled")
+    // session_window aggregates partially before its single exchange.
+    val sw = planString("q_session_window")
+    assert("Exchange hashpartitioning".r.findAllIn(sw).size == 1, sw)
+  }
+
   test("bucketed tables co-locate the join: no exchange at all") {
     // The write-side answer to repeated 100 TB joins: bucket both fact
     // tables on the join key and the shuffle disappears from every
