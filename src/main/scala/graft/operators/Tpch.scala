@@ -356,5 +356,98 @@ object Tpch {
       GROUP BY s_name
       ORDER BY numwait DESC, s_name LIMIT 100"""))
 
-  val all: Seq[QueryDef] = Seq(q3, q4, q5, q7, q10, q14, q17, q18, q21)
+  /** Q6 shape: forecasting-revenue — the pure scan-aggregate. Everything
+    * must reach the parquet scan as pushed filters (asserted in PlanSpec
+    * for the scan family); the aggregate is exact decimal on operands. */
+  private val q6 = QueryDef(
+    "q_tpch_q6",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue")),
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  /** Q19 shape: discounted-revenue under a disjunction of (brand, size,
+    * quantity) bands — the boolean-pushdown stress: the OR-of-ANDs rides
+    * the broadcast join as one residual predicate, and the common
+    * quantity envelope still prunes at the scan. */
+  private val q19 = QueryDef(
+    "q_tpch_q19",
+    (s, d) => {
+      val p = broadcast(t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      val l = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val bands =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#10" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#20" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .filter(bands)
+        .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+    },
+    Some(s"""SELECT ${DREV.format("l_extendedprice", "l_discount")} AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#10' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""))
+
+  /** Q22 shape: global-sales-opportunity — customers in a bucket set with
+    * above-average balance and NO orders. The scalar average is computed
+    * once (exact decimal sum, single IEEE division) and rides a
+    * broadcast; the "never ordered" test is a LEFT ANTI join on the
+    * customer key against URGENT orders (this corpus gives every
+    * customer ~10 orders, so the bare no-orders set is empty at every
+    * sf; no-urgent-orders keeps Q22's anti-join semantics with rows).
+    * No phone column either, so the "country code" is c_nationkey % 10. */
+  private val q22 = QueryDef(
+    "q_tpch_q22",
+    (s, d) => {
+      val bucketed = t(s, d, "customer")
+        .withColumn("cc", col("c_nationkey") % 10)
+        .filter(col("cc").isin(1, 2, 3) && col("c_acctbal") > 0)
+      val threshold = bucketed
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType) /
+          count(lit(1))).as("avg_bal"))
+      val o = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      bucketed.crossJoin(broadcast(threshold))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cc"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("totacctbal"))
+    },
+    Some("""WITH bucketed AS (
+        SELECT c_custkey, c_nationkey % 10 AS cc, c_acctbal FROM customer
+        WHERE c_nationkey % 10 IN (1, 2, 3) AND c_acctbal > 0),
+      thr AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          AS avg_bal FROM bucketed)
+      SELECT cc, CAST(count(*) AS BIGINT) AS numcust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM bucketed, thr
+      WHERE c_acctbal > avg_bal
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+      GROUP BY cc"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q3, q4, q5, q6, q7, q10, q14, q17, q18, q19, q21, q22)
 }

@@ -101,8 +101,11 @@ class PlanSpec extends SparkSpec {
 
   test("global sweep: no query plans a cartesian product or NLJ unless it IS one") {
     // q_ann_ivf's cross is queries x centroids — NQ x K literal-sized, the
-    // intended probe-selection shape, never data x data.
-    val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf")
+    // intended probe-selection shape, never data x data. q_tpch_q22's is
+    // the scalar-threshold broadcast: data x ONE row (the decorrelated
+    // scalar subquery), O(n) compares — never data x data either.
+    val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
+      "q_tpch_q22")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
