@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, JaccardSimilarity}
+import graft.functions.{CosineSimilarity, JaccardSimilarity, LshSignatures}
 
 /** Session extensions: graft's native functions, injected at session build
   * (`spark.sql.extensions=graft.GraftExtensions`). This is the sanctioned
@@ -19,6 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_cosine(a, b) takes two array<double> arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_sigs"),
+      new ExpressionInfo(classOf[LshSignatures].getName, "graft_lsh_sigs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_lsh_sigs(v, planes, bits) takes (array<double>, array<double>, int)")
+        LshSignatures(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_jaccard"),

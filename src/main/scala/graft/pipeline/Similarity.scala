@@ -80,7 +80,7 @@ object Similarity {
     * recall; real near-dup embeddings (cosine > 0.9) are caught with
     * P ~ 1 even at narrow settings. */
   private val DIM = 64
-  private[pipeline] def hyperplanes(tables: Int, bits: Int): Array[Array[Array[Double]]] = {
+  private[graft] def hyperplanes(tables: Int, bits: Int): Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(42)
     Array.fill(tables, bits, DIM)(rng.nextDouble() - 0.5)
   }
@@ -88,8 +88,24 @@ object Similarity {
   /** LSH bucket signature per table: sign bits of the dot products with the
     * table's hyperplanes. Selectivity dial: P(bucket match) per table is
     * (1-θ/π)^bits, so k-NN search over weak neighbors wants few bits/many
-    * tables while high-threshold near-dup detection wants many bits. */
-  private def bucketCols(v: Column, tables: Int, bits: Int): Seq[Column] = {
+    * tables while high-threshold near-dup detection wants many bits.
+    *
+    * Signatures come from the native `graft_lsh_sigs` expression
+    * (functions/LshSignatures.scala): ONE fused codegen loop over the
+    * flattened plane tensor per row, versus tables x bits interpreted
+    * `aggregate(zip_with(...))` walks (HOFs are CodegenFallback). The HOF
+    * formulation is kept below as the differential-testing oracle. */
+  private def bucketed(e: DataFrame, tables: Int, bits: Int): DataFrame = {
+    val flat = hyperplanes(tables, bits).flatten.flatten.toSeq
+    e.select(col("vec_id"), posexplode(
+        call_function("graft_lsh_sigs", col("v"), typedLit(flat), lit(bits))))
+      .toDF("vec_id", "table", "sig")
+  }
+
+  /** The composable HOF formulation of one table's signature — the
+    * differential oracle for `graft_lsh_sigs` (FunctionsSpec asserts the
+    * signatures match bit-for-bit). */
+  private[graft] def bucketColsHof(v: Column, tables: Int, bits: Int): Seq[Column] = {
     val planes = hyperplanes(tables, bits)
     (0 until tables).map { t =>
       val bitCols = (0 until bits).map { b =>
@@ -124,9 +140,7 @@ object Similarity {
     "q_ann_lsh",
     (s, d) => {
       val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val buckets = e.select(col("vec_id"),
-          explode(array(bucketCols(col("v"), P_TABLES, P_BITS): _*)).as("bk"))
-        .select(col("vec_id"), col("bk.table").as("table"), col("bk.sig").as("sig"))
+      val buckets = bucketed(e, P_TABLES, P_BITS)
       val qprobes = broadcast(buckets.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("qid"), col("table"), col("sig"))
         .withColumn("m", explode(typedLit(probeMasks)))
@@ -229,9 +243,7 @@ object Similarity {
     "q_dedup_embedding",
     (s, d) => {
       val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val buckets = e.select(col("vec_id"),
-          explode(array(bucketCols(col("v"), DEDUP_TABLES, DEDUP_BITS): _*)).as("bk"))
-        .select(col("vec_id"), col("bk.table").as("table"), col("bk.sig").as("sig"))
+      val buckets = bucketed(e, DEDUP_TABLES, DEDUP_BITS)
       val cands = buckets.as("x").join(buckets.as("y"), Seq("table", "sig"))
         .filter(col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))

@@ -60,6 +60,32 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_lsh_sigs matches the composable HOF signature formulation bit-for-bit") {
+    val (tables, bits) = (16, 8)
+    val flat = pipeline.Similarity.hyperplanes(tables, bits).flatten.flatten.toSeq
+    val native = vecs.select(col("vec_id"), posexplode(
+        call_function("graft_lsh_sigs", col("v"), typedLit(flat), lit(bits))))
+      .toDF("vec_id", "table", "sig")
+    val hof = vecs.select(col("vec_id"), explode(array(
+        pipeline.Similarity.bucketColsHof(col("v"), tables, bits): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.table").as("table"), col("bk.sig").as("sig"))
+    assert(native.count() == vecs.count() * tables)
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      "native and HOF signatures diverge")
+  }
+
+  test("graft_lsh_sigs null/shape semantics") {
+    val df = spark.sql(
+      """SELECT graft_lsh_sigs(CAST(array(1.0, -1.0) AS array<double>),
+           CAST(array(1.0, 0.0,  0.0, 1.0) AS array<double>), 2) AS s""")
+    // planes: [1,0] -> dot=1 >= 0 -> bit0; [0,1] -> dot=-1 < 0. One table, sig=1.
+    assert(df.head.getSeq[Int](0) == Seq(1))
+    val bad = spark.sql(
+      """SELECT graft_lsh_sigs(CAST(array(1.0) AS array<double>),
+           CAST(array(1.0, 2.0, 3.0) AS array<double>), 2) AS s""")
+    assert(bad.head.isNullAt(0), "length mismatch must yield NULL")
+  }
+
   test("graft_cosine participates in whole-stage codegen") {
     val df = vecs.select(call_function("graft_cosine", col("v"), col("v")).as("s"))
     df.collect() // force execution so a codegen fallback would surface
