@@ -178,7 +178,41 @@ object Analytics {
       MAX(CAST(props::JSON ->> 'k' AS BIGINT)) AS max_k
       FROM events GROUP BY event_type"""))
 
+  /** Z-order (Morton) layout audit: interleave the low 16 bits of two
+    * join/filter keys into one clustering value, bucket the data by its
+    * high byte, and report each bucket's per-dimension key envelopes.
+    * This is the data-layout side of 100 TB pruning: files written in
+    * z-value order give BOTH dimensions bounded min/max ranges per file
+    * (the envelopes this query emits), so parquet row-group stats can
+    * prune on either key — a single-key sort bounds one dimension and
+    * leaves the other spanning the full domain. Exact integer bit math,
+    * generated per engine only because the shift syntax differs
+    * (shiftleft/shiftright vs <</>>). */
+  private def zorderSql(shl: (String, Int) => String,
+      shr: (String, Int) => String): String = {
+    val terms = (0 until 16).flatMap { b =>
+      Seq(shl(s"(${shr("x", b)} & 1)", 2 * b),
+        shl(s"(${shr("y", b)} & 1)", 2 * b + 1))
+    }
+    s"""SELECT ${shr("z", 24)} AS z_bucket,
+        CAST(count(*) AS BIGINT) AS n,
+        min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi
+      FROM (
+        SELECT x, y, ${terms.mkString(" + ")} AS z FROM (
+          SELECT l_orderkey % 65536 AS x, l_partkey % 65536 AS y
+          FROM lineitem))
+      GROUP BY 1"""
+  }
+
+  private val zorder = QueryDef(
+    "q_zorder_layout",
+    (s, d) => {
+      Tables.register(s, d, "lineitem")
+      s.sql(zorderSql((e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)"))
+    },
+    Some(zorderSql((e, n) => s"($e << $n)", (e, n) => s"($e >> $n)")))
+
   val all: Seq[QueryDef] =
     Seq(groupingFn, lateralTopK, sketchHll, recursiveCte, observeMetrics,
-      variantExtract)
+      variantExtract, zorder)
 }

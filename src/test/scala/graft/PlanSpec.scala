@@ -169,6 +169,36 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(sw).size == 1, sw)
   }
 
+  test("runtime Bloom-filter pruning injects might_contain on the fact scan") {
+    // Spark's runtime row-level filter: the selective dimension side
+    // builds a bloom filter that is pushed into the fact side's scan —
+    // the shuffle-reduction optimizer surface at 100 TB. Thresholds are
+    // lowered so the tiny spec corpus qualifies.
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // default 10GB: the fact side must look big enough to be worth filtering
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = Tables.t(spark, sfDir, "lineitem")
+      val o = Tables.t(spark, sfDir, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 400000)
+      val joined = l.join(o,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("bucketed tables co-locate the join: no exchange at all") {
     // The write-side answer to repeated 100 TB joins: bucket both fact
     // tables on the join key and the shuffle disappears from every
