@@ -212,7 +212,32 @@ object Analytics {
     },
     Some(zorderSql((e, n) => s"($e << $n)", (e, n) => s"($e >> $n)")))
 
+  /** Numeric feature binning: a fixed-width 20-bucket histogram of order
+    * totals — the discretization stage before feature crosses or
+    * monotonic-binning models, and the shape of every data-profiling
+    * scan. Pure map + tiny aggregate (20 groups). The bucket expression
+    * is one subtraction, one multiply, one divide, one floor — identical
+    * IEEE order on both engines, clamped to [0, 19] so the domain edge
+    * lands in the last bucket on both. */
+  private val featureBinning = QueryDef(
+    "q_feature_binning",
+    (s, d) => {
+      Tables.register(s, d, "orders")
+      s.sql("""SELECT
+          least(CAST(floor((o_totalprice - 0.0) * 20 / 600000.0) AS BIGINT), 19) AS bucket,
+          count(*) AS n,
+          CAST(min(o_totalprice) AS DOUBLE) AS lo,
+          CAST(max(o_totalprice) AS DOUBLE) AS hi
+        FROM orders GROUP BY 1""")
+    },
+    Some("""SELECT
+        least(CAST(FLOOR((o_totalprice - 0.0) * 20 / 600000.0) AS BIGINT), 19) AS bucket,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(min(o_totalprice) AS DOUBLE) AS lo,
+        CAST(max(o_totalprice) AS DOUBLE) AS hi
+      FROM orders GROUP BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(groupingFn, lateralTopK, sketchHll, recursiveCte, observeMetrics,
-      variantExtract, zorder)
+      variantExtract, zorder, featureBinning)
 }

@@ -169,6 +169,18 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(sw).size == 1, sw)
   }
 
+  test("join hints select the hinted physical strategy") {
+    import org.apache.spark.sql.functions.col
+    val l = Tables.t(spark, sfDir, "lineitem").select(col("l_orderkey"))
+    val o = Tables.t(spark, sfDir, "orders").select(col("o_orderkey"))
+    def planWith(hint: String) =
+      l.hint(hint).join(o, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+    assert(planWith("broadcast").contains("BroadcastHashJoin"))
+    assert(planWith("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planWith("merge").contains("SortMergeJoin"))
+  }
+
   test("runtime Bloom-filter pruning injects might_contain on the fact scan") {
     // Spark's runtime row-level filter: the selective dimension side
     // builds a bloom filter that is pushed into the fact side's scan —

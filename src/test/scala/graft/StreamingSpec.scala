@@ -127,6 +127,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState keeps typed per-user state across micro-batches") {
+    // Spark 4's stateful-processor API; requires the RocksDB state store.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.UserCount
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventRow]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[UserCount]()
+      def runBatch(): Unit = {
+        val q = EventStream.runningCounts(input.toDS())
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (ds: org.apache.spark.sql.Dataset[UserCount], _: Long) =>
+            ds.collect().foreach(out.add)
+          }
+          .start()
+        q.awaitTermination(60000)
+        q.stop()
+      }
+      input.addData(EventRow(1, ts(0), 1, "click", 1.0),
+        EventRow(2, ts(0, 30), 1, "view", 2.0),
+        EventRow(3, ts(1), 2, "click", 3.0))
+      runBatch()
+      input.addData(EventRow(4, ts(2), 1, "purchase", 4.0))
+      runBatch()
+      import scala.jdk.CollectionConverters._
+      val byUser = out.asScala.groupBy(_.user_id).view.mapValues(_.map(_.n_events).max)
+      assert(byUser(1L) == 3L, s"user 1 state did not carry: $out")
+      assert(byUser(2L) == 1L, s"user 2 miscounted: $out")
+    } finally prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+  }
+
   test("sessionization accumulates per-user state across micro-batches") {
     // ProcessingTimeTimeout makes a default-trigger query re-fire batches
     // continuously to evaluate timeouts, so drive it with AvailableNow runs
