@@ -253,6 +253,47 @@ object EventOps {
         CAST(count(*) AS BIGINT) AS n_events
       FROM sess GROUP BY user_id, sid"""))
 
+  /** Time-series gap fill + forward fill: a dense (user, day) spine built
+    * from the corpus' day bounds (one-row broadcast + per-user sequence
+    * explode — never a data x data product), LEFT-joined to the daily
+    * aggregates, then `last(ignoreNulls)` carries the latest observation
+    * across the gaps — the feature-engineering stage that turns sparse
+    * event streams into dense training features. Day arithmetic is exact
+    * int64 ns division; the filled metric is a count (exact), so the
+    * oracle compares values bit-for-bit. */
+  private val gapFill = QueryDef(
+    "q_gap_fill",
+    (s, d) => {
+      val daily = ev(s, d)
+        .withColumn("day", expr("ts div 86400000000000"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      val grid = daily.select(col("user_id")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(sequence(col("dmin"), col("dmax"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled_n", last(col("n"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("day"), col("n"), col("filled_n"))
+    },
+    Some("""WITH daily AS (
+        SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+      grid AS (
+        SELECT u.user_id, unnest(generate_series(b.dmin, b.dmax)) AS day
+        FROM (SELECT DISTINCT user_id FROM daily) u, b)
+      SELECT g.user_id, g.day, daily.n,
+        last_value(daily.n IGNORE NULLS) OVER (PARTITION BY g.user_id
+          ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS filled_n
+      FROM grid g LEFT JOIN daily
+        ON g.user_id = daily.user_id AND g.day = daily.day"""))
+
   val all: Seq[QueryDef] =
-    Seq(asofJoin, rangeJoin, sessionize, funnel, cohortRetention, sessionWindow)
+    Seq(asofJoin, rangeJoin, sessionize, funnel, cohortRetention, sessionWindow,
+      gapFill)
 }

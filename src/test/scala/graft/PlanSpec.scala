@@ -104,8 +104,10 @@ class PlanSpec extends SparkSpec {
     // intended probe-selection shape, never data x data. q_tpch_q22's is
     // the scalar-threshold broadcast: data x ONE row (the decorrelated
     // scalar subquery), O(n) compares — never data x data either.
+    // q_gap_fill's cross is users x ONE bounds row (the day-spine
+    // broadcast) — same scalar-broadcast shape as q22.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
-      "q_tpch_q22")
+      "q_tpch_q22", "q_gap_fill")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
