@@ -33,6 +33,20 @@ object Sinks {
       case "json" =>
         src.write.mode("overwrite").json(out)
         s.read.schema(src.schema).json(out)
+      case "xml" =>
+        // Built into Spark 4 (formerly the spark-xml connector).
+        src.write.mode("overwrite").option("rowTag", "nation").format("xml").save(out)
+        s.read.option("rowTag", "nation").schema(src.schema).format("xml").load(out)
+      case "text" =>
+        // Line-oriented text: single string column out, parse on the way
+        // back — the rawest scan shape (log shipping, WET dumps).
+        src.select(concat_ws("|", col("n_nationkey"), col("n_name"),
+          col("n_regionkey")).as("value"))
+          .write.mode("overwrite").text(out)
+        s.read.text(out).select(
+          split(col("value"), "\\|").getItem(0).cast("int").as("n_nationkey"),
+          split(col("value"), "\\|").getItem(1).as("n_name"),
+          split(col("value"), "\\|").getItem(2).cast("int").as("n_regionkey"))
     }
   }
 
@@ -62,5 +76,6 @@ object Sinks {
       WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY o_orderstatus"""))
 
   val all: Seq[QueryDef] =
-    Seq(q("parquet"), q("orc"), q("csv"), q("json"), partitionedSink)
+    Seq(q("parquet"), q("orc"), q("csv"), q("json"), q("xml"), q("text"),
+      partitionedSink)
 }
