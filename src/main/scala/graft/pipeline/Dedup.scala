@@ -235,15 +235,17 @@ object Dedup {
     * token-hash bit. Exposed for the spec layer, which measures true
     * hamming distances to validate the radius below. */
   private[graft] def simhashFingerprints(df: DataFrame): DataFrame = {
-    val tf = df
+    // Each token OCCURRENCE contributes ±1 per bit; summing occurrences
+    // equals weighting distinct tokens by tf, so no (doc, token)
+    // pre-aggregation is needed — one shuffle (doc-keyed, with map-side
+    // partial sums over the 64 counters) instead of two.
+    val toks = df
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"b$j"))
-    tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"b$j"))
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(j =>
           when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
