@@ -20,9 +20,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * CodegenFallback, so that is 128 interpreted lambda walks per vector at
   * the q_ann_lsh settings. This expression is ONE fused loop inside
   * whole-stage codegen reading the plane tensor in place: the kernel shape
-  * for bucketing 100 TB of embeddings. Bit-for-bit the same signatures
-  * (same left-to-right IEEE dot products, `>= 0` sign rule; asserted
-  * against the HOF formulation in FunctionsSpec).
+  * for bucketing 100 TB of embeddings. Bit-for-bit the same signatures on
+  * null-free inputs (same left-to-right IEEE dot products, `>= 0` sign
+  * rule; asserted against the HOF formulation in FunctionsSpec). A NULL
+  * array element yields NULL — the graft_cosine convention (the HOF form
+  * would instead zero the poisoned bits, a silent wrong signature).
+  * `bits` outside [1, 31] or a plane tensor not divisible by bits*dim
+  * yields NULL rather than aliased shifts or a divide-by-zero.
   */
 case class LshSignatures(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
@@ -48,7 +52,11 @@ case class LshSignatures(first: Expression, second: Expression, third: Expressio
     val p = p0.asInstanceOf[ArrayData]
     val bits = b0.asInstanceOf[Int]
     val dim = v.numElements()
-    if (bits <= 0 || dim == 0 || p.numElements() % (bits * dim) != 0) return null
+    // bits capped at 31 (the signature is a positive Int; a larger value
+    // would alias 1 << b mod 32); the divisibility check runs in long so
+    // bits * dim cannot overflow to 0 and divide-by-zero.
+    if (bits <= 0 || bits > 31 || dim == 0 ||
+      p.numElements() % (bits.toLong * dim) != 0) return null
     val tables = p.numElements() / (bits * dim)
     val sigs = new Array[Int](tables)
     var t = 0
@@ -60,6 +68,8 @@ case class LshSignatures(first: Expression, second: Expression, third: Expressio
         var dot = 0.0
         var i = 0
         while (i < dim) {
+          // NULL element -> NULL result, the graft_cosine convention.
+          if (v.isNullAt(i) || p.isNullAt(base + i)) return null
           dot += v.getDouble(i) * p.getDouble(base + i)
           i += 1
         }
@@ -83,27 +93,35 @@ case class LshSignatures(first: Expression, second: Expression, third: Expressio
       val base = ctx.freshName("base")
       val dot = ctx.freshName("dot")
       val sig = ctx.freshName("sig")
+      val outer = ctx.freshName("outer")
       s"""
         final int $dim = $v.numElements();
-        if ($bits <= 0 || $dim == 0 || $p.numElements() % ($bits * $dim) != 0) {
+        if ($bits <= 0 || $bits > 31 || $dim == 0 ||
+            $p.numElements() % ((long) $bits * $dim) != 0) {
           ${ev.isNull} = true;
         } else {
           final int $tables = $p.numElements() / ($bits * $dim);
           final int[] $sigs = new int[$tables];
+          $outer:
           for (int $t = 0; $t < $tables; $t++) {
             int $sig = 0;
             for (int $b = 0; $b < $bits; $b++) {
               final int $base = ($t * $bits + $b) * $dim;
               double $dot = 0.0;
               for (int $i = 0; $i < $dim; $i++) {
+                if ($v.isNullAt($i) || $p.isNullAt($base + $i)) {
+                  ${ev.isNull} = true; break $outer;
+                }
                 $dot += $v.getDouble($i) * $p.getDouble($base + $i);
               }
               if ($dot >= 0) $sig |= 1 << $b;
             }
             $sigs[$t] = $sig;
           }
-          ${ev.value} =
-            org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sigs);
+          if (!${ev.isNull}) {
+            ${ev.value} =
+              org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sigs);
+          }
         }
       """
     })

@@ -147,8 +147,11 @@ object Analytics {
       base.write.format("noop").mode("overwrite").save()
       val m = obs.get
       import s.implicits._
-      Seq((m("n_rows").asInstanceOf[Long], m("sum_qty").asInstanceOf[Long],
-        m("min_key").asInstanceOf[Long], m("max_key").asInstanceOf[Long]))
+      // sum/min/max observe as NULL on an empty pass — keep them nullable
+      // (a bare asInstanceOf[Long] would silently unbox null to 0).
+      def opt(k: String): Option[Long] = Option(m(k)).map(_.asInstanceOf[Long])
+      Seq((m("n_rows").asInstanceOf[Long], opt("sum_qty"), opt("min_key"),
+        opt("max_key")))
         .toDF("n_rows", "sum_qty", "min_key", "max_key")
     },
     Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,

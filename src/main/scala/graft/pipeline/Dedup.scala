@@ -79,7 +79,11 @@ object Dedup {
   }
 
   private def materializedShingles(s: SparkSession, d: String): DataFrame = {
-    val dir = shingleIndexCache.getOrElseUpdate(new java.io.File(d).getCanonicalPath, {
+    // Keyed on (path, mtime): regenerated documents at the same path
+    // rebuild the index instead of serving a stale copy.
+    val src = new java.io.File(s"$d/documents.parquet")
+    val dir = shingleIndexCache.getOrElseUpdate(
+      s"${src.getCanonicalPath}@${src.lastModified}", {
       val out = java.nio.file.Files
         .createTempDirectory("graft-shingle-idx").toString
       hashedShingles(docs(s, d)).write.mode("overwrite").parquet(out)

@@ -204,8 +204,11 @@ object Similarity {
       import org.apache.spark.ml.functions.array_to_vector
       val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val fea = e.withColumn("features", array_to_vector(col("v")))
+      // Key on (path, mtime) so regenerated data at the same path retrains
+      // instead of serving stale centroids in a long-lived gateway JVM.
+      val src = new java.io.File(s"$d/embeddings.parquet")
       val model = ivfModelCache.getOrElseUpdate(
-        new java.io.File(d).getCanonicalPath,
+        s"${src.getCanonicalPath}@${src.lastModified}",
         new KMeans().setK(IVF_K).setSeed(42).setMaxIter(10).fit(fea))
       val assigned = model.transform(fea)
         .select(col("vec_id"), col("v"), col("prediction").as("cell"))

@@ -38,15 +38,15 @@ object Sinks {
         src.write.mode("overwrite").option("rowTag", "nation").format("xml").save(out)
         s.read.option("rowTag", "nation").schema(src.schema).format("xml").load(out)
       case "text" =>
-        // Line-oriented text: single string column out, parse on the way
-        // back — the rawest scan shape (log shipping, WET dumps).
-        src.select(concat_ws("|", col("n_nationkey"), col("n_name"),
-          col("n_regionkey")).as("value"))
+        // Line-oriented text: one JSON line per row — delimiter- and
+        // NULL-safe (a hand-rolled '|' format would shift fields on NULLs
+        // and corrupt on delimiter-bearing strings), and the rawest scan
+        // shape there is (log shipping, WET dumps).
+        src.select(to_json(struct(src.columns.map(col): _*)).as("value"))
           .write.mode("overwrite").text(out)
-        s.read.text(out).select(
-          split(col("value"), "\\|").getItem(0).cast("int").as("n_nationkey"),
-          split(col("value"), "\\|").getItem(1).as("n_name"),
-          split(col("value"), "\\|").getItem(2).cast("int").as("n_regionkey"))
+        s.read.text(out)
+          .select(from_json(col("value"), src.schema).as("r"))
+          .select(col("r.*"))
     }
   }
 

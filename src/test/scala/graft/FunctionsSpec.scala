@@ -84,6 +84,15 @@ class FunctionsSpec extends SparkSpec {
       """SELECT graft_lsh_sigs(CAST(array(1.0) AS array<double>),
            CAST(array(1.0, 2.0, 3.0) AS array<double>), 2) AS s""")
     assert(bad.head.isNullAt(0), "length mismatch must yield NULL")
+    val nullElem = spark.sql(
+      """SELECT graft_lsh_sigs(array(1.0D, CAST(NULL AS DOUBLE)),
+           CAST(array(0.5, -1.0) AS array<double>), 1) AS s""")
+    assert(nullElem.head.isNullAt(0),
+      "NULL element must yield NULL (graft_cosine convention)")
+    val badBits = spark.sql(
+      """SELECT graft_lsh_sigs(CAST(array(1.0) AS array<double>),
+           CAST(array(1.0) AS array<double>), 40) AS s""")
+    assert(badBits.head.isNullAt(0), "bits > 31 must yield NULL, not alias shifts")
   }
 
   test("graft_cosine participates in whole-stage codegen") {

@@ -151,7 +151,7 @@ class StreamingSpec extends SparkSpec {
             ds.collect().foreach(out.add)
           }
           .start()
-        q.awaitTermination(60000)
+        assert(q.awaitTermination(60000), "micro-batch did not finish in 60 s")
         q.stop()
       }
       input.addData(EventRow(1, ts(0), 1, "click", 1.0),
