@@ -226,7 +226,39 @@ object TextAnalysis {
         FROM scored)
       SELECT doc_id, rk, tok, score_e6 FROM ranked WHERE rk <= 3"""))
 
+  /** IQR outlier filtering: drop documents whose length falls outside
+    * [p25 - 1.5*IQR, p75 + 1.5*IQR] — the distribution-adaptive version
+    * of the fixed-threshold quality gate (a corpus whose length profile
+    * shifts re-tunes itself). The quartile bounds are computed once
+    * (exact percentile; linear interpolation of ints at dyadic fractions
+    * is bit-exact in double on both engines) and ride a one-row
+    * broadcast; the filter itself is map-side. */
+  private val outlierFilter = QueryDef(
+    "q_outlier_filter",
+    (s, d) => {
+      val thr = docs(s, d).agg(
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.75)").as("p75"))
+      docs(s, d).crossJoin(broadcast(thr))
+        .filter(col("n_chars") >= col("p25") - lit(1.5) * (col("p75") - col("p25")) &&
+          col("n_chars") <= col("p75") + lit(1.5) * (col("p75") - col("p25")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    },
+    Some("""WITH thr AS (
+        SELECT quantile_cont(n_chars, 0.25) AS p25,
+          quantile_cont(n_chars, 0.75) AS p75
+        FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM documents, thr
+      WHERE n_chars >= p25 - 1.5 * (p75 - p25)
+        AND n_chars <= p75 + 1.5 * (p75 - p25)
+      GROUP BY lang"""))
+
   val all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab,
-      fingerprintRolling, tfidfKeywords)
+      fingerprintRolling, tfidfKeywords, outlierFilter)
 }

@@ -107,7 +107,7 @@ class PlanSpec extends SparkSpec {
     // q_gap_fill's cross is users x ONE bounds row (the day-spine
     // broadcast) — same scalar-broadcast shape as q22.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
-      "q_tpch_q22", "q_gap_fill")
+      "q_tpch_q22", "q_gap_fill", "q_outlier_filter")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
