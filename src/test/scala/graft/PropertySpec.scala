@@ -79,6 +79,45 @@ class SkewSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // The runtime half of skew mitigation (salting is the write-side
+    // half): one hot key dominates the left side; with skew thresholds
+    // scaled to the spec corpus, AQE's OptimizeSkewedJoin must split the
+    // hot partition instead of letting one task drag the stage.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // 200k rows on ONE key vs 2k spread keys; right side small but
+      // non-broadcast (threshold disabled) so the join must shuffle.
+      val left = spark.range(0, 202000)
+        .select(when(col("id") < 200000, 7L).otherwise(col("id") % 97).as("k"),
+          col("id").as("v"))
+      val right = spark.range(0, 97).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // collect() drives THIS Dataset's QueryExecution (count() would spawn
+      // a fresh one and leave this AQE plan unexecuted).
+      assert(joined.collect().length == 202000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("AQEShuffleRead skewed"),
+        s"no skew split in final AQE plan:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("hash split is deterministic, total, and balanced near 80/10/10") {
     // The q_sample_split assignment function, as pure math: every id lands
     // in exactly one split, rerunning changes nothing, and over a dense id
