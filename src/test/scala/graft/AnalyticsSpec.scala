@@ -37,6 +37,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(counts.forall(_.getLong(1) <= 2))
   }
 
+  test("the portable avalanche mix is a bijection mod 2^32") {
+    // Each round (odd multiply mod 2^32, x ^ (x >> k)) is invertible, so
+    // the composition must be too — no hash collisions below 2^32 keys,
+    // which is what makes the register distribution analyzable. Verified
+    // empirically over a contiguous key range (the corpus shape) plus a
+    // scattered one.
+    def mix(k: Long): Long = {
+      val M = 1L << 32
+      val a = (k * 2654435761L) % M
+      val b = a ^ (a >> 16)
+      val c = (b * 2146121005L) % M
+      val e = c ^ (c >> 13)
+      val f = (e * 1540483477L) % M
+      f ^ (f >> 16)
+    }
+    val dense = (0L until 100000L).map(mix)
+    assert(dense.distinct.size == dense.size, "collision in dense range")
+    val scattered = (0L until 100000L).map(i => mix(i * 7919L % (1L << 32)))
+    assert(scattered.distinct.size == scattered.size, "collision in scattered range")
+    // And the Scala reference agrees with the SQL the oracle checks.
+    Tables.register(spark, sfDir, "customer")
+    val sqlRegs = spark.sql(operators.Analytics.hllSparkSql)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truthKeys = Tables.t(spark, sfDir, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val refRegs = truthKeys.map(mix).groupBy(_ % 256).view.mapValues { hs =>
+      hs.map { h =>
+        val p = h / 256
+        if (p == 0) 25L else java.lang.Long.numberOfTrailingZeros(p) + 1L
+      }.max
+    }.toMap
+    assert(sqlRegs == refRegs, "SQL registers diverge from the Scala reference")
+  }
+
   test("merging partial HLL sketches = element-wise register MAX") {
     // Split the corpus in half, sketch each, merge via max — must equal
     // the single-pass sketch (the property that makes HLL distributable).
