@@ -448,6 +448,66 @@ object Tpch {
                           AND o_orderpriority = '1-URGENT')
       GROUP BY cc"""))
 
+  /** Q8 shape: national market share — one nation's revenue share of a
+    * part-type market inside one region, per order year. Five dimension
+    * broadcasts around a single fact chain (lineitem shuffles once per
+    * equi key); the share is emitted as exact decimal numerator +
+    * denominator (the Q14 convention — a ratio would round differently
+    * per engine). */
+  private val q8 = QueryDef(
+    "q_tpch_q8",
+    (s, d) => {
+      val p = broadcast(t(s, d, "part").filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey")))
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n2 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_regionkey")))
+      val r = broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey")))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n1 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val dec = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n2, c("c_nationkey") === col("n2_key"))
+        .join(r, col("n_regionkey") === r("r_regionkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(n1, sup("s_nationkey") === col("n1_key"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", dec)).cast(DoubleType)
+            .as("nation_revenue"),
+          sum(dec).cast(DoubleType).as("total_revenue"))
+    },
+    Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+          THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END)
+          AS DOUBLE) AS nation_revenue,
+        ${DREV.format("l_extendedprice", "l_discount")} AS total_revenue
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+      GROUP BY 1"""))
+
   val all: Seq[QueryDef] =
-    Seq(q3, q4, q5, q6, q7, q10, q14, q17, q18, q19, q21, q22)
+    Seq(q3, q4, q5, q6, q7, q8, q10, q14, q17, q18, q19, q21, q22)
 }
