@@ -508,6 +508,40 @@ object Tpch {
         AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
       GROUP BY 1"""))
 
+  /** Q12 shape: shipping-priority audit — per lateness band (this schema
+    * has no shipmode; shipped >45 days after ordering stands in), how
+    * many lineitems belong to critical- vs normal-priority orders. One
+    * fact shuffle, conditional integer counts (exact on both engines). */
+  private val q12 = QueryDef(
+    "q_tpch_q12",
+    (s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .withColumn("late_band",
+          when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"),
+            "late").otherwise("ontime"))
+        .groupBy(col("late_band"))
+        .agg(
+          sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!critical, 1L).otherwise(0L)).as("low_line_count"))
+    },
+    Some("""SELECT
+        CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+          THEN 'late' ELSE 'ontime' END AS late_band,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY 1"""))
+
   val all: Seq[QueryDef] =
-    Seq(q3, q4, q5, q6, q7, q8, q10, q14, q17, q18, q19, q21, q22)
+    Seq(q3, q4, q5, q6, q7, q8, q10, q12, q14, q17, q18, q19, q21, q22)
 }
