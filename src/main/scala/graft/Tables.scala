@@ -36,4 +36,22 @@ object Tables {
     * builders should use [[register]] with the tables they need. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     register(spark, dir, names: _*)
+
+  /** Content-derived cache token for a parquet path: (leaf-file count, total
+    * bytes, max mtime) over every regular file under the path. Unlike a bare
+    * `lastModified` on the top-level path, this changes when part-files are
+    * rewritten in place inside a directory, and a not-yet-existing path
+    * yields a distinct "absent" token instead of a constant 0 that would pin
+    * a stale entry forever. Used to key JVM-lifetime caches (shingle index,
+    * IVF centroids) so regenerated data at the same path is re-derived. */
+  def contentToken(path: String): String = {
+    val root = new java.io.File(path)
+    if (!root.exists()) return s"${root.getCanonicalPath}#absent"
+    var n = 0L; var bytes = 0L; var maxM = 0L
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+      else { n += 1; bytes += f.length(); maxM = math.max(maxM, f.lastModified()) }
+    walk(root)
+    s"${root.getCanonicalPath}#$n#$bytes#$maxM"
+  }
 }

@@ -53,11 +53,13 @@ case class LshSignatures(first: Expression, second: Expression, third: Expressio
     val bits = b0.asInstanceOf[Int]
     val dim = v.numElements()
     // bits capped at 31 (the signature is a positive Int; a larger value
-    // would alias 1 << b mod 32); the divisibility check runs in long so
-    // bits * dim cannot overflow to 0 and divide-by-zero.
+    // would alias 1 << b mod 32); bits * dim is computed ONCE in long and
+    // the division runs on that long — an int product could wrap (e.g.
+    // bits=16, dim=2^28) to 0 or negative and slip past the guard.
+    val bd = bits.toLong * dim
     if (bits <= 0 || bits > 31 || dim == 0 ||
-      p.numElements() % (bits.toLong * dim) != 0) return null
-    val tables = p.numElements() / (bits * dim)
+      p.numElements() % bd != 0) return null
+    val tables = (p.numElements() / bd).toInt
     val sigs = new Array[Int](tables)
     var t = 0
     while (t < tables) {
@@ -94,13 +96,15 @@ case class LshSignatures(first: Expression, second: Expression, third: Expressio
       val dot = ctx.freshName("dot")
       val sig = ctx.freshName("sig")
       val outer = ctx.freshName("outer")
+      val bd = ctx.freshName("bd")
       s"""
         final int $dim = $v.numElements();
+        final long $bd = (long) $bits * $dim;
         if ($bits <= 0 || $bits > 31 || $dim == 0 ||
-            $p.numElements() % ((long) $bits * $dim) != 0) {
+            $p.numElements() % $bd != 0) {
           ${ev.isNull} = true;
         } else {
-          final int $tables = $p.numElements() / ($bits * $dim);
+          final int $tables = (int) ($p.numElements() / $bd);
           final int[] $sigs = new int[$tables];
           $outer:
           for (int $t = 0; $t < $tables; $t++) {

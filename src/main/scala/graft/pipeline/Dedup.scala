@@ -70,25 +70,35 @@ object Dedup {
     * single copy instead of leaking a fresh temp directory per invocation
     * (a long-lived gateway would otherwise grow /tmp without bound). The
     * shutdown hook reclaims the copies. */
+  // path -> (content token, materialized dir). One entry per corpus path:
+  // a changed token evicts (and deletes) the superseded copy, so a
+  // long-lived gateway JVM holds at most one index per corpus.
   private val shingleIndexCache =
-    new scala.collection.concurrent.TrieMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   sys.addShutdownHook {
-    shingleIndexCache.values.foreach { dir =>
+    shingleIndexCache.values.forEach { case (_, dir) =>
       scala.reflect.io.Path(new java.io.File(dir)).deleteRecursively()
     }
   }
 
   private def materializedShingles(s: SparkSession, d: String): DataFrame = {
-    // Keyed on (path, mtime): regenerated documents at the same path
-    // rebuild the index instead of serving a stale copy.
-    val src = new java.io.File(s"$d/documents.parquet")
-    val dir = shingleIndexCache.getOrElseUpdate(
-      s"${src.getCanonicalPath}@${src.lastModified}", {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-shingle-idx").toString
-      hashedShingles(docs(s, d)).write.mode("overwrite").parquet(out)
-      out
-    })
+    // Keyed on a content token (leaf-file count + bytes + max mtime, see
+    // Tables.contentToken): regenerated documents at the same path —
+    // including part-files rewritten in place inside a directory — rebuild
+    // the index instead of serving a stale copy.
+    val path = s"$d/documents.parquet"
+    val token = Tables.contentToken(path)
+    val dir = shingleIndexCache.compute(path, (_, old) => {
+      if (old != null && old._1 == token) old
+      else {
+        if (old != null)
+          scala.reflect.io.Path(new java.io.File(old._2)).deleteRecursively()
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-shingle-idx").toString
+        hashedShingles(docs(s, d)).write.mode("overwrite").parquet(out)
+        (token, out)
+      }
+    })._2
     s.read.parquet(dir)
   }
 

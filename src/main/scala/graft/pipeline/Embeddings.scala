@@ -29,8 +29,12 @@ object Embeddings {
       val e = Tables.t(s, d, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
+      // The finiteness guard is explicit on BOTH engines: Spark orders NaN
+      // greater than any double but `NaN > 0` is false (row dropped), while
+      // DuckDB's total order would keep the row and emit NULL/NaN stats —
+      // `amax > 0 AND NOT isnan(amax)` makes the gate corpus-independent.
       e.withColumn("amax", array_max(transform(col("v"), x => abs(x))))
-        .filter(col("amax") > 0)
+        .filter(col("amax") > 0 && !isnan(col("amax")))
         .withColumn("q", transform(col("v"), x => floor(x / col("amax") * 127)))
         .select(col("vec_id"),
           floor(col("amax") / 127 * 1e9).as("scale_e9"),
@@ -44,7 +48,7 @@ object Embeddings {
                 list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
         q AS (SELECT vec_id, amax,
                 list_transform(v, x -> CAST(FLOOR(x / amax * 127) AS BIGINT)) AS qv
-              FROM m WHERE amax > 0)
+              FROM m WHERE amax > 0 AND NOT isnan(amax))
       SELECT vec_id,
         CAST(FLOOR(amax / 127 * 1e9) AS BIGINT) AS scale_e9,
         CAST(list_min(qv) AS BIGINT) AS qmin,

@@ -190,33 +190,61 @@ object Similarity {
     * PipelineSpec. */
   private val IVF_K = 16
   private val NPROBE = 6
-  /** One trained coarse quantizer per corpus per JVM: the model is a pure
-    * function of the (deterministic-seed) fit over the input parquet, and
-    * a production IVF index trains its centroids once and serves every
-    * query after — repeated calls (verify + bench + gateway) reuse it
-    * instead of re-running 10 k-means iterations. */
-  private val ivfModelCache =
-    new scala.collection.concurrent.TrieMap[String, org.apache.spark.ml.clustering.KMeansModel]()
+  /** One set of trained coarse-quantizer centroids per corpus per JVM: the
+    * fit is a pure function of the (deterministic-seed) input parquet, and
+    * a production IVF index trains centroids once and serves every query
+    * after — repeated calls (verify + bench + gateway) reuse them instead
+    * of re-running 10 k-means iterations. The cache holds plain double
+    * arrays, NOT the KMeansModel: a model fit under one SparkSession would
+    * reference a dead session after a gateway restart-in-place and fail at
+    * `transform` time; raw centroids are session-free (assignment below is
+    * an ordinary expression). Keyed on the content token (not bare mtime)
+    * and superseded entries are replaced in place, so regenerated data
+    * retrains and old centroids don't accumulate. */
+  private val ivfCentroidCache =
+    new scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
+
+  private def ivfCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
+    val token = Tables.contentToken(s"$d/embeddings.parquet")
+    ivfCentroidCache.getOrElseUpdate(token, {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val fea = emb(s, d)
+        .select(array_to_vector(asDouble(col("embedding"))).as("features"))
+      val model = new KMeans().setK(IVF_K).setSeed(42).setMaxIter(10).fit(fea)
+      // One live entry per corpus path: drop superseded tokens for the same
+      // path so a long-lived JVM doesn't hoard stale centroids.
+      val path = token.split('#')(0)
+      ivfCentroidCache.keys
+        .filter(k => k != token && k.startsWith(path + "#"))
+        .foreach(ivfCentroidCache.remove)
+      model.clusterCenters.map(_.toArray)
+    })
+  }
+
   private val annIvf = QueryDef(
     "q_ann_ivf",
     (s, d) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
       val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val fea = e.withColumn("features", array_to_vector(col("v")))
-      // Key on (path, mtime) so regenerated data at the same path retrains
-      // instead of serving stale centroids in a long-lived gateway JVM.
-      val src = new java.io.File(s"$d/embeddings.parquet")
-      val model = ivfModelCache.getOrElseUpdate(
-        s"${src.getCanonicalPath}@${src.lastModified}",
-        new KMeans().setK(IVF_K).setSeed(42).setMaxIter(10).fit(fea))
-      val assigned = model.transform(fea)
-        .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+      val cents = ivfCentroids(s, d)
+      // Assignment = argmin squared euclidean distance over the literal
+      // centroid tensor — a pure per-row projection (ties break to the
+      // lowest cell via array_position's first-match rule, matching
+      // KMeansModel.transform). No shuffle, no model object: the exact
+      // shape an IVF index uses to route 100 TB of vectors map-side.
+      val centArr = array(cents.map(c => lit(c)): _*)
+      val d2s = transform(centArr, c => aggregate(
+        zip_with(col("v"), c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      val assigned = e
+        .withColumn("d2s", d2s)
+        .withColumn("cell",
+          (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int"))
+        .select(col("vec_id"), col("v"), col("cell"))
       // Centroid table as a literal relation (K x DIM doubles).
-      val centroidRows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.toSeq)
-      }.toSeq
-      val centroids = s.createDataFrame(centroidRows).toDF("cell", "centroid")
+      val centroids = s.createDataFrame(
+        cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+        .toDF("cell", "centroid")
       // Each query probes its NPROBE nearest cells by centroid cosine.
       val q = assigned.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
