@@ -542,6 +542,277 @@ object Tpch {
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
       GROUP BY 1"""))
 
+  /** Q2 shape: minimum-cost supplier. This schema has no partsupp, so the
+    * supply catalog is derived: per (part, supplier) pair the offered cost
+    * is MIN(l_extendedprice) over that pair's lineitems (exact double MIN —
+    * no arithmetic, no parity risk). The classic correlated MIN subquery
+    * decorrelates to aggregate-then-join: the catalog aggregates once on
+    * (part, supplier), regional suppliers ride a broadcast, the per-part
+    * minimum re-aggregates on the part key, and the equality join back is
+    * co-partitioned on that same key — two fact shuffles total, both on
+    * keys the plan already needs. */
+  private val q2 = QueryDef(
+    "q_tpch_q2",
+    (s, d) => {
+      val catalog = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("supply_cost"))
+      val n = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      val r = broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey")))
+      val regional = broadcast(t(s, d, "supplier")
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+      val p = broadcast(t(s, d, "part")
+        .filter(col("p_type") === "STANDARD" && col("p_size").between(10, 20))
+        .select(col("p_partkey")))
+      // Part filter BEFORE the per-part minimum: it restricts which parts,
+      // never which suppliers, so the minimum is unchanged — and the window
+      // input shrinks to qualifying parts only. The window (bounded by
+      // |suppliers per part|) replaces a second catalog aggregation + self
+      // join: the catalog subtree is computed exactly once.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      catalog.join(regional, col("l_suppkey") === col("s_suppkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .withColumn("min_cost", min(col("supply_cost")).over(w))
+        .filter(col("supply_cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+    Some("""WITH catalog AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+        FROM lineitem GROUP BY 1, 2),
+      regional AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'),
+      cat_r AS (
+        SELECT c.l_partkey, c.supply_cost, r.s_name, r.s_acctbal, r.n_name
+        FROM catalog c JOIN regional r ON c.l_suppkey = r.s_suppkey)
+      SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost
+      FROM cat_r JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+        AND supply_cost = (SELECT MIN(c2.supply_cost) FROM cat_r c2
+                           WHERE c2.l_partkey = cat_r.l_partkey)
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""))
+
+  /** Q9 shape: product-type profit by nation and year. Supply cost stands
+    * in as 60% of p_retailprice (no partsupp). Every term is exact
+    * decimal — (18,2)x(18,2) for the revenue leg, (8,2)x(2,1)x(3,0) for
+    * the cost leg (quantity is integral 1..50) — so the SUM is exact and
+    * its final DOUBLE cast is bit-identical on both engines. Plan: part
+    * and nation broadcast; lineitem shuffles once on the order key and
+    * once on the supplier key. */
+  private val q9 = QueryDef(
+    "q_tpch_q9",
+    (s, d) => {
+      val p = broadcast(t(s, d, "part").filter(col("p_name").endsWith("bolt"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n = broadcast(t(s, d, "nation").select(col("n_nationkey"), col("n_name")))
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      val amount = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))) -
+        col("p_retailprice").cast(DecimalType(8, 2)) *
+          lit(0.6).cast(DecimalType(2, 1)) * col("l_quantity").cast(DecimalType(3, 0))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(amount).cast(DoubleType).as("sum_profit"))
+    },
+    Some("""SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          - CAST(p_retailprice AS DECIMAL(8,2)) * CAST(0.6 AS DECIMAL(2,1)) *
+            CAST(l_quantity AS DECIMAL(3,0))) AS DOUBLE) AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%bolt'
+      GROUP BY 1, 2"""))
+
+  /** Q11 shape: important stock. Part "inventory value" stands in as the
+    * revenue shipped by suppliers of one region (no partsupp); a part
+    * qualifies when its value exceeds 0.1% of the regional total. The
+    * scalar total rides a one-row broadcast (the Q22 pattern); the value
+    * comparison is done in double on BOTH engines (exact decimal sums
+    * cast once — multiplying the DECIMAL(38,4) total by a fraction would
+    * overflow decimal width on either engine). */
+  private val q11 = QueryDef(
+    "q_tpch_q11",
+    (s, d) => {
+      val n = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_regionkey")))
+      val r = broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")
+        .select(col("r_regionkey")))
+      val regional = broadcast(t(s, d, "supplier")
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey")))
+      val perPart = t(s, d, "lineitem")
+        .join(regional, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("part_value"))
+      val total = perPart.agg(sum(col("part_value")).as("total_value"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_value") * lit(1000.0) > col("total_value"))
+        .select(col("l_partkey"), col("part_value"))
+    },
+    Some(s"""WITH regional AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+      per_part AS (
+        SELECT l_partkey, ${DREV.format("l_extendedprice", "l_discount")} AS part_value
+        FROM lineitem JOIN regional ON l_suppkey = s_suppkey
+        GROUP BY 1)
+      SELECT l_partkey, part_value
+      FROM per_part, (SELECT SUM(part_value) AS total_value FROM per_part) t
+      WHERE part_value * 1000.0 > total_value"""))
+
+  /** Q13 shape: customer order-count distribution. The classic
+    * comment-pattern exclusion becomes a priority exclusion (no comment
+    * column). LEFT join keeps zero-order customers (count = 0 bucket);
+    * two partial/final aggregates, the second over a tiny key space. */
+  private val q13 = QueryDef(
+    "q_tpch_q13",
+    (s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some("""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey) c_orders
+      GROUP BY c_count"""))
+
+  /** Q15 shape: top supplier(s) by quarterly revenue. The revenue "view"
+    * aggregates once per supplier; the maximum is a one-row broadcast and
+    * the equality test stays in exact decimal on both engines (the double
+    * cast happens only on output), so ties are found identically. */
+  private val q15 = QueryDef(
+    "q_tpch_q15",
+    (s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2)))).as("rev_dec"))
+      val maxRev = rev.agg(max(col("rev_dec")).as("max_rev"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("rev_dec") === col("max_rev"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast(DoubleType).as("total_revenue"))
+    },
+    Some("""WITH revenue AS (
+        SELECT l_suppkey,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+      FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+      WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue)"""))
+
+  /** Q16 shape: how many suppliers can serve each part group. Supplier
+    * "complaints" stand in as negative account balance; the exclusion is
+    * a broadcast anti join (NOT IN over a null-free key). countDistinct
+    * dedups (group, supplier) map-side before the final count. */
+  private val q16 = QueryDef(
+    "q_tpch_q16",
+    (s, d) => {
+      val p = broadcast(t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#1" && !col("p_type").startsWith("PROMO") &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+      val excl = broadcast(t(s, d, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey")))
+      t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+    Some("""SELECT p_brand, p_type, p_size,
+        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3"""))
+
+  /** Q20 shape: potential part promotion. "Available quantity" stands in
+    * as a pair's all-time shipped quantity, so a supplier qualifies when
+    * more than half of some qualifying part's volume shipped in 1996.
+    * The half test is `2 * recent > total` in exact BIGINT (no 0.5
+    * float); pairs with no 1996 shipments yield NULL and drop on both
+    * engines. One (supplier, part) aggregate over the part-filtered fact,
+    * then a semi join gates the regional supplier dimension. */
+  private val q20 = QueryDef(
+    "q_tpch_q20",
+    (s, d) => {
+      val qual = broadcast(t(s, d, "part").filter(col("p_name").startsWith("small"))
+        .select(col("p_partkey")))
+      val recent = col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01")
+      val flows = t(s, d, "lineitem")
+        .join(qual, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast(LongType)).as("total_qty"),
+          sum(when(recent, col("l_quantity").cast(LongType))).as("recent_qty"))
+        .filter(lit(2L) * col("recent_qty") > col("total_qty"))
+        .select(col("l_suppkey"))
+      val n = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_regionkey")))
+      val r = broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey")))
+      t(s, d, "supplier")
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .join(flows, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+    },
+    Some("""SELECT s_name, s_acctbal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND s_suppkey IN (
+          SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'small%'
+          GROUP BY l_suppkey, l_partkey
+          HAVING 2 * SUM(CAST(l_quantity AS BIGINT))
+              FILTER (WHERE l_shipdate >= DATE '1996-01-01'
+                        AND l_shipdate < DATE '1997-01-01')
+            > SUM(CAST(l_quantity AS BIGINT)))"""))
+
   val all: Seq[QueryDef] =
-    Seq(q3, q4, q5, q6, q7, q8, q10, q12, q14, q17, q18, q19, q21, q22)
+    Seq(q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
+      q17, q18, q19, q20, q21, q22)
 }
