@@ -320,24 +320,28 @@ object Tpch {
         .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .withColumn("is_late", late)
-      // Two-level distinct: per-(order, supplier) first — the map-side
-      // partial agg collapses a supplier's repeated lineitems before any
-      // shuffle — then per-order counts. Equivalent to two countDistincts
-      // but without Catalyst's expand (which would double the pre-shuffle
-      // stream, the dominant cost at scale).
+      // Two-level aggregation, ONE pass over the fact join: per-(order,
+      // supplier) late-line counts first (map-side partials collapse a
+      // supplier's repeated lineitems; the order-key partitioning from the
+      // join already clusters both group levels, so neither re-shuffles),
+      // then per-order supplier counts carry the lone late supplier's key
+      // and its late-line total forward — the late lineitems never join
+      // back. Equivalent to two countDistincts but with no Expand and no
+      // second fact pass.
       val perOrder = l
         .groupBy(col("l_orderkey").as("g_orderkey"), col("l_suppkey").as("g_suppkey"))
-        .agg(max(col("is_late")).as("supp_late"))
+        .agg(count(when(col("is_late"), lit(1))).as("late_lines"))
         .groupBy(col("g_orderkey"))
         .agg(count(lit(1)).as("n_supps"),
-          count(when(col("supp_late"), lit(1))).as("n_late_supps"))
+          count(when(col("late_lines") > 0, lit(1))).as("n_late_supps"),
+          max(when(col("late_lines") > 0, col("g_suppkey"))).as("late_suppkey"),
+          sum(when(col("late_lines") > 0, col("late_lines"))).as("late_line_cnt"))
       val sup = broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_name")))
-      l.filter(col("is_late"))
-        .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+      perOrder
         .filter(col("n_supps") > 1 && col("n_late_supps") === 1)
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("late_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("late_line_cnt")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     },

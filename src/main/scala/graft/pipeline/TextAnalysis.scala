@@ -258,7 +258,133 @@ object TextAnalysis {
         AND n_chars <= p75 + 1.5 * (p75 - p25)
       GROUP BY lang"""))
 
+  /** Boilerplate phrase detection (the C4-style cleaning pass, adapted to
+    * this corpus's bag-of-words text): word trigrams shared by many
+    * documents are template/boilerplate candidates. Per-doc trigram
+    * enumeration is a pure map stage (`transform` over a sequence — no
+    * UDF), then one gram-keyed aggregate; at 100 TB the shuffle carries
+    * (gram, doc_id) pairs, never document text. */
+  private val boilerplate = QueryDef(
+    "q_boilerplate_ngrams",
+    (s, d) => {
+      val grams = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3)))"))
+          .as("gram"))
+      grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occur"))
+        .filter(col("n_docs") >= 5)
+        .orderBy(col("n_docs").desc, col("gram"))
+        .limit(50)
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      grams AS (
+        SELECT doc_id,
+          unnest([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(0, len(toks)-2)]) AS gram
+        FROM t WHERE len(toks) >= 3)
+      SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_occur
+      FROM grams GROUP BY 1
+      HAVING COUNT(DISTINCT doc_id) >= 5
+      ORDER BY n_docs DESC, gram LIMIT 50"""))
+
+  /** BM25 relevance ranking for a fixed term set (k1=1.2, b=0.75) — the
+    * retrieval-side scoring pass of a data pipeline. All plumbing is
+    * exact integers (tf, df, dl); the only transcendental (ln of the idf)
+    * is floor-truncated at 1e-6 PER TERM so the per-doc total is an exact
+    * integer sum. Every division/multiply is written in the same
+    * structural order in both engines (IEEE ops are exactly rounded, so
+    * identical trees give identical doubles). One doc-keyed shuffle for
+    * tf⋈dl; df and the avgdl scalar ride broadcasts. */
+  private val bm25 = QueryDef(
+    "q_bm25_rank",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val nDocs = docs(s, d).count().toDouble // one tiny job; a plan literal
+      val stats = dl.agg((sum(col("dl")).cast(DoubleType) / lit(nDocs)).as("avgdl"))
+      val tf = toks.filter(col("tok").isin("spark", "query", "window"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("score_e6", floor(
+          log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))) *
+            lit(1e6)))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("score_e6")).as("bm25_e6"), count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25_e6").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks2 GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+      s AS (SELECT (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl) / n_docs AS avgdl FROM n),
+      tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks2
+             WHERE tok IN ('spark', 'query', 'window') GROUP BY 1, 2),
+      df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT doc_id,
+          CAST(FLOOR(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+            (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1e6) AS BIGINT)
+            AS score_e6
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), n, s)
+      SELECT doc_id, CAST(SUM(score_e6) AS BIGINT) AS bm25_e6,
+        CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM scored GROUP BY 1
+      ORDER BY bm25_e6 DESC, doc_id LIMIT 20"""))
+
+  /** Bigram language-model table: top next-token continuations per token
+    * with exact counts (count ranking, no probability division — the
+    * ratio adds nothing the rank doesn't already say, and skipping it
+    * keeps the result integer-exact). Pair enumeration is a map stage;
+    * one (w1, w2) aggregate; the rank window partitions on w1 (bounded by
+    * vocabulary size, never corpus size). */
+  private val bigramLm = QueryDef(
+    "q_bigram_lm",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = docs(s, d)
+        .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+          .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val w = Window.partitionBy(col("w1")).orderBy(col("cnt").desc, col("w2"))
+      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("w1"), col("rk"), col("w2"), col("cnt"))
+    },
+    Some("""WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      bg AS (
+        SELECT unnest([toks[i+1] FOR i IN range(0, len(toks)-1)]) AS w1,
+               unnest([toks[i+2] FOR i IN range(0, len(toks)-1)]) AS w2
+        FROM t),
+      counts AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM bg GROUP BY 1, 2),
+      ranked AS (
+        SELECT w1, w2, cnt,
+          ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rk
+        FROM counts)
+      SELECT w1, rk, w2, cnt FROM ranked WHERE rk <= 3"""))
+
   val all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab,
-      fingerprintRolling, tfidfKeywords, outlierFilter)
+      fingerprintRolling, tfidfKeywords, outlierFilter, boilerplate, bm25,
+      bigramLm)
 }

@@ -106,8 +106,10 @@ class PlanSpec extends SparkSpec {
     // scalar subquery), O(n) compares — never data x data either.
     // q_gap_fill's cross is users x ONE bounds row (the day-spine
     // broadcast) — same scalar-broadcast shape as q22.
+    // q_tpch_q11's and q_bm25_rank's crosses are the same scalar-threshold
+    // broadcast as q22: data x ONE row (total / avgdl), O(n) compares.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
-      "q_tpch_q22", "q_gap_fill", "q_outlier_filter")
+      "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -169,6 +171,47 @@ class PlanSpec extends SparkSpec {
     // session_window aggregates partially before its single exchange.
     val sw = planString("q_session_window")
     assert("Exchange hashpartitioning".r.findAllIn(sw).size == 1, sw)
+  }
+
+  test("round-5 TPC-H completions keep their scale-contract plans") {
+    // Q2: the supply catalog is aggregated exactly once (one lineitem
+    // scan), the correlated min is a PARTITIONED window, and the final
+    // pick is a top-k — no second catalog pass, no global sort.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AQE wraps stages in leaf nodes — flatten through them (Coverage.scala
+    // uses the same traversal for q_explain_analyze).
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    def lineitemScans(name: String): Int =
+      flatten(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan).collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => f
+      }.size
+    val q2 = planString("q_tpch_q2")
+    assert(lineitemScans("q_tpch_q2") == 1, s"q2 scans lineitem more than once:\n$q2")
+    assert(q2.contains("Window"), q2)
+    assert(q2.contains("TakeOrderedAndProject"), q2)
+    SparkEntry.queries("q_tpch_q2")(spark, sfDir).queryExecution.executedPlan.foreach {
+      case w: WindowExec =>
+        assert(w.partitionSpec.nonEmpty, "q2 has a global (unpartitioned) window")
+      case _ => ()
+    }
+    // Q21: still no Expand, and the single-pass rewrite means ONE
+    // lineitem scan (the round-4 shape joined the fact twice).
+    val q21 = planString("q_tpch_q21")
+    assert(!q21.contains("Expand"), "q21 expanded")
+    assert(lineitemScans("q_tpch_q21") == 1,
+      s"q21 scans lineitem more than once:\n$q21")
+    // Q16's distinct count must not expand either (single distinct agg).
+    assert(!planString("q_tpch_q16").contains("Expand"), "q16 expanded")
+    // Q20's qualifier is a semi join — the supplier dimension must never
+    // inflate through an inner join against the flow rows.
+    assert(planString("q_tpch_q20").contains("LeftSemi"), "q20 lost its semi join")
   }
 
   test("join hints select the hinted physical strategy") {
