@@ -261,8 +261,46 @@ object Coverage {
       c_mktsegment ILIKE 'bUiLd%' AS ilike_hit
       FROM customer"""))
 
+  /** Data-quality audit: the constraint-check relation a pipeline gates a
+    * release on (dbt-test style) — PK duplicates, null keys, range
+    * violations from ONE conditional-aggregate scan (stack() reshapes the
+    * single row to (check, value)), plus an FK-orphan count as a broadcast
+    * anti join. All counts exact BIGINT; at 100 TB this is one fact scan +
+    * one dimension broadcast, no data-sized shuffle. */
+  private val dqAudit = QueryDef(
+    "q_dq_audit",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val scanChecks = o.agg(
+        count(lit(1)).as("row_count"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dups"),
+        count(when(col("o_custkey").isNull, lit(1))).as("null_custkey"),
+        count(when(col("o_totalprice") <= 0, lit(1))).as("nonpositive_total"),
+        count(when(col("o_orderdate") < lit("1990-01-01") ||
+          col("o_orderdate") >= lit("2010-01-01"), lit(1))).as("date_out_of_range"))
+        .select(expr("""stack(5,
+          'row_count', row_count,
+          'pk_dups', pk_dups,
+          'null_custkey', null_custkey,
+          'nonpositive_total', nonpositive_total,
+          'date_out_of_range', date_out_of_range) AS (check_name, value)"""))
+      val orphans = o
+        .join(broadcast(t(s, d, "customer").select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("fk_orphan_orders").as("check_name"), col("value"))
+      scanChecks.unionAll(orphans)
+    },
+    Some("""SELECT 'row_count' AS check_name, CAST(COUNT(*) AS BIGINT) AS value FROM orders
+      UNION ALL SELECT 'pk_dups', CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+      UNION ALL SELECT 'null_custkey', CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders
+      UNION ALL SELECT 'nonpositive_total', CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) FROM orders
+      UNION ALL SELECT 'date_out_of_range', CAST(COUNT(*) FILTER (WHERE o_orderdate < DATE '1990-01-01' OR o_orderdate >= DATE '2010-01-01') AS BIGINT) FROM orders
+      UNION ALL SELECT 'fk_orphan_orders', CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)"""))
+
   val all: Seq[QueryDef] = Seq(repartitionHash, repartitionRoundRobin,
     sortWithinPartitions, unnestStruct, explainQ, explainAnalyze, regexMatch,
     memoryScan, paramQuery, exprBool, customUdaf,
-    generateSeriesDate, pivotQ, unpivotQ)
+    generateSeriesDate, pivotQ, unpivotQ, dqAudit)
 }

@@ -884,6 +884,23 @@ object Relational {
     Some("""SELECT n_nationkey, n_name FROM nation WHERE n_regionkey IN
       (SELECT r_regionkey FROM region WHERE r_name LIKE '%A%')"""))
 
+  /** NOT IN over a NULLABLE key — three-valued-logic anti join. A plain
+    * left anti is wrong here (x NOT IN (...NULL...) is never true), so
+    * Catalyst plans a null-aware anti join instead (plan-asserted in
+    * PlanSpec). The nullif never actually fires, but its nullable TYPE is
+    * what forces the planner onto the null-aware path. */
+  private val subqueryNotIn = QueryDef(
+    "q_subquery_not_in",
+    (s, d) => {
+      Tables.register(s, d, "customer", "nation")
+      s.sql("""SELECT c_custkey, c_nationkey FROM customer
+        WHERE c_nationkey NOT IN
+          (SELECT nullif(n_nationkey, -1) FROM nation WHERE n_regionkey >= 3)""")
+    },
+    Some("""SELECT c_custkey, c_nationkey FROM customer
+      WHERE c_nationkey NOT IN
+        (SELECT nullif(n_nationkey, -1) FROM nation WHERE n_regionkey >= 3)"""))
+
   /** Correlated EXISTS (MARK-join surface → Catalyst ExistenceJoin). */
   private val subqueryExists = QueryDef(
     "q_subquery_exists",
@@ -940,6 +957,6 @@ object Relational {
     unionAll, unionDistinct, intersectQ, exceptQ, intersectAll, exceptAll,
     unnestQ, exprScalar, funcString, funcMath, funcDate,
     funcArray, funcMap, funcJson,
-    subqueryScalar, subqueryIn, subqueryExists, subqueryExistsOr,
+    subqueryScalar, subqueryIn, subqueryNotIn, subqueryExists, subqueryExistsOr,
     subqueryCorrelated)
 }

@@ -383,8 +383,51 @@ object TextAnalysis {
         FROM counts)
       SELECT w1, rk, w2, cnt FROM ranked WHERE rk <= 3"""))
 
+  /** Train/eval contamination check: word-trigram overlap of every corpus
+    * document against a held-out eval slice (doc_id % 97 == 0 stands in
+    * for the benchmark set) — the decontamination pass every training
+    * pipeline runs before a data release. The eval side's distinct grams
+    * are a broadcast (benchmark sets are small by construction); the
+    * corpus side streams map-side through the semi join, so no
+    * corpus-sized shuffle carries text. Counts are exact integers. */
+  private val decontaminate = QueryDef(
+    "q_decontaminate",
+    (s, d) => {
+      val g = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3)))"))
+          .as("gram"))
+      val evalGrams = broadcast(
+        g.filter(col("doc_id") % 97 === 0).select(col("gram")).distinct())
+      val corpus = g.filter(col("doc_id") % 97 =!= 0)
+      val tot = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val shared = corpus.join(evalGrams, Seq("gram"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      tot.join(shared, Seq("doc_id"), "left_outer")
+        .na.fill(0L, Seq("n_shared"))
+        .orderBy(col("n_shared").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id,
+          unnest([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(0, len(toks)-2)]) AS gram
+        FROM t WHERE len(toks) >= 3),
+      eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      corpus AS (SELECT * FROM g WHERE doc_id % 97 <> 0),
+      tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+              FROM corpus GROUP BY 1),
+      sh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+             FROM corpus WHERE gram IN (SELECT gram FROM eg) GROUP BY 1)
+      SELECT doc_id, n_grams, COALESCE(n_shared, 0) AS n_shared
+      FROM tot LEFT JOIN sh USING (doc_id)
+      ORDER BY n_shared DESC, doc_id LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab,
       fingerprintRolling, tfidfKeywords, outlierFilter, boilerplate, bm25,
-      bigramLm)
+      bigramLm, decontaminate)
 }

@@ -12,6 +12,17 @@ class PlanSpec extends SparkSpec {
   private def planString(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  // AQE wraps stages in leaf nodes — flatten through them (Coverage.scala
+  // uses the same traversal for q_explain_analyze).
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: flattenPlan(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: flattenPlan(q.plan)
+    case _ => p +: p.children.flatMap(flattenPlan)
+  }
+
   test("q_scan_project pushes the filter and prunes columns") {
     val p = planString("q_scan_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
@@ -151,6 +162,19 @@ class PlanSpec extends SparkSpec {
     assert(planString("q_subquery_exists").contains("LeftSemi"))
   }
 
+  test("q_subquery_not_in plans a null-aware anti join, not a plain anti") {
+    // NOT IN over a nullable key needs three-valued logic; Catalyst's
+    // BroadcastHashJoinExec carries it as the isNullAwareAntiJoin flag
+    // (prints only as a bare trailing `true`, so assert on the node).
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = SparkEntry.queries("q_subquery_not_in")(spark, sfDir)
+      .queryExecution.executedPlan
+    val naaj = flattenPlan(plan).collect {
+      case j: BroadcastHashJoinExec if j.isNullAwareAntiJoin => j
+    }
+    assert(naaj.nonEmpty, s"no null-aware anti join in:\n$plan")
+  }
+
   test("q_sink_partitioned prunes partition directories at the scan") {
     val p = planString("q_sink_partitioned")
     assert(p.contains("PartitionFilters: [isnotnull(o_year"), p)
@@ -177,18 +201,10 @@ class PlanSpec extends SparkSpec {
     // Q2: the supply catalog is aggregated exactly once (one lineitem
     // scan), the correlated min is a PARTITIONED window, and the final
     // pick is a top-k — no second catalog pass, no global sort.
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.window.WindowExec
-    // AQE wraps stages in leaf nodes — flatten through them (Coverage.scala
-    // uses the same traversal for q_explain_analyze).
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
-      case q: QueryStageExec => p +: flatten(q.plan)
-      case _ => p +: p.children.flatMap(flatten)
-    }
     def lineitemScans(name: String): Int =
-      flatten(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan).collect {
+      flattenPlan(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan).collect {
         case f: FileSourceScanExec
           if f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => f
       }.size
