@@ -13,6 +13,8 @@ import graft.functions.{CosineSimilarity, JaccardSimilarity, LshSignatures}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => plans.JaccardLengthPruning)
+    ext.injectOptimizerRule(_ => plans.WindowTopKRewrite)
+    ext.injectPlannerStrategy(_ => plans.TopKPerGroupStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

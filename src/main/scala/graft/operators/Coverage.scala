@@ -299,8 +299,33 @@ object Coverage {
       UNION ALL SELECT 'fk_orphan_orders', CAST(COUNT(*) AS BIGINT) FROM orders
         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)"""))
 
+  /** Top-k per group, written as the standard window idiom — which the
+    * injected WindowTopKRewrite turns into the custom TopKPerGroupExec
+    * (bounded per-group heaps, partial before the shuffle, no sort): the
+    * declarative query stays the source of truth, the engine swaps in the
+    * cheaper operator (plan-asserted in PlansSpec; the oracle runs the
+    * untouched window SQL). Total order (acctbal DESC, custkey) makes the
+    * result deterministic. */
+  private val topkPerGroup = QueryDef(
+    "q_topk_per_group",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    },
+    Some("""SELECT c_custkey, c_nationkey, c_acctbal FROM (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+          ROW_NUMBER() OVER (PARTITION BY c_nationkey
+            ORDER BY c_acctbal DESC, c_custkey) AS rk
+        FROM customer) ranked
+      WHERE rk <= 3"""))
+
   val all: Seq[QueryDef] = Seq(repartitionHash, repartitionRoundRobin,
     sortWithinPartitions, unnestStruct, explainQ, explainAnalyze, regexMatch,
     memoryScan, paramQuery, exprBool, customUdaf,
-    generateSeriesDate, pivotQ, unpivotQ, dqAudit)
+    generateSeriesDate, pivotQ, unpivotQ, dqAudit, topkPerGroup)
 }

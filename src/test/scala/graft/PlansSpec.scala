@@ -54,4 +54,58 @@ class PlansSpec extends SparkSpec {
     val n = "size\\(".r.findAllIn(opt).length
     assert(n <= 2, s"rule re-augmented a hand-tuned filter ($n size calls):\n$opt")
   }
+
+  // --- WindowTopKRewrite + TopKPerGroupExec (plans/TopKPerGroup.scala) ---
+
+  private def windowTopK(keepRank: Boolean) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val ranked = Tables.t(spark, sfDir, "customer")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+    if (keepRank)
+      ranked.select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"), col("rk"))
+    else
+      ranked.select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+  }
+
+  test("row_number top-k idiom plans the custom TopKPerGroupExec, partial below the exchange") {
+    val p = windowTopK(keepRank = false).queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window"), s"window still present:\n$p")
+    // Partial stage must sit BELOW the exchange (pre-shuffle reduction),
+    // final above — the aggregate-style two-phase shape.
+    val partialIdx = p.indexOf("TopKPerGroupPartial")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(c_nationkey")
+    val finalIdx = p.indexOf("TopKPerGroup ")
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && finalIdx >= 0, p)
+    // Plan trees print top-down: final < exchange < partial.
+    assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx,
+      s"two-phase shape wrong (final=$finalIdx exchange=$exchangeIdx partial=$partialIdx):\n$p")
+  }
+
+  test("the top-k rewrite is result-equivalent to the window form") {
+    // Keeping the rank column in the projection suppresses the rewrite —
+    // that IS the baseline window execution.
+    val baseline = windowTopK(keepRank = true)
+    assert(!baseline.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "baseline unexpectedly rewritten")
+    val got = windowTopK(keepRank = false).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val exp = baseline.drop("rk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == exp, s"rewrite changed results (${got.size} vs ${exp.size} rows)")
+  }
+
+  test("rank() and retained-rank queries are NOT rewritten") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    // rank() keeps ties beyond k — must stay a window.
+    val rankQ = Tables.t(spark, sfDir, "customer")
+      .withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+      .select(col("c_custkey"))
+    assert(!rankQ.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+  }
 }
