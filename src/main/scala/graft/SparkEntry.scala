@@ -16,7 +16,8 @@ object SparkEntry {
       operators.EventOps.all ++ operators.Skew.all ++ sources.Sinks.all ++
       gateway.GatewayQueries.all ++ pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++ pipeline.Similarity.all ++ pipeline.Multimodal.all ++
-      pipeline.Sampling.all ++ pipeline.Embeddings.all ++ pipeline.Prep.all
+      pipeline.Sampling.all ++ pipeline.Embeddings.all ++ pipeline.Prep.all ++
+      pipeline.Curation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,264 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators over `documents` — the filter/reshape passes a
+  * training-data pipeline runs between scoring (TextAnalysis) and dedup
+  * (Dedup): repetition-based quality gates, entropy filtering, PII-style
+  * redaction, inverted-index construction, context-window sequence packing,
+  * and incremental dedup against a persisted fingerprint store.
+  *
+  * Scale notes (100 TB): every query here shuffles on a bounded or
+  * well-distributed key — (doc_id), (term), or (shard) — and never moves
+  * document text through a shuffle except where the text IS the output
+  * (redaction). No all-pairs joins, no global windows, no driver collects.
+  * All ratios are floor-truncated at 1e-6 with the same structural
+  * operation order in both engines (the oracle-parity convention).
+  */
+object Curation {
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "documents")
+
+  /** Gopher-style repetition quality gate: fraction of bigram mass held by
+    * the single most frequent bigram, plus the duplicate-trigram fraction
+    * (1 - distinct/total). Highly templated or stuttering documents score
+    * high on both and are dropped. Per-doc n-gram enumeration is a map
+    * stage (`transform`, no UDF); both aggregates key on doc_id, so the
+    * join between them is co-partitioned — two doc-keyed shuffles carrying
+    * (doc_id, gram) pairs, never text, then a zero-exchange join. */
+  private val qualityRepetition = QueryDef(
+    "q_quality_repetition",
+    (s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val bg = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', slice(toks, i+1, 2)))"))
+        .as("g"))
+      val bstat = bg.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_bi"))
+      val tstat = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3)))"))
+        .as("g3"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"), countDistinct(col("g3")).as("n_dist"))
+      bstat.join(tstat, "doc_id")
+        .select(col("doc_id"),
+          floor(col("top_cnt").cast(DoubleType) / col("n_bi").cast(DoubleType) * 1e6)
+            .as("top_bigram_frac_e6"),
+          floor((col("n_tri") - col("n_dist")).cast(DoubleType) /
+            col("n_tri").cast(DoubleType) * 1e6).as("dup_trigram_frac_e6"))
+        .withColumn("keep",
+          col("top_bigram_frac_e6") <= 180000 && col("dup_trigram_frac_e6") <= 300000)
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 3),
+      bg AS (
+        SELECT doc_id,
+          unnest([array_to_string(toks[i+1:i+2], ' ') FOR i IN range(0, len(toks)-1)]) AS g
+        FROM t),
+      bstat AS (
+        SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_bi FROM (
+          SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+      tg AS (
+        SELECT doc_id,
+          unnest([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(0, len(toks)-2)]) AS g3
+        FROM t),
+      tstat AS (
+        SELECT doc_id, count(*) AS n_tri, count(DISTINCT g3) AS n_dist
+        FROM tg GROUP BY 1),
+      scored AS (
+        SELECT doc_id,
+          CAST(FLOOR(CAST(top_cnt AS DOUBLE) / CAST(n_bi AS DOUBLE) * 1e6) AS BIGINT)
+            AS top_bigram_frac_e6,
+          CAST(FLOOR(CAST(n_tri - n_dist AS DOUBLE) / CAST(n_tri AS DOUBLE) * 1e6) AS BIGINT)
+            AS dup_trigram_frac_e6
+        FROM bstat JOIN tstat USING (doc_id))
+      SELECT doc_id, top_bigram_frac_e6, dup_trigram_frac_e6,
+        top_bigram_frac_e6 <= 180000 AND dup_trigram_frac_e6 <= 300000 AS keep
+      FROM scored"""))
+
+  /** Unigram Shannon entropy per document (nats, e6-truncated): low-entropy
+    * documents are repetitive/templated and get dropped. The per-term
+    * contribution -(tf/n)·ln(tf/n) is truncated PER TERM so the per-doc
+    * total is an exact integer sum (order-independent — the only
+    * transcendental never crosses an engine boundary un-truncated). tf and
+    * n aggregates both key on doc_id: co-partitioned join, no re-shuffle. */
+  private val entropyFilter = QueryDef(
+    "q_entropy_filter",
+    (s, d) => {
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val n = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n"))
+      tf.join(n, "doc_id")
+        .withColumn("term_e6", floor(
+          (col("tf").cast(DoubleType) / col("n").cast(DoubleType)) *
+            log(col("n").cast(DoubleType) / col("tf").cast(DoubleType)) * 1e6))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n_tokens"), sum(col("term_e6")).as("entropy_e6"))
+        .withColumn("keep", col("entropy_e6") >= 3000000)
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+             WHERE tok <> '' GROUP BY 1, 2),
+      n AS (SELECT doc_id, sum(tf) AS n FROM tf GROUP BY 1),
+      terms AS (
+        SELECT tf.doc_id, n.n,
+          CAST(FLOOR((CAST(tf AS DOUBLE) / CAST(n AS DOUBLE)) *
+            ln(CAST(n AS DOUBLE) / CAST(tf AS DOUBLE)) * 1e6) AS BIGINT) AS term_e6
+        FROM tf JOIN n ON tf.doc_id = n.doc_id)
+      SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        CAST(sum(term_e6) AS BIGINT) AS entropy_e6,
+        CAST(sum(term_e6) AS BIGINT) >= 3000000 AS keep
+      FROM terms GROUP BY 1"""))
+
+  /** PII-style redaction pass: mask a denylisted token set (stand-in for
+    * email/phone detectors — this corpus is synthetic word-bag text, so the
+    * denylist plays the detector's role; swap the lambda's predicate for a
+    * regex match in production) and fingerprint the redacted text. Pure
+    * map stage — zero shuffles; at 100 TB this runs embarrassingly
+    * parallel and writes back per-partition. */
+  private val piiScrub = QueryDef(
+    "q_pii_scrub",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(expr(
+            "filter(toks, t -> t = 'customer' OR t = 'supplier' OR t = 'part')"))
+            .as("n_redacted"),
+          md5(expr("""array_join(transform(toks,
+            t -> CASE WHEN t = 'customer' OR t = 'supplier' OR t = 'part'
+                 THEN '<PII>' ELSE t END), ' ')""")).as("redacted_fp")),
+    Some("""SELECT doc_id,
+        len(list_filter(string_split(text, ' '),
+          t -> t = 'customer' OR t = 'supplier' OR t = 'part')) AS n_redacted,
+        md5(array_to_string(list_transform(string_split(text, ' '),
+          t -> CASE WHEN t = 'customer' OR t = 'supplier' OR t = 'part'
+               THEN '<PII>' ELSE t END), ' ')) AS redacted_fp
+      FROM documents"""))
+
+  /** Inverted-index construction for mid-frequency terms: term → sorted
+    * doc_id posting list (serialized as CSV for cross-engine comparison).
+    * Built scale-honestly in two phases: df first, filter to the band
+    * (stopwords OUT — their posting lists are corpus-sized and nobody
+    * range-scans them), then a term-keyed semi join gates the posting
+    * build. Both aggregates and the join share the term key, so phase 2
+    * reuses phase 1's partitioning; no posting list is ever materialized
+    * for a term outside the band. */
+  private val invertedIndex = QueryDef(
+    "q_inverted_index",
+    (s, d) => {
+      val postings = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .distinct()
+      val band = postings.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 10 && col("df") <= 50)
+      postings.join(band, "term")
+        .groupBy(col("term"), col("df"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .select(col("term"), col("df"),
+          expr("array_join(transform(ids, x -> CAST(x AS STRING)), ',')")
+            .as("posting"))
+    },
+    Some("""WITH p AS (
+        SELECT DISTINCT doc_id, tok AS term FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''),
+      band AS (
+        SELECT term, count(*) AS df FROM p GROUP BY 1
+        HAVING count(*) BETWEEN 10 AND 50)
+      SELECT term, df,
+        array_to_string(list_sort(list(doc_id)), ',') AS posting
+      FROM p JOIN band USING (term)
+      GROUP BY term, df"""))
+
+  /** Context-window sequence packing: assign documents to fixed token-budget
+    * bins (512 whitespace tokens) by exclusive running token count within a
+    * shard — the batch-construction step before tokenizer output is written.
+    * The window partitions on shard (doc_id % 8), never globally: at 100 TB
+    * you raise the shard count with the cluster and each partition's
+    * running sum stays independent — no single-partition window (the
+    * round-1 q_window_range failure mode). Bin stats come from one further
+    * (shard, bin)-keyed aggregate that reuses the shard partitioning. */
+  private val sequencePack = QueryDef(
+    "q_sequence_pack",
+    (s, d) => {
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, d)
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin", floor(col("cum") / lit(512.0)))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+          len(string_split(text, ' ')) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, shard, n_tok,
+          COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM d)
+      SELECT shard, CAST(FLOOR(cum / 512.0) AS BIGINT) AS bin,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM c GROUP BY 1, 2"""))
+
+  /** Incremental dedup against a persisted fingerprint store: the batch
+    * (odd doc_ids, standing in for newly crawled data) checks its
+    * bag-of-words fingerprint against the store (even doc_ids, standing in
+    * for the released corpus) and reports per-language new/dup/kept counts.
+    * The store side is fingerprints only — never text — and the join keys
+    * on the fingerprint, so at 100 TB both sides shuffle ~16 bytes/row on
+    * a uniformly distributed key (md5), the best-case shuffle shape; the
+    * store is NOT broadcast because a historical corpus outgrows any
+    * executor. */
+  private val dedupIncremental = QueryDef(
+    "q_dedup_incremental",
+    (s, d) => {
+      val fp = docs(s, d).select(col("doc_id"), col("lang"),
+        md5(concat_ws(" ",
+          array_sort(array_distinct(split(lower(col("text")), " "))))).as("fp"))
+      val store = fp.filter(col("doc_id") % 2 === 0).select(col("fp")).distinct()
+        .withColumnRenamed("fp", "store_fp")
+      fp.filter(col("doc_id") % 2 === 1)
+        .join(store, col("fp") === col("store_fp"), "left_outer")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_new"),
+          sum(when(col("store_fp").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("n_kept", col("n_new") - col("n_dup"))
+    },
+    Some("""WITH fp AS (
+        SELECT doc_id, lang,
+          md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+        FROM documents),
+      store AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+      batch AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_new,
+        CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        CAST(count(*) - SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM batch b LEFT JOIN store s ON b.fp = s.fp
+      GROUP BY lang"""))
+
+  val all: Seq[QueryDef] =
+    Seq(qualityRepetition, entropyFilter, piiScrub, invertedIndex,
+      sequencePack, dedupIncremental)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+/** Semantic + plan contracts for the curation operators (pipeline/Curation).
+  * The DuckDB hash gate proves value equality; these assert the invariants
+  * the oracle can't see — plan shape at scale and internal consistency. */
+class CurationSpec extends SparkSpec {
+
+  // AQE wraps finished stages in leaf QueryStageExec nodes — flatten
+  // through them (same traversal as PlanSpec).
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: flattenPlan(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: flattenPlan(q.plan)
+    case _ => p +: p.children.flatMap(flattenPlan)
+  }
+
+  test("q_sequence_pack window is shard-partitioned (no global window)") {
+    val df = SparkEntry.queries("q_sequence_pack")(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan
+    val windows = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected a WindowExec in the plan")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "sequence-pack window must partition by shard, never run globally")
+  }
+
+  test("q_sequence_pack conserves tokens and covers every document") {
+    val d = sfDir
+    val packed = SparkEntry.queries("q_sequence_pack")(spark, d)
+      .agg(sum("n_docs").cast("long"), sum("bin_tokens").cast("long"))
+      .head()
+    val base = Tables.t(spark, d, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .agg(count(lit(1)), sum("n_tok")).head()
+    assert(packed.getLong(0) == base.getLong(0), "every doc lands in a bin")
+    assert(packed.getLong(1) == base.getLong(1), "token mass is conserved")
+  }
+
+  test("q_entropy_filter entropy is within [0, ln(n_tokens)]") {
+    val bad = SparkEntry.queries("q_entropy_filter")(spark, sfDir)
+      .filter(col("entropy_e6") < 0 ||
+        col("entropy_e6") > log(col("n_tokens").cast("double")) * 1e6)
+      .count()
+    assert(bad == 0, "unigram entropy must be bounded by ln(vocab size)")
+  }
+
+  test("q_dedup_incremental counts are consistent with the odd/even split") {
+    val d = sfDir
+    val r = SparkEntry.queries("q_dedup_incremental")(spark, d)
+    assert(r.filter(col("n_new") =!= col("n_dup") + col("n_kept")).count() == 0)
+    val totalNew = r.agg(sum("n_new")).head().getLong(0)
+    val oddDocs = Tables.t(spark, d, "documents")
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(totalNew == oddDocs, "every batch doc is counted exactly once")
+  }
+
+  test("q_inverted_index posting length equals df") {
+    val bad = SparkEntry.queries("q_inverted_index")(spark, sfDir)
+      .filter(size(split(col("posting"), ",")) =!= col("df"))
+      .count()
+    assert(bad == 0, "posting list must carry exactly df doc ids")
+  }
+
+  test("q_pii_scrub fingerprint changes iff something was redacted") {
+    val d = sfDir
+    val orig = Tables.t(spark, d, "documents")
+      .select(col("doc_id"), md5(col("text")).as("orig_fp"))
+    val bad = SparkEntry.queries("q_pii_scrub")(spark, d)
+      .join(orig, "doc_id")
+      .filter((col("n_redacted") > 0) === (col("redacted_fp") === col("orig_fp")))
+      .count()
+    assert(bad == 0, "redaction must change the text exactly when it fires")
+  }
+
+  test("q_quality_repetition fractions are valid and keep matches them") {
+    val r = SparkEntry.queries("q_quality_repetition")(spark, sfDir)
+    val bad = r.filter(
+      col("top_bigram_frac_e6") < 0 || col("top_bigram_frac_e6") > 1000000 ||
+        col("dup_trigram_frac_e6") < 0 || col("dup_trigram_frac_e6") > 1000000 ||
+        col("keep") =!= (col("top_bigram_frac_e6") <= 180000 &&
+          col("dup_trigram_frac_e6") <= 300000)).count()
+    assert(bad == 0)
+  }
+}
