@@ -57,5 +57,70 @@ object Embeddings {
         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qsq
       FROM q"""))
 
-  val all: Seq[QueryDef] = Seq(quantize)
+  /** Nearest-centroid classification (Rocchio): assign every vector to the
+    * label whose mean embedding is closest in L2, and report the confusion
+    * matrix — the label-propagation / auto-labeling pass of an embedding
+    * pipeline, and a purity audit of the label column itself.
+    *
+    * All math is exact fixed-point int64 so the DuckDB gate compares
+    * bit-for-bit across engines (float means would be summation-order
+    * dependent): components quantize to qi = floor(v*1000); the centroid
+    * mean is floor(sum*1000/cnt) computed via a positive shift (+1e6 per
+    * element) so floor-vs-truncate division semantics can't diverge
+    * (precondition |v| < 1000, loudly true for any normalized embedding);
+    * distances are exact sums of squared int64 diffs (≤ ~1e14 at any
+    * realistic per-label count — no overflow).
+    *
+    * Scale shape: centroids are (labels × dims) rows — tiny forever — so
+    * they broadcast; the expand factor on the fact side is n_labels with
+    * map-side partial aggregation collapsing it immediately; the argmin
+    * window partitions on vec_id (perfectly distributed). No shuffle ever
+    * carries an embedding. */
+  private val centroidClassify = QueryDef(
+    "q_centroid_classify",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dims = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos").as("dim"),
+          floor(col("col").cast("double") * 1000).cast("long").as("qi"))
+      val cent = dims.groupBy(col("label"), col("dim"))
+        .agg(sum(col("qi")).as("s"), count(lit(1)).as("cnt"))
+        .select(col("label").as("cand_label"), col("dim"),
+          expr("((s + cnt * 1000000L) * 1000L) div cnt - 1000000000L").as("mean_e3"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("cand_label"))
+      dims.join(broadcast(cent), "dim")
+        .withColumn("diff", col("qi") * 1000 - col("mean_e3"))
+        .groupBy(col("vec_id"), col("label"), col("cand_label"))
+        .agg(sum(col("diff") * col("diff")).as("dist"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("label"), col("cand_label").as("pred_label"))
+        .agg(count(lit(1)).as("n_vecs"))
+    },
+    Some("""WITH dims AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+          CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qi
+        FROM embeddings),
+      cent AS (
+        SELECT label AS cand_label, dim,
+          CAST(((sum(qi) + count(*) * 1000000) * 1000) // count(*)
+            - 1000000000 AS BIGINT) AS mean_e3
+        FROM dims GROUP BY 1, 2),
+      scored AS (
+        SELECT d.vec_id, d.label, c.cand_label,
+          sum((d.qi * 1000 - c.mean_e3) * (d.qi * 1000 - c.mean_e3)) AS dist
+        FROM dims d JOIN cent c USING (dim)
+        GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT vec_id, label, cand_label,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY dist, cand_label) AS rk
+        FROM scored)
+      SELECT label, cand_label AS pred_label,
+        CAST(count(*) AS BIGINT) AS n_vecs
+      FROM ranked WHERE rk = 1 GROUP BY 1, 2"""))
+
+  val all: Seq[QueryDef] = Seq(quantize, centroidClassify)
 }

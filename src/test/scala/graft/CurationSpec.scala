@@ -77,6 +77,26 @@ class CurationSpec extends SparkSpec {
     assert(bad == 0, "redaction must change the text exactly when it fires")
   }
 
+  test("q_centroid_classify broadcasts the centroids (no fact-side shuffle join)") {
+    val df = SparkEntry.queries("q_centroid_classify")(spark, sfDir)
+    df.collect()
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "centroid table (labels x dims) must ride a broadcast join")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the dim-keyed join must never shuffle the exploded fact side")
+  }
+
+  test("q_centroid_classify assigns every vector to exactly one label") {
+    val d = sfDir
+    val total = SparkEntry.queries("q_centroid_classify")(spark, d)
+      .agg(sum("n_vecs")).head().getLong(0)
+    val vecs = Tables.t(spark, d, "embeddings").count()
+    assert(total == vecs, "confusion matrix must cover every vector once")
+  }
+
   test("q_quality_repetition fractions are valid and keep matches them") {
     val r = SparkEntry.queries("q_quality_repetition")(spark, sfDir)
     val bad = r.filter(
