@@ -258,7 +258,43 @@ object Curation {
       FROM batch b LEFT JOIN store s ON b.fp = s.fp
       GROUP BY lang"""))
 
+  /** Context-window chunking: split each document's token stream into
+    * windows of 64 tokens at stride 48 (16-token overlap), the reshape
+    * that turns documents into fixed-length training examples. Emits one
+    * row per chunk with its token count and an md5 content fingerprint
+    * (the chunk's identity in a downstream dedup/shuffle stage).
+    *
+    * Pure map stage: explode over a per-row offset sequence — no shuffle,
+    * no window, no state, so it scales with scan bandwidth alone.
+    * Offsets step by the stride while < n_tokens, so the final partial
+    * window (< 64 tokens) is kept iff it contributes new tokens; empty
+    * documents chunk to nothing. */
+  private val chunkDocuments = QueryDef(
+    "q_chunk_documents",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 1)
+        .select(col("doc_id"), col("n"), col("toks"),
+          explode(expr("sequence(0, n - 1, 48)")).as("o"))
+        .select(col("doc_id"),
+          expr("CAST(o div 48 AS BIGINT)").as("chunk_id"),
+          least(lit(64), col("n") - col("o")).cast("long").as("n_toks"),
+          md5(expr("concat_ws(' ', slice(toks, o + 1, 64))")).as("fp")),
+    Some("""WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents),
+      c AS (
+        SELECT doc_id, len(toks) AS n, unnest(range(0, len(toks), 48)) AS o, toks
+        FROM t WHERE len(toks) >= 1)
+      SELECT doc_id, o // 48 AS chunk_id,
+        CAST(least(64, n - o) AS BIGINT) AS n_toks,
+        md5(array_to_string(toks[o+1:o+64], ' ')) AS fp
+      FROM c"""))
+
   val all: Seq[QueryDef] =
     Seq(qualityRepetition, entropyFilter, piiScrub, invertedIndex,
-      sequencePack, dedupIncremental)
+      sequencePack, dedupIncremental, chunkDocuments)
 }

@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling + frequency sketching — the "know your corpus" stage a
+  * pipeline runs before and after every transform: per-column statistics
+  * (the ANALYZE TABLE surface a gateway exposes to planners and humans)
+  * and a count-min sketch for heavy-hitter frequency estimates whose state
+  * is a fixed 4x512 grid regardless of corpus size.
+  *
+  * Scale notes (100 TB): the profile is ONE scan with map-side partial
+  * aggregation (the multi-distinct Expand multiplies rows by n_profiled
+  * columns BEFORE partial agg collapses them — the standard ANALYZE cost,
+  * linear and shuffle-light); the sketch shuffles only (row, bucket) cells
+  * (2048 of them) plus one bounded token aggregate, never text. Neither
+  * collects to the driver.
+  */
+object Profiling {
+
+  /** Per-column table profile of `orders`: row count, null count, exact
+    * distinct count, min/max rendered to strings so one relation can carry
+    * every column type. Timestamps are formatted explicitly
+    * (yyyy-MM-dd HH:mm:ss) — engine-default timestamp casts are not
+    * oracle-portable. All five columns profile in ONE Aggregate; `stack`
+    * reshapes the single stat row into the per-column relation. */
+  private val profileTable = QueryDef(
+    "q_profile_table",
+    (s, d) => {
+      val o = Tables.t(s, d, "orders")
+      val a = o.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("nn1"),
+        countDistinct(col("o_orderkey")).as("nd1"),
+        min(col("o_orderkey")).cast("string").as("mn1"),
+        max(col("o_orderkey")).cast("string").as("mx1"),
+        count(col("o_custkey")).as("nn2"),
+        countDistinct(col("o_custkey")).as("nd2"),
+        min(col("o_custkey")).cast("string").as("mn2"),
+        max(col("o_custkey")).cast("string").as("mx2"),
+        count(col("o_orderstatus")).as("nn3"),
+        countDistinct(col("o_orderstatus")).as("nd3"),
+        min(col("o_orderstatus")).as("mn3"),
+        max(col("o_orderstatus")).as("mx3"),
+        count(col("o_orderpriority")).as("nn4"),
+        countDistinct(col("o_orderpriority")).as("nd4"),
+        min(col("o_orderpriority")).as("mn4"),
+        max(col("o_orderpriority")).as("mx4"),
+        count(col("o_orderdate")).as("nn5"),
+        countDistinct(col("o_orderdate")).as("nd5"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mn5"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mx5"))
+      a.select(expr(
+        """stack(5,
+             'o_orderkey',      n_rows, n_rows - nn1, nd1, mn1, mx1,
+             'o_custkey',       n_rows, n_rows - nn2, nd2, mn2, mx2,
+             'o_orderstatus',   n_rows, n_rows - nn3, nd3, mn3, mx3,
+             'o_orderpriority', n_rows, n_rows - nn4, nd4, mn4, mx4,
+             'o_orderdate',     n_rows, n_rows - nn5, nd5, mn5, mx5)
+           AS (col_name, n_rows, n_null, n_distinct, min_val, max_val)"""))
+    },
+    Some("""WITH a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(o_orderkey) AS BIGINT) AS nn1,
+          CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+          CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+          CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+          CAST(count(o_custkey) AS BIGINT) AS nn2,
+          CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+          CAST(min(o_custkey) AS VARCHAR) AS mn2,
+          CAST(max(o_custkey) AS VARCHAR) AS mx2,
+          CAST(count(o_orderstatus) AS BIGINT) AS nn3,
+          CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+          min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+          CAST(count(o_orderpriority) AS BIGINT) AS nn4,
+          CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd4,
+          min(o_orderpriority) AS mn4, max(o_orderpriority) AS mx4,
+          CAST(count(o_orderdate) AS BIGINT) AS nn5,
+          CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd5,
+          strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn5,
+          strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx5
+        FROM orders)
+      SELECT 'o_orderkey' AS col_name, n_rows, n_rows - nn1 AS n_null,
+        nd1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM a
+      UNION ALL SELECT 'o_custkey', n_rows, n_rows - nn2, nd2, mn2, mx2 FROM a
+      UNION ALL SELECT 'o_orderstatus', n_rows, n_rows - nn3, nd3, mn3, mx3 FROM a
+      UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn4, nd4, mn4, mx4 FROM a
+      UNION ALL SELECT 'o_orderdate', n_rows, n_rows - nn5, nd5, mn5, mx5 FROM a"""))
+
+  /** Count-min sketch over the corpus token stream: depth 4, width 512 —
+    * 2048 int64 cells total, a fixed-size mergeable summary (cells add
+    * across shards) that answers "how often does token X appear?" with
+    * one-sided error (never under, over only on hash collisions). The
+    * query builds the sketch, then audits it: estimate vs exact count for
+    * the 20 most frequent tokens.
+    *
+    * Hashing is the oracle-portable Rabin–Karp polynomial (base 31 mod
+    * 1e9+7, every intermediate < 4.4e10 — exact int64 on both engines,
+    * see q_fingerprint_rolling), row-seeded with per-row multiplier/offset
+    * so the 4 rows are independent. The sketch is built from the per-token
+    * aggregate (identical cell values to hashing raw instances, since
+    * cell = Σ cnt over colliding tokens) — at raw-stream scale the same
+    * groupBy((r, bucket)) runs directly on instances with map-side
+    * partial agg and no token aggregate at all. Probe selection is
+    * orderBy+limit (TakeOrderedAndProject — per-partition top-k then one
+    * 20-row merge, never a global sort or single-partition window). */
+  private val sketchCms = QueryDef(
+    "q_sketch_cms",
+    (s, d) => {
+      val toks = Tables.t(s, d, "documents")
+        .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+      val cnts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val keyed = cnts
+        .withColumn("t", expr("""aggregate(filter(split(tok, ''), c -> c != ''),
+          0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"""))
+        .select(col("tok"), col("cnt"), explode(expr("sequence(0, 3)")).as("r"), col("t"))
+        .withColumn("bucket", expr(
+          """((t * element_at(array(31L, 37L, 41L, 43L), CAST(r + 1 AS INT))
+               + element_at(array(7L, 11L, 13L, 17L), CAST(r + 1 AS INT)))
+              % 1000000007) % 512"""))
+      val cells = keyed.groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("cell"))
+      val probes = cnts.orderBy(col("cnt").desc, col("tok")).limit(20)
+      keyed.drop("cnt", "t")
+        .join(broadcast(probes), "tok")
+        .join(broadcast(cells), Seq("r", "bucket"))
+        .groupBy(col("tok"), col("cnt"))
+        .agg(min(col("cell")).as("est_cnt"))
+        .select(col("tok"), col("cnt").as("exact_cnt"), col("est_cnt"))
+    },
+    Some("""WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        FROM documents),
+      cnts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+      keyed AS (
+        SELECT tok, cnt, r,
+          ((t * ([31,37,41,43][r+1]) + ([7,11,13,17][r+1])) % 1000000007) % 512
+            AS bucket
+        FROM (
+          SELECT tok, cnt, unnest([0,1,2,3]) AS r,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              [CAST(unicode(c) AS BIGINT) for c in string_split(tok, '')]),
+              (a, b) -> (a * 31 + b) % 1000000007) AS t
+          FROM cnts)),
+      cells AS (
+        SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+        FROM keyed GROUP BY 1, 2),
+      probes AS (SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok LIMIT 20)
+      SELECT p.tok AS tok, p.cnt AS exact_cnt, CAST(min(c.cell) AS BIGINT) AS est_cnt
+      FROM probes p
+      JOIN keyed k ON p.tok = k.tok
+      JOIN cells c ON k.r = c.r AND k.bucket = c.bucket
+      GROUP BY 1, 2"""))
+
+  val all: Seq[QueryDef] = Seq(profileTable, sketchCms)
+}

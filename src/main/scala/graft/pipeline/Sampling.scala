@@ -103,5 +103,45 @@ object Sampling {
              ELSE 100 END
       GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(sampleSplit, sampleStratified, mixSources)
+  /** Language-temperature rebalancing: per-language sampling weights
+    * w_i ∝ n_i^0.5 (temperature α = 0.5, the standard multilingual
+    * up-sampling exponent) plus the per-epoch document quota each weight
+    * implies. α = 0.5 is deliberate: sqrt is correctly rounded under
+    * IEEE 754 (unlike pow/exp/ln), so floor(sqrt(n)·1e6) is bit-identical
+    * on both engines, and from there everything is exact int64 — the
+    * weight normalization divides scaled integers, never sums floats
+    * (a float Σ over languages would be summation-order dependent).
+    *
+    * Scale shape: the per-language aggregate is map-side partial all the
+    * way down to ≤ n_langs rows; the normalizing total is a one-row
+    * broadcast (the TPC-H Q11/Q22 threshold pattern). Nothing here grows
+    * with corpus size. */
+  private val langRebalance = QueryDef(
+    "q_lang_rebalance",
+    (s, d) => {
+      val c = Tables.t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("s_e6",
+          floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      val tot = c.agg(sum(col("s_e6")).as("tot"), sum(col("n_docs")).as("n_total"))
+      c.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          expr("s_e6 * 1000000L div tot").as("weight_e6"),
+          expr("(s_e6 * 1000000L div tot) * n_total div 1000000L").as("target_docs"))
+    },
+    Some("""WITH c AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(FLOOR(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS s_e6
+        FROM documents GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(s_e6) AS BIGINT) AS tot,
+          CAST(sum(n_docs) AS BIGINT) AS n_total
+        FROM c)
+      SELECT lang, n_docs, s_e6 * 1000000 // tot AS weight_e6,
+        (s_e6 * 1000000 // tot) * n_total // 1000000 AS target_docs
+      FROM c, tot"""))
+
+  val all: Seq[QueryDef] =
+    Seq(sampleSplit, sampleStratified, mixSources, langRebalance)
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic + plan contracts for the profiling/sketching/reshaping ops
+  * added in round 5 (pipeline/Profiling, q_chunk_documents,
+  * q_lang_rebalance). The DuckDB hash gate proves cross-engine equality;
+  * these assert the invariants the oracle can't express. */
+class ProfilingSpec extends SparkSpec {
+
+  test("q_profile_table stats are internally consistent") {
+    val rows = SparkEntry.queries("q_profile_table")(spark, sfDir).collect()
+    assert(rows.length == 5, "five profiled columns")
+    rows.foreach { r =>
+      val (n, nNull, nDist) =
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"), r.getAs[Long]("n_distinct"))
+      assert(nNull >= 0 && nNull <= n)
+      assert(nDist >= 0 && nDist <= n - nNull,
+        s"${r.getAs[String]("col_name")}: distinct must not exceed non-null rows")
+      assert(r.getAs[String]("min_val") <= r.getAs[String]("max_val"))
+    }
+  }
+
+  test("q_sketch_cms never underestimates (one-sided error)") {
+    val rows = SparkEntry.queries("q_sketch_cms")(spark, sfDir).collect()
+    assert(rows.length == 20, "20 probe tokens")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"),
+        s"CMS under-estimated ${r.getAs[String]("tok")}")
+    }
+  }
+
+  test("q_chunk_documents covers every token exactly (window/stride contract)") {
+    val chunks = SparkEntry.queries("q_chunk_documents")(spark, sfDir)
+    // Per doc: chunk ids contiguous from 0, every chunk non-empty and <= 64,
+    // and the last chunk's end (stride*last + n_toks) == doc token count.
+    val perDoc = chunks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_chunks"),
+      max(col("chunk_id")).as("max_id"),
+      min(col("n_toks")).as("min_len"),
+      max(col("n_toks")).as("max_len"),
+      max(col("chunk_id") * 48 + col("n_toks")).as("covered"))
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n"))
+      .filter(col("n") >= 1)
+    val joined = perDoc.join(docs, "doc_id")
+    assert(joined.count() == docs.count(), "every non-empty doc chunks")
+    val bad = joined.filter(
+      col("n_chunks") =!= col("max_id") + 1 ||
+        col("min_len") < 1 || col("max_len") > 64 ||
+        col("covered") =!= col("n")).count()
+    assert(bad == 0, "chunks must tile the token stream at stride 48")
+  }
+
+  test("q_lang_rebalance flattens the distribution (temperature contract)") {
+    val rows = SparkEntry.queries("q_lang_rebalance")(spark, sfDir).collect()
+    val tot = rows.map(_.getAs[Long]("weight_e6")).sum
+    assert(tot <= 1000000L && tot > 1000000L - rows.length,
+      "integer weights must sum to 1e6 minus at most one truncation ulp each")
+    // sqrt temperature: the max/min WEIGHT ratio must be strictly smaller
+    // than the max/min COUNT ratio (that's what 'up-sample low-resource
+    // languages' means).
+    val byCount = rows.sortBy(_.getAs[Long]("n_docs"))
+    val (lo, hi) = (byCount.head, byCount.last)
+    val countRatio = hi.getAs[Long]("n_docs").toDouble / lo.getAs[Long]("n_docs")
+    val weightRatio = hi.getAs[Long]("weight_e6").toDouble / lo.getAs[Long]("weight_e6")
+    assert(weightRatio < countRatio, "sqrt temperature must flatten the skew")
+  }
+}
