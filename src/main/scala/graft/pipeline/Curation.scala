@@ -294,7 +294,61 @@ object Curation {
         md5(array_to_string(toks[o+1:o+64], ' ')) AS fp
       FROM c"""))
 
+  /** Linear quality classifier (the fastText/fineweb-style model-based
+    * filter): a weighted combination of the rule features — stopword
+    * density, saturating document length, punctuation density, and a
+    * mean-token-length deviation penalty — into one score with a keep
+    * threshold. q_text_quality emits the raw features; this is the stage
+    * that turns features into a decision with learned-style weights.
+    *
+    * All arithmetic is exact int64 on e6-scaled features. The only
+    * divisions are nonnegative-by-positive (`div` truncates toward zero,
+    * DuckDB `//` floors — they agree ONLY on nonnegative operands, so the
+    * possibly-negative score itself is never divided). Map-only: at any
+    * scale this is a pure scan→project stage, no shuffle at all. */
+  private val qualityClassifier = QueryDef(
+    "q_quality_classifier",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("len", greatest(length(col("text")).cast("long"), lit(1L)))
+        .withColumn("f_stop", floor(
+          size(expr("filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')"))
+            .cast(DoubleType) / col("n_toks") * 1e6).cast("long"))
+        .withColumn("f_punct", floor(
+          (col("len") - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+            .cast(DoubleType) / col("len") * 1e6).cast("long"))
+        .withColumn("f_sat", least(col("n_toks"), lit(256L)) * 3906L)
+        .withColumn("mean_len_e6",
+          floor(col("len").cast(DoubleType) / col("n_toks") * 1e6).cast("long"))
+        .withColumn("score_e6",
+          lit(-500000L) + lit(3L) * col("f_stop") + lit(2L) * col("f_sat")
+            - lit(2L) * col("f_punct")
+            - expr("abs(mean_len_e6 - 5000000L) div 5L"))
+        .select(col("doc_id"), col("score_e6"), (col("score_e6") >= 0L).as("keep")),
+    Some("""WITH f AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+          greatest(CAST(length(text) AS BIGINT), 1) AS len,
+          CAST(FLOOR(CAST(len(list_filter(string_split(text, ' '),
+              t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS DOUBLE)
+            / len(string_split(text, ' ')) * 1e6) AS BIGINT) AS f_stop,
+          CAST(FLOOR(CAST(greatest(CAST(length(text) AS BIGINT), 1)
+              - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+            / greatest(CAST(length(text) AS BIGINT), 1) * 1e6) AS BIGINT) AS f_punct
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+          -500000 + 3 * f_stop + 2 * (least(n_toks, 256) * 3906) - 2 * f_punct
+            - (abs(CAST(FLOOR(CAST(len AS DOUBLE) / n_toks * 1e6) AS BIGINT)
+                - 5000000) // 5) AS score_e6
+        FROM f)
+      SELECT doc_id, CAST(score_e6 AS BIGINT) AS score_e6,
+        score_e6 >= 0 AS keep
+      FROM g"""))
+
   val all: Seq[QueryDef] =
     Seq(qualityRepetition, entropyFilter, piiScrub, invertedIndex,
-      sequencePack, dedupIncremental, chunkDocuments)
+      sequencePack, dedupIncremental, chunkDocuments, qualityClassifier)
 }

@@ -22,13 +22,21 @@ object Profiling {
     * distinct count, min/max rendered to strings so one relation can carry
     * every column type. Timestamps are formatted explicitly
     * (yyyy-MM-dd HH:mm:ss) — engine-default timestamp casts are not
-    * oracle-portable. All five columns profile in ONE Aggregate; `stack`
-    * reshapes the single stat row into the per-column relation. */
+    * oracle-portable.
+    *
+    * The profile runs as TWO type-homogeneous aggregates unioned: numeric/
+    * timestamp columns in one (min/max buffers are primitive → the whole
+    * multi-distinct Expand stays in HashAggregate), string columns in the
+    * other (string min/max buffers force SortAggregate — confining them to
+    * their own branch keeps the sort off the numeric columns' expanded
+    * rows; measured 2.5 s → ~1 s at sf0.1). Two scans ≠ double IO on
+    * columnar storage: each branch prunes to ITS columns, so every column
+    * is still read exactly once. `stack` reshapes stat rows per column. */
   private val profileTable = QueryDef(
     "q_profile_table",
     (s, d) => {
       val o = Tables.t(s, d, "orders")
-      val a = o.agg(
+      val num = o.agg(
         count(lit(1)).as("n_rows"),
         count(col("o_orderkey")).as("nn1"),
         countDistinct(col("o_orderkey")).as("nd1"),
@@ -38,6 +46,18 @@ object Profiling {
         countDistinct(col("o_custkey")).as("nd2"),
         min(col("o_custkey")).cast("string").as("mn2"),
         max(col("o_custkey")).cast("string").as("mx2"),
+        count(col("o_orderdate")).as("nn5"),
+        countDistinct(col("o_orderdate")).as("nd5"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mn5"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mx5"))
+        .select(expr(
+          """stack(3,
+               'o_orderkey', n_rows, n_rows - nn1, nd1, mn1, mx1,
+               'o_custkey',  n_rows, n_rows - nn2, nd2, mn2, mx2,
+               'o_orderdate', n_rows, n_rows - nn5, nd5, mn5, mx5)
+             AS (col_name, n_rows, n_null, n_distinct, min_val, max_val)"""))
+      val str = o.agg(
+        count(lit(1)).as("n_rows"),
         count(col("o_orderstatus")).as("nn3"),
         countDistinct(col("o_orderstatus")).as("nd3"),
         min(col("o_orderstatus")).as("mn3"),
@@ -45,19 +65,13 @@ object Profiling {
         count(col("o_orderpriority")).as("nn4"),
         countDistinct(col("o_orderpriority")).as("nd4"),
         min(col("o_orderpriority")).as("mn4"),
-        max(col("o_orderpriority")).as("mx4"),
-        count(col("o_orderdate")).as("nn5"),
-        countDistinct(col("o_orderdate")).as("nd5"),
-        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mn5"),
-        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mx5"))
-      a.select(expr(
-        """stack(5,
-             'o_orderkey',      n_rows, n_rows - nn1, nd1, mn1, mx1,
-             'o_custkey',       n_rows, n_rows - nn2, nd2, mn2, mx2,
-             'o_orderstatus',   n_rows, n_rows - nn3, nd3, mn3, mx3,
-             'o_orderpriority', n_rows, n_rows - nn4, nd4, mn4, mx4,
-             'o_orderdate',     n_rows, n_rows - nn5, nd5, mn5, mx5)
-           AS (col_name, n_rows, n_null, n_distinct, min_val, max_val)"""))
+        max(col("o_orderpriority")).as("mx4"))
+        .select(expr(
+          """stack(2,
+               'o_orderstatus',   n_rows, n_rows - nn3, nd3, mn3, mx3,
+               'o_orderpriority', n_rows, n_rows - nn4, nd4, mn4, mx4)
+             AS (col_name, n_rows, n_null, n_distinct, min_val, max_val)"""))
+      num.unionAll(str)
     },
     Some("""WITH a AS (
         SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -426,8 +426,70 @@ object TextAnalysis {
       FROM tot LEFT JOIN sh USING (doc_id)
       ORDER BY n_shared DESC, doc_id LIMIT 20"""))
 
+  /** CCNet-style LM perplexity filtering: score every document by its
+    * average negative log-likelihood under an add-one-smoothed bigram model
+    * trained on the corpus itself — the model-based fluency gate that runs
+    * after rule-based quality filters. p(cur|prev) = (c2+1)/(c1+V), so the
+    * per-bigram cost ln((c1+V)/(c2+1)) is ≥ 0; each DISTINCT bigram's cost
+    * is floor-truncated at 1e-6 once (the tfidf/bm25 ln-parity convention)
+    * and per-doc totals are exact integer sums of those units, so the
+    * average (nonneg div nonneg — `div` and `//` agree there) is exact.
+    *
+    * Scale shape: bigram instances shuffle on (prev, cur) — uniformly
+    * distributed keys, ≤ 16 bytes + the doc_id per row, never text; the
+    * count and cost aggregates co-partition with that join; the vocabulary
+    * size is a one-row broadcast (the Q11/Q22 scalar pattern); the final
+    * aggregate keys on doc_id. Nothing is all-pairs, nothing collects. */
+  private val perplexityLm = QueryDef(
+    "q_perplexity_lm",
+    (s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 2)
+      val inst = base.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, n - 2),
+             i -> struct(element_at(toks, i + 1) AS prev,
+                         element_at(toks, i + 2) AS cur))""")).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      val c2 = inst.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+      val v = c2.agg(countDistinct(col("cur")).as("v"))
+      val cost = c2.join(c1, "prev").crossJoin(broadcast(v))
+        .select(col("prev"), col("cur"),
+          floor(log((col("c1") + col("v")).cast(DoubleType) /
+            (col("c2") + lit(1L)).cast(DoubleType)) * 1e6).cast("long").as("cost_e6"))
+      inst.join(cost, Seq("prev", "cur"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("cost_e6")).as("sum_e6"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sum_e6 div n_bigrams").as("nll_e6"))
+        .withColumn("keep", col("nll_e6") < 9000000L)
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents),
+      f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+      inst AS (
+        SELECT doc_id, toks[CAST(i + 1 AS BIGINT)] AS prev,
+          toks[CAST(i + 2 AS BIGINT)] AS cur
+        FROM f, unnest(range(0, n - 1)) AS u(i)),
+      c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2 FROM inst GROUP BY 1, 2),
+      c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      v AS (SELECT CAST(count(DISTINCT cur) AS BIGINT) AS v FROM c2),
+      cost AS (
+        SELECT c2.prev, c2.cur,
+          CAST(FLOOR(ln(CAST(c1.c1 + v.v AS DOUBLE) / CAST(c2.c2 + 1 AS DOUBLE))
+            * 1e6) AS BIGINT) AS cost_e6
+        FROM c2 JOIN c1 ON c2.prev = c1.prev, v)
+      SELECT i.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        CAST(sum(cost_e6) AS BIGINT) // CAST(count(*) AS BIGINT) AS nll_e6,
+        (CAST(sum(cost_e6) AS BIGINT) // CAST(count(*) AS BIGINT)) < 9000000 AS keep
+      FROM inst i JOIN cost c ON i.prev = c.prev AND i.cur = c.cur
+      GROUP BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab,
       fingerprintRolling, tfidfKeywords, outlierFilter, boilerplate, bm25,
-      bigramLm, decontaminate)
+      bigramLm, decontaminate, perplexityLm)
 }

@@ -53,6 +53,25 @@ class ProfilingSpec extends SparkSpec {
     assert(bad == 0, "chunks must tile the token stream at stride 48")
   }
 
+  test("q_quality_classifier is map-only (zero exchanges) and keep matches score") {
+    val df = SparkEntry.queries("q_quality_classifier")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"quality classifier must be a pure scan->project stage:\n$plan")
+    val bad = df.filter(col("keep") =!= (col("score_e6") >= 0L)).count()
+    assert(bad == 0, "keep must be exactly the thresholded score")
+  }
+
+  test("q_perplexity_lm costs are nonnegative and cover all multi-token docs") {
+    val r = SparkEntry.queries("q_perplexity_lm")(spark, sfDir)
+    assert(r.filter(col("nll_e6") < 0 || col("n_bigrams") < 1).count() == 0,
+      "add-one smoothing guarantees cost >= 0 per bigram")
+    val expected = Tables.t(spark, sfDir, "documents")
+      .filter(size(expr("filter(split(text, ' '), x -> x != '')")) >= 2).count()
+    assert(r.count() == expected, "every doc with >= 2 tokens gets a score")
+  }
+
   test("q_lang_rebalance flattens the distribution (temperature contract)") {
     val rows = SparkEntry.queries("q_lang_rebalance")(spark, sfDir).collect()
     val tot = rows.map(_.getAs[Long]("weight_e6")).sum
