@@ -348,7 +348,63 @@ object Curation {
         score_e6 >= 0 AS keep
       FROM g"""))
 
+  /** Exact-substring duplication coverage (the Lee et al. "deduplicating
+    * training data" signal, made relational): for every document, the
+    * fraction of its 8-token spans that also occur in ANOTHER document.
+    * Near-1.0 coverage = verbatim copy; mid-range = quoted/boilerplate
+    * regions worth span-level excision. Complements the set-similarity
+    * dedups (which miss partial containment) and q_quality_repetition
+    * (which is within-doc only).
+    *
+    * Scale shape: spans shuffle on their content key for the sharedness
+    * aggregate (uniformly distributed; count-distinct over exactly the
+    * pair (span, doc) — one Expand-free two-level agg), then a semi join
+    * back on the same key (co-partitioned with the aggregate, no extra
+    * exchange) and a doc-keyed rollup. Shuffled payloads are spans + ids,
+    * never documents; at 100 TB the span strings would hash to int64
+    * first (the hashedShingles trick — elided here so the oracle can
+    * reproduce the keys verbatim). */
+  private val substringDedup = QueryDef(
+    "q_substring_dedup",
+    (s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 8)
+      val grams = base.select(col("doc_id"), col("n"), explode(expr(
+        "transform(sequence(1, n - 7), i -> concat_ws(' ', slice(toks, i, 8)))")).as("g"))
+      val shared = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("g"))
+      val hits = grams.join(shared, Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      base.select(col("doc_id"), (col("n") - 7).cast("long").as("n_spans"))
+        .join(hits, Seq("doc_id"), "left_outer")
+        .na.fill(0L, Seq("n_dup"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup"),
+          floor(col("n_dup").cast(DoubleType) / col("n_spans") * 1e6).as("dup_frac_e6"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents),
+      f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+      grams AS (
+        SELECT doc_id, n,
+          array_to_string(toks[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS g
+        FROM f, unnest(range(1, n - 6)) AS u(i)),
+      shared AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      hits AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        FROM grams WHERE g IN (SELECT g FROM shared) GROUP BY 1),
+      tot AS (SELECT doc_id, CAST(n - 7 AS BIGINT) AS n_spans FROM f)
+      SELECT t.doc_id AS doc_id, t.n_spans, COALESCE(h.n_dup, 0) AS n_dup,
+        CAST(FLOOR(CAST(COALESCE(h.n_dup, 0) AS DOUBLE) / t.n_spans * 1e6) AS BIGINT)
+          AS dup_frac_e6
+      FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qualityRepetition, entropyFilter, piiScrub, invertedIndex,
-      sequencePack, dedupIncremental, chunkDocuments, qualityClassifier)
+      sequencePack, dedupIncremental, chunkDocuments, qualityClassifier,
+      substringDedup)
 }

@@ -72,6 +72,29 @@ class ProfilingSpec extends SparkSpec {
     assert(r.count() == expected, "every doc with >= 2 tokens gets a score")
   }
 
+  test("q_substring_dedup: verbatim copies have full span coverage") {
+    val r = SparkEntry.queries("q_substring_dedup")(spark, sfDir)
+    assert(r.filter(col("n_dup") > col("n_spans") ||
+      col("dup_frac_e6") < 0 || col("dup_frac_e6") > 1000000).count() == 0,
+      "coverage must be a valid fraction of the doc's spans")
+    // Any doc whose exact text appears under another doc_id must be fully
+    // covered — every one of its spans exists elsewhere by construction.
+    val copies = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("n_same",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("n_same") >= 2)
+      .select(col("doc_id"))
+    val notFull = copies.join(r, "doc_id")
+      .filter(col("dup_frac_e6") =!= 1000000L).count()
+    assert(notFull == 0, "an exact copy must have dup_frac_e6 == 1e6")
+    // This corpus's near-dups are shifted/partial copies (not always
+    // byte-identical), so full-coverage docs must exist even when the
+    // md5-identical set is empty.
+    assert(r.filter(col("dup_frac_e6") === 1000000L).count() > 0,
+      "corpus plants near-duplicates; expected at least one fully-covered doc")
+  }
+
   test("q_lang_rebalance flattens the distribution (temperature contract)") {
     val rows = SparkEntry.queries("q_lang_rebalance")(spark, sfDir).collect()
     val tot = rows.map(_.getAs[Long]("weight_e6")).sum
