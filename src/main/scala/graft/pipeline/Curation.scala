@@ -360,10 +360,12 @@ object Curation {
     * aggregate (uniformly distributed; count-distinct over exactly the
     * pair (span, doc) — one Expand-free two-level agg), then a semi join
     * back on the same key (co-partitioned with the aggregate, no extra
-    * exchange) and a doc-keyed rollup. Shuffled payloads are spans + ids,
-    * never documents; at 100 TB the span strings would hash to int64
-    * first (the hashedShingles trick — elided here so the oracle can
-    * reproduce the keys verbatim). */
+    * exchange) and a doc-keyed rollup. Spans shuffle as xxhash64 int64
+    * fingerprints (the hashedShingles trick: 8 bytes instead of ~50-char
+    * strings; identical results unless xxhash64 collides inside the
+    * corpus span set — ~2^-64 per pair). The oracle keys on the span
+    * strings themselves: only the final per-doc counts are compared, so
+    * the key representation is free to differ. */
   private val substringDedup = QueryDef(
     "q_substring_dedup",
     (s, d) => {
@@ -372,7 +374,7 @@ object Curation {
         .withColumn("n", size(col("toks")))
         .filter(col("n") >= 8)
       val grams = base.select(col("doc_id"), col("n"), explode(expr(
-        "transform(sequence(1, n - 7), i -> concat_ws(' ', slice(toks, i, 8)))")).as("g"))
+        "transform(sequence(1, n - 7), i -> xxhash64(concat_ws(' ', slice(toks, i, 8))))")).as("g"))
       val shared = grams.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
