@@ -105,7 +105,45 @@ object Multimodal {
           FOR b IN range(0, (length(text) + 63) // 64)]), 0) AS BIGINT) AS sampled_byte_sum
       FROM documents"""))
 
-  val all: Seq[QueryDef] = Seq(multimodal, multimodalFrames)
+  /** Resize: stride-downsample every payload to ≤ 64 bytes — the
+    * thumbnail/downscale stage of an image pipeline, as the same typed
+    * `mapPartitions` batch stage (a real build swaps the stub for a codec
+    * resize; schema and call site stay fixed). The output is the resized
+    * BINARY itself plus its metadata, so downstream stages keep operating
+    * on a payload column — exactly what decode→resize→embed chains need.
+    * Deterministic (stride, not sampling), shuffle-free. */
+  def resize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaItem]
+      .mapPartitions(items => items.map(MultimodalStub.resizeStub))
+      .toDF()
+  }
+
+  private val multimodalResize = QueryDef(
+    "q_multimodal_resize",
+    (s, d) => resize(s, d)
+      .select(col("doc_id"), col("n_in"), col("n_out"),
+        md5(col("resized")).as("fp")),
+    // ASCII corpus: resized bytes == the characters at positions
+    // 0, stride, 2·stride, …, so DuckDB rebuilds the exact payload from
+    // text and md5-matches it byte for byte (both engines hash to
+    // lowercase hex; md5('') agrees on empty payloads).
+    Some("""WITH c AS (
+        SELECT doc_id, text, length(text) AS n,
+          greatest((length(text) + 63) // 64, 1) AS stride
+        FROM documents),
+      r AS (
+        SELECT doc_id, n,
+          CASE WHEN n = 0 THEN '' ELSE
+            array_to_string([substr(text, CAST(i * stride + 1 AS BIGINT), 1)
+              FOR i IN range(0, (n + stride - 1) // stride)], '')
+          END AS rs
+        FROM c)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_in,
+        CAST(length(rs) AS BIGINT) AS n_out, md5(rs) AS fp
+      FROM r"""))
+
+  val all: Seq[QueryDef] = Seq(multimodal, multimodalFrames, multimodalResize)
 }
 
 /** Frame-sampling stats for one media item. */
@@ -115,12 +153,33 @@ final case class MediaFrameStats(
     n_sampled: Long,
     sampled_byte_sum: Long)
 
+/** A resized media item: downsampled payload + size metadata. */
+final case class MediaResized(
+    doc_id: Long,
+    n_in: Long,
+    n_out: Long,
+    resized: Array[Byte])
+
 /** The stubbed decoder. A production build swaps this object for real
   * codecs; the call site and schema do not change. */
 object MultimodalStub {
 
   private val FRAME = 16
   private val STRIDE = 4
+  private val RESIZE_TARGET = 64
+
+  /** STUB resize: keep every stride-th byte so the output is ≤ TARGET
+    * bytes (a real implementation decodes and rescales pixels; the
+    * stride keeps this deterministic and byte-checkable). */
+  def resizeStub(item: MediaItem): MediaResized = {
+    val bytes = item.media
+    val n = bytes.length
+    val stride = math.max((n + RESIZE_TARGET - 1) / RESIZE_TARGET, 1)
+    val out = new Array[Byte]((n + stride - 1) / stride)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
+    MediaResized(item.doc_id, n.toLong, out.length.toLong, out)
+  }
 
   /** STUB frame sampler: fixed-size byte frames, every STRIDE-th kept. */
   def sampleFrameStats(item: MediaItem): MediaFrameStats = {

@@ -115,6 +115,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal resize bounds the payload and keeps the stride contract") {
+    val r = SparkEntry.queries("q_multimodal_resize")(spark, sfDir)
+    val bad = r.filter(col("n_out") > 64 ||
+      (col("n_in") > 0 && col("n_out") < 1) ||
+      col("n_out") > col("n_in")).count()
+    assert(bad == 0, "resize must emit 1..64 bytes, never more than input")
+    // Payloads already <= 64 bytes pass through unchanged (stride 1).
+    assert(r.filter(col("n_in") <= 64 && col("n_out") =!= col("n_in")).count() == 0,
+      "small payloads must be identity-resized")
+  }
+
   test("dedup survives corpora with short/empty documents") {
     // sequence(1, 0) is the DESCENDING array [1, 0], so an unguarded
     // shingle transform would call slice(toks, 0, 3) and crash on any doc
