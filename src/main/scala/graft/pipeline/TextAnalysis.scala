@@ -488,8 +488,50 @@ object TextAnalysis {
       FROM inst i JOIN cost c ON i.prev = c.prev AND i.cur = c.cur
       GROUP BY 1"""))
 
+  /** Tokenizer-coverage audit: the fraction of token instances per
+    * language that fall OUTSIDE the top-1000 corpus vocabulary — the
+    * out-of-vocabulary rate that decides whether a fixed vocab (or a
+    * tokenizer's merge table) fits a corpus slice. High per-language OOV
+    * = that language is under-served by the vocabulary.
+    *
+    * The vocabulary is a deterministic top-k (count desc, token asc — a
+    * total order, so both engines pick the identical set at the k
+    * boundary) via TakeOrderedAndProject, then broadcasts; token
+    * instances never shuffle — the only exchange after the vocab build is
+    * the bounded lang-keyed rollup. */
+  private val oovRate = QueryDef(
+    "q_oov_rate",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(col("lang"), explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(1000)
+        .select(col("tok").as("vtok"))
+      toks.join(broadcast(vocab), col("tok") === col("vtok"), "left_outer")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("vtok").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("lang"), col("n_toks"), col("n_oov"),
+          floor(col("n_oov").cast(DoubleType) / col("n_toks") * 1e6).as("oov_frac_e6"))
+    },
+    Some("""WITH toks AS (
+        SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        FROM documents),
+      vocab AS (
+        SELECT tok AS vtok FROM (
+          SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+          ORDER BY cnt DESC, tok LIMIT 1000)),
+      j AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_toks,
+          CAST(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.vtok
+        GROUP BY 1)
+      SELECT lang, n_toks, n_oov,
+        CAST(FLOOR(CAST(n_oov AS DOUBLE) / n_toks * 1e6) AS BIGINT) AS oov_frac_e6
+      FROM j"""))
+
   val all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab,
       fingerprintRolling, tfidfKeywords, outlierFilter, boilerplate, bm25,
-      bigramLm, decontaminate, perplexityLm)
+      bigramLm, decontaminate, perplexityLm, oovRate)
 }
