@@ -381,6 +381,39 @@ object Dedup {
         SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
       SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src"""))
 
+  /** The dedup REPORT a pipeline run actually emits: corpus size, verified
+    * near-dup pair count, how many documents participate in any near-dup
+    * relation, and that as a fraction — the number a data lead reads
+    * before approving a drop. Reuses [[verifiedPairs]] (and the
+    * materialized shingle index), so the marginal cost over the dedup
+    * itself is three scalar aggregates; the one-row × one-row crosses are
+    * trivially broadcast. */
+  private val dedupReport = QueryDef(
+    "q_dedup_report",
+    (s, d) => {
+      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+      val inDup = pairs.select(col("a_id").as("id"))
+        .union(pairs.select(col("b_id").as("id")))
+        .agg(countDistinct(col("id")).as("n_docs_in_dup"))
+      val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+      docs(s, d).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(nPairs))
+        .crossJoin(broadcast(inDup))
+        .select(col("n_docs"), col("n_pairs"), col("n_docs_in_dup"),
+          floor(col("n_docs_in_dup").cast("double") / col("n_docs") * 1e6)
+            .as("dup_frac_e6"))
+    },
+    Some(s"""WITH ${pairsCteSql("documents", 0.5)},
+      d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      p AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+      u AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_docs_in_dup FROM (
+        SELECT a_id AS id FROM pairs UNION ALL SELECT b_id FROM pairs))
+      SELECT n_docs, n_pairs, n_docs_in_dup,
+        CAST(FLOOR(CAST(n_docs_in_dup AS DOUBLE) / n_docs * 1e6) AS BIGINT)
+          AS dup_frac_e6
+      FROM d, p, u"""))
+
   val all: Seq[QueryDef] =
-    Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupClusters)
+    Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupClusters,
+      dedupReport)
 }

@@ -120,10 +120,11 @@ class PlanSpec extends SparkSpec {
     // q_tpch_q11's and q_bm25_rank's crosses are the same scalar-threshold
     // broadcast as q22: data x ONE row (total / avgdl), O(n) compares.
     // q_lang_rebalance's cross is n_langs rows x ONE normalizing-total row;
-    // q_perplexity_lm's is bigram types x ONE vocabulary-size row.
+    // q_perplexity_lm's is bigram types x ONE vocabulary-size row;
+    // q_dedup_report's are one-row x one-row scalar combines.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
       "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank",
-      "q_lang_rebalance", "q_perplexity_lm")
+      "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
