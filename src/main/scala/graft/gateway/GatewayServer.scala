@@ -131,9 +131,16 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0) extends AutoClosea
         val p = field(line, "partition").getOrElse("0").toInt
         val h = handles.getOrElse(jobId,
           throw new IllegalStateException(s"unknown job $jobId"))
-        val n =
-          try streamRows(h.fetch(Ticket(jobId, p)).iterator, out)
+        // Bounded streaming: rows go straight from ≤fetchPageSize-row pages
+        // to the socket. A slow client backpressures the page producer via
+        // blocking TCP writes — the reference's bounded-channel semantics
+        // (dist/src/runtime.rs:253-303) end to end.
+        val n = {
+          val stream = h.fetchStream(Ticket(jobId, p))
+          try streamRows(stream, out)
           catch { case e: Throwable => handles.remove(jobId); throw e }
+          finally stream.close()
+        }
         // Evict once the job reaches a terminal state (all partitions
         // delivered → runtime cleaned up); otherwise the handle map — and
         // the DataFrame/RDD it pins — grows without bound in a long-lived

@@ -28,11 +28,16 @@ object JobStatus {
 
 /** Lifecycle knobs — names and defaults from `dist/src/config.rs:12-22`
   * (job_ttl 30 min, ttl check 5 min, stage-0 poll timeout 10 s). Tests dial
-  * these down like the reference app does (`app/src/main.rs:53-55`). */
+  * these down like the reference app does (`app/src/main.rs:53-55`).
+  * `fetchPageSize` bounds how many rows of a result partition ever sit on
+  * the driver at once during a ticket fetch (the analog of the reference's
+  * Arrow batch size feeding its capacity-2 result channel,
+  * `dist/src/runtime.rs:253-303`). */
 final case class GatewayConfig(
     jobTtl: FiniteDuration = 30.minutes,
     ttlCheckInterval: FiniteDuration = 5.minutes,
-    neverFetchedTimeout: FiniteDuration = 10.seconds)
+    neverFetchedTimeout: FiniteDuration = 10.seconds,
+    fetchPageSize: Int = 10000)
 
 /** One result ticket = one partition of the job's final stage — the Spark
   * analog of the reference's stage-0 `TaskId` tickets
@@ -50,6 +55,9 @@ private[gateway] final class JobState(
   // Per-ticket delivery metrics (reference TaskStream row counting,
   // dist/src/runtime.rs:598-686).
   val partitionRows = new TrieMap[Int, Long]()
+  // Peak rows held on the driver by any single fetch page — the observable
+  // for the bounded-delivery contract (never a whole partition at once).
+  val maxPageRows = new java.util.concurrent.atomic.AtomicLong(0L)
   // Spark-side execution bookkeeping for the stages JSON (listener-fed).
   val sparkJobs = new TrieMap[Int, String]()   // spark job id -> state
   val sparkStages = new TrieMap[Int, (Int, String)]() // stage id -> (numTasks, state)
@@ -72,15 +80,128 @@ final class JobHandle private[gateway] (runtime: JobRuntime, state: JobState) {
   /** One ticket per final-stage partition (lifecycle step 5 in SURVEY §3.1). */
   def tickets: Seq[Ticket] =
     (0 until state.numPartitions).map(Ticket(state.jobId, _))
-  /** Stream one partition's rows. Re-fetching a ticket recomputes from the
-    * cached final RDD — same semantics as the reference's fresh-TaskSet
-    * re-execution. */
+  /** Materialize one partition's rows (convenience over [[fetchStream]] —
+    * the caller chooses to hold the whole partition). Re-fetching a ticket
+    * recomputes from the cached final RDD — same semantics as the
+    * reference's fresh-TaskSet re-execution. */
   def fetch(ticket: Ticket): Seq[Row] = runtime.fetch(state, ticket.partition)
+  /** Stream one partition's rows through bounded pages: at most
+    * `fetchPageSize` rows × (queue capacity 2 + the page in hand) ever sit
+    * on the driver — the Spark analog of the reference's backpressured
+    * capacity-2 Arrow batch channel (`dist/src/runtime.rs:253-303`).
+    * Close early to abandon the stream (remaining page jobs stop). */
+  def fetchStream(ticket: Ticket): PartitionRowStream =
+    runtime.rowStream(state, ticket.partition)
   /** Drain every ticket in partition order. */
   def fetchAll(): Seq[Row] = tickets.flatMap(fetch)
+  /** Peak rows any single fetch page held on the driver for this job. */
+  def maxPageRows: Long = state.maxPageRows.get
   def cancel(): Unit = runtime.cancel(state.jobId)
   def awaitCompletion(timeout: FiniteDuration): Boolean =
     state.completion.await(timeout.toMillis, TimeUnit.MILLISECONDS)
+}
+
+/** A pull-backpressured row stream over one result partition.
+  *
+  * A producer thread issues one narrow page job at a time against the
+  * cached final-stage RDD (`it.slice(off, off+page)` per job) and hands
+  * pages to the consumer through a capacity-2 bounded queue — the direct
+  * Spark analog of the reference streaming a partition as Arrow batches
+  * through a capacity-2 channel (`dist/src/runtime.rs:253-303`,
+  * `networks/tonic/src/server.rs:109-141`). The driver therefore never
+  * holds more than ~3 pages of the partition regardless of partition size;
+  * a slow consumer blocks the producer (backpressure), not memory.
+  *
+  * Draining the stream marks the ticket delivered (completion bookkeeping
+  * identical to a materialized fetch); a failed page job fails the job.
+  */
+final class PartitionRowStream private[gateway] (
+    runtime: JobRuntime,
+    st: JobState,
+    partition: Int,
+    pageSize: Int)
+  extends Iterator[Row] with AutoCloseable {
+
+  private val queue =
+    new java.util.concurrent.ArrayBlockingQueue[AnyRef](2)
+  @volatile private var stopped = false
+  private object End
+  private final case class Err(e: Throwable)
+
+  private def offer(x: AnyRef): Unit = {
+    while (!stopped && !queue.offer(x, 100, TimeUnit.MILLISECONDS)) {}
+  }
+
+  private val producer = new Thread(() => {
+    val sc = runtime.spark.sparkContext
+    sc.setJobGroup(st.jobId,
+      s"graft job ${st.jobId} partition $partition", interruptOnCancel = true)
+    sc.setLocalProperty("spark.scheduler.pool", "graft-jobs")
+    try {
+      var off = 0
+      var last = false
+      while (!stopped && !last) {
+        val lo = off
+        val hi = off + pageSize
+        val page: Array[Row] = sc.runJob(st.rdd,
+          (it: Iterator[Row]) => it.slice(lo, hi).toArray,
+          Seq(partition)).head
+        last = page.length < pageSize
+        off = hi
+        st.maxPageRows.updateAndGet(m => math.max(m, page.length.toLong))
+        if (page.nonEmpty) offer(page)
+      }
+      if (!stopped) offer(End)
+    } catch {
+      case e: Throwable => offer(Err(e))
+    } finally {
+      sc.setLocalProperty("spark.scheduler.pool", null)
+      sc.clearJobGroup()
+    }
+  }, s"graft-fetch-${st.jobId}-p$partition")
+  producer.setDaemon(true)
+  producer.start()
+
+  private var current: Iterator[Row] = Iterator.empty
+  private var finished = false
+  private var delivered = 0L
+
+  override def hasNext: Boolean = {
+    if (current.hasNext) return true
+    if (finished) return false
+    // Pull the next page (blocking: producer always terminates each stream
+    // with a page, End, or Err unless the consumer closed first).
+    var next: AnyRef = null
+    while (next == null && !stopped) next = queue.poll(100, TimeUnit.MILLISECONDS)
+    next match {
+      case null => finished = true; false // closed mid-stream
+      case End =>
+        finished = true
+        runtime.onPartitionDrained(st, partition, delivered)
+        false
+      case Err(e) =>
+        finished = true
+        runtime.onFetchFailed(st, e)
+        throw e
+      case page: Array[Row] @unchecked =>
+        current = page.iterator
+        hasNext
+    }
+  }
+
+  override def next(): Row = {
+    if (!hasNext) throw new NoSuchElementException("partition stream drained")
+    delivered += 1
+    current.next()
+  }
+
+  /** Abandon the stream: pending page jobs stop, nothing is marked
+    * delivered (the ticket stays re-fetchable). Draining to the end makes
+    * close a no-op. */
+  override def close(): Unit = {
+    stopped = true
+    queue.clear()
+  }
 }
 
 /** The gateway: submit SQL/DataFrames as tracked jobs, fetch per-partition
@@ -93,9 +214,10 @@ final class JobHandle private[gateway] (runtime: JobRuntime, state: JobState) {
   * the job registry + ticket delivery + lifecycle that
   * `dist/src/runtime.rs`/`event.rs` implement in Rust. Everything here is
   * driver-side control plane — no data-plane work happens on this thread
-  * pool, and result partitions are pulled one `runJob` at a time, so a
-  * 1000-executor cluster streams results without collecting the whole
-  * result set to the driver.
+  * pool, and result partitions are delivered as bounded pages through
+  * [[PartitionRowStream]] (capacity-2 queue of ≤ `fetchPageSize`-row
+  * pages), so a 1000-executor cluster streams results without the driver
+  * ever holding a whole partition — let alone the whole result set.
   */
 final class JobRuntime(
     val spark: SparkSession,
@@ -179,35 +301,35 @@ final class JobRuntime(
     new JobHandle(this, st)
   }
 
-  private[gateway] def fetch(st: JobState, partition: Int): Seq[Row] = {
+  /** Bounded streaming fetch of one result partition. The job group and
+    * FAIR pool are set on the stream's producer thread (cancellation +
+    * listener correlation; gateway work never starves other pools'
+    * health queries). */
+  private[gateway] def rowStream(st: JobState, partition: Int): PartitionRowStream = {
     if (!registry.containsKey(st.jobId))
       throw new IllegalStateException(s"job ${st.jobId} is not live (cleaned up or cancelled)")
     if (st.firstFetchAtMs < 0) st.firstFetchAtMs = System.currentTimeMillis()
-    val sc = spark.sparkContext
-    // Job group = cancellation + listener correlation handle; FAIR pool
-    // keeps gateway job work from starving other pools' health queries.
-    sc.setJobGroup(st.jobId, s"graft job ${st.jobId} partition $partition",
-      interruptOnCancel = true)
-    sc.setLocalProperty("spark.scheduler.pool", "graft-jobs")
-    try {
-      val res = sc.runJob(st.rdd, (it: Iterator[Row]) => it.toArray,
-        Seq(partition)).head.toSeq
-      st.partitionRows.put(partition, res.size.toLong)
-      st.fetchedPartitions.add(partition)
-      // CheckJobCompleted: all final-stage partitions delivered → cleanup
-      // (reference event.rs:185-334).
-      if (st.fetchedPartitions.size == st.numPartitions)
-        cleanup(st, JobStatus.Completed)
-      res
-    } catch {
-      case e: Throwable =>
-        cleanup(st, JobStatus.Failed(Option(e.getMessage).getOrElse(e.getClass.getName)))
-        throw e
-    } finally {
-      sc.setLocalProperty("spark.scheduler.pool", null)
-      sc.clearJobGroup()
-    }
+    new PartitionRowStream(this, st, partition, config.fetchPageSize)
   }
+
+  /** Materializing fetch = drain the bounded stream into a Seq. Memory here
+    * is the caller's choice; the transport itself stays paged. */
+  private[gateway] def fetch(st: JobState, partition: Int): Seq[Row] = {
+    val stream = rowStream(st, partition)
+    try stream.toVector finally stream.close()
+  }
+
+  /** CheckJobCompleted: all final-stage partitions delivered → cleanup
+    * (reference event.rs:185-334). Called by the stream on full drain. */
+  private[gateway] def onPartitionDrained(st: JobState, partition: Int, rows: Long): Unit = {
+    st.partitionRows.put(partition, rows)
+    st.fetchedPartitions.add(partition)
+    if (st.fetchedPartitions.size == st.numPartitions)
+      cleanup(st, JobStatus.Completed)
+  }
+
+  private[gateway] def onFetchFailed(st: JobState, e: Throwable): Unit =
+    cleanup(st, JobStatus.Failed(Option(e.getMessage).getOrElse(e.getClass.getName)))
 
   def cancel(jobId: String): Unit =
     Option(registry.get(jobId)).foreach { st =>

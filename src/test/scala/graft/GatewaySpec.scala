@@ -78,6 +78,43 @@ class GatewaySpec extends SparkSpec {
     }
   }
 
+  test("a large-partition fetch is delivered in bounded pages, never whole") {
+    // The reference streams a partition as backpressured Arrow batches
+    // through a capacity-2 channel (dist/src/runtime.rs:253-303); the
+    // analog contract here: no single page job ever returns more than
+    // fetchPageSize rows, however large the partition.
+    withRuntime(GatewayConfig(fetchPageSize = 1000)) { rt =>
+      val h = rt.submit("SELECT id FROM range(0, 100000, 1, 1)") // 1 partition, 100k rows
+      val stream = h.fetchStream(h.tickets.head)
+      try {
+        var n = 0L
+        var expected = 0L
+        var ordered = true
+        stream.foreach { r => ordered &&= r.getLong(0) == expected; expected += 1; n += 1 }
+        assert(n == 100000L)
+        assert(ordered, "rows arrived out of order")
+      } finally stream.close()
+      assert(h.maxPageRows <= 1000L,
+        s"a page held ${h.maxPageRows} rows on the driver (> fetchPageSize)")
+      assert(h.maxPageRows > 0L)
+      assert(h.status == JobStatus.Completed) // full drain marks the ticket delivered
+    }
+  }
+
+  test("an abandoned stream leaves the ticket re-fetchable") {
+    withRuntime(GatewayConfig(fetchPageSize = 100)) { rt =>
+      val h = rt.submit("SELECT id FROM range(0, 10000, 1, 1)")
+      val s1 = h.fetchStream(h.tickets.head)
+      val firstFew = s1.take(50).map(_.getLong(0)).toVector
+      s1.close() // abandon mid-partition: nothing marked delivered
+      assert(firstFew == (0L until 50L).toVector)
+      assert(rt.liveJobIds.contains(h.jobId))
+      val full = h.fetch(h.tickets.head) // fresh re-fetch from the cached RDD
+      assert(full.size == 10000)
+      assert(h.status == JobStatus.Completed)
+    }
+  }
+
   test("cancel removes the job and further fetches fail") {
     withRuntime() { rt =>
       val h = rt.submit("SELECT id FROM range(0, 10, 1, 2)")
