@@ -18,6 +18,13 @@ import scala.util.control.NonFatal
   *           "columns": [...]}
   *   {"op": "fetch", "job_id": "...", "partition": P}
   *       -> one {"row": [...]} line per row, then {"ok": true, "rows": N}
+  *       (text mode — the human/debug wire)
+  *   {"op": "fetch_arrow", "job_id": "...", "partition": P}
+  *       -> {"ok": true, "format": "arrow_ipc_stream"}\n, then one raw
+  *       LZ4-compressed Arrow IPC stream (schema + one record batch per
+  *       fetch page + EOS, self-delimiting), then {"ok": true, "rows": N}
+  *       — the reference's result wire (LZ4 Arrow FlightData,
+  *       `networks/tonic/src/server.rs:109-141`)
   *   {"op": "running_jobs"} / {"op": "cluster_nodes"}
   *       -> one {"row": [...]} per row, then {"ok": true, "rows": N}
   *   {"op": "cancel", "job_id": "..."} -> {"ok": true}
@@ -27,7 +34,8 @@ import scala.util.control.NonFatal
   * (driver-side control plane only — row data streams straight from the
   * per-partition runJob results, never accumulating beyond one partition).
   */
-final class GatewayServer(runtime: JobRuntime, port: Int = 0) extends AutoCloseable {
+final class GatewayServer(runtime: JobRuntime, port: Int = 0,
+    arrowBatchRows: Int = 4096) extends AutoCloseable {
   private val server = new ServerSocket(port)
   private val pool = Executors.newCachedThreadPool(r => {
     val t = new Thread(r, "graft-gateway-conn"); t.setDaemon(true); t
@@ -88,11 +96,12 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0) extends AutoClosea
   private def handle(sock: Socket): Unit = {
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
-    val out = new PrintWriter(sock.getOutputStream, true)
+    val raw = sock.getOutputStream
+    val out = new PrintWriter(raw, true)
     try {
       var line = in.readLine()
       while (line != null && !closed) {
-        try dispatch(line.trim, out)
+        try dispatch(line.trim, out, raw)
         catch {
           case NonFatal(e) =>
             out.println(s"""{"ok": false, "error": ${jstr(
@@ -115,7 +124,7 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0) extends AutoClosea
     n
   }
 
-  private def dispatch(line: String, out: PrintWriter): Unit =
+  private def dispatch(line: String, out: PrintWriter, raw: java.io.OutputStream): Unit =
     field(line, "op") match {
       case Some("submit") =>
         val sql = field(line, "sql").getOrElse(
@@ -145,6 +154,31 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0) extends AutoClosea
         // delivered → runtime cleaned up); otherwise the handle map — and
         // the DataFrame/RDD it pins — grows without bound in a long-lived
         // gateway.
+        h.status match {
+          case JobStatus.Completed | JobStatus.Cancelled | JobStatus.Failed(_) =>
+            handles.remove(jobId)
+          case _ => ()
+        }
+        out.println(s"""{"ok": true, "rows": $n}""")
+      case Some("fetch_arrow") =>
+        val jobId = field(line, "job_id").getOrElse(
+          throw new IllegalArgumentException("fetch_arrow requires job_id"))
+        val p = field(line, "partition").getOrElse("0").toInt
+        val h = handles.getOrElse(jobId,
+          throw new IllegalStateException(s"unknown job $jobId"))
+        // Binary result wire: ack line, then a self-delimiting LZ4 Arrow
+        // IPC stream fed page-by-page from the bounded fetch — at no point
+        // does the server hold more than one page + one encoded batch.
+        val stream = h.fetchStream(Ticket(jobId, p))
+        val n =
+          try {
+            out.println("""{"ok": true, "format": "arrow_ipc_stream"}""")
+            out.flush()
+            val written = ArrowCodec.write(h.schema, stream, raw, arrowBatchRows)
+            raw.flush()
+            written
+          } catch { case e: Throwable => handles.remove(jobId); throw e }
+          finally stream.close()
         h.status match {
           case JobStatus.Completed | JobStatus.Cancelled | JobStatus.Failed(_) =>
             handles.remove(jobId)

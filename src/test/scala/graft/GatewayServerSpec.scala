@@ -3,7 +3,8 @@ package graft
 import java.io.{BufferedReader, InputStreamReader, PrintWriter}
 import java.net.Socket
 import java.nio.charset.StandardCharsets
-import graft.gateway.{GatewayServer, JobRuntime}
+import graft.gateway.{ArrowCodec, GatewayServer, JobRuntime}
+import org.apache.spark.sql.types._
 
 /** Drives the socket gateway like an external client: submit over TCP,
   * fetch each ticket as a row stream, observe running_jobs/cluster_nodes,
@@ -54,6 +55,51 @@ class GatewayServerSpec extends SparkSpec {
       while (line.startsWith("{\"row\"")) { nodeRows += 1; line = in.readLine() }
       assert(nodeRows >= 1)
     }
+  }
+
+  test("fetch_arrow round-trips a schema-checked LZ4 Arrow IPC stream over TCP") {
+    // The reference's result wire: LZ4-compressed Arrow record batches
+    // (networks/tonic/src/server.rs:109-141). Client reads the ack line
+    // byte-wise off the raw stream (no read-ahead), then hands the same
+    // stream to the Arrow reader, then reads the trailing control line.
+    val rt = new JobRuntime(spark)
+    val srv = new GatewayServer(rt, arrowBatchRows = 256)
+    val sock = new Socket("127.0.0.1", srv.boundPort)
+    try {
+      val rawIn = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new PrintWriter(sock.getOutputStream, true)
+      def readLineRaw(): String = {
+        val sb = new StringBuilder
+        var b = rawIn.read()
+        while (b != -1 && b != '\n') { sb.append(b.toChar); b = rawIn.read() }
+        sb.toString
+      }
+      out.println("""{"op": "submit", "sql": "SELECT id, CAST(id AS STRING) AS s, CAST(id AS DOUBLE) / 4 AS d, id % 3 = 0 AS flag, IF(id % 2 = 0, NULL, id * 10) AS n FROM range(0, 1000, 1, 1)"}""")
+      val resp = readLineRaw()
+      assert(resp.contains("\"ok\": true"), resp)
+      val jobId = """"job_id": "([^"]+)"""".r.findFirstMatchIn(resp).get.group(1)
+      out.println(s"""{"op": "fetch_arrow", "job_id": "$jobId", "partition": 0}""")
+      val ack = readLineRaw()
+      assert(ack.contains("\"format\": \"arrow_ipc_stream\""), ack)
+      val (schema, rows) = ArrowCodec.read(rawIn)
+      assert(schema == StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("s", StringType, nullable = false),
+        StructField("d", DoubleType, nullable = true),
+        StructField("flag", BooleanType, nullable = true),
+        StructField("n", LongType, nullable = true))), schema.treeString)
+      assert(rows.size == 1000)
+      assert(rows(7) == org.apache.spark.sql.Row(7L, "7", 1.75, false, 70L))
+      assert(rows(8).isNullAt(4))
+      val fin = readLineRaw()
+      assert(fin.contains("\"rows\": 1000"), fin)
+      // The same connection still speaks the text protocol afterwards.
+      out.println("""{"op": "cluster_nodes"}""")
+      var line = readLineRaw()
+      var nodeRows = 0
+      while (line.startsWith("{\"row\"")) { nodeRows += 1; line = readLineRaw() }
+      assert(nodeRows >= 1)
+    } finally { sock.close(); srv.close(); rt.close() }
   }
 
   test("protocol errors answer with ok=false and the connection survives") {
