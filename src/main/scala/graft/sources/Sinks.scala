@@ -11,9 +11,10 @@ import java.nio.file.Files
   * writes a table through the format and reads it back, so the oracle is
   * simply the original table: a value-level roundtrip proof.
   *
-  * Avro (`AvroScanExecNode`, proto:1041-1043) is not available: the
-  * spark-avro connector jar is not in this zero-egress image — documented
-  * gap, wire-supported but untested in the reference too.
+  * Avro (`AvroScanExecNode`, proto:1041-1043) runs through our own
+  * DataSource V2 connector ([[graft.sources.avro.AvroDataSource]]) built
+  * on the Avro core library — the spark-avro connector jar does not exist
+  * in this zero-egress image.
   */
 object Sinks {
   private def roundtrip(fmt: String)(s: SparkSession, d: String): DataFrame = {
@@ -37,6 +38,9 @@ object Sinks {
         // Built into Spark 4 (formerly the spark-xml connector).
         src.write.mode("overwrite").option("rowTag", "nation").format("xml").save(out)
         s.read.option("rowTag", "nation").schema(src.schema).format("xml").load(out)
+      case "avro" =>
+        src.write.mode("overwrite").format("graft-avro").save(out)
+        s.read.format("graft-avro").load(out)
       case "text" =>
         // Line-oriented text: one JSON line per row — delimiter- and
         // NULL-safe (a hand-rolled '|' format would shift fields on NULLs
@@ -77,5 +81,5 @@ object Sinks {
 
   val all: Seq[QueryDef] =
     Seq(q("parquet"), q("orc"), q("csv"), q("json"), q("xml"), q("text"),
-      partitionedSink)
+      q("avro"), partitionedSink)
 }
