@@ -85,17 +85,20 @@ class PipelineSpec extends SparkSpec {
     assert(recall == 1.0, f"multiprobe LSH missed true neighbors: $recall%.2f")
   }
 
-  test("q_ann_ivf recall@5 vs brute force is reasonable") {
+  test("q_ann_ivf recall@5 vs brute force is >= 0.95") {
     val brute = SparkEntry.queries("q_ann_brute")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = SparkEntry.queries("q_ann_ivf")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
-    info(f"ANN IVF recall@5 = $recall%.2f (nprobe 6/16 cells)")
+    info(f"ANN IVF recall@5 = $recall%.2f " +
+      f"(nprobe ${pipeline.Similarity.NPROBE}/${pipeline.Similarity.IVF_K} cells)")
     // Random 64-dim vectors are IVF's worst case (true neighbors scatter
-    // across cells); measured 0.68 @ nprobe=6, 0.78 @ nprobe=8 — the
-    // curve, not the implementation, is the limit here.
-    assert(recall >= 0.6, f"IVF recall collapsed: $recall%.2f")
+    // across cells), so hitting 0.95 here costs nprobe=12 of 16 cells —
+    // measured 0.68 @ 6, 0.90 @ 10, 0.96 @ 12. On clustered real
+    // embeddings the same recall arrives at a small probe fraction; the
+    // tuning knob, not the implementation, is what this corpus stresses.
+    assert(recall >= 0.95, f"IVF recall below contract: $recall%.2f")
   }
 
   test("multimodal stub features match an independent computation") {
