@@ -11,7 +11,12 @@ package graft
   *   - failures are recorded per query as -1 with an `errors` map instead of
   *     being silently swallowed;
   *   - the JSON line is the last stdout line, printed after `spark.stop()`,
-  *     so log noise can't interleave with it.
+  *     so log noise can't interleave with it;
+  *   - each query is timed TWICE and reports the min of the two passes
+  *     (total = sum of mins), with the host's 1-min load average emitted as
+  *     `load_avg` — round-5's driver numbers were 10-60x off under external
+  *     machine load, and min-of-2 + the load witness makes that visible
+  *     instead of silently contaminating the round's record.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,10 +39,21 @@ object Bench {
     val names = if (args.isEmpty) names0 else names0.filter(args.toSet)
     names.foreach(runOnce) // warmup pass, untimed
 
-    val timed = names.map { name =>
+    def timeOne(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err = runOnce(name)
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // Two timed passes, min per query: a transient load spike during one
+    // pass doesn't masquerade as a plan property.
+    val pass1 = names.map(n => n -> timeOne(n)).toMap
+    val pass2 = names.map(n => n -> timeOne(n)).toMap
+    val timed = names.map { n =>
+      val (s1, e1) = pass1(n)
+      val (s2, e2) = pass2(n)
+      (n, math.min(s1, s2), e1.orElse(e2))
     }
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -49,6 +65,7 @@ object Bench {
     def jsonWith(qs: Seq[(String, Double, Option[String])]) = {
       val m = qs.sortBy(_._1).map((entry _).tupled).mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n":${timed.size},""" +
+        s""""passes":2,"load_avg":${math.rint(loadAvg * 100) / 100},""" +
         s""""queries":$m,"errors":$errs,"sf":${jstr(sfDir)}}"""
     }
     // The driver captures only the LAST 2000 CHARS of stdout and parses the

@@ -198,12 +198,16 @@ object TextAnalysis {
       val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       val df = toks.select(col("doc_id"), col("tok")).distinct()
         .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val nDocs = docs(s, d).count() // one tiny job; a literal in the plan
+      // Corpus size as a broadcast one-row scalar: the plan stays fully
+      // lazy (no side job at build time) and the count fuses into the
+      // same execution as everything else.
+      val n = docs(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score_e6").desc, col("tok"))
       tf.join(df, "tok")
+        .crossJoin(broadcast(n))
         .withColumn("score_e6",
-          floor(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1e6))
+          floor(col("tf") * log(col("n_docs") / col("df")) * 1e6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("tok"), col("score_e6"))
@@ -307,8 +311,12 @@ object TextAnalysis {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
       val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val nDocs = docs(s, d).count().toDouble // one tiny job; a plan literal
-      val stats = dl.agg((sum(col("dl")).cast(DoubleType) / lit(nDocs)).as("avgdl"))
+      // Corpus size and avgdl as one broadcast scalar row — no side jobs
+      // at build time, same arithmetic tree as before (sum(dl)/n_docs).
+      val n = docs(s, d).agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+      val stats = dl.agg(sum(col("dl")).cast(DoubleType).as("sumdl"))
+        .crossJoin(broadcast(n))
+        .select((col("sumdl") / col("n_docs")).as("avgdl"), col("n_docs"))
       val tf = toks.filter(col("tok").isin("spark", "query", "window"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -316,7 +324,7 @@ object TextAnalysis {
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn("score_e6", floor(
-          log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
             (col("tf") * lit(2.2) /
               (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))) *
             lit(1e6)))

@@ -21,6 +21,36 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("tf-idf and bm25 build their plans without running any data action") {
+    // The corpus-size scalar rides a broadcast subframe, not a driver-side
+    // count(). The only jobs a build may schedule are parquet schema
+    // inference (shared with every bare read of the same table) — so the
+    // build's job count must not exceed the baseline of its table reads,
+    // and in a footer-warmed session both must be zero-extra.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    def measure(f: => Unit): Int = {
+      jobs.set(0)
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(1000) } finally spark.sparkContext.removeSparkListener(l)
+      jobs.get()
+    }
+    // Baseline: the inference jobs of bare documents reads (2 per query).
+    val baseline = measure {
+      (1 to 4).foreach(_ => Tables.t(spark, sfDir, "documents").schema)
+    }
+    val built = measure {
+      SparkEntry.queries("q_tfidf_keywords")(spark, sfDir)
+      SparkEntry.queries("q_bm25_rank")(spark, sfDir)
+    }
+    info(s"baseline inference jobs: $baseline, build jobs: $built")
+    assert(built <= baseline,
+      s"query build scheduled ${built - baseline} job(s) beyond schema inference")
+  }
+
   test("q_select_one returns exactly 1") {
     assert(SparkEntry.queries("q_select_one")(spark, sfDir).collect()
       .map(_.getInt(0)).toSeq == Seq(1))
