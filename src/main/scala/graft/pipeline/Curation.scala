@@ -242,9 +242,9 @@ object Curation {
       fp.filter(col("doc_id") % 2 === 1)
         .join(store, col("fp") === col("store_fp"), "left_outer")
         .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_new"),
+        .agg(count(lit(1)).as("n_batch"),
           sum(when(col("store_fp").isNotNull, 1L).otherwise(0L)).as("n_dup"))
-        .withColumn("n_kept", col("n_new") - col("n_dup"))
+        .withColumn("n_kept", col("n_batch") - col("n_dup"))
     },
     Some("""WITH fp AS (
         SELECT doc_id, lang,
@@ -252,7 +252,7 @@ object Curation {
         FROM documents),
       store AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
       batch AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
-      SELECT lang, CAST(count(*) AS BIGINT) AS n_new,
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_batch,
         CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
         CAST(count(*) - SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM batch b LEFT JOIN store s ON b.fp = s.fp
@@ -266,9 +266,11 @@ object Curation {
     *
     * Pure map stage: explode over a per-row offset sequence — no shuffle,
     * no window, no state, so it scales with scan bandwidth alone.
-    * Offsets step by the stride while < n_tokens, so the final partial
-    * window (< 64 tokens) is kept iff it contributes new tokens; empty
-    * documents chunk to nothing. */
+    * Offsets step by the stride up to n-17 (plus offset 0 always): a
+    * trailing window whose tokens are all inside the previous window's
+    * 64-token span (n mod 48 in 1..16, n > 48) is never emitted, so every
+    * chunk contributes new tokens and downstream consumers see no fully
+    * redundant examples; empty documents chunk to nothing. */
   private val chunkDocuments = QueryDef(
     "q_chunk_documents",
     (s, d) =>
@@ -278,7 +280,7 @@ object Curation {
         .withColumn("n", size(col("toks")))
         .filter(col("n") >= 1)
         .select(col("doc_id"), col("n"), col("toks"),
-          explode(expr("sequence(0, n - 1, 48)")).as("o"))
+          explode(expr("sequence(0, greatest(0, n - 17), 48)")).as("o"))
         .select(col("doc_id"),
           expr("CAST(o div 48 AS BIGINT)").as("chunk_id"),
           least(lit(64), col("n") - col("o")).cast("long").as("n_toks"),
@@ -287,7 +289,8 @@ object Curation {
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
         FROM documents),
       c AS (
-        SELECT doc_id, len(toks) AS n, unnest(range(0, len(toks), 48)) AS o, toks
+        SELECT doc_id, len(toks) AS n,
+          unnest(range(0, greatest(1, len(toks) - 16), 48)) AS o, toks
         FROM t WHERE len(toks) >= 1)
       SELECT doc_id, o // 48 AS chunk_id,
         CAST(least(64, n - o) AS BIGINT) AS n_toks,

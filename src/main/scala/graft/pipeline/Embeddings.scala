@@ -64,12 +64,15 @@ object Embeddings {
     *
     * All math is exact fixed-point int64 so the DuckDB gate compares
     * bit-for-bit across engines (float means would be summation-order
-    * dependent): components quantize to qi = floor(v*1000); the centroid
-    * mean is floor(sum*1000/cnt) computed via a positive shift (+1e6 per
-    * element) so floor-vs-truncate division semantics can't diverge
-    * (precondition |v| < 1000, loudly true for any normalized embedding);
-    * distances are exact sums of squared int64 diffs (≤ ~1e14 at any
-    * realistic per-label count — no overflow).
+    * dependent): components quantize to qi = floor(v*1000) CLAMPED to
+    * [-1e6, 1e6] — the |v| <= 1000 precondition is enforced, not assumed,
+    * so an out-of-contract embedding degrades gracefully instead of
+    * diverging (int64 wrap on one engine, error on the other). The
+    * centroid mean is floor(sum/cnt) at the same e3 scale, computed via a
+    * positive shift (+1e6 per element) so floor-vs-truncate division
+    * semantics can't diverge; distances are exact sums of squared int64
+    * e3-scale diffs: |diff| <= 2e6, so the sum stays exact up to ~2e6
+    * dimensions — overflow-safe for any real embedding width.
     *
     * Scale shape: centroids are (labels × dims) rows — tiny forever — so
     * they broadcast; the expand factor on the fact side is n_labels with
@@ -83,15 +86,16 @@ object Embeddings {
       val dims = Tables.t(s, d, "embeddings")
         .select(col("vec_id"), col("label"), posexplode(col("embedding")))
         .select(col("vec_id"), col("label"), col("pos").as("dim"),
-          floor(col("col").cast("double") * 1000).cast("long").as("qi"))
+          greatest(lit(-1000000L), least(lit(1000000L),
+            floor(col("col").cast("double") * 1000).cast("long"))).as("qi"))
       val cent = dims.groupBy(col("label"), col("dim"))
         .agg(sum(col("qi")).as("s"), count(lit(1)).as("cnt"))
         .select(col("label").as("cand_label"), col("dim"),
-          expr("((s + cnt * 1000000L) * 1000L) div cnt - 1000000000L").as("mean_e3"))
+          expr("(s + cnt * 1000000L) div cnt - 1000000L").as("mean_e3"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("dist"), col("cand_label"))
       dims.join(broadcast(cent), "dim")
-        .withColumn("diff", col("qi") * 1000 - col("mean_e3"))
+        .withColumn("diff", col("qi") - col("mean_e3"))
         .groupBy(col("vec_id"), col("label"), col("cand_label"))
         .agg(sum(col("diff") * col("diff")).as("dist"))
         .withColumn("rk", row_number().over(w))
@@ -101,16 +105,17 @@ object Embeddings {
     },
     Some("""WITH dims AS (
         SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
-          CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qi
+          greatest(-1000000, least(1000000,
+            CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT))) AS qi
         FROM embeddings),
       cent AS (
         SELECT label AS cand_label, dim,
-          CAST(((sum(qi) + count(*) * 1000000) * 1000) // count(*)
-            - 1000000000 AS BIGINT) AS mean_e3
+          CAST((sum(qi) + count(*) * 1000000) // count(*)
+            - 1000000 AS BIGINT) AS mean_e3
         FROM dims GROUP BY 1, 2),
       scored AS (
         SELECT d.vec_id, d.label, c.cand_label,
-          sum((d.qi * 1000 - c.mean_e3) * (d.qi * 1000 - c.mean_e3)) AS dist
+          sum((d.qi - c.mean_e3) * (d.qi - c.mean_e3)) AS dist
         FROM dims d JOIN cent c USING (dim)
         GROUP BY 1, 2, 3),
       ranked AS (

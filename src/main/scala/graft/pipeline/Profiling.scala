@@ -108,10 +108,13 @@ object Profiling {
     * query builds the sketch, then audits it: estimate vs exact count for
     * the 20 most frequent tokens.
     *
-    * Hashing is the oracle-portable Rabin–Karp polynomial (base 31 mod
-    * 1e9+7, every intermediate < 4.4e10 — exact int64 on both engines,
-    * see q_fingerprint_rolling), row-seeded with per-row multiplier/offset
-    * so the 4 rows are independent. The sketch is built from the per-token
+    * Hashing is the oracle-portable Rabin–Karp polynomial (mod 1e9+7,
+    * every intermediate < 4.4e10 — exact int64 on both engines, see
+    * q_fingerprint_rolling), with a DIFFERENT base per row (31/37/41/43):
+    * each row is its own polynomial, so two tokens colliding in one row
+    * are independent in the others (an affine transform of one shared
+    * base hash would carry base-hash collisions into every row and make
+    * depth useless against them). The sketch is built from the per-token
     * aggregate (identical cell values to hashing raw instances, since
     * cell = Σ cnt over colliding tokens) — at raw-stream scale the same
     * groupBy((r, bucket)) runs directly on instances with map-side
@@ -125,16 +128,14 @@ object Profiling {
         .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
       val cnts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val keyed = cnts
-        .withColumn("t", expr("""aggregate(filter(split(tok, ''), c -> c != ''),
-          0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"""))
-        .select(col("tok"), col("cnt"), explode(expr("sequence(0, 3)")).as("r"), col("t"))
+        .select(col("tok"), col("cnt"), explode(expr("sequence(0, 3)")).as("r"))
         .withColumn("bucket", expr(
-          """((t * element_at(array(31L, 37L, 41L, 43L), CAST(r + 1 AS INT))
-               + element_at(array(7L, 11L, 13L, 17L), CAST(r + 1 AS INT)))
-              % 1000000007) % 512"""))
+          """aggregate(filter(split(tok, ''), c -> c != ''),
+             0L, (acc, c) -> (acc * element_at(array(31L, 37L, 41L, 43L),
+               CAST(r + 1 AS INT)) + ascii(c)) % 1000000007) % 512"""))
       val cells = keyed.groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("cell"))
       val probes = cnts.orderBy(col("cnt").desc, col("tok")).limit(20)
-      keyed.drop("cnt", "t")
+      keyed.drop("cnt")
         .join(broadcast(probes), "tok")
         .join(broadcast(cells), Seq("r", "bucket"))
         .groupBy(col("tok"), col("cnt"))
@@ -147,14 +148,11 @@ object Profiling {
       cnts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
       keyed AS (
         SELECT tok, cnt, r,
-          ((t * ([31,37,41,43][r+1]) + ([7,11,13,17][r+1])) % 1000000007) % 512
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(unicode(c) AS BIGINT) for c in string_split(tok, '')]),
+            (a, b) -> (a * ([31,37,41,43][r+1]) + b) % 1000000007) % 512
             AS bucket
-        FROM (
-          SELECT tok, cnt, unnest([0,1,2,3]) AS r,
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-              [CAST(unicode(c) AS BIGINT) for c in string_split(tok, '')]),
-              (a, b) -> (a * 31 + b) % 1000000007) AS t
-          FROM cnts)),
+        FROM (SELECT tok, cnt, unnest([0,1,2,3]) AS r FROM cnts)),
       cells AS (
         SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS cell
         FROM keyed GROUP BY 1, 2),

@@ -52,8 +52,8 @@ class CurationSpec extends SparkSpec {
   test("q_dedup_incremental counts are consistent with the odd/even split") {
     val d = sfDir
     val r = SparkEntry.queries("q_dedup_incremental")(spark, d)
-    assert(r.filter(col("n_new") =!= col("n_dup") + col("n_kept")).count() == 0)
-    val totalNew = r.agg(sum("n_new")).head().getLong(0)
+    assert(r.filter(col("n_batch") =!= col("n_dup") + col("n_kept")).count() == 0)
+    val totalNew = r.agg(sum("n_batch")).head().getLong(0)
     val oddDocs = Tables.t(spark, d, "documents")
       .filter(col("doc_id") % 2 === 1).count()
     assert(totalNew == oddDocs, "every batch doc is counted exactly once")

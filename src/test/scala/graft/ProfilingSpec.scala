@@ -17,7 +17,13 @@ class ProfilingSpec extends SparkSpec {
       assert(nNull >= 0 && nNull <= n)
       assert(nDist >= 0 && nDist <= n - nNull,
         s"${r.getAs[String]("col_name")}: distinct must not exceed non-null rows")
-      assert(r.getAs[String]("min_val") <= r.getAs[String]("max_val"))
+      // min/max are stringified in the profile row: compare numerically for
+      // numeric source columns (lexicographic "9" > "10" would false-fail),
+      // lexicographically for strings and %Y-%m-%d dates (order-isomorphic).
+      val (mn, mx) = (r.getAs[String]("min_val"), r.getAs[String]("max_val"))
+      val numericCols = Set("o_orderkey", "o_custkey")
+      if (numericCols(r.getAs[String]("col_name"))) assert(mn.toLong <= mx.toLong)
+      else assert(mn <= mx)
     }
   }
 
