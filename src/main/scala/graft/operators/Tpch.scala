@@ -271,12 +271,15 @@ object Tpch {
       WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'"""))
 
   /** Q17 shape: small-quantity-order revenue for one brand. The
-    * correlated per-part average becomes an aggregate-then-join: one pass
-    * over lineitem computes each part's quantity threshold (partial/final
-    * agg, shuffle carries one row per part), which then joins back to the
-    * brand-filtered fact rows on the part key. The threshold expression
-    * (0.2 * exact-BIGINT sum / count, one IEEE op per step) is evaluated
-    * in the same order on both engines, so the filter is bit-stable. */
+    * correlated per-part average becomes a PARTITIONED WINDOW over the
+    * part key (the q2 trick): ONE pass over lineitem — the broadcast
+    * brand filter shrinks the stream first (sound because the per-part
+    * average is over rows of the same part, and the brand predicate keeps
+    * or drops a part's rows wholesale), then avg-over-part rides the
+    * single part-key shuffle. The aggregate-then-join form would scan the
+    * fact twice. The threshold expression (0.2 * exact-BIGINT sum /
+    * count, one IEEE op per step) is evaluated in the same order on both
+    * engines, so the filter is bit-stable. */
   private val q17 = QueryDef(
     "q_tpch_q17",
     (s, d) => {
@@ -284,11 +287,11 @@ object Tpch {
         .select(col("p_partkey")))
       val l = t(s, d, "lineitem")
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      val limits = l.groupBy(col("l_partkey").as("t_partkey"))
-        .agg((lit(0.2) * (sum(col("l_quantity").cast(LongType)).cast(DoubleType) /
-          count(lit(1)))).as("qty_limit"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
       l.join(p, l("l_partkey") === p("p_partkey"))
-        .join(limits, l("l_partkey") === col("t_partkey"))
+        .withColumn("qty_limit",
+          lit(0.2) * (sum(col("l_quantity").cast(LongType)).over(w).cast(DoubleType) /
+            count(lit(1)).over(w)))
         .filter(col("l_quantity") < col("qty_limit"))
         .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
           .cast(DoubleType) / lit(7.0)).as("avg_yearly"))

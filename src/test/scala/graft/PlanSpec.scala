@@ -117,14 +117,15 @@ class PlanSpec extends SparkSpec {
     // scalar subquery), O(n) compares — never data x data either.
     // q_gap_fill's cross is users x ONE bounds row (the day-spine
     // broadcast) — same scalar-broadcast shape as q22.
-    // q_tpch_q11's and q_bm25_rank's crosses are the same scalar-threshold
-    // broadcast as q22: data x ONE row (total / avgdl), O(n) compares.
+    // q_tpch_q11's, q_bm25_rank's and q_tfidf_keywords' crosses are the
+    // same scalar-threshold broadcast as q22: data x ONE row (total /
+    // avgdl / corpus size), O(n) compares.
     // q_lang_rebalance's cross is n_langs rows x ONE normalizing-total row;
     // q_perplexity_lm's is bigram types x ONE vocabulary-size row;
     // q_dedup_report's are one-row x one-row scalar combines.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
       "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank",
-      "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report")
+      "q_tfidf_keywords", "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -232,6 +233,67 @@ class PlanSpec extends SparkSpec {
     // Q20's qualifier is a semi join — the supplier dimension must never
     // inflate through an inner join against the flow rows.
     assert(planString("q_tpch_q20").contains("LeftSemi"), "q20 lost its semi join")
+  }
+
+  test("golden plan traits for all 22 TPC-H queries") {
+    // Per-query scale contract, encoded as operator-class traits (not
+    // display strings): how many times the fact table may be scanned,
+    // whether LIMIT compiles to a distributed top-k, whether dims
+    // broadcast, and the global invariants — no cartesian product, no
+    // nested loop except the sanctioned one-row scalar broadcasts
+    // (q11/q22 thresholds), no Expand, every window partitioned.
+    // liMax = 2 only where the second pass is the scalar-threshold /
+    // max-revenue side over the AGGREGATED relation (q11, q15) — the
+    // textbook shape; every other query touches lineitem at most once.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    final case class Golden(liMax: Int, topK: Boolean, broadcasts: Boolean,
+      scalarBnlj: Boolean = false)
+    val golden = Map(
+      "q1_agg" -> Golden(1, topK = false, broadcasts = false),
+      "q_tpch_q2" -> Golden(1, topK = true, broadcasts = true),
+      "q_tpch_q3" -> Golden(1, topK = true, broadcasts = true),
+      "q_tpch_q4" -> Golden(1, topK = false, broadcasts = true),
+      "q_tpch_q5" -> Golden(1, topK = false, broadcasts = true),
+      "q_tpch_q6" -> Golden(1, topK = false, broadcasts = false),
+      "q_tpch_q7" -> Golden(1, topK = false, broadcasts = true),
+      "q_tpch_q8" -> Golden(1, topK = false, broadcasts = true),
+      "q_tpch_q9" -> Golden(1, topK = false, broadcasts = true),
+      "q_tpch_q10" -> Golden(1, topK = true, broadcasts = true),
+      "q_tpch_q11" -> Golden(2, topK = false, broadcasts = true, scalarBnlj = true),
+      "q_tpch_q12" -> Golden(1, topK = false, broadcasts = true),
+      "q_tpch_q13" -> Golden(0, topK = false, broadcasts = true),
+      "q_tpch_q14" -> Golden(1, topK = false, broadcasts = true),
+      "q_tpch_q15" -> Golden(2, topK = false, broadcasts = true),
+      "q_tpch_q16" -> Golden(1, topK = false, broadcasts = true),
+      "q_tpch_q17" -> Golden(1, topK = false, broadcasts = true),
+      "q_tpch_q18" -> Golden(1, topK = true, broadcasts = true),
+      "q_tpch_q19" -> Golden(1, topK = false, broadcasts = true),
+      "q_tpch_q20" -> Golden(1, topK = false, broadcasts = true),
+      "q_tpch_q21" -> Golden(1, topK = true, broadcasts = true),
+      "q_tpch_q22" -> Golden(0, topK = false, broadcasts = true, scalarBnlj = true))
+    for ((name, g) <- golden.toSeq.sortBy(_._1)) {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+      val flat = flattenPlan(plan)
+      val liScans = flat.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => f
+      }.size
+      val s = plan.toString
+      assert(liScans <= g.liMax,
+        s"$name scans lineitem $liScans times (golden max ${g.liMax})")
+      assert(s.contains("TakeOrderedAndProject") == g.topK,
+        s"$name top-k mismatch (golden ${g.topK})")
+      if (g.broadcasts)
+        assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+          s"$name plans no broadcast for its dims")
+      assert(!s.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!g.scalarBnlj)
+        assert(!s.contains("BroadcastNestedLoopJoin"), s"$name degenerated to NLJ")
+      assert(!s.contains("Expand"), s"$name plans Expand on the fact stream")
+      flat.collect { case w: WindowExec => w }.foreach(w =>
+        assert(w.partitionSpec.nonEmpty, s"$name has a global (unpartitioned) window"))
+    }
   }
 
   test("join hints select the hinted physical strategy") {
