@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the dedup family (SCALE.md evidence): generate two
+  * corpora with the IDENTICAL deterministic process at 1x and 10x size
+  * (so the measured growth isolates the scaling law, not generator
+  * drift), run each dedup query on both, and report wall seconds, output
+  * rows, and total shuffle read+write bytes per query.
+  *
+  * The generator mimics the driver corpus's observable shape (vocab and
+  * empirical token frequencies, empirical length distribution, lang mix,
+  * all sampled from the given source dir) and plants near-duplicate pairs
+  * at a fixed per-doc rate (a 5%-token perturbation of an earlier doc,
+  * J ~ 0.9), so true-pair volume grows linearly with corpus size — the
+  * property the banded candidate strategies must track without
+  * quadratic candidate blowup.
+  *
+  * Usage: runMain graft.ScaleProbe <srcSfDir> <workDir>
+  */
+object ScaleProbe {
+  private val probeQueries = Seq("q_dedup_exact", "q_dedup_ngram",
+    "q_dedup_minhash", "q_dedup_simhash", "q_substring_dedup")
+
+  def main(args: Array[String]): Unit = {
+    val (srcDir, workDir) = (args(0), args(1))
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    // --- empirical shape from the source corpus ------------------------
+    val src = Tables.t(spark, srcDir, "documents")
+    val vocab = src.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").groupBy("tok").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val lengths = src.select(size(split(col("text"), " "))).collect().map(_.getInt(0))
+    val langs = src.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+    def generate(n: Int, out: String): Unit = {
+      val rnd = new scala.util.Random(42)
+      val cumV = vocab.scanLeft(0L)(_ + _._2).tail
+      val totV = cumV.last
+      def sampleTok(): String = {
+        val x = rnd.nextLong(totV)
+        vocab(cumV.indexWhere(_ > x))._1
+      }
+      val cumL = langs.scanLeft(0L)(_ + _._2).tail
+      def sampleLang(): String = {
+        val x = rnd.nextLong(cumL.last)
+        langs(cumL.indexWhere(_ > x))._1
+      }
+      val docs = new Array[Array[String]](n)
+      var i = 0
+      while (i < n) {
+        docs(i) =
+          if (i > 100 && rnd.nextDouble() < 0.01) {
+            // planted near-dup: 5% token perturbation of an earlier doc
+            docs(rnd.nextInt(i)).map(t =>
+              if (rnd.nextDouble() < 0.05) sampleTok() else t)
+          } else {
+            Array.fill(lengths(rnd.nextInt(lengths.length)))(sampleTok())
+          }
+        i += 1
+      }
+      val rows = docs.zipWithIndex.map { case (toks, id) =>
+        val text = toks.mkString(" ")
+        (id.toLong, text, sampleLang(), s"src${id % 10}", text.length.toLong)
+      }
+      import spark.implicits._
+      rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+
+    // --- instrumented run ----------------------------------------------
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        Option(t.taskMetrics).foreach { m =>
+          shuffleBytes.addAndGet(
+            m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.totalBytesRead)
+          ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    def run(dir: String, label: String): Seq[(String, Double, Long, Long)] =
+      probeQueries.map { name =>
+        // fresh shingle-index per corpus is intended: it is part of the cost
+        shuffleBytes.set(0)
+        val t0 = System.nanoTime()
+        val cnt = SparkEntry.queries(name)(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // drain listener events
+        val sb = shuffleBytes.get()
+        println(f"PROBE $label $name%-20s wall=$sec%8.2fs rows=$cnt%8d shuffleMB=${sb / 1e6}%10.1f")
+        (name, sec, cnt, sb)
+      }
+
+    val n1 = 5000
+    generate(n1, s"$workDir/g1x")
+    generate(n1 * 10, s"$workDir/g10x")
+    println(s"generated g1x=$n1 docs, g10x=${n1 * 10} docs")
+    run(s"$workDir/g1x", "warm1x") // warmup (JIT, codegen)
+    val r1 = run(s"$workDir/g1x", "g1x")
+    val r10 = run(s"$workDir/g10x", "g10x")
+    println("name, wall_1x, wall_10x, ratio, rows_1x, rows_10x, shuffleMB_1x, shuffleMB_10x")
+    r1.zip(r10).foreach { case ((n, s1, c1, b1), (_, s10, c10, b10)) =>
+      println(f"SUMMARY $n%-20s ${s1}%8.2f ${s10}%8.2f ${s10 / s1}%6.2fx " +
+        f"$c1%8d $c10%8d ${b1 / 1e6}%10.1f ${b10 / 1e6}%10.1f")
+    }
+    spark.stop()
+  }
+}

@@ -173,13 +173,22 @@ object Dedup {
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
         .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
-        .select(col("doc_id"), col("n"), col("shingle"))
-      // Candidate pairs: prefix-bucket self-join (a < b) with the length
-      // filter (J >= t implies t <= |A|/|B| <= 1/t — prunes most spurious
-      // bucket-mates before the distinct), then dedup.
+        .select(col("doc_id"), col("n"), col("shingle"), col("rk"))
+      // Candidate pairs: prefix-bucket self-join (a < b) with two sound
+      // prunes before the distinct:
+      //  - length filter: J >= t implies t <= |A|/|B| <= 1/t;
+      //  - PPJoin position filter: overlap >= ceil(t/(1+t)·(na+nb)) is
+      //    required for J >= t, and at a pair's FIRST shared rarity-ranked
+      //    shingle (positions rx, ry) the overlap is bounded by
+      //    1 + min(na-rx, nb-ry). Later shared shingles may be wrongly
+      //    pruned by this bound, but the union over bucket entries always
+      //    retains the first match, so completeness is preserved — the
+      //    filter only sheds redundant entries and dense-bucket noise.
       val cands = ranked.as("x").join(ranked.as("y"), "shingle")
         .filter(col("x.doc_id") < col("y.doc_id") &&
-          col("x.n") * t <= col("y.n") && col("y.n") * t <= col("x.n"))
+          col("x.n") * t <= col("y.n") && col("y.n") * t <= col("x.n") &&
+          lit(1) + least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk")) >=
+            ceil(lit(t / (1 + t)) * (col("x.n") + col("y.n"))))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
       // Exact verification on the full shingle sets.
