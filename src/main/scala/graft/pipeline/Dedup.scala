@@ -308,10 +308,34 @@ object Dedup {
       // ~32, so the exact bit_count filter — ints already in the join row,
       // no extra data fetched — kills the bulk of the candidate stream
       // before the (expensive) shingle-set join and Jaccard verify.
-      val cands = buckets.as("x").join(buckets.as("y"), Seq("chunk", "sig"))
-        .filter(col("x.doc_id") < col("y.doc_id") &&
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= 7)
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      //
+      // Block-grid (triangle) decomposition of the band self-join: an
+      // 8-bit band has only 256 values, and correlated fingerprints make
+      // some values near-universal — a hot bucket's quadratic residual
+      // work would land on ONE task (AQE's skew split can't see it: the
+      // skew is in join OUTPUT, the input bytes stay balanced; measured
+      // as an 85 s straggler at the 50k-doc scale probe). Each doc gets a
+      // stable block id in [0, B); the x side replicates over q, the y
+      // side over p, and the join key (chunk, sig, p, q) spreads every
+      // bucket's pair grid across B^2 cells. Each (x, y) pair meets
+      // exactly once (at p = x.blk, q = y.blk), so the candidate set —
+      // and the pigeonhole completeness guarantee — is unchanged.
+      // (A popcount-band pre-split — |popcount(a)-popcount(b)| <= 7 for
+      // pairs in radius — was measured here and REMOVED: fingerprint
+      // popcounts concentrate in one or two bands (binomial around 32),
+      // so it tripled the replicated rows without splitting anything.)
+      val B = 8
+      val blocked = buckets.withColumn("blk",
+        pmod(xxhash64(col("doc_id")), lit(B)).cast("int"))
+      val grid = expr(s"sequence(0, ${B - 1})")
+      val xs = blocked.select(col("doc_id"), col("simhash"),
+        col("chunk"), col("sig"), col("blk").as("p"), explode(grid).as("q"))
+      val ys = blocked.select(col("doc_id").as("y_id"), col("simhash").as("y_simhash"),
+        col("chunk"), col("sig"), explode(grid).as("p"), col("blk").as("q"))
+      val cands = xs.join(ys, Seq("chunk", "sig", "p", "q"))
+        .filter(col("doc_id") < col("y_id") &&
+          bit_count(col("simhash").bitwiseXOR(col("y_simhash"))) <= 7)
+        .select(col("doc_id").as("a_id"), col("y_id").as("b_id"))
         .distinct()
       val t = 0.5
       val sh = materializedShingles(s, d).select(col("doc_id"), col("shingles"))
