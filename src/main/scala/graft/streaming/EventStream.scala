@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+  StatefulProcessor, StreamingQuery, TimeMode, TimerValues, TTLConfig}
 import org.apache.spark.sql.streaming.ValueState
 
 final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -107,6 +107,49 @@ object EventStream {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new CountProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Exactly-once dedup ingest into a parquet corpus store via foreachBatch —
+    * the streaming face of [[graft.pipeline.Dedup]]'s exact strategy and of
+    * `q_dedup_incremental`: each micro-batch of `(doc_id, text)` is
+    * sha-256-deduped within itself and anti-joined against every digest
+    * already in the store, and only the novel documents land, under the
+    * batch's own `ingest_batch=<id>` partition.
+    *
+    * Exactly-once is structural, not transactional: checkpoint recovery
+    * redelivers a batch under the SAME batch id, [[ingestBatch]] rebuilds
+    * that one partition from scratch against the (immutable) earlier
+    * partitions, and the merge is deterministic — the standard idempotent
+    * foreachBatch sink pattern. At 100 TB the per-batch cost is one
+    * column-pruned scan of the store's digest column plus a digest-keyed
+    * shuffle of the micro-batch; bucketing the store by digest would make
+    * the anti-join exchange-free on the store side. */
+  def startDedupIngest(source: DataFrame, storeDir: String,
+      checkpointDir: String): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        ingestBatch(batch, batchId, storeDir))
+      .start()
+
+  private[graft] def ingestBatch(batch: Dataset[Row], batchId: Long,
+      storeDir: String): Unit = {
+    val spark = batch.sparkSession
+    // Replay idempotence: this batch id owns exactly one partition
+    // directory; a post-crash redelivery deletes the partial partition and
+    // rebuilds it against the same prior store.
+    val own = new org.apache.hadoop.fs.Path(s"$storeDir/ingest_batch=$batchId")
+    val fs = own.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(own)) { fs.delete(own, true); () }
+    val hashed = batch.withColumn("digest", sha2(col("text"), 256))
+      .dropDuplicates("digest")
+    val prior =
+      try Some(spark.read.parquet(storeDir)
+        .filter(col("ingest_batch") < batchId).select("digest"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val novel = prior.fold(hashed)(p => hashed.join(p, Seq("digest"), "left_anti"))
+    novel.withColumn("ingest_batch", lit(batchId))
+      .write.mode("append").partitionBy("ingest_batch").parquet(storeDir)
   }
 
   def startWindowedQuery(spark: SparkSession, source: DataFrame, name: String) =

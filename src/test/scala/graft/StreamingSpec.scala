@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import graft.streaming.{EventStream, EventRow}
 
 /** Structured Streaming layer: event-time windowed aggregation with
@@ -165,6 +166,45 @@ class StreamingSpec extends SparkSpec {
       assert(byUser(1L) == 3L, s"user 1 state did not carry: $out")
       assert(byUser(2L) == 1L, s"user 2 miscounted: $out")
     } finally prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+  }
+
+  test("foreachBatch dedup ingest: exactly-once store across restart and replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    val input = MemoryStream[(Long, String)]
+    val src = input.toDF().toDF("doc_id", "text")
+    def storeTexts() = spark.read.parquet(store).select("text")
+      .as[String].collect().sorted.toSeq
+
+    val q1 = EventStream.startDedupIngest(src, store, ckpt)
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha")) // in-batch dup
+      q1.processAllAvailable()
+      input.addData((4L, "beta"), (5L, "gamma")) // cross-batch dup
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(storeTexts() == Seq("alpha", "beta", "gamma"),
+      "in-batch and cross-batch duplicates must be dropped")
+
+    // Restart from the same checkpoint: committed offsets are not re-read,
+    // only post-restart data is ingested.
+    val q2 = EventStream.startDedupIngest(src, store, ckpt)
+    try {
+      input.addData((6L, "gamma"), (7L, "delta"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(storeTexts() == Seq("alpha", "beta", "delta", "gamma"))
+
+    // Crash-replay idempotence: re-running the last committed batch id
+    // against the same store must rebuild its partition identically.
+    val last = spark.read.parquet(store)
+      .select(col("ingest_batch").cast("long")).as[Long].collect().max
+    val replay = Seq((6L, "gamma"), (7L, "delta")).toDF("doc_id", "text")
+    EventStream.ingestBatch(replay, last, store)
+    assert(storeTexts() == Seq("alpha", "beta", "delta", "gamma"),
+      s"replaying committed batch $last must be a no-op on the store")
   }
 
   test("sessionization accumulates per-user state across micro-batches") {
