@@ -24,6 +24,13 @@ object ScaleProbe {
   private val probeQueries = Seq("q_dedup_exact", "q_dedup_ngram",
     "q_dedup_minhash", "q_dedup_simhash", "q_substring_dedup")
 
+  /** Similarity family, probed over generated embeddings (same 1x/10x
+    * protocol): brute force is the exact O(NQ*N) floor, LSH is the scale
+    * path whose candidate volume must track corpus size linearly, and
+    * embedding near-dup must track the (linearly planted) true-pair
+    * volume. */
+  private val simQueries = Seq("q_ann_brute", "q_ann_lsh", "q_dedup_embedding")
+
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -72,6 +79,31 @@ object ScaleProbe {
         .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
 
+    /** 64-dim Gaussian embeddings (the sf corpus's shape: random vectors,
+      * int labels), with 1% planted near-dups — an earlier vector plus
+      * sigma=0.03 noise, cosine ~ 0.998 >> the 0.95 dedup threshold — so
+      * q_dedup_embedding's true-pair volume grows linearly like the
+      * document generator's. */
+    def generateEmbeddings(n: Int, out: String): Unit = {
+      val rnd = new scala.util.Random(43)
+      val vecs = new Array[Array[Float]](n)
+      var i = 0
+      while (i < n) {
+        vecs(i) =
+          if (i > 100 && rnd.nextDouble() < 0.01)
+            vecs(rnd.nextInt(i)).map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+          else Array.fill(64)(rnd.nextGaussian().toFloat)
+        i += 1
+      }
+      import spark.implicits._
+      vecs.zipWithIndex
+        .map { case (v, id) => (id.toLong, v.toSeq, rnd.nextInt(10)) }.toSeq
+        .toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>"),
+          col("label").cast("int"))
+        .repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+
     // --- instrumented run ----------------------------------------------
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new SparkListener {
@@ -84,8 +116,9 @@ object ScaleProbe {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    def run(dir: String, label: String): Seq[(String, Double, Long, Long)] =
-      probeQueries.map { name =>
+    def run(dir: String, label: String,
+        queries: Seq[String] = probeQueries): Seq[(String, Double, Long, Long)] =
+      queries.map { name =>
         // fresh shingle-index per corpus is intended: it is part of the cost
         shuffleBytes.set(0)
         val t0 = System.nanoTime()
@@ -100,10 +133,14 @@ object ScaleProbe {
     val n1 = 5000
     generate(n1, s"$workDir/g1x")
     generate(n1 * 10, s"$workDir/g10x")
-    println(s"generated g1x=$n1 docs, g10x=${n1 * 10} docs")
+    val e1 = 2000 // the sf0.1 embeddings row count
+    generateEmbeddings(e1, s"$workDir/g1x")
+    generateEmbeddings(e1 * 10, s"$workDir/g10x")
+    println(s"generated g1x=$n1 docs/$e1 vecs, g10x=${n1 * 10} docs/${e1 * 10} vecs")
     run(s"$workDir/g1x", "warm1x") // warmup (JIT, codegen)
-    val r1 = run(s"$workDir/g1x", "g1x")
-    val r10 = run(s"$workDir/g10x", "g10x")
+    run(s"$workDir/g1x", "warm1x", simQueries)
+    val r1 = run(s"$workDir/g1x", "g1x") ++ run(s"$workDir/g1x", "g1x", simQueries)
+    val r10 = run(s"$workDir/g10x", "g10x") ++ run(s"$workDir/g10x", "g10x", simQueries)
     println("name, wall_1x, wall_10x, ratio, rows_1x, rows_10x, shuffleMB_1x, shuffleMB_10x")
     r1.zip(r10).foreach { case ((n, s1, c1, b1), (_, s10, c10, b10)) =>
       println(f"SUMMARY $n%-20s ${s1}%8.2f ${s10}%8.2f ${s10 / s1}%6.2fx " +

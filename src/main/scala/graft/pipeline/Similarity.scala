@@ -270,23 +270,41 @@ object Similarity {
     None)
 
   /** Embedding-cosine near-duplicate pairs (the "semantic dedup" stage):
-    * LSH bucketing tuned tight (8 tables x 8 bits — at cosine 0.95,
-    * P(detect) ~ 0.99 while random pairs rarely collide, keeping candidate
-    * volume ~bucket-sized), symmetric self-join on ids only (vectors are
-    * re-joined after the pair dedup, so `distinct` never hashes arrays),
-    * exact cosine >= 0.95 verification. This corpus is random 64-dim
+    * LSH bucketing with corpus-adaptive geometry ([[dedupLshParams]]; 8
+    * tables x 8 bits at the sf scales, wider as N grows, P(detect) >= 0.98
+    * at the cosine-0.95 boundary throughout), symmetric self-join on ids
+    * only (vectors are re-joined after the pair dedup, so `distinct` never
+    * hashes arrays), exact cosine >= 0.95 verification. This corpus is
+    * random 64-dim
     * vectors (max pairwise cosine 0.513), so the correct answer at the
     * 0.95 near-dup threshold is *empty* — the DuckDB all-pairs oracle
     * verifies Spark agrees (i.e. the bucketed path emits no spurious
     * pairs); recall on actual near-dups is covered in PipelineSpec via
     * planted duplicates. */
-  private val DEDUP_TABLES = 8
-  private val DEDUP_BITS = 8
+  /** Bucket geometry scales with corpus size. At FIXED signature width the
+    * candidate self-join is quadratic: pairs-per-bucket ~ (N/2^bits)^2, and
+    * the 10x scale probe measured exactly that (shuffle 1.2 MB -> 110 MB, a
+    * 92x growth, at 8 bits). bits = ceil(log2 N) - 3 pins expected bucket
+    * occupancy at ~8 vectors, making candidate volume ~8N per table —
+    * linear; the table count then rises with the width to hold >= 0.98
+    * recall at the cosine-0.95 contract boundary, where P(one table
+    * matches) = 0.899^bits (theta/pi for theta = acos 0.95). N comes from a
+    * driver-side metadata count — parquet row counts, no data scan — since
+    * the width must be a plan literal (it shapes the hyperplane tensor). */
+  private[graft] def dedupLshParams(n: Long): (Int, Int) = {
+    val bits = math.max(8, math.min(24,
+      math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2)).toInt - 3))
+    val pb = math.pow(0.899, bits)
+    val tables = math.max(8, math.ceil(math.log(0.02) / math.log1p(-pb)).toInt)
+    (tables, bits)
+  }
+
   private val dedupEmbedding = QueryDef(
     "q_dedup_embedding",
     (s, d) => {
       val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val buckets = bucketed(e, DEDUP_TABLES, DEDUP_BITS)
+      val (nTables, nBits) = dedupLshParams(emb(s, d).count())
+      val buckets = bucketed(e, nTables, nBits)
       val cands = buckets.as("x").join(buckets.as("y"), Seq("table", "sig"))
         .filter(col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))

@@ -179,6 +179,58 @@ class PipelineSpec extends SparkSpec {
       s"transitive closure broken: $clusters")
   }
 
+  test("q_dedup_embedding recalls all planted cosine near-dups (vs all-pairs truth)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-dedup").toString
+    val rnd = new scala.util.Random(7)
+    val n = 600
+    val vecs = new Array[Array[Float]](n)
+    for (i <- 0 until n)
+      vecs(i) =
+        if (i > 50 && rnd.nextDouble() < 0.05)
+          // planted near-dup: sigma-0.03 perturbation, cosine ~ 0.9995 —
+          // far inside the 0.95 contract, so seeded-LSH recall is
+          // deterministic (P(miss) ~ 1e-9 per pair)
+          vecs(rnd.nextInt(i)).map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+        else Array.fill(64)(rnd.nextGaussian().toFloat)
+    vecs.zipWithIndex.map { case (v, id) => (id.toLong, v.toSeq, 0) }.toSeq
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val truth = (for {
+      a <- 0 until n; b <- (a + 1) until n
+      if math.floor(cos(vecs(a), vecs(b)) * 1e6) >= 950000
+    } yield (a.toLong, b.toLong)).toSet
+    assert(truth.nonEmpty, "fixture must contain planted near-dups")
+    val found = SparkEntry.queries("q_dedup_embedding")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth,
+      s"missed=${(truth -- found).take(5)} spurious=${(found -- truth).take(5)}")
+  }
+
+  test("adaptive dedup-LSH geometry: occupancy-pinned width, recall-held tables") {
+    import graft.pipeline.Similarity.dedupLshParams
+    assert(dedupLshParams(2000L) == (8, 8),
+      "sf-scale corpora must keep the original 8x8 geometry")
+    val (t10, b10) = dedupLshParams(20000L)
+    assert(b10 > 8 && t10 > 8, s"10x corpus must widen: got ($t10, $b10)")
+    // recall at the 0.95 boundary stays >= 0.98 for every geometry
+    for (nExp <- 8 to 30) {
+      val (tb, bb) = dedupLshParams(1L << nExp)
+      val recall = 1 - math.pow(1 - math.pow(0.899, bb), tb)
+      assert(recall >= 0.98, s"N=2^$nExp ($tb tables, $bb bits): recall $recall")
+      assert(bb <= 24, "signature must stay in an Int")
+    }
+  }
+
   test("pipeline plans never go quadratic (no cartesian/NLJ in dedup paths)") {
     for (q <- Seq("q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash",
       "q_dedup_simhash", "q_dedup_embedding")) {
