@@ -101,6 +101,44 @@ class GatewaySpec extends SparkSpec {
     }
   }
 
+  test("concurrent bounded-page streams drain independently and correctly") {
+    // The reference serves many tickets at once, each through its own
+    // bounded channel; the analog contract: N simultaneous consumers, one
+    // per partition ticket, each sees its partition complete, in order,
+    // and no page ever exceeds fetchPageSize — however the producer
+    // threads interleave.
+    withRuntime(GatewayConfig(fetchPageSize = 500)) { rt =>
+      val h = rt.submit("SELECT id FROM range(0, 80000, 1, 8)") // 8 partitions
+      val tickets = h.tickets
+      assert(tickets.size == 8)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(tickets.size)
+      try {
+        val futs = tickets.map { t =>
+          pool.submit(new java.util.concurrent.Callable[(Long, Long, Boolean)] {
+            def call(): (Long, Long, Boolean) = {
+              val s = h.fetchStream(t)
+              try {
+                var n = 0L; var sum = 0L; var inOrder = true; var prev = Long.MinValue
+                s.foreach { r =>
+                  val v = r.getLong(0)
+                  inOrder &&= v > prev; prev = v; sum += v; n += 1
+                }
+                (n, sum, inOrder)
+              } finally s.close()
+            }
+          })
+        }
+        val res = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        assert(res.map(_._1).sum == 80000L, s"row counts: ${res.map(_._1)}")
+        assert(res.map(_._2).sum == (0L until 80000L).sum, "row VALUES were crossed between streams")
+        assert(res.forall(_._3), "a stream delivered its partition out of order")
+        assert(h.maxPageRows <= 500L,
+          s"a page held ${h.maxPageRows} rows on the driver under concurrency")
+        assert(h.status == JobStatus.Completed)
+      } finally { pool.shutdownNow(); () }
+    }
+  }
+
   test("an abandoned stream leaves the ticket re-fetchable") {
     withRuntime(GatewayConfig(fetchPageSize = 100)) { rt =>
       val h = rt.submit("SELECT id FROM range(0, 10000, 1, 1)")
