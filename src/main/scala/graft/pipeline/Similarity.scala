@@ -299,11 +299,29 @@ object Similarity {
     (tables, bits)
   }
 
+  /** One metadata row count per corpus per JVM (same content-token cache
+    * discipline as [[ivfCentroids]]): repeated plan builds — verify, bench
+    * warm+timed passes, spec sweeps — reuse the count instead of scheduling
+    * a job each. */
+  private val corpusSizeCache =
+    new scala.collection.concurrent.TrieMap[String, Long]()
+
+  private def corpusSize(s: SparkSession, d: String): Long = {
+    val token = Tables.contentToken(s"$d/embeddings.parquet")
+    corpusSizeCache.getOrElseUpdate(token, {
+      val path = token.split('#')(0)
+      corpusSizeCache.keys
+        .filter(k => k != token && k.startsWith(path + "#"))
+        .foreach(corpusSizeCache.remove)
+      emb(s, d).count()
+    })
+  }
+
   private val dedupEmbedding = QueryDef(
     "q_dedup_embedding",
     (s, d) => {
       val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val (nTables, nBits) = dedupLshParams(emb(s, d).count())
+      val (nTables, nBits) = dedupLshParams(corpusSize(s, d))
       val buckets = bucketed(e, nTables, nBits)
       val cands = buckets.as("x").join(buckets.as("y"), Seq("table", "sig"))
         .filter(col("x.vec_id") < col("y.vec_id"))
