@@ -142,6 +142,48 @@ object Sampling {
         (s_e6 * 1000000 // tot) * n_total // 1000000 AS target_docs
       FROM c, tot"""))
 
+  /** Deterministic shard assignment + reproducible within-shard order —
+    * the "shuffle, then shard" writer step of a training-data release.
+    * Training wants documents in pseudo-random order, and the order must
+    * be REPRODUCIBLE (a re-run of the release, a resumed writer, or a
+    * backfilled shard must place every doc at the same position), so the
+    * order key is a seeded md5 of the doc id, never `rand()`: shard =
+    * top-byte of the hash mod N_SHARDS, pos = rank of the hash within the
+    * shard. One hash-partition shuffle + a per-shard sort (each shard
+    * sorts independently — the 100 TB shape, where N_SHARDS scales with
+    * target file size and no global sort ever happens). md5 is the hash
+    * because both engines print it identically; hex digits are folded to
+    * ints via instr() on the hex alphabet, the only cross-engine-portable
+    * hex decode. */
+  private val N_SHARDS = 8
+  private val shardShuffle = QueryDef(
+    "q_shard_shuffle",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard")).orderBy(col("hx"), col("doc_id"))
+      Tables.t(s, d, "documents")
+        .withColumn("hx",
+          md5(concat(lit("graft-shuffle-1:"), col("doc_id").cast("string"))))
+        .withColumn("shard",
+          (((expr("instr('0123456789abcdef', substring(hx, 1, 1))") - 1) * 16 +
+            (expr("instr('0123456789abcdef', substring(hx, 2, 1))") - 1)) % N_SHARDS)
+            .cast("long"))
+        .select(col("doc_id"), col("shard"),
+          row_number().over(w).cast("long").as("pos"))
+    },
+    Some(s"""WITH h AS (
+        SELECT doc_id,
+          md5('graft-shuffle-1:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents),
+      sh AS (
+        SELECT doc_id, hx,
+          ((instr('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substring(hx, 2, 1)) - 1)) % $N_SHARDS AS shard
+        FROM h)
+      SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
+      FROM sh"""))
+
   val all: Seq[QueryDef] =
-    Seq(sampleSplit, sampleStratified, mixSources, langRebalance)
+    Seq(sampleSplit, sampleStratified, mixSources, langRebalance, shardShuffle)
 }
