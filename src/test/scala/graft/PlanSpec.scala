@@ -200,6 +200,12 @@ class PlanSpec extends SparkSpec {
     // session_window aggregates partially before its single exchange.
     val sw = planString("q_session_window")
     assert("Exchange hashpartitioning".r.findAllIn(sw).size == 1, sw)
+    // Shard shuffle: ONE hash exchange on the shard key, per-shard sort
+    // only — a global sort would serialize the whole corpus at scale.
+    val sh = planString("q_shard_shuffle")
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(sh).size == 1, sh)
+    assert(!sh.contains("Exchange rangepartitioning"),
+      s"shard shuffle plans a global sort:\n$sh")
   }
 
   test("round-5 TPC-H completions keep their scale-contract plans") {
