@@ -32,6 +32,12 @@ object ScaleProbe {
     * volume. */
   private val simQueries = Seq("q_ann_brute", "q_ann_lsh", "q_dedup_embedding")
 
+  /** Heavy text-analysis stages (token-keyed shuffles with map-side
+    * combine + broadcast model state): expected ~linear — the probe
+    * verifies none hides a dictionary- or pair-quadratic term. */
+  private val textQueries = Seq("q_tfidf_keywords", "q_bm25_rank",
+    "q_boilerplate_ngrams", "q_decontaminate", "q_perplexity_lm")
+
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -140,8 +146,13 @@ object ScaleProbe {
     println(s"generated g1x=$n1 docs/$e1 vecs, g10x=${n1 * 10} docs/${e1 * 10} vecs")
     run(s"$workDir/g1x", "warm1x") // warmup (JIT, codegen)
     run(s"$workDir/g1x", "warm1x", simQueries)
-    val r1 = run(s"$workDir/g1x", "g1x") ++ run(s"$workDir/g1x", "g1x", simQueries)
-    val r10 = run(s"$workDir/g10x", "g10x") ++ run(s"$workDir/g10x", "g10x", simQueries)
+    run(s"$workDir/g1x", "warm1x", textQueries)
+    val r1 = run(s"$workDir/g1x", "g1x") ++
+      run(s"$workDir/g1x", "g1x", simQueries) ++
+      run(s"$workDir/g1x", "g1x", textQueries)
+    val r10 = run(s"$workDir/g10x", "g10x") ++
+      run(s"$workDir/g10x", "g10x", simQueries) ++
+      run(s"$workDir/g10x", "g10x", textQueries)
     println("name, wall_1x, wall_10x, ratio, rows_1x, rows_10x, shuffleMB_1x, shuffleMB_10x")
     r1.zip(r10).foreach { case ((n, s1, c1, b1), (_, s10, c10, b10)) =>
       println(f"SUMMARY $n%-20s ${s1}%8.2f ${s10}%8.2f ${s10 / s1}%6.2fx " +
