@@ -141,8 +141,15 @@ object EventStream {
     val own = new org.apache.hadoop.fs.Path(s"$storeDir/ingest_batch=$batchId")
     val fs = own.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(own)) { fs.delete(own, true); () }
+    // In-batch winner must be DETERMINISTIC (lowest doc_id), not
+    // dropDuplicates' partitioning-dependent arbitrary row: a replayed
+    // batch recomputes under a different task layout and must still land
+    // byte-identical contents.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("digest")).orderBy(col("doc_id"))
     val hashed = batch.withColumn("digest", sha2(col("text"), 256))
-      .dropDuplicates("digest")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
     val prior =
       try Some(spark.read.parquet(storeDir)
         .filter(col("ingest_batch") < batchId).select("digest"))

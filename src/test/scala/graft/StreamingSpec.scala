@@ -205,6 +205,11 @@ class StreamingSpec extends SparkSpec {
     EventStream.ingestBatch(replay, last, store)
     assert(storeTexts() == Seq("alpha", "beta", "delta", "gamma"),
       s"replaying committed batch $last must be a no-op on the store")
+    // The in-batch winner is deterministic: the LOWEST doc_id per digest
+    // (doc 3 was the in-batch "alpha" duplicate, doc 1 must have won).
+    val ids = spark.read.parquet(store).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 5L, 7L), s"non-deterministic winners: $ids")
   }
 
   test("sessionization accumulates per-user state across micro-batches") {
