@@ -290,7 +290,12 @@ object Similarity {
     * recall at the cosine-0.95 contract boundary, where P(one table
     * matches) = 0.899^bits (theta/pi for theta = acos 0.95). N comes from a
     * driver-side metadata count — parquet row counts, no data scan — since
-    * the width must be a plan literal (it shapes the hyperplane tensor). */
+    * the width must be a plan literal (it shapes the hyperplane tensor).
+    * The width caps at 24 bits (49 tables): past N ~ 2^27 occupancy grows
+    * past 8 again (64 at 2^30 — candidates stay linear with a rising
+    * constant), which is the point to shard the corpus by digest prefix
+    * rather than widen signatures further (75+ tables of corpus explode
+    * would cost more than the extra candidates). */
   private[graft] def dedupLshParams(n: Long): (Int, Int) = {
     val bits = math.max(8, math.min(24,
       math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2)).toInt - 3))

@@ -168,6 +168,36 @@ class StreamingSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
   }
 
+  test("streaming parquet file sink emits only watermark-finalized windows") {
+    // Append-mode file sink: a window's row lands exactly once, only after
+    // the watermark passes its end — the transactional (_spark_metadata)
+    // file-sink path a corpus-stats stream would use in production.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+    val input = MemoryStream[EventRow]
+    val q = EventStream.windowedCounts(input.toDF())
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start(s"$base/out")
+    try {
+      input.addData(
+        EventRow(1, ts(0, 10), 1, "click", 1.0),
+        EventRow(2, ts(0, 40), 2, "click", 2.0))
+      q.processAllAvailable()
+      // Window [10:00,10:01) is still open (watermark at 10:00:40 - 2 min).
+      val open = spark.read.parquet(s"$base/out")
+      assert(open.isEmpty, "an unfinalized window leaked to the file sink")
+      input.addData(EventRow(3, ts(5), 3, "view", 3.0)) // watermark -> 10:03
+      q.processAllAvailable()
+      val closed = spark.read.parquet(s"$base/out")
+        .select("event_type", "n").as[(String, Long)].collect().toMap
+      assert(closed == Map("click" -> 2L),
+        s"expected exactly the finalized click window, got $closed")
+    } finally q.stop()
+  }
+
   test("foreachBatch dedup ingest: exactly-once store across restart and replay") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
