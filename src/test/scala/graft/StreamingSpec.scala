@@ -242,6 +242,34 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 5L, 7L), s"non-deterministic winners: $ids")
   }
 
+  test("file-source landing directory feeds the dedup ingest end-to-end") {
+    // The deploy shape: docs land as parquet files in a directory, the
+    // file source discovers them per micro-batch, and the foreachBatch
+    // ingest dedups them into the store — no MemoryStream anywhere.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_landing").toString
+    val landing = s"$base/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    def land(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(landing)
+    val src = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    val q = EventStream.startDedupIngest(src, s"$base/store", s"$base/ckpt")
+    try {
+      land((1L, "alpha"), (2L, "beta"))
+      q.processAllAvailable()
+      land((3L, "beta"), (4L, "gamma")) // cross-file duplicate
+      q.processAllAvailable()
+      val store = spark.read.parquet(s"$base/store")
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(store == Seq((1L, "alpha"), (2L, "beta"), (4L, "gamma")),
+        s"landing-dir ingest produced $store")
+    } finally q.stop()
+  }
+
   test("sessionization accumulates per-user state across micro-batches") {
     // ProcessingTimeTimeout makes a default-trigger query re-fire batches
     // continuously to evaluate timeouts, so drive it with AvailableNow runs
