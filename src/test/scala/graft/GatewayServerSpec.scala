@@ -102,6 +102,52 @@ class GatewayServerSpec extends SparkSpec {
     } finally { sock.close(); srv.close(); rt.close() }
   }
 
+  test("concurrent fetch_arrow clients decode disjoint partitions correctly") {
+    // Four independent TCP clients each stream a different partition of
+    // the same job as Arrow IPC at the same time — the reference's
+    // many-FlightData-streams-per-job serving shape.
+    val rt = new JobRuntime(spark)
+    val srv = new GatewayServer(rt, arrowBatchRows = 64)
+    def readLineRaw(in: java.io.InputStream): String = {
+      val sb = new StringBuilder
+      var b = in.read()
+      while (b != -1 && b != '\n') { sb.append(b.toChar); b = in.read() }
+      sb.toString
+    }
+    val ctl = new Socket("127.0.0.1", srv.boundPort)
+    try {
+      val ctlIn = new java.io.BufferedInputStream(ctl.getInputStream)
+      val ctlOut = new PrintWriter(ctl.getOutputStream, true)
+      ctlOut.println("""{"op": "submit", "sql": "SELECT id FROM range(0, 1000, 1, 4)"}""")
+      val resp = readLineRaw(ctlIn)
+      assert(resp.contains("\"ok\": true"), resp)
+      val jobId = """"job_id": "([^"]+)"""".r.findFirstMatchIn(resp).get.group(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val futs = (0 until 4).map { p =>
+          pool.submit(new java.util.concurrent.Callable[(Int, Long)] {
+            def call(): (Int, Long) = {
+              val sock = new Socket("127.0.0.1", srv.boundPort)
+              try {
+                val rawIn = new java.io.BufferedInputStream(sock.getInputStream)
+                val out = new PrintWriter(sock.getOutputStream, true)
+                out.println(s"""{"op": "fetch_arrow", "job_id": "$jobId", "partition": $p}""")
+                val ack = readLineRaw(rawIn)
+                assert(ack.contains("\"format\": \"arrow_ipc_stream\""), ack)
+                val (_, rows) = ArrowCodec.read(rawIn)
+                (rows.size, rows.map(_.getLong(0)).sum)
+              } finally sock.close()
+            }
+          })
+        }
+        val res = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        assert(res.map(_._1).sum == 1000, s"row counts: ${res.map(_._1)}")
+        assert(res.map(_._2).sum == (0L until 1000L).sum,
+          "row values were crossed between concurrent Arrow streams")
+      } finally { pool.shutdownNow(); () }
+    } finally { ctl.close(); srv.close(); rt.close() }
+  }
+
   test("protocol errors answer with ok=false and the connection survives") {
     withServer { (_, in, out) =>
       out.println("""{"op": "definitely_not_an_op"}""")
