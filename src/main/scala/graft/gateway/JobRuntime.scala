@@ -48,7 +48,8 @@ private[gateway] final class JobState(
     val jobId: String,
     val createdAtMs: Long,
     val meta: Map[String, String],
-    val df: DataFrame) {
+    val df: DataFrame,
+    val pageSize: Int) {
   @volatile var status: JobStatus = JobStatus.Submitted
   @volatile var firstFetchAtMs: Long = -1L
   val fetchedPartitions = ConcurrentHashMap.newKeySet[Int]()
@@ -61,16 +62,40 @@ private[gateway] final class JobState(
   // Spark-side execution bookkeeping for the stages JSON (listener-fed).
   val sparkJobs = new TrieMap[Int, String]()   // spark job id -> state
   val sparkStages = new TrieMap[Int, (Int, String)]() // stage id -> (numTasks, state)
-  // The final-stage RDD, materialized+cached on first fetch so later tickets
-  // don't recompute lineage (reference TaskSet reuse, runtime.rs:499-525).
-  lazy val rdd = {
-    val r = df.rdd
+  // The final stage, materialized ONCE per partition as pre-built pages of
+  // ≤ pageSize rows and cached (reference TaskSet reuse, runtime.rs:499-525;
+  // its stream never re-scans a partition, runtime.rs:253-303). Page k is
+  // then `iterator.drop(k).next()` — k array *references* skipped, not
+  // k·pageSize rows re-deserialized, so draining P pages costs O(P) page
+  // touches instead of the O(P²·pageSize) row-touches a per-page
+  // `it.slice(lo, hi)` would cost. Each cached element carries a
+  // computation token (nanoTime stamped when the partition materializes):
+  // if a cached block is lost and recomputed, the token changes and the
+  // in-flight stream fails loudly instead of silently crossing page
+  // boundaries of two different row orders (post-shuffle recompute order
+  // is not guaranteed stable).
+  lazy val pages = {
+    val ps = pageSize
+    val r = df.rdd.mapPartitions({ it =>
+      val token = System.nanoTime()
+      it.grouped(ps).map(g => (token, g.toArray))
+    }, preservesPartitioning = true)
     r.persist(StorageLevel.MEMORY_AND_DISK)
     r
   }
-  def numPartitions: Int = rdd.getNumPartitions
+  def numPartitions: Int = pages.getNumPartitions
   val completion = new CountDownLatch(1)
 }
+
+/** A page job observed a different computation of the cached result
+  * partition than earlier pages of the same stream (cached block lost →
+  * Spark recomputed the partition; for post-shuffle RDDs the recomputed row
+  * order is not guaranteed identical, so offset-based pages could silently
+  * duplicate or drop boundary rows). Failing loudly beats returning wrong
+  * rows; the ticket stays re-fetchable — a fresh stream re-reads (and
+  * re-caches) the partition self-consistently from page 0. */
+final class PartitionRecomputeException(msg: String)
+  extends IllegalStateException(msg)
 
 /** Per-job result handle: tickets, per-partition fetch, cancellation. */
 final class JobHandle private[gateway] (runtime: JobRuntime, state: JobState) {
@@ -82,9 +107,17 @@ final class JobHandle private[gateway] (runtime: JobRuntime, state: JobState) {
     (0 until state.numPartitions).map(Ticket(state.jobId, _))
   /** Materialize one partition's rows (convenience over [[fetchStream]] —
     * the caller chooses to hold the whole partition). Re-fetching a ticket
-    * recomputes from the cached final RDD — same semantics as the
+    * re-reads the cached pre-paged stage — same semantics as the
     * reference's fresh-TaskSet re-execution. */
   def fetch(ticket: Ticket): Seq[Row] = runtime.fetch(state, ticket.partition)
+  /** Test hook: evict and re-mark the cached pages (simulates losing the
+    * cached blocks to memory pressure / executor loss — the next page job
+    * recomputes the partition and re-caches it under a new token). */
+  private[graft] def simulateBlockLoss(): Unit = {
+    state.pages.unpersist(blocking = true)
+    state.pages.persist(StorageLevel.MEMORY_AND_DISK)
+    ()
+  }
   /** Stream one partition's rows through bounded pages: at most
     * `fetchPageSize` rows × (queue capacity 2 + the page in hand) ever sit
     * on the driver — the Spark analog of the reference's backpressured
@@ -104,13 +137,23 @@ final class JobHandle private[gateway] (runtime: JobRuntime, state: JobState) {
 /** A pull-backpressured row stream over one result partition.
   *
   * A producer thread issues one narrow page job at a time against the
-  * cached final-stage RDD (`it.slice(off, off+page)` per job) and hands
-  * pages to the consumer through a capacity-2 bounded queue — the direct
-  * Spark analog of the reference streaming a partition as Arrow batches
-  * through a capacity-2 channel (`dist/src/runtime.rs:253-303`,
-  * `networks/tonic/src/server.rs:109-141`). The driver therefore never
-  * holds more than ~3 pages of the partition regardless of partition size;
-  * a slow consumer blocks the producer (backpressure), not memory.
+  * cached pre-paged final stage (page k = `it.drop(k).next()`, k array
+  * references skipped) and hands pages to the consumer through a
+  * capacity-2 bounded queue — the direct Spark analog of the reference
+  * streaming a partition as Arrow batches through a capacity-2 channel
+  * (`dist/src/runtime.rs:253-303`, `networks/tonic/src/server.rs:109-141`).
+  * The driver therefore never holds more than ~3 pages of the partition
+  * regardless of partition size; a slow consumer blocks the producer
+  * (backpressure), not memory; and total per-partition work is one
+  * materializing pass plus O(pages²) array-reference skips — no row is
+  * deserialized twice.
+  *
+  * Every page job also returns the partition's computation token and the
+  * boundary row (last row of page k-1, an O(1) array access on the cached
+  * page): a token or boundary mismatch against what this stream already
+  * delivered means the cached block was lost and recomputed — the stream
+  * throws [[PartitionRecomputeException]] rather than risk duplicating or
+  * dropping rows across the boundary, and the ticket stays re-fetchable.
   *
   * Draining the stream marks the ticket delivered (completion bookkeeping
   * identical to a materialized fetch); a failed page job fails the job.
@@ -138,18 +181,46 @@ final class PartitionRowStream private[gateway] (
       s"graft job ${st.jobId} partition $partition", interruptOnCancel = true)
     sc.setLocalProperty("spark.scheduler.pool", "graft-jobs")
     try {
-      var off = 0
+      var k = 0
       var last = false
+      var streamToken = -1L   // stamped by the first page job of this stream
+      var lastDelivered: Row = null // last row of the page the consumer got
       while (!stopped && !last) {
-        val lo = off
-        val hi = off + pageSize
-        val page: Array[Row] = sc.runJob(st.rdd,
-          (it: Iterator[Row]) => it.slice(lo, hi).toArray,
+        val pageIdx = k
+        // Skip k cached page *arrays* (O(k) references), remembering the
+        // boundary row of page k-1 and the partition's computation token.
+        val (token, skipped, boundary, page) = sc.runJob(st.pages,
+          (it: Iterator[(Long, Array[Row])]) => {
+            var tok = -1L
+            var bnd: Row = null
+            var i = 0
+            while (i < pageIdx && it.hasNext) {
+              val (t, arr) = it.next(); tok = t; bnd = arr(arr.length - 1); i += 1
+            }
+            val pg: Array[Row] =
+              if (i == pageIdx && it.hasNext) { val (t, arr) = it.next(); tok = t; arr }
+              else Array.empty[Row]
+            (tok, i, bnd, pg)
+          },
           Seq(partition)).head
+        if (skipped != pageIdx)
+          throw new PartitionRecomputeException(
+            s"result partition $partition of job ${st.jobId} was recomputed " +
+              s"with fewer pages ($skipped) than already streamed ($pageIdx); " +
+              "refusing to deliver inconsistent rows — re-fetch the ticket")
+        if (pageIdx == 0) streamToken = token
+        else if (token != streamToken || (lastDelivered != null && boundary != lastDelivered))
+          throw new PartitionRecomputeException(
+            s"result partition $partition of job ${st.jobId} was recomputed " +
+              "mid-stream (cached block lost); page boundaries of the new " +
+              "computation may not line up — re-fetch the ticket")
         last = page.length < pageSize
-        off = hi
+        k += 1
         st.maxPageRows.updateAndGet(m => math.max(m, page.length.toLong))
-        if (page.nonEmpty) offer(page)
+        if (page.nonEmpty) {
+          lastDelivered = page(page.length - 1)
+          offer(page)
+        }
       }
       if (!stopped) offer(End)
     } catch {
@@ -181,7 +252,13 @@ final class PartitionRowStream private[gateway] (
         false
       case Err(e) =>
         finished = true
-        runtime.onFetchFailed(st, e)
+        e match {
+          case _: PartitionRecomputeException =>
+            // Recoverable: the job stays live and the ticket re-fetchable —
+            // a fresh stream re-reads the partition self-consistently.
+            ()
+          case _ => runtime.onFetchFailed(st, e)
+        }
         throw e
       case page: Array[Row] @unchecked =>
         current = page.iterator
@@ -296,7 +373,8 @@ final class JobRuntime(
     if (terminating)
       throw new IllegalStateException("gateway is terminating: new jobs rejected")
     val jobId = UUID.randomUUID().toString
-    val st = new JobState(jobId, System.currentTimeMillis(), meta, df)
+    val st = new JobState(jobId, System.currentTimeMillis(), meta, df,
+      config.fetchPageSize)
     registry.put(jobId, st)
     new JobHandle(this, st)
   }
@@ -309,7 +387,7 @@ final class JobRuntime(
     if (!registry.containsKey(st.jobId))
       throw new IllegalStateException(s"job ${st.jobId} is not live (cleaned up or cancelled)")
     if (st.firstFetchAtMs < 0) st.firstFetchAtMs = System.currentTimeMillis()
-    new PartitionRowStream(this, st, partition, config.fetchPageSize)
+    new PartitionRowStream(this, st, partition, st.pageSize)
   }
 
   /** Materializing fetch = drain the bounded stream into a Seq. Memory here
@@ -340,7 +418,7 @@ final class JobRuntime(
   private def cleanup(st: JobState, terminal: JobStatus): Unit = {
     registry.remove(st.jobId)
     st.status = terminal
-    try st.rdd.unpersist(blocking = false) catch { case _: Throwable => () }
+    try st.pages.unpersist(blocking = false) catch { case _: Throwable => () }
     st.completion.countDown()
   }
 

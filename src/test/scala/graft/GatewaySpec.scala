@@ -139,6 +139,50 @@ class GatewaySpec extends SparkSpec {
     }
   }
 
+  test("paged delivery touches each base row exactly once (no quadratic prefix re-scan)") {
+    // Page k is it.drop(k).next() over cached pre-built page arrays — O(k)
+    // array references. A per-page it.slice(lo, hi) would re-touch the
+    // whole prefix: 100 pages over 10k rows ≈ 505k row touches instead of
+    // 10k. The accumulator on the base rows is the row-touch counter.
+    withRuntime(GatewayConfig(fetchPageSize = 100)) { rt =>
+      val acc = spark.sparkContext.longAccumulator("graft-row-touches")
+      val base = spark.range(0, 10000, 1, 1).toDF("id")
+      val touched = base.rdd.map { r => acc.add(1); r }
+      val df = spark.createDataFrame(touched, base.schema)
+      val h = rt.submitDataFrame(df)
+      val rows = h.fetchAll() // 100 pages through the bounded stream
+      assert(rows.size == 10000)
+      assert(rows.map(_.getLong(0)) == (0L until 10000L))
+      assert(acc.value == 10000L,
+        s"base rows touched ${acc.value} times draining 100 pages (prefix re-scan)")
+      assert(h.maxPageRows <= 100L)
+    }
+  }
+
+  test("a mid-stream cache recompute fails loudly; the ticket stays re-fetchable") {
+    // If a cached result block is lost and recomputed, a post-shuffle
+    // partition's row order is not guaranteed stable — offset pages could
+    // silently duplicate or drop boundary rows. The stream detects the new
+    // computation token and throws instead.
+    withRuntime(GatewayConfig(fetchPageSize = 100)) { rt =>
+      val h = rt.submit("SELECT id FROM range(0, 10000, 1, 1)")
+      val s = h.fetchStream(h.tickets.head)
+      val firstFew = s.take(150).map(_.getLong(0)).toVector // crosses page 0→1
+      assert(firstFew == (0L until 150L).toVector)
+      h.simulateBlockLoss()
+      val e = intercept[gateway.PartitionRecomputeException] {
+        while (s.hasNext) s.next()
+      }
+      assert(e.getMessage.contains("recomputed"))
+      s.close()
+      // Recoverable: job still live, a fresh fetch is self-consistent.
+      assert(rt.liveJobIds.contains(h.jobId))
+      val full = h.fetch(h.tickets.head)
+      assert(full.size == 10000)
+      assert(h.status == JobStatus.Completed)
+    }
+  }
+
   test("an abandoned stream leaves the ticket re-fetchable") {
     withRuntime(GatewayConfig(fetchPageSize = 100)) { rt =>
       val h = rt.submit("SELECT id FROM range(0, 10000, 1, 1)")
