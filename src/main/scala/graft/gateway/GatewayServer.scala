@@ -3,16 +3,31 @@ package graft.gateway
 import java.io.{BufferedReader, InputStreamReader, PrintWriter}
 import java.net.{ServerSocket, Socket, SocketException}
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.Executors
+import java.util.concurrent.{ConcurrentHashMap, Executors}
 import scala.util.control.NonFatal
+
+/** Gateway credentials. The defaults are the reference app's hardcoded
+  * integration-test pair (`integration-tests/app/src/main.rs:184-188`:
+  * admin / admin123); production embeddings pass their own. */
+final case class GatewayAuth(user: String = "admin", password: String = "admin123")
 
 /** A minimal socket front-end for [[JobRuntime]] — the client-facing
   * service surface of SURVEY §3.1 (the reference exposes FlightSQL over
   * gRPC, `integration-tests/app/src/main.rs:101-330`; this is the same
-  * submit → tickets → per-ticket streaming fetch contract over a
-  * line-delimited JSON protocol, dependency-free).
+  * handshake → submit → tickets → per-ticket streaming fetch contract over
+  * a line-delimited JSON protocol, dependency-free).
+  *
+  * Authentication mirrors the reference's FlightSQL handshake
+  * (`app/src/main.rs:166-207`): Basic credentials are validated
+  * (constant-time compare) and exchanged for a bearer token; every other
+  * op is rejected until the connection handshakes or presents a
+  * previously issued token (`"token"` field — the `authorization: Bearer`
+  * metadata analog, letting one client fan fetches over many sockets).
+  * Pass `auth = None` only for trusted in-process embedding.
   *
   * Protocol (one JSON object per line):
+  *   {"op": "handshake", "user": "...", "password": "..."}
+  *       -> {"ok": true, "token": "...", "authorization": "Bearer ..."}
   *   {"op": "submit", "sql": "...", "meta": {...}}
   *       -> {"ok": true, "job_id": "...", "partitions": N,
   *           "columns": [...]}
@@ -35,7 +50,8 @@ import scala.util.control.NonFatal
   * per-partition runJob results, never accumulating beyond one partition).
   */
 final class GatewayServer(runtime: JobRuntime, port: Int = 0,
-    arrowBatchRows: Int = 4096) extends AutoCloseable {
+    arrowBatchRows: Int = 4096,
+    auth: Option[GatewayAuth] = Some(GatewayAuth())) extends AutoCloseable {
   private val server = new ServerSocket(port)
   private val pool = Executors.newCachedThreadPool(r => {
     val t = new Thread(r, "graft-gateway-conn"); t.setDaemon(true); t
@@ -88,10 +104,66 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
     val m = ("\"" + java.util.regex.Pattern.quote(name) +
       "\"\\s*:\\s*(\"((?:[^\"\\\\]|\\\\.)*)\"|(\\d+))").r
     m.findFirstMatchIn(json).map { g =>
-      Option(g.group(2)).map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
-        .getOrElse(g.group(3))
+      Option(g.group(2)).map(unescapeJson).getOrElse(g.group(3))
     }
   }
+
+  /** Full JSON string unescape — a submitted SQL may legitimately carry
+    * \n, \t, or \uXXXX escapes (e.g. multi-line queries sent by a client
+    * that encodes them properly). */
+  private def unescapeJson(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b.append('"'); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case '/' => b.append('/'); i += 2
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'b' => b.append('\b'); i += 2
+          case 'f' => b.append('\f'); i += 2
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => b.append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  // --- auth: Basic credentials -> bearer token (reference handshake,
+  // app/src/main.rs:166-207). Issued tokens are accepted from any
+  // connection (bearer semantics); the issuing connection is also marked
+  // authenticated so clients need not echo the token per line.
+  private val issuedTokens = ConcurrentHashMap.newKeySet[String]()
+
+  private def constantTimeEq(a: String, b: String): Boolean =
+    java.security.MessageDigest.isEqual(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
+  private def handshake(line: String): String = {
+    val creds = auth.getOrElse(
+      throw new IllegalStateException("handshake not required: auth disabled"))
+    val user = field(line, "user").getOrElse("")
+    val password = field(line, "password").getOrElse("")
+    // Evaluate both compares unconditionally: no early-exit on user.
+    val userOk = constantTimeEq(user, creds.user)
+    val passOk = constantTimeEq(password, creds.password)
+    if (!userOk || !passOk)
+      throw new SecurityException("unauthenticated: invalid username or password")
+    val token = java.util.UUID.randomUUID().toString
+    issuedTokens.add(token)
+    token
+  }
+
+  private def authorized(line: String, connAuthed: Boolean): Boolean =
+    auth.isEmpty || connAuthed ||
+      field(line, "token").exists(issuedTokens.contains)
 
   private def handle(sock: Socket): Unit = {
     val in = new BufferedReader(
@@ -99,10 +171,23 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
     val raw = sock.getOutputStream
     val out = new PrintWriter(raw, true)
     try {
+      var authed = false
       var line = in.readLine()
       while (line != null && !closed) {
-        try dispatch(line.trim, out, raw)
-        catch {
+        try {
+          val msg = line.trim
+          field(msg, "op") match {
+            case Some("handshake") =>
+              val token = handshake(msg)
+              authed = true
+              out.println(s"""{"ok": true, "token": ${jstr(token)}, """ +
+                s""""authorization": ${jstr("Bearer " + token)}}""")
+            case _ if !authorized(msg, authed) =>
+              throw new SecurityException(
+                "unauthenticated: handshake first (op=handshake) or send a valid token")
+            case _ => dispatch(msg, out, raw)
+          }
+        } catch {
           case NonFatal(e) =>
             out.println(s"""{"ok": false, "error": ${jstr(
               Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
@@ -166,6 +251,12 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
         val p = field(line, "partition").getOrElse("0").toInt
         val h = handles.getOrElse(jobId,
           throw new IllegalStateException(s"unknown job $jobId"))
+        // Validate convertibility BEFORE the ack: once the ack line is out,
+        // the client switches to reading raw Arrow bytes, so a late
+        // conversion failure (array/struct/map columns) would desync the
+        // protocol. Failing here answers with a clean JSON error and the
+        // client can fall back to text fetch.
+        ArrowCodec.toArrowSchema(h.schema)
         // Binary result wire: ack line, then a self-delimiting LZ4 Arrow
         // IPC stream fed page-by-page from the bounded fetch — at no point
         // does the server hold more than one page + one encoded batch.

@@ -6,10 +6,13 @@ import java.nio.charset.StandardCharsets
 import graft.gateway.{ArrowCodec, GatewayServer, JobRuntime}
 import org.apache.spark.sql.types._
 
-/** Drives the socket gateway like an external client: submit over TCP,
-  * fetch each ticket as a row stream, observe running_jobs/cluster_nodes,
-  * and exercise the error path. */
+/** Drives the socket gateway like an external client: handshake, submit
+  * over TCP, fetch each ticket as a row stream, observe
+  * running_jobs/cluster_nodes, and exercise the error + auth paths. */
 class GatewayServerSpec extends SparkSpec {
+
+  private val handshakeLine =
+    """{"op": "handshake", "user": "admin", "password": "admin123"}"""
 
   private def withServer[A](f: (Socket, BufferedReader, PrintWriter) => A): A = {
     val rt = new JobRuntime(spark)
@@ -18,8 +21,12 @@ class GatewayServerSpec extends SparkSpec {
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     val out = new PrintWriter(sock.getOutputStream, true)
-    try f(sock, in, out)
-    finally { sock.close(); srv.close(); rt.close() }
+    try {
+      out.println(handshakeLine)
+      val hs = in.readLine()
+      assert(hs.contains("\"ok\": true") && hs.contains("Bearer "), hs)
+      f(sock, in, out)
+    } finally { sock.close(); srv.close(); rt.close() }
   }
 
   test("submit -> per-ticket row streaming over a real socket") {
@@ -74,6 +81,8 @@ class GatewayServerSpec extends SparkSpec {
         while (b != -1 && b != '\n') { sb.append(b.toChar); b = rawIn.read() }
         sb.toString
       }
+      out.println(handshakeLine)
+      assert(readLineRaw().contains("\"ok\": true"))
       out.println("""{"op": "submit", "sql": "SELECT id, CAST(id AS STRING) AS s, CAST(id AS DOUBLE) / 4 AS d, id % 3 = 0 AS flag, IF(id % 2 = 0, NULL, id * 10) AS n FROM range(0, 1000, 1, 1)"}""")
       val resp = readLineRaw()
       assert(resp.contains("\"ok\": true"), resp)
@@ -118,6 +127,12 @@ class GatewayServerSpec extends SparkSpec {
     try {
       val ctlIn = new java.io.BufferedInputStream(ctl.getInputStream)
       val ctlOut = new PrintWriter(ctl.getOutputStream, true)
+      ctlOut.println(handshakeLine)
+      val hs = readLineRaw(ctlIn)
+      assert(hs.contains("\"ok\": true"), hs)
+      // Bearer semantics: the worker sockets reuse the control connection's
+      // token instead of re-handshaking.
+      val token = """"token": "([^"]+)"""".r.findFirstMatchIn(hs).get.group(1)
       ctlOut.println("""{"op": "submit", "sql": "SELECT id FROM range(0, 1000, 1, 4)"}""")
       val resp = readLineRaw(ctlIn)
       assert(resp.contains("\"ok\": true"), resp)
@@ -131,7 +146,7 @@ class GatewayServerSpec extends SparkSpec {
               try {
                 val rawIn = new java.io.BufferedInputStream(sock.getInputStream)
                 val out = new PrintWriter(sock.getOutputStream, true)
-                out.println(s"""{"op": "fetch_arrow", "job_id": "$jobId", "partition": $p}""")
+                out.println(s"""{"op": "fetch_arrow", "job_id": "$jobId", "partition": $p, "token": "$token"}""")
                 val ack = readLineRaw(rawIn)
                 assert(ack.contains("\"format\": \"arrow_ipc_stream\""), ack)
                 val (_, rows) = ArrowCodec.read(rawIn)
@@ -146,6 +161,101 @@ class GatewayServerSpec extends SparkSpec {
           "row values were crossed between concurrent Arrow streams")
       } finally { pool.shutdownNow(); () }
     } finally { ctl.close(); srv.close(); rt.close() }
+  }
+
+  test("unauthenticated ops are rejected; handshake issues a reusable bearer token") {
+    // Reference handshake contract (app/src/main.rs:166-207): Basic
+    // credentials -> bearer token; calls without authentication fail.
+    val rt = new JobRuntime(spark)
+    val srv = new GatewayServer(rt)
+    def connect(): (Socket, BufferedReader, PrintWriter) = {
+      val s = new Socket("127.0.0.1", srv.boundPort)
+      (s,
+        new BufferedReader(new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8)),
+        new PrintWriter(s.getOutputStream, true))
+    }
+    val (s1, in1, out1) = connect()
+    try {
+      // No handshake: every data op is rejected, connection survives.
+      out1.println("""{"op": "submit", "sql": "SELECT 1 AS one"}""")
+      val e1 = in1.readLine()
+      assert(e1.contains("\"ok\": false") && e1.contains("unauthenticated"), e1)
+      out1.println("""{"op": "fetch", "job_id": "x", "partition": 0}""")
+      assert(in1.readLine().contains("unauthenticated"))
+      out1.println("""{"op": "running_jobs"}""")
+      assert(in1.readLine().contains("unauthenticated"))
+      // Wrong password: rejected, no token issued.
+      out1.println("""{"op": "handshake", "user": "admin", "password": "wrong"}""")
+      val e2 = in1.readLine()
+      assert(e2.contains("\"ok\": false") && e2.contains("invalid username or password"), e2)
+      out1.println("""{"op": "submit", "sql": "SELECT 1 AS one"}""")
+      assert(in1.readLine().contains("unauthenticated"))
+      // Good credentials: token issued, ops work on this connection.
+      out1.println(handshakeLine)
+      val hs = in1.readLine()
+      assert(hs.contains("\"ok\": true") && hs.contains("Bearer "), hs)
+      val token = """"token": "([^"]+)"""".r.findFirstMatchIn(hs).get.group(1)
+      out1.println("""{"op": "submit", "sql": "SELECT 1 AS one"}""")
+      val sub = in1.readLine()
+      assert(sub.contains("\"ok\": true"), sub)
+      val jobId = """"job_id": "([^"]+)"""".r.findFirstMatchIn(sub).get.group(1)
+      // A second connection presents the token instead of re-handshaking.
+      val (s2, in2, out2) = connect()
+      try {
+        out2.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": 0, "token": "$token"}""")
+        var line = in2.readLine()
+        var rows = 0
+        while (line.startsWith("{\"row\"")) { rows += 1; line = in2.readLine() }
+        assert(rows == 1 && line.contains("\"ok\": true"), line)
+        // A bogus token is still rejected.
+        out2.println("""{"op": "running_jobs", "token": "not-a-token"}""")
+        assert(in2.readLine().contains("unauthenticated"))
+      } finally s2.close()
+    } finally { s1.close(); srv.close(); rt.close() }
+  }
+
+  test("auth=None serves trusted in-process embeddings without a handshake") {
+    val rt = new JobRuntime(spark)
+    val srv = new GatewayServer(rt, auth = None)
+    val sock = new Socket("127.0.0.1", srv.boundPort)
+    try {
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      val out = new PrintWriter(sock.getOutputStream, true)
+      out.println("""{"op": "submit", "sql": "SELECT 1 AS one"}""")
+      assert(in.readLine().contains("\"ok\": true"))
+    } finally { sock.close(); srv.close(); rt.close() }
+  }
+
+  test("fetch_arrow on an Arrow-unsupported schema fails before the ack (no desync)") {
+    // array/struct/map results can't cross the Arrow wire; the server must
+    // answer a clean JSON error INSTEAD of the ack, so the client never
+    // starts reading raw Arrow bytes that won't come.
+    withServer { (_, in, out) =>
+      out.println("""{"op": "submit", "sql": "SELECT array(id, id + 1) AS a FROM range(0, 10, 1, 1)"}""")
+      val resp = in.readLine()
+      assert(resp.contains("\"ok\": true"), resp)
+      val jobId = """"job_id": "([^"]+)"""".r.findFirstMatchIn(resp).get.group(1)
+      out.println(s"""{"op": "fetch_arrow", "job_id": "$jobId", "partition": 0}""")
+      val err = in.readLine()
+      assert(err.contains("\"ok\": false"), err)
+      assert(!err.contains("arrow_ipc_stream"), err)
+      // The connection still speaks the protocol: text fetch delivers rows.
+      out.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": 0}""")
+      var line = in.readLine()
+      var rows = 0
+      while (line.startsWith("{\"row\"")) { rows += 1; line = in.readLine() }
+      assert(rows == 10 && line.contains("\"ok\": true"), line)
+    }
+  }
+
+  test("submitted SQL carrying JSON escapes (\\n, \\t, \\u0041) is unescaped") {
+    withServer { (_, in, out) =>
+      // A multi-line query sent as proper JSON: "SELECT\n\t1 AS A"
+      out.println("""{"op": "submit", "sql": "SELECT\n\t1 AS A"}""")
+      val resp = in.readLine()
+      assert(resp.contains("\"ok\": true") && resp.contains("\"columns\": [\"A\"]"), resp)
+    }
   }
 
   test("protocol errors answer with ok=false and the connection survives") {
