@@ -22,8 +22,16 @@ object GatewayQueries {
           Tables.t(s, d, "nation").groupBy(col("n_regionkey")).count(),
           Map("name" -> "job-b"))
         rt.registerRunningJobsView()
-        // Snapshot is a LocalRelation — stays valid after the runtime closes.
-        s.sql("SELECT job_meta FROM running_jobs ORDER BY job_meta")
+        // The view is refresh-on-scan and dies with the runtime (reference
+        // table.rs:43-60), so materialize the mid-lifecycle observation
+        // into a LocalRelation the driver can evaluate after close().
+        // Two registry rows — driver-local by design, not a data path.
+        val observed = s.sql(
+          "SELECT job_meta FROM running_jobs ORDER BY job_meta").collect()
+        s.createDataFrame(java.util.Arrays.asList(observed: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "job_meta", org.apache.spark.sql.types.StringType, nullable = false))))
       } finally rt.close()
     },
     Some("""SELECT job_meta

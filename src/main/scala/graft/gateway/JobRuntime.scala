@@ -302,6 +302,11 @@ final class JobRuntime(
 
   private val registry = new ConcurrentHashMap[String, JobState]()
 
+  /** Identity for refresh-on-scan views: [[RunningJobsSource]] resolves the
+    * live runtime by this id at every scan. */
+  val runtimeId: String = UUID.randomUUID().toString
+  RunningJobsSource.runtimes.put(runtimeId, this)
+
   /** Graceful-shutdown latch: a Terminating gateway rejects new work but
     * lets live jobs drain (reference `dist/src/runtime.rs:120-126,320-325`:
     * nodes reject task sends when not Available). */
@@ -424,16 +429,13 @@ final class JobRuntime(
 
   def liveJobIds: Set[String] = registry.keySet.asScala.toSet
 
-  /** The `running_jobs` observability relation — schema per
-    * `dist/src/util.rs:148-158` (job_id, created_at ms, job_meta JSON,
-    * stages JSON), queryable like any other table. The registry is
-    * driver-local, so the scan is a LocalTableScan — exactly the
-    * reference's MemTable-backed virtual table
-    * (`integration-tests/app/src/table.rs:30-61`). */
-  def runningJobs(): DataFrame = {
+  /** Registry snapshot as plain rows (job_id, created_at ms, job_meta JSON,
+    * stages JSON) — the shared producer behind [[runningJobs]] and the
+    * refresh-on-scan [[RunningJobsSource]] table. */
+  private[gateway] def runningJobsSnapshot(): Seq[(String, Long, String, String)] = {
     def jstr(s: String) =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val rows = registry.values.asScala.toSeq.sortBy(_.jobId).map { st =>
+    registry.values.asScala.toSeq.sortBy(_.jobId).map { st =>
       val metaJson = st.meta.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
         .mkString("{", ", ", "}")
@@ -445,21 +447,31 @@ final class JobRuntime(
           s"${jstr(sid.toString)}: {\"num_tasks\": $n, \"state\": ${jstr(state)}}" }
         :+ resultEntry)
         .mkString("{", ", ", "}")
-      Row(st.jobId, new java.sql.Timestamp(st.createdAtMs), metaJson, stagesJson)
+      (st.jobId, st.createdAtMs, metaJson, stagesJson)
     }
-    val schema = StructType(Seq(
-      StructField("job_id", StringType, nullable = false),
-      StructField("created_at", TimestampType, nullable = false),
-      StructField("job_meta", StringType, nullable = false),
-      StructField("stages", StringType, nullable = false)))
-    spark.createDataFrame(rows.asJava, schema)
   }
 
-  /** (Re-)register `running_jobs` as a temp view. The snapshot is taken at
-    * registration (LocalRelation) — call again for a fresh view, the same
-    * refresh-on-scan the reference gets from `RunningJobsTable.scan`. */
+  /** The `running_jobs` observability relation — schema per
+    * `dist/src/util.rs:148-158` (job_id, created_at ms, job_meta JSON,
+    * stages JSON), queryable like any other table. This DataFrame is a
+    * point-in-time snapshot (LocalTableScan); for the always-fresh SQL
+    * view use [[registerRunningJobsView]]. */
+  def runningJobs(): DataFrame = {
+    val rows = runningJobsSnapshot().map { case (id, ms, meta, stages) =>
+      Row(id, new java.sql.Timestamp(ms), meta, stages)
+    }
+    spark.createDataFrame(rows.asJava, RunningJobsSource.schema)
+  }
+
+  /** Register `running_jobs` as a refresh-on-scan SQL view: the backing
+    * DataSource V2 table re-snapshots this runtime's registry during the
+    * planning of EVERY query over the view — exactly the reference's
+    * `RunningJobsTable.scan` re-reading the registry per scan
+    * (`integration-tests/app/src/table.rs:43-60`). One registration serves
+    * the runtime's whole life; the view dies with [[close]]. */
   def registerRunningJobsView(): Unit =
-    runningJobs().createOrReplaceTempView("running_jobs")
+    spark.read.format("graft-running-jobs").option("runtimeId", runtimeId)
+      .load().createOrReplaceTempView("running_jobs")
 
   /** Cluster/heartbeat observability — the reference's `cluster_nodes`
     * membership table fed by `Heartbeater` upserts
@@ -508,6 +520,7 @@ final class JobRuntime(
     clusterNodes().createOrReplaceTempView("cluster_nodes")
 
   override def close(): Unit = {
+    RunningJobsSource.runtimes.remove(runtimeId)
     sweeper.shutdownNow()
     registry.values.asScala.toSeq.foreach(st => cleanup(st, JobStatus.Cancelled))
     spark.sparkContext.removeSparkListener(listener)

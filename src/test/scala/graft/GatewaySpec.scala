@@ -53,6 +53,22 @@ class GatewaySpec extends SparkSpec {
     }
   }
 
+  test("running_jobs view refreshes on every scan without re-registration") {
+    // Reference RunningJobsTable.scan re-reads the registry per scan
+    // (table.rs:43-60): one registered view, three scans, three different
+    // registry states observed.
+    withRuntime() { rt =>
+      rt.registerRunningJobsView()
+      assert(spark.sql("SELECT count(*) FROM running_jobs").collect().head.getLong(0) == 0L)
+      val h = rt.submit("SELECT 1 AS one", Map("kind" -> "probe"))
+      val mid = spark.sql("SELECT job_id, job_meta FROM running_jobs").collect()
+      assert(mid.length == 1 && mid.head.getString(0) == h.jobId, mid.toSeq)
+      assert(mid.head.getString(1).contains("\"kind\": \"probe\""))
+      h.cancel()
+      assert(spark.sql("SELECT count(*) FROM running_jobs").collect().head.getLong(0) == 0L)
+    }
+  }
+
   test("never-fetched jobs are garbage-collected (stage0_task_poll_timeout)") {
     withRuntime(GatewayConfig(neverFetchedTimeout = 300.millis,
       ttlCheckInterval = 100.millis)) { rt =>
