@@ -13,29 +13,39 @@ final case class MediaItem(
     format: String,
     n_bytes: Long)
 
-/** Decoded features for one media item. */
-final case class MediaFeatures(
+/** Decoded features for one image item: REAL pixel statistics from a REAL
+  * PNG decode (see [[ImageCodec]]). All-Long schema keeps oracle parity
+  * trivial. */
+final case class ImageFeatures(
     doc_id: Long,
-    n_bytes: Long,
-    mean_byte_e3: Long,
-    distinct_bytes: Int)
+    width: Long,
+    height: Long,
+    n_pixels: Long,
+    mean_r_e3: Long,
+    mean_g_e3: Long,
+    mean_b_e3: Long)
 
 /** Multimodal-column plumbing: binary payloads with typed metadata, decoded
   * and feature-extracted per partition via a typed `mapPartitions` — the
   * Scala analog of a Pandas-UDF `mapInPandas` batch stage. The partition
-  * iterator is the batch boundary: a real decoder (JPEG/PNG/audio frames)
-  * would amortize codec/model init across the partition exactly here.
+  * iterator is the batch boundary: codec/model init amortizes across the
+  * partition exactly here.
   *
-  * The decode step itself is a STUB — no image/audio libraries exist in
-  * this environment — replaced by a deterministic byte-statistics fake
-  * ([[MultimodalStub.decodeFeatures]]); the Spark-side contract (schema,
-  * binary column, partition batching, feature output) is real and tested
-  * in PipelineSpec.
+  * The IMAGE path is real: payloads are genuine PNG files (encoded with
+  * the JDK's `javax.imageio`, which ships PNG/JPEG/BMP/GIF codecs in every
+  * JRE) and features come from decoded pixels ([[ImageCodec.decodeFeatures]]).
+  * The frame-sampling and resize stages remain byte-level STAND-INS for
+  * audio/video: the JDK has no audio-codec (beyond WAV PCM) or video
+  * decoder at all, so those two keep deterministic byte semantics that the
+  * oracle can recompute, while exercising the same batch-stage plumbing a
+  * real codec would sit in.
   */
 object Multimodal {
 
-  /** Build the media table from `documents`: payload = UTF-8 bytes of the
-    * text (a deterministic stand-in for real image bytes). */
+  /** Build the byte-payload media table from `documents`: payload = UTF-8
+    * bytes of the text — the deterministic stand-in feeding the
+    * audio/video-shaped stages (frames, resize). Real images come from
+    * [[imageTable]]. */
   def mediaTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.t(s, d, "documents")
@@ -45,35 +55,64 @@ object Multimodal {
       .toDF()
   }
 
-  /** Feature extraction over the binary column; one `mapPartitions` stage,
-    * no shuffle — scales linearly with partition count. */
+  /** The image table: one REAL PNG per document, generated executor-side
+    * from `doc_id` alone (deterministic pixel formula, [[ImageCodec]]), so
+    * the expected decoded statistics are a closed-form function of the id
+    * that an oracle can recompute. Payload stays an opaque `binary` column
+    * with typed metadata — the 100 TB schema shape. */
+  def imageTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // Per-partition init: the ImageIO codec path warms up here once.
+        ids.map { id =>
+          val png = ImageCodec.encodePng(id)
+          MediaItem(id, png, "png", png.length.toLong)
+        }
+      }
+      .toDF()
+  }
+
+  /** REAL image decode over the binary column: `javax.imageio` parses the
+    * PNG payloads and the features are computed from decoded pixels. One
+    * `mapPartitions` stage, no shuffle — scales linearly with partition
+    * count; codec init amortizes across each partition batch. */
   def extractFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, d).as[MediaItem]
-      .mapPartitions { items =>
-        // Per-partition init happens here (codec handles, model weights...).
-        items.map(MultimodalStub.decodeFeatures)
-      }
+    imageTable(s, d).as[MediaItem]
+      .mapPartitions(items => items.map(it =>
+        ImageCodec.decodeFeatures(it.doc_id, it.media)))
       .toDF()
   }
 
   private val multimodal = QueryDef(
     "q_multimodal_features",
     (s, d) => extractFeatures(s, d)
-      .select(col("doc_id"), col("n_bytes"), col("mean_byte_e3"), col("distinct_bytes")),
-    // The corpus is pure ASCII (verified: octet_length(encode(text)) =
-    // length(text) for every row), so the UTF-8 payload bytes are exactly
-    // the character codes and DuckDB can recompute the stub's byte
-    // statistics from the text column — a real value-level oracle for the
-    // mapPartitions decode path (plus the independent expectation test in
-    // PipelineSpec).
-    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-      CASE WHEN length(text) = 0 THEN 0
-        ELSE CAST(list_sum([unicode(c) for c in string_split(text, '')]) * 1000
-          // length(text) AS BIGINT) END AS mean_byte_e3,
-      CASE WHEN length(text) = 0 THEN 0
-        ELSE len(list_distinct(string_split(text, ''))) END AS distinct_bytes
-      FROM documents"""))
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        col("mean_r_e3"), col("mean_g_e3"), col("mean_b_e3")),
+    // The payloads are real PNGs generated from ImageCodec's closed-form
+    // pixel function of doc_id, so DuckDB recomputes the expected decoded
+    // statistics from the formula — validating the whole encode → PNG →
+    // decode → pixel-stats path end to end (a broken decode cannot match).
+    // Pixel grid via a range cross join bounded by the max 16x10 dims.
+    Some("""WITH d AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+        FROM documents),
+      px AS (
+        SELECT d.doc_id, d.w, d.h, x.range AS x, y.range AS y
+        FROM d, range(0, 17) x, range(0, 11) y
+        WHERE x.range < d.w AND y.range < d.h)
+      SELECT doc_id,
+        CAST(max(w) AS BIGINT) AS width,
+        CAST(max(h) AS BIGINT) AS height,
+        CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+        CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) * 1000
+          // (max(w) * max(h)) AS BIGINT) AS mean_r_e3,
+        CAST(sum((doc_id * 17 + x * 11 + y * 3) % 256) * 1000
+          // (max(w) * max(h)) AS BIGINT) AS mean_g_e3,
+        CAST(sum((doc_id * 23 + x * 5 + y * 19) % 256) * 1000
+          // (max(w) * max(h)) AS BIGINT) AS mean_b_e3
+      FROM px GROUP BY doc_id"""))
 
   /** Frame sampling: chunk the payload into fixed 16-byte "frames" (the
     * stand-in for video frames / audio windows), keep every 4th frame,
@@ -160,8 +199,10 @@ final case class MediaResized(
     n_out: Long,
     resized: Array[Byte])
 
-/** The stubbed decoder. A production build swaps this object for real
-  * codecs; the call site and schema do not change. */
+/** Byte-level stand-ins for the codecs the JDK does NOT ship (video; audio
+  * beyond WAV PCM). A production build swaps this object for real codecs;
+  * the call site and schema do not change. Image decode is NOT stubbed —
+  * see [[ImageCodec]]. */
 object MultimodalStub {
 
   private val FRAME = 16
@@ -181,7 +222,10 @@ object MultimodalStub {
     MediaResized(item.doc_id, n.toLong, out.length.toLong, out)
   }
 
-  /** STUB frame sampler: fixed-size byte frames, every STRIDE-th kept. */
+  /** STAND-IN frame sampler: fixed-size byte frames, every STRIDE-th kept.
+    * Stays a byte-level stand-in because the JDK ships no video decoder
+    * (and no compressed-audio codec) — unlike images, where the real
+    * `javax.imageio` path lives in [[ImageCodec]]. */
   def sampleFrameStats(item: MediaItem): MediaFrameStats = {
     val bytes = item.media
     val nFrames = (bytes.length + FRAME - 1) / FRAME
@@ -197,21 +241,72 @@ object MultimodalStub {
     }
     MediaFrameStats(item.doc_id, nFrames.toLong, nSampled.toLong, sum)
   }
-  /** STUB decode: deterministic byte statistics standing in for real
-    * decode/feature-extract (e.g. resize + embed for images). */
-  def decodeFeatures(item: MediaItem): MediaFeatures = {
-    val bytes = item.media
-    var sum = 0L
-    val seen = new Array[Boolean](256)
-    var distinct = 0
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xFF
-      sum += b
-      if (!seen(b)) { seen(b) = true; distinct += 1 }
-      i += 1
+}
+
+/** The REAL image codec — `javax.imageio` (PNG/JPEG/BMP/GIF) ships in
+  * every JDK, so the image decode path needs zero new dependencies.
+  *
+  * Generation is a closed-form pixel function of `doc_id` (dims
+  * `4 + id%13` × `4 + id%7`, channel c(x,y) = linear-congruential mod 256),
+  * which is what makes a value-level oracle possible: DuckDB recomputes
+  * the expected statistics from the formula while Spark computes them from
+  * actually-decoded PNG pixels — the PNG encode/decode roundtrip is
+  * lossless RGB, so any decode defect breaks the match.
+  */
+object ImageCodec {
+
+  // Executors must not write ImageIO's disk cache under /tmp.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  def dims(id: Long): (Int, Int) =
+    ((4 + id % 13).toInt, (4 + id % 7).toInt)
+
+  def r(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+  def g(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 11 + y * 3) % 256).toInt
+  def b(id: Long, x: Int, y: Int): Int = ((id * 23 + x * 5 + y * 19) % 256).toInt
+
+  /** A real PNG file for `doc_id`'s deterministic image. */
+  def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = dims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (r(id, x, y) << 16) | (g(id, x, y) << 8) | b(id, x, y))
+        x += 1
+      }
+      y += 1
     }
-    val mean = if (bytes.isEmpty) 0L else sum * 1000L / bytes.length
-    MediaFeatures(item.doc_id, bytes.length.toLong, mean, distinct)
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", out))
+      throw new IllegalStateException("JDK PNG writer missing")
+    out.toByteArray
+  }
+
+  /** Decode a PNG payload and compute per-channel pixel statistics. */
+  def decodeFeatures(id: Long, png: Array[Byte]): ImageFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    if (img == null)
+      throw new IllegalArgumentException(s"doc $id: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xFF
+        sg += (rgb >> 8) & 0xFF
+        sb += rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    ImageFeatures(id, w.toLong, h.toLong, n,
+      sr * 1000L / n, sg * 1000L / n, sb * 1000L / n)
   }
 }

@@ -101,20 +101,43 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.95, f"IVF recall below contract: $recall%.2f")
   }
 
-  test("multimodal stub features match an independent computation") {
-    val docs = Tables.t(spark, sfDir, "documents")
-      .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+  test("image features come from really-decoded PNG pixels") {
+    val ids = Tables.t(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
     val feats = SparkEntry.queries("q_multimodal_features")(spark, sfDir)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
-    assert(feats.keySet == docs.keySet)
-    for ((id, text) <- docs.take(20)) {
-      val bytes = text.getBytes("UTF-8")
-      val mean = if (bytes.isEmpty) 0L
-        else bytes.map(_ & 0xFF).map(_.toLong).sum * 1000L / bytes.length
-      val distinct = bytes.map(_ & 0xFF).distinct.length
-      assert(feats(id) == ((bytes.length.toLong, mean, distinct)),
-        s"doc $id features diverged")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(feats.keySet == ids)
+    // Independent recompute straight from the generative pixel formula.
+    for (id <- ids.take(20)) {
+      val (w, h) = pipeline.ImageCodec.dims(id)
+      val px = for (x <- 0 until w; y <- 0 until h) yield
+        (pipeline.ImageCodec.r(id, x, y).toLong,
+          pipeline.ImageCodec.g(id, x, y).toLong,
+          pipeline.ImageCodec.b(id, x, y).toLong)
+      val n = w.toLong * h
+      val expect = (w.toLong, h.toLong,
+        px.map(_._1).sum * 1000L / n, px.map(_._2).sum * 1000L / n,
+        px.map(_._3).sum * 1000L / n)
+      assert(feats(id) == expect, s"doc $id decoded stats diverged from formula")
+    }
+  }
+
+  test("PNG encode -> javax.imageio decode is a pixel identity on a known image") {
+    val id = 42L
+    val png = pipeline.ImageCodec.encodePng(id)
+    // A real PNG file: magic bytes 89 50 4E 47.
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val (w, h) = pipeline.ImageCodec.dims(id)
+    assert(img.getWidth == w && img.getHeight == h)
+    for (x <- 0 until w; y <- 0 until h) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xFF) == pipeline.ImageCodec.r(id, x, y), s"R($x,$y)")
+      assert(((rgb >> 8) & 0xFF) == pipeline.ImageCodec.g(id, x, y), s"G($x,$y)")
+      assert((rgb & 0xFF) == pipeline.ImageCodec.b(id, x, y), s"B($x,$y)")
     }
   }
 
