@@ -20,6 +20,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** Avro scan/sink as a Spark DataSource V2 — closes the reference's
   * `AvroScanExecNode` row (`networks/tonic/gen/proto/datafusion.proto:
@@ -59,7 +60,7 @@ final class AvroDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = pathOf(options)
-    val conf = new Configuration()
+    val conf = AvroConnector.sessionConf()
     val files = AvroConnector.listAvroFiles(path, conf)
     if (files.isEmpty)
       throw new IllegalArgumentException(s"no .avro files under $path")
@@ -109,7 +110,7 @@ final class AvroScan(path: String, required: StructType, maxSplitBytes: Long)
     s"graft-avro scan $path (columns: ${required.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    val conf = AvroConnector.sessionConf()
     val files = AvroConnector.listAvroFiles(path, conf)
     // Sync-marker block splitting: byte ranges, like parquet row-group
     // assignment. Ranges are aligned by the reader, not here.
@@ -125,11 +126,12 @@ final class AvroScan(path: String, required: StructType, maxSplitBytes: Long)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroPartitionReaderFactory(required)
+    new AvroPartitionReaderFactory(required,
+      new SerializableConfiguration(AvroConnector.sessionConf()))
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = {
-      val files = AvroConnector.listAvroFiles(path, new Configuration())
+      val files = AvroConnector.listAvroFiles(path, AvroConnector.sessionConf())
       OptionalLong.of(files.map(_.getLen).sum)
     }
     override def numRows(): OptionalLong = OptionalLong.empty()
@@ -139,11 +141,12 @@ final class AvroScan(path: String, required: StructType, maxSplitBytes: Long)
 final case class AvroInputPartition(file: String, start: Long, length: Long)
   extends InputPartition
 
-final class AvroPartitionReaderFactory(required: StructType)
+final class AvroPartitionReaderFactory(required: StructType,
+    conf: SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AvroInputPartition]
-    new AvroPartitionReader(p, required)
+    new AvroPartitionReader(p, required, conf.value)
   }
 }
 
@@ -151,10 +154,10 @@ final class AvroPartitionReaderFactory(required: StructType)
   * marker at/after `start`, stop once past `start + length` — each block
   * is owned by exactly one split (the standard Hadoop input-split
   * contract, which is what makes a big avro file cluster-parallel). */
-final class AvroPartitionReader(p: AvroInputPartition, required: StructType)
+final class AvroPartitionReader(p: AvroInputPartition, required: StructType,
+    conf: Configuration)
   extends PartitionReader[InternalRow] {
   private val reader = {
-    val conf = new Configuration()
     val r = DataFileReader.openReader(
       new FsInput(new Path(p.file), conf), new GenericDatumReader[GenericRecord]())
       .asInstanceOf[DataFileReader[GenericRecord]]
@@ -185,43 +188,79 @@ final class AvroWriteBuilder(path: String, schema: StructType)
   }
 }
 
+/** File-sink commit protocol (the shape of Spark's own file sources):
+  * tasks stage part files under `<dir>/_temporary/<writeId>/`; job
+  * `commit` moves the WINNING attempts' files into the final directory
+  * and writes `_SUCCESS`; job `abort` deletes the whole staging dir.
+  * Consequences the direct-write version got wrong:
+  *  - a task attempt that dies without `abort()` (executor crash, killed
+  *    speculative loser) leaves its orphan in staging, never beside
+  *    committed data — no duplicate rows on retry;
+  *  - truncate-mode deletes the previous dataset only inside job commit,
+  *    after every task succeeded — a failed overwrite leaves the old data
+  *    intact.
+  * Readers never see staging: [[AvroConnector.listAvroFiles]] lists only
+  * top-level files. */
 final class AvroBatchWrite(path: String, schema: StructType, overwrite: Boolean)
   extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    if (overwrite) {
-      val conf = new Configuration()
-      val target = new Path(path)
-      val fs = target.getFileSystem(conf)
-      if (fs.exists(target)) fs.delete(target, true)
-    }
-    AvroDataWriterFactory(path, schema)
-  }
+  private val writeId = java.util.UUID.randomUUID().toString
+  private def stagingDir = new Path(path, s"_temporary/$writeId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    AvroDataWriterFactory(stagingDir.toString, schema,
+      new SerializableConfiguration(AvroConnector.sessionConf()))
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
-    val target = new Path(path, "_SUCCESS")
+    val conf = AvroConnector.sessionConf()
+    val target = new Path(path)
     val fs = target.getFileSystem(conf)
-    fs.create(target, true).close()
+    if (overwrite && fs.exists(target)) {
+      // Deferred truncate: drop previously committed data (top-level files
+      // only — staging lives in _temporary) now that the new write is
+      // known-good and its files are all staged.
+      fs.listStatus(target).filter(_.isFile)
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    fs.mkdirs(target)
+    // Promote exactly the winning attempts' files; losers stay in staging.
+    messages.foreach { case AvroWriteCommit(staged) =>
+      val src = new Path(staged)
+      if (!fs.rename(src, new Path(target, src.getName)))
+        throw new java.io.IOException(s"commit: failed to promote $staged")
+    }
+    fs.delete(new Path(path, "_temporary"), true)
+    fs.create(new Path(target, "_SUCCESS"), true).close()
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = AvroConnector.sessionConf()
+    val staging = new Path(path, "_temporary")
+    try staging.getFileSystem(conf).delete(staging, true)
+    catch { case _: Throwable => () }
+  }
 }
 
-final case class AvroDataWriterFactory(path: String, schema: StructType)
+final case class AvroDataWriterFactory(stagingDir: String, schema: StructType,
+    conf: SerializableConfiguration)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AvroDataWriter(path, schema, partitionId, taskId)
+    new AvroDataWriter(stagingDir, schema, partitionId, taskId, conf.value)
 }
 
 final case class AvroWriteCommit(file: String) extends WriterCommitMessage
 
 /** One task's partition → one container file, streamed (never buffered
-  * whole). Task files are named part-<split>-<task>.avro so speculative /
-  * retried attempts never collide. */
-final class AvroDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long)
+  * whole) into the job's staging dir. Task files are named
+  * part-<split>-<task>.avro so speculative / retried attempts never
+  * collide; only the attempt whose commit message the driver accepts is
+  * promoted out of staging. */
+final class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
+    taskId: Long, conf: Configuration)
   extends DataWriter[InternalRow] {
   private val avroSchema = AvroConnector.toAvroSchema(schema, "graft_row")
   private val file = new Path(dir, f"part-$partitionId%05d-$taskId.avro")
   private val out = {
-    val fs = file.getFileSystem(new Configuration())
+    val fs = file.getFileSystem(conf)
     fs.mkdirs(new Path(dir))
     fs.create(file, true)
   }
@@ -236,7 +275,7 @@ final class AvroDataWriter(dir: String, schema: StructType, partitionId: Int, ta
   override def commit(): WriterCommitMessage = { writer.close(); AvroWriteCommit(file.toString) }
   override def abort(): Unit = {
     try writer.close() catch { case _: Throwable => () }
-    try file.getFileSystem(new Configuration()).delete(file, false)
+    try file.getFileSystem(conf).delete(file, false)
     catch { case _: Throwable => () }
   }
   override def close(): Unit = ()
@@ -246,6 +285,17 @@ final class AvroDataWriter(dir: String, schema: StructType, partitionId: Int, ta
 
 object AvroConnector {
   private val decimalConversion = new Conversions.DecimalConversion()
+
+  /** The active session's Hadoop configuration (credentials, custom
+    * filesystem schemes, ...) for driver-side calls; executors receive it
+    * via [[SerializableConfiguration]] in the reader/writer factories —
+    * the same threading Spark's own file sources use. Falls back to a
+    * plain Configuration only when no session is active (tests of the
+    * conversion layer). */
+  def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
 
   def listAvroFiles(path: String, conf: Configuration): Array[FileStatus] = {
     val p = new Path(path)

@@ -81,4 +81,23 @@ class AvroSourceSpec extends SparkSpec {
       .write.mode("append").format("graft-avro").save(dir)
     assert(spark.read.format("graft-avro").load(dir).count() == 8)
   }
+
+  test("writes stage under _temporary; orphans there are invisible to readers") {
+    val dir = tmp()
+    spark.range(0, 20).select(col("id")).write.mode("append").format("graft-avro").save(dir)
+    val root = new java.io.File(dir)
+    // Job commit promoted every part file and removed the staging dir.
+    assert(!root.listFiles.exists(_.getName == "_temporary"),
+      "staging dir must be cleaned up at job commit")
+    assert(root.listFiles.exists(_.getName == "_SUCCESS"))
+    // A crashed attempt's orphan (no task abort, no job cleanup yet) sits
+    // in staging — readers must not count its rows as committed data.
+    val staging = new java.io.File(root, "_temporary/deadbeef")
+    assert(staging.mkdirs())
+    val committed = root.listFiles.filter(_.getName.endsWith(".avro")).head
+    java.nio.file.Files.copy(committed.toPath,
+      new java.io.File(staging, "part-99999-0.avro").toPath)
+    assert(spark.read.format("graft-avro").load(dir).count() == 20,
+      "orphan staged file leaked into the committed dataset")
+  }
 }
