@@ -17,10 +17,24 @@ import java.nio.file.Files
   * in this zero-egress image.
   */
 object Sinks {
+  /** One JVM-wide root for roundtrip outputs, reclaimed on shutdown (the
+    * shingle-index policy, Dedup.scala): repeated verify/bench passes
+    * overwrite the same per-format directory instead of leaking a fresh
+    * temp dir per invocation — a long-lived gateway no longer grows /tmp
+    * without bound. (These are sequential correctness-gate queries; the
+    * write is `overwrite`, so re-invocation is a clean in-place rewrite.) */
+  private lazy val sinkRoot: String = {
+    val dir = Files.createTempDirectory("graft-sink-roundtrips")
+    sys.addShutdownHook {
+      scala.reflect.io.Path(dir.toFile).deleteRecursively()
+      ()
+    }
+    dir.toString
+  }
+
   private def roundtrip(fmt: String)(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory(s"graft_sink_$fmt").toString
     val src = Tables.t(s, d, "nation")
-    val out = s"$dir/nation"
+    val out = s"$sinkRoot/$fmt/nation"
     fmt match {
       case "parquet" =>
         src.write.mode("overwrite").parquet(out)
@@ -67,7 +81,7 @@ object Sinks {
   private val partitionedSink = QueryDef(
     "q_sink_partitioned",
     (s, d) => {
-      val dir = Files.createTempDirectory("graft_sink_part").toString
+      val dir = s"$sinkRoot/partitioned"
       Tables.t(s, d, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(s"$dir/orders")
