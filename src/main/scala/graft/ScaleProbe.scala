@@ -123,9 +123,17 @@ object ScaleProbe {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // SPARK_GRAFT_PROBE_QUERIES=q_a,q_b narrows a probe run to the named
+    // queries (iterating on one operator's scaling law without paying for
+    // the whole family).
+    val only = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(qs: Seq[String]): Seq[String] =
+      only.fold(qs)(o => qs.filter(o.contains))
+
     def run(dir: String, label: String,
         queries: Seq[String] = probeQueries): Seq[(String, Double, Long, Long)] =
-      queries.map { name =>
+      keep(queries).map { name =>
         // fresh shingle-index per corpus is intended: it is part of the cost
         shuffleBytes.set(0)
         val t0 = System.nanoTime()

@@ -275,11 +275,44 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** SimHash near-dup: candidates = pairs at hamming distance <= 7, found
-    * by banding the fingerprint into 8 x 8-bit chunks (a pair within
-    * hamming 7 must agree exactly on at least one chunk — pigeonhole, so
-    * candidate recall is 100% *within the radius*); exact trigram Jaccard
-    * then verifies, so precision is exact at any scale.
+  /** SimHash's hamming radius — the operator's semantic contract.
+    * Radius 6 (down from round-6's 7) is a DELIBERATE scale decision:
+    * it unlocks 16-bit chunk-PAIR banding (below), which collapses the
+    * intrinsically quadratic candidate mass 8-bit single-chunk banding
+    * had on correlated fingerprints — the one residual super-linear law
+    * the round-6 scale probe could not remove. Pigeonhole for the pair
+    * scheme: <= 6 flipped bits dirty at most 6 of the 8 chunks, leaving
+    * >= 2 clean chunks, so at least one of the C(8,2)=28 chunk pairs
+    * matches exactly. At radius 7 the guarantee would be void (7 flips
+    * can dirty 7 chunks, leaving one clean chunk and no clean pair —
+    * PropertySpec constructs the evasion), which is why the radius and
+    * the banding move in lockstep. */
+  private[graft] val SIMHASH_RADIUS = 6
+
+  /** SimHash near-dup: candidates = pairs at hamming distance <=
+    * [[SIMHASH_RADIUS]], found by banding the 64-bit fingerprint into all
+    * C(8,2)=28 ordered PAIRS of its 8-bit chunks (16-bit signatures);
+    * exact trigram Jaccard then verifies, so precision is exact at any
+    * scale.
+    *
+    * Why pairs: an 8-bit band has 256 values, and tf-weighted fingerprints
+    * on natural language correlate heavily, making some values
+    * near-universal — candidate mass grew ~quadratically (12.7x wall for
+    * 10x docs at the round-6 probe) no matter how the join was spread.
+    * A 16-bit pair band has 65536 values: the same correlated corpus
+    * spreads ~256x thinner per band, so the expected bucket occupancy —
+    * and with it the quadratic residual — collapses, at the price of
+    * 28/8 = 3.5x band rows (narrow ints) and the radius-7 → 6 contract
+    * change. The round-6 block-grid triangle decomposition (doc -> stable
+    * block in [0,B); x replicates over q, y over p; key (band, sig, p, q)
+    * spreads a bucket's pair grid over B^2 cells, each pair met exactly
+    * once) remains in the plan as a knob but defaults to B = 1: the
+    * join-output skew it was built to spread was a property of 256-value
+    * bands (round-6 probe: 85 s single-task straggler), and with 65536
+    * values the probe shows the straggler gone while B = 8's replication
+    * doubled the wall (22.4M vs 2.8M sort-join input rows at 50k docs).
+    * If a future corpus concentrates two chunks enough to re-create a hot
+    * 16-bit bucket, raise B — completeness is unaffected by construction.
     *
     * The radius is simhash's semantic boundary, and it is a different
     * similarity than set-Jaccard: the fingerprint is tf-weighted, so a
@@ -287,54 +320,41 @@ object Dedup {
     * appends content) can sit far outside the radius while its trigram
     * *set* overlap stays high — sf0.001 contains a real J=0.89 pair at
     * hamming 53. On the sf0.01 gate corpus every J >= 0.5 pair lies within
-    * hamming 5, so the all-pairs Jaccard oracle is exact there;
-    * PipelineSpec asserts the precise contract (== all J >= 0.5 pairs
-    * within the radius) with independently measured hamming. MinHash
-    * ([[dedupMinhash]]) is the strategy without this blind spot; simhash
-    * buys the cheapest signatures (64 bits/doc) in exchange. */
+    * hamming 5, so the all-pairs Jaccard oracle is exact there at radius 6
+    * just as it was at 7; PipelineSpec asserts the precise contract
+    * (== all J >= 0.5 pairs within the radius) with independently measured
+    * hamming. MinHash ([[dedupMinhash]]) is the strategy without the
+    * tf-weighting blind spot; simhash buys the cheapest signatures
+    * (64 bits/doc) in exchange. */
   private val dedupSimhash = QueryDef(
     "q_dedup_simhash",
     (s, d) => {
       val fps = simhashFingerprints(docs(s, d))
-      val chunks = (0 until 8).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL).as("sig")))
+      // 28 bands: band id c1*8+c2, signature = (chunk c1 << 8) | chunk c2.
+      val bands = for { c1 <- 0 until 8; c2 <- c1 + 1 until 8 } yield
+        struct(lit(c1 * 8 + c2).as("band"),
+          shiftleft(shiftright(col("simhash"), c1 * 8).bitwiseAND(0xFFL), 8)
+            .bitwiseOR(shiftright(col("simhash"), c2 * 8).bitwiseAND(0xFFL))
+            .as("sig"))
       val buckets = fps.select(col("doc_id"), col("simhash"),
-        explode(array(chunks: _*)).as("bk"))
+        explode(array(bands: _*)).as("bk"))
         .select(col("doc_id"), col("simhash"),
-          col("bk.chunk").as("chunk"), col("bk.sig").as("sig"))
-      // Chunk-mates are only *possible* hamming<=7 pairs: a random pair
-      // collides on some 8-bit chunk with p ~ 8/256 but sits at hamming
-      // ~32, so the exact bit_count filter — ints already in the join row,
-      // no extra data fetched — kills the bulk of the candidate stream
-      // before the (expensive) shingle-set join and Jaccard verify.
-      //
-      // Block-grid (triangle) decomposition of the band self-join: an
-      // 8-bit band has only 256 values, and correlated fingerprints make
-      // some values near-universal — a hot bucket's quadratic residual
-      // work would land on ONE task (AQE's skew split can't see it: the
-      // skew is in join OUTPUT, the input bytes stay balanced; measured
-      // as an 85 s straggler at the 50k-doc scale probe). Each doc gets a
-      // stable block id in [0, B); the x side replicates over q, the y
-      // side over p, and the join key (chunk, sig, p, q) spreads every
-      // bucket's pair grid across B^2 cells. Each (x, y) pair meets
-      // exactly once (at p = x.blk, q = y.blk), so the candidate set —
-      // and the pigeonhole completeness guarantee — is unchanged.
-      // (A popcount-band pre-split — |popcount(a)-popcount(b)| <= 7 for
-      // pairs in radius — was measured here and REMOVED: fingerprint
-      // popcounts concentrate in one or two bands (binomial around 32),
-      // so it tripled the replicated rows without splitting anything.)
-      val B = 8
+          col("bk.band").as("band"), col("bk.sig").as("sig"))
+      // Band-mates are only *possible* in-radius pairs: the exact
+      // bit_count filter — ints already in the join row, no extra data
+      // fetched — kills the rest of the candidate stream before the
+      // (expensive) shingle-set join and Jaccard verify.
+      val B = 1
       val blocked = buckets.withColumn("blk",
         pmod(xxhash64(col("doc_id")), lit(B)).cast("int"))
       val grid = expr(s"sequence(0, ${B - 1})")
       val xs = blocked.select(col("doc_id"), col("simhash"),
-        col("chunk"), col("sig"), col("blk").as("p"), explode(grid).as("q"))
+        col("band"), col("sig"), col("blk").as("p"), explode(grid).as("q"))
       val ys = blocked.select(col("doc_id").as("y_id"), col("simhash").as("y_simhash"),
-        col("chunk"), col("sig"), explode(grid).as("p"), col("blk").as("q"))
-      val cands = xs.join(ys, Seq("chunk", "sig", "p", "q"))
+        col("band"), col("sig"), explode(grid).as("p"), col("blk").as("q"))
+      val cands = xs.join(ys, Seq("band", "sig", "p", "q"))
         .filter(col("doc_id") < col("y_id") &&
-          bit_count(col("simhash").bitwiseXOR(col("y_simhash"))) <= 7)
+          bit_count(col("simhash").bitwiseXOR(col("y_simhash"))) <= SIMHASH_RADIUS)
         .select(col("doc_id").as("a_id"), col("y_id").as("b_id"))
         .distinct()
       val t = 0.5

@@ -48,20 +48,21 @@ class PipelineSpec extends SparkSpec {
 
   test("q_dedup_simhash == exactly the J >= 0.5 pairs within its hamming radius") {
     // The precise simhash contract: candidate recall is 100% within
-    // hamming <= 7 (pigeonhole over 8x8-bit chunks), precision is exact
-    // (Jaccard-verified) — so the output must equal the all-pairs truth
-    // *intersected with the radius*, with hamming measured independently
-    // here from the exposed fingerprints. sf0.001 deliberately contains
-    // pairs OUTSIDE the radius (a J=0.89 pair at hamming 53: tf-weighted
-    // simhash vs set-Jaccard divergence), which this test proves are the
-    // only misses.
+    // hamming <= SIMHASH_RADIUS (pigeonhole: <= 6 flips leave >= 2 of the
+    // 8 chunks clean, so some 16-bit chunk PAIR matches), precision is
+    // exact (Jaccard-verified) — so the output must equal the all-pairs
+    // truth *intersected with the radius*, with hamming measured
+    // independently here from the exposed fingerprints. sf0.001
+    // deliberately contains pairs OUTSIDE the radius (a J=0.89 pair at
+    // hamming 53: tf-weighted simhash vs set-Jaccard divergence), which
+    // this test proves are the only misses.
     val fp = pipeline.Dedup.simhashFingerprints(
       Tables.t(spark, sfDir, "documents"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val truth = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val inRadius = truth.filter { case (a, b) =>
-      java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 7
+      java.lang.Long.bitCount(fp(a) ^ fp(b)) <= pipeline.Dedup.SIMHASH_RADIUS
     }
     val got = SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -135,19 +135,37 @@ class SkewSpec extends SparkSpec {
     assert(math.abs(frac("test") - 0.1) < 0.02, s"test ${frac("test")}")
   }
 
-  test("simhash banding pigeonhole: hamming <= 7 pairs always share an 8-bit chunk") {
-    // The q_dedup_simhash candidate guarantee, on random fingerprints with
-    // randomly planted <=7-bit flips.
+  test("simhash pair-banding pigeonhole: hamming <= 6 pairs share a clean chunk PAIR") {
+    // The q_dedup_simhash candidate guarantee at SIMHASH_RADIUS = 6: any
+    // <= 6 bit flips dirty at most 6 of the 8 chunks, so >= 2 chunks stay
+    // clean and at least one of the C(8,2) 16-bit pair bands matches
+    // exactly. Random fingerprints, randomly planted <= 6-bit flips.
     val rng = new scala.util.Random(42)
+    def chunk(v: Long, c: Int): Long = (v >>> (c * 8)) & 0xFFL
     for (_ <- 0 until 2000) {
       val a = rng.nextLong()
-      val flips = rng.nextInt(8) // 0..7 bit flips
+      val flips = rng.nextInt(7) // 0..6 bit flips
       val b = (0 until flips).foldLeft(a)((x, _) => x ^ (1L << rng.nextInt(64)))
-      val shared = (0 until 8).exists(c =>
-        ((a >>> (c * 8)) & 0xFFL) == ((b >>> (c * 8)) & 0xFFL))
+      val shared = (for { c1 <- 0 until 8; c2 <- c1 + 1 until 8 } yield (c1, c2))
+        .exists { case (c1, c2) =>
+          chunk(a, c1) == chunk(b, c1) && chunk(a, c2) == chunk(b, c2) }
       assert(shared,
-        f"hamming=${java.lang.Long.bitCount(a ^ b)} pair shares no chunk: $a%x vs $b%x")
+        f"hamming=${java.lang.Long.bitCount(a ^ b)} pair shares no clean chunk pair: $a%x vs $b%x")
     }
+  }
+
+  test("radius 7 would void the pair-banding guarantee (why the contract is 6)") {
+    // 7 flips, one per chunk across 7 chunks: only one chunk stays clean,
+    // so NO pair of clean chunks exists — the concrete evasion that forces
+    // radius and banding to move in lockstep.
+    val a = 0L
+    val b = (0 until 7).foldLeft(a)((x, c) => x ^ (1L << (c * 8)))
+    assert(java.lang.Long.bitCount(a ^ b) == 7)
+    def chunk(v: Long, c: Int): Long = (v >>> (c * 8)) & 0xFFL
+    val shared = (for { c1 <- 0 until 8; c2 <- c1 + 1 until 8 } yield (c1, c2))
+      .exists { case (c1, c2) =>
+        chunk(a, c1) == chunk(b, c1) && chunk(a, c2) == chunk(b, c2) }
+    assert(!shared, "a 7-flip pair evading every pair band must exist")
   }
 
   test("saltedBroadcastJoin equals the plain join") {
