@@ -222,23 +222,65 @@ object Curation {
         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       FROM c GROUP BY 1, 2"""))
 
+  /** The persisted fingerprint store behind [[dedupIncremental]],
+    * materialized once per corpus per JVM as a fingerprint-BUCKETED
+    * (+ sorted) external table — so the incremental anti/outer join is
+    * exchange-free on the store side: only the (small) new batch shuffles,
+    * the (huge) historical store is read in place bucket-by-bucket. Keyed
+    * on the corpus content token and rebuilt when the corpus changes; the
+    * table files live under a shutdown-cleaned temp root (the
+    * shingle-index policy). Same store shape as the streaming ingest's
+    * ([[graft.streaming.EventStream]]). */
+  private val FP_STORE_BUCKETS = 16
+  private val fpStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private lazy val fpStoreRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp-store")
+    sys.addShutdownHook {
+      scala.reflect.io.Path(dir.toFile).deleteRecursively()
+      ()
+    }
+    dir.toString
+  }
+
+  private def bucketedFpStore(s: SparkSession, d: String,
+      fp: DataFrame): DataFrame = {
+    val path = s"$d/documents.parquet"
+    val token = Tables.contentToken(path)
+    val table = "graft_fp_store_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    fpStoreCache.compute(path, (_, old) => {
+      if (old != null && old._1 == token && s.catalog.tableExists(old._2)) old
+      else {
+        fp.filter(col("doc_id") % 2 === 0).select(col("fp")).distinct()
+          .withColumnRenamed("fp", "store_fp")
+          .repartition(FP_STORE_BUCKETS, col("store_fp"))
+          .write.mode("overwrite")
+          .bucketBy(FP_STORE_BUCKETS, "store_fp").sortBy("store_fp")
+          .option("path", s"$fpStoreRoot/$table")
+          .saveAsTable(table)
+        (token, table)
+      }
+    })
+    s.table(table)
+  }
+
   /** Incremental dedup against a persisted fingerprint store: the batch
     * (odd doc_ids, standing in for newly crawled data) checks its
     * bag-of-words fingerprint against the store (even doc_ids, standing in
     * for the released corpus) and reports per-language new/dup/kept counts.
-    * The store side is fingerprints only — never text — and the join keys
-    * on the fingerprint, so at 100 TB both sides shuffle ~16 bytes/row on
-    * a uniformly distributed key (md5), the best-case shuffle shape; the
-    * store is NOT broadcast because a historical corpus outgrows any
-    * executor. */
+    * The store side is fingerprints only — never text — read through its
+    * bucketed catalog table ([[bucketedFpStore]]): at 100 TB the join
+    * shuffles ONLY the new batch (~16 bytes/row on a uniform md5 key) and
+    * the store contributes zero exchange (PlanSpec asserts it). The store
+    * is NOT broadcast because a historical corpus outgrows any executor. */
   private val dedupIncremental = QueryDef(
     "q_dedup_incremental",
     (s, d) => {
       val fp = docs(s, d).select(col("doc_id"), col("lang"),
         md5(concat_ws(" ",
           array_sort(array_distinct(split(lower(col("text")), " "))))).as("fp"))
-      val store = fp.filter(col("doc_id") % 2 === 0).select(col("fp")).distinct()
-        .withColumnRenamed("fp", "store_fp")
+      val store = bucketedFpStore(s, d, fp)
       fp.filter(col("doc_id") % 2 === 1)
         .join(store, col("fp") === col("store_fp"), "left_outer")
         .groupBy(col("lang"))

@@ -120,10 +120,14 @@ object EventStream {
     * redelivers a batch under the SAME batch id, [[ingestBatch]] rebuilds
     * that one partition from scratch against the (immutable) earlier
     * partitions, and the merge is deterministic — the standard idempotent
-    * foreachBatch sink pattern. At 100 TB the per-batch cost is one
-    * column-pruned scan of the store's digest column plus a digest-keyed
-    * shuffle of the micro-batch; bucketing the store by digest would make
-    * the anti-join exchange-free on the store side. */
+    * foreachBatch sink pattern. The store is a digest-BUCKETED (+ sorted)
+    * external table, so the per-batch anti-join is exchange-free on the
+    * store side: only the micro-batch (tiny) shuffles, the historical
+    * corpus (huge) is read in place bucket-by-bucket — the shape that
+    * keeps per-batch cost independent of store size at 100 TB. A JVM
+    * restart loses the in-memory catalog but not the files;
+    * [[ensureStoreTable]] re-registers the table and recovers its
+    * partitions before the first post-restart batch. */
   def startDedupIngest(source: DataFrame, storeDir: String,
       checkpointDir: String): StreamingQuery =
     source.writeStream
@@ -131,6 +135,33 @@ object EventStream {
       .foreachBatch((batch: Dataset[Row], batchId: Long) =>
         ingestBatch(batch, batchId, storeDir))
       .start()
+
+  private[graft] val STORE_BUCKETS = 16
+
+  /** Catalog name for a store directory — stable across restarts (derived
+    * from the path, not the session). */
+  private[graft] def storeTableName(storeDir: String): String =
+    "graft_ingest_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(storeDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
+  /** Register the store's bucketed external table if this JVM hasn't yet:
+    * after a restart the files exist but the in-memory catalog is empty,
+    * so recreate the entry (schema + digest bucketing) over the existing
+    * location and recover the already-ingested partitions. */
+  private def ensureStoreTable(spark: SparkSession, table: String,
+      storeDir: String, dataSchema: org.apache.spark.sql.types.StructType): Unit = {
+    if (spark.catalog.tableExists(table)) return
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return // nothing ingested yet: first append creates it
+    spark.sql(
+      s"""CREATE TABLE $table (${dataSchema.toDDL}, ingest_batch BIGINT)
+         |USING parquet
+         |PARTITIONED BY (ingest_batch)
+         |CLUSTERED BY (digest) SORTED BY (digest) INTO $STORE_BUCKETS BUCKETS
+         |LOCATION '$storeDir'""".stripMargin)
+    spark.catalog.recoverPartitions(table)
+  }
 
   private[graft] def ingestBatch(batch: Dataset[Row], batchId: Long,
       storeDir: String): Unit = {
@@ -150,13 +181,25 @@ object EventStream {
     val hashed = batch.withColumn("digest", sha2(col("text"), 256))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
+    val table = storeTableName(storeDir)
+    ensureStoreTable(spark, table, storeDir, hashed.schema)
+    // Store side comes through the catalog so its digest bucketing reaches
+    // the planner: the anti-join shuffles ONLY the micro-batch.
     val prior =
-      try Some(spark.read.parquet(storeDir)
-        .filter(col("ingest_batch") < batchId).select("digest"))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      if (spark.catalog.tableExists(table))
+        Some(spark.table(table)
+          .filter(col("ingest_batch") < batchId).select("digest"))
+      else None
     val novel = prior.fold(hashed)(p => hashed.join(p, Seq("digest"), "left_anti"))
+    // One file per bucket per batch (the repartition matches the table's
+    // bucket hash), instead of tasks x buckets fragments.
     novel.withColumn("ingest_batch", lit(batchId))
-      .write.mode("append").partitionBy("ingest_batch").parquet(storeDir)
+      .repartition(STORE_BUCKETS, col("digest"))
+      .write.mode("append")
+      .partitionBy("ingest_batch")
+      .bucketBy(STORE_BUCKETS, "digest").sortBy("digest")
+      .option("path", storeDir)
+      .saveAsTable(table)
   }
 
   def startWindowedQuery(spark: SparkSession, source: DataFrame, name: String) =

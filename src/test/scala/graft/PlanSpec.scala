@@ -344,6 +344,50 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_incremental: the fingerprint store contributes zero exchange") {
+    // The store is a fingerprint-bucketed external table: with broadcast
+    // off (the 100 TB regime — a historical store outgrows any executor),
+    // the join must shuffle ONLY the new batch; the store side reads its
+    // buckets in place.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = SparkEntry.queries("q_dedup_incremental")(spark, sfDir)
+        .queryExecution.executedPlan
+      val flat = flattenPlan(plan)
+      def isStoreScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("graft-fp-store"))
+        case _ => false
+      }
+      val storeScans = flat.filter(isStoreScan)
+        .map(_.asInstanceOf[FileSourceScanExec])
+      assert(storeScans.nonEmpty, "store must be read through its bucketed table")
+      assert(storeScans.forall(_.bucketedScan),
+        "store scan must use its bucketing")
+      // The join's store-side child subtree must hold no exchange (the
+      // aggregate above the join shuffles on lang — that one is fine).
+      val storeSides = flat.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          j.children.filter(c => flattenPlan(c).exists(isStoreScan))
+      }.flatten
+      assert(storeSides.nonEmpty, "no join over the store found")
+      storeSides.foreach { side =>
+        assert(!flattenPlan(side).exists {
+          case _: ShuffleExchangeExec => true
+          case _ => false
+        }, s"the store side must not shuffle:\n$side")
+      }
+      // The batch side does shuffle (it must co-locate with the buckets).
+      assert(flat.exists {
+        case _: ShuffleExchangeExec => true
+        case _ => false
+      })
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("bucketed tables co-locate the join: no exchange at all") {
     // The write-side answer to repeated 100 TB joins: bucket both fact
     // tables on the join key and the shuffle disappears from every

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sha2}
 import graft.streaming.{EventStream, EventRow}
 
 /** Structured Streaming layer: event-time windowed aggregation with
@@ -240,6 +240,50 @@ class StreamingSpec extends SparkSpec {
     val ids = spark.read.parquet(store).select("doc_id")
       .as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 2L, 5L, 7L), s"non-deterministic winners: $ids")
+
+    // The store is a digest-bucketed catalog table, and the per-batch
+    // anti-join is exchange-free on the store side (broadcast off = the
+    // 100 TB regime): only the micro-batch shuffles.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val table = EventStream.storeTableName(store)
+      assert(spark.catalog.tableExists(table))
+      val nextBatch = Seq((8L, "epsilon")).toDF("doc_id", "text")
+        .withColumn("digest", sha2(col("text"), 256))
+      val novel = nextBatch.join(
+        spark.table(table).filter(col("ingest_batch") < 99).select("digest"),
+        Seq("digest"), "left_anti")
+      val flat = flatten(novel.queryExecution.executedPlan)
+      def isStoreScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("graft_ingest"))
+        case _ => false
+      }
+      val storeScans = flat.filter(isStoreScan).map(_.asInstanceOf[FileSourceScanExec])
+      assert(storeScans.nonEmpty && storeScans.forall(_.bucketedScan),
+        "store must scan its buckets in place")
+      // The anti-join's store-side child subtree holds no exchange.
+      val storeSides = flat.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          j.children.filter(c => flatten(c).exists(isStoreScan))
+      }.flatten
+      assert(storeSides.nonEmpty, "no join over the store found")
+      assert(!storeSides.exists(s => flatten(s).exists {
+        case _: ShuffleExchangeExec => true
+        case _ => false
+      }), "the store side of the ingest anti-join must not shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("file-source landing directory feeds the dedup ingest end-to-end") {
