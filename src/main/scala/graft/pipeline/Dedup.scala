@@ -226,6 +226,46 @@ object Dedup {
   private def minhashCols: Seq[Column] =
     (0 until NUM_HASHES).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
 
+  /** ~Max docs per grid cell side: a cell evaluates at most CELL² / 2
+    * candidate pairs, whatever the bucket size. */
+  private val GRID_CELL = 1024
+
+  /** Self-join of band buckets with PER-BUCKET block-grid decomposition —
+    * the fix for join-OUTPUT skew that AQE cannot see (input bytes stay
+    * balanced while one hot bucket's pair grid lands on one task; measured
+    * as a 27.6 s max-task at the 500k-doc probe).
+    *
+    * A bucket of n docs gets B = ceil(n / CELL) blocks: each doc gets a
+    * stable block id, the x side replicates over q, the y side over p, and
+    * the join key (band, sig, p, q) spreads the bucket's pair grid over B²
+    * cells of ≤ ~CELL²/2 pair evaluations each. Buckets with n ≤ CELL get
+    * B = 1 — zero replication on the common path, so the grid costs
+    * nothing until a bucket is actually hot, and replicated rows total
+    * Σ n·ceil(n/CELL) ≈ candidates/CELL — always ≪ the candidate count the
+    * bucket must emit anyway. Each (x, y) pair meets exactly once (at
+    * p = x.blk, q = y.blk), so the candidate set is unchanged.
+    * The bucket-size aggregate and its join back are co-partitioned on
+    * (band, sig) — one narrow exchange, no extra pass over the corpus.
+    *
+    * `buckets` needs (doc_id, band, sig); `carry` columns ride along and
+    * come back as both `c` (x side) and `y_c` (y side). */
+  private def gridSelfPairs(buckets: DataFrame, carry: Seq[String]): DataFrame = {
+    val sizes = buckets.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_n"))
+    val withB = buckets.join(sizes, Seq("band", "sig"))
+      .withColumn("nblk",
+        ceil(col("bucket_n") / lit(GRID_CELL.toDouble)).cast("int"))
+      .withColumn("blk", pmod(xxhash64(col("doc_id")), col("nblk")).cast("int"))
+    val xs = withB.select(Seq(col("doc_id"), col("band"), col("sig"),
+      col("blk").as("p"),
+      explode(expr("sequence(0, nblk - 1)")).as("q")) ++ carry.map(col): _*)
+    val ys = withB.select(Seq(col("doc_id").as("y_id"), col("band"), col("sig"),
+      explode(expr("sequence(0, nblk - 1)")).as("p"),
+      col("blk").as("q")) ++ carry.map(c => col(c).as(s"y_$c")): _*)
+    xs.join(ys, Seq("band", "sig", "p", "q"))
+      .filter(col("doc_id") < col("y_id"))
+  }
+
   private val dedupMinhash = QueryDef(
     "q_dedup_minhash",
     (s, d) => {
@@ -241,9 +281,11 @@ object Dedup {
       }
       val buckets = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      val cands = buckets.as("x").join(buckets.as("y"), Seq("band", "sig"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      // Per-bucket grid: a giant duplicate cluster (every member shares
+      // every band signature) emits its pair grid across many tasks
+      // instead of one straggler.
+      val cands = gridSelfPairs(buckets, Seq.empty)
+        .select(col("doc_id").as("a_id"), col("y_id").as("b_id"))
         .distinct()
       val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
       val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
@@ -303,16 +345,13 @@ object Dedup {
     * spreads ~256x thinner per band, so the expected bucket occupancy —
     * and with it the quadratic residual — collapses, at the price of
     * 28/8 = 3.5x band rows (narrow ints) and the radius-7 → 6 contract
-    * change. The round-6 block-grid triangle decomposition (doc -> stable
-    * block in [0,B); x replicates over q, y over p; key (band, sig, p, q)
-    * spreads a bucket's pair grid over B^2 cells, each pair met exactly
-    * once) remains in the plan as a knob but defaults to B = 1: the
-    * join-output skew it was built to spread was a property of 256-value
-    * bands (round-6 probe: 85 s single-task straggler), and with 65536
-    * values the probe shows the straggler gone while B = 8's replication
-    * doubled the wall (22.4M vs 2.8M sort-join input rows at 50k docs).
-    * If a future corpus concentrates two chunks enough to re-create a hot
-    * 16-bit bucket, raise B — completeness is unaffected by construction.
+    * change. Any residual hot bucket (two near-constant chunks make a
+    * near-constant pair) is handled by the PER-BUCKET block grid
+    * ([[gridSelfPairs]]), which replaced round 6's static B = 8 grid:
+    * zero replication until a bucket actually exceeds a grid cell, and a
+    * bounded per-task pair count when one does — the static grid's 8x
+    * blanket replication doubled the wall once pair banding had dissolved
+    * the common-case skew (probe: 23 s vs 11 s at 10x docs).
     *
     * The radius is simhash's semantic boundary, and it is a different
     * similarity than set-Jaccard: the fingerprint is tf-weighted, so a
@@ -343,18 +382,10 @@ object Dedup {
       // Band-mates are only *possible* in-radius pairs: the exact
       // bit_count filter — ints already in the join row, no extra data
       // fetched — kills the rest of the candidate stream before the
-      // (expensive) shingle-set join and Jaccard verify.
-      val B = 1
-      val blocked = buckets.withColumn("blk",
-        pmod(xxhash64(col("doc_id")), lit(B)).cast("int"))
-      val grid = expr(s"sequence(0, ${B - 1})")
-      val xs = blocked.select(col("doc_id"), col("simhash"),
-        col("band"), col("sig"), col("blk").as("p"), explode(grid).as("q"))
-      val ys = blocked.select(col("doc_id").as("y_id"), col("simhash").as("y_simhash"),
-        col("band"), col("sig"), explode(grid).as("p"), col("blk").as("q"))
-      val cands = xs.join(ys, Seq("band", "sig", "p", "q"))
-        .filter(col("doc_id") < col("y_id") &&
-          bit_count(col("simhash").bitwiseXOR(col("y_simhash"))) <= SIMHASH_RADIUS)
+      // (expensive) shingle-set join and Jaccard verify. The per-bucket
+      // grid ([[gridSelfPairs]]) bounds any residual hot 16-bit bucket.
+      val cands = gridSelfPairs(buckets, Seq("simhash"))
+        .filter(bit_count(col("simhash").bitwiseXOR(col("y_simhash"))) <= SIMHASH_RADIUS)
         .select(col("doc_id").as("a_id"), col("y_id").as("b_id"))
         .distinct()
       val t = 0.5
