@@ -244,17 +244,17 @@ object Dedup {
     * Σ n·ceil(n/CELL) ≈ candidates/CELL — always ≪ the candidate count the
     * bucket must emit anyway. Each (x, y) pair meets exactly once (at
     * p = x.blk, q = y.blk), so the candidate set is unchanged.
-    * The bucket-size aggregate and its join back are co-partitioned on
-    * (band, sig) — one narrow exchange, no extra pass over the corpus.
+    * The bucket size comes from a window count over (band, sig) — the
+    * same single hash exchange the pair join needs anyway, no extra
+    * aggregate-join pass over the bucket set.
     *
     * `buckets` needs (doc_id, band, sig); `carry` columns ride along and
     * come back as both `c` (x side) and `y_c` (y side). */
   private def gridSelfPairs(buckets: DataFrame, carry: Seq[String]): DataFrame = {
-    val sizes = buckets.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("bucket_n"))
-    val withB = buckets.join(sizes, Seq("band", "sig"))
+    val wb = Window.partitionBy(col("band"), col("sig"))
+    val withB = buckets
       .withColumn("nblk",
-        ceil(col("bucket_n") / lit(GRID_CELL.toDouble)).cast("int"))
+        ceil(count(lit(1)).over(wb) / lit(GRID_CELL.toDouble)).cast("int"))
       .withColumn("blk", pmod(xxhash64(col("doc_id")), col("nblk")).cast("int"))
     val xs = withB.select(Seq(col("doc_id"), col("band"), col("sig"),
       col("blk").as("p"),
