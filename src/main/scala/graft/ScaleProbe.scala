@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,8 +82,11 @@ object ScaleProbe {
         (id.toLong, text, sampleLang(), s"src${id % 10}", text.length.toLong)
       }
       import spark.implicits._
+      // ~20k docs per partition at every tier (the
+      // files.maxPartitionBytes shape a real cluster would see).
+      val parts = math.max(8, n / 20000)
       rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
-        .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+        .repartition(parts).write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
 
     /** 64-dim Gaussian embeddings (the sf corpus's shape: random vectors,
@@ -113,12 +116,38 @@ object ScaleProbe {
 
     // --- instrumented run ----------------------------------------------
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    // Longest single task per query — the straggler witness: a balanced
+    // plan's max task stays far below the query wall even as data grows.
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    // Per-stage breakdown (SPARK_GRAFT_PROBE_STAGES=1): shuffle bytes,
+    // max task, task count, and the stage's callsite — turns a bad
+    // query-level number into a pointer at the guilty exchange.
+    val stageDetail = sys.env.get("SPARK_GRAFT_PROBE_STAGES").contains("1")
+    case class StageAgg(var bytes: Long = 0, var maxMs: Long = 0,
+        var tasks: Int = 0, var name: String = "")
+    val stages = scala.collection.concurrent.TrieMap.empty[Int, StageAgg]
     val listener = new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        Option(t.taskMetrics).foreach { m =>
-          shuffleBytes.addAndGet(
-            m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.totalBytesRead)
-          ()
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val sb = Option(t.taskMetrics).map(m =>
+          m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.totalBytesRead)
+          .getOrElse(0L)
+        shuffleBytes.addAndGet(sb)
+        val dur = Option(t.taskInfo).map(_.duration).getOrElse(0L)
+        maxTaskMs.getAndUpdate(x => math.max(x, dur))
+        if (stageDetail) {
+          val agg = stages.getOrElseUpdate(t.stageId, StageAgg())
+          agg.synchronized {
+            agg.bytes += sb; agg.maxMs = math.max(agg.maxMs, dur); agg.tasks += 1
+          }
+        }
+        ()
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        if (stageDetail) {
+          val agg = stages.getOrElseUpdate(s.stageInfo.stageId, StageAgg())
+          agg.synchronized {
+            agg.name = s.stageInfo.name.linesIterator.next().take(90)
+          }
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -132,17 +161,26 @@ object ScaleProbe {
       only.fold(qs)(o => qs.filter(o.contains))
 
     def run(dir: String, label: String,
-        queries: Seq[String] = probeQueries): Seq[(String, Double, Long, Long)] =
+        queries: Seq[String] = probeQueries): Seq[(String, Double, Long, Long, Long)] =
       keep(queries).map { name =>
         // fresh shingle-index per corpus is intended: it is part of the cost
         shuffleBytes.set(0)
+        maxTaskMs.set(0)
+        stages.clear()
         val t0 = System.nanoTime()
         val cnt = SparkEntry.queries(name)(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500) // drain listener events
         val sb = shuffleBytes.get()
-        println(f"PROBE $label $name%-20s wall=$sec%8.2fs rows=$cnt%8d shuffleMB=${sb / 1e6}%10.1f")
-        (name, sec, cnt, sb)
+        val mt = maxTaskMs.get()
+        println(f"PROBE $label $name%-20s wall=$sec%8.2fs rows=$cnt%8d " +
+          f"shuffleMB=${sb / 1e6}%10.1f maxTaskMs=$mt%8d")
+        if (stageDetail)
+          stages.toSeq.sortBy(-_._2.bytes).take(8).foreach { case (id, a) =>
+            println(f"  STAGE $id%5d shuffleMB=${a.bytes / 1e6}%10.1f " +
+              f"maxTaskMs=${a.maxMs}%8d tasks=${a.tasks}%5d ${a.name}")
+          }
+        (name, sec, cnt, sb, mt)
       }
 
     val n1 = 5000
@@ -162,9 +200,30 @@ object ScaleProbe {
       run(s"$workDir/g10x", "g10x", simQueries) ++
       run(s"$workDir/g10x", "g10x", textQueries)
     println("name, wall_1x, wall_10x, ratio, rows_1x, rows_10x, shuffleMB_1x, shuffleMB_10x")
-    r1.zip(r10).foreach { case ((n, s1, c1, b1), (_, s10, c10, b10)) =>
+    r1.zip(r10).foreach { case ((n, s1, c1, b1, _), (_, s10, c10, b10, _)) =>
       println(f"SUMMARY $n%-20s ${s1}%8.2f ${s10}%8.2f ${s10 / s1}%6.2fx " +
         f"$c1%8d $c10%8d ${b1 / 1e6}%10.1f ${b10 / 1e6}%10.1f")
+    }
+
+    // --- third decade (SPARK_GRAFT_PROBE_100X=1): 500k docs / 200k vecs —
+    // the scale-path families only. Shuffle bytes are the load-robust
+    // metric; maxTask is the straggler witness.
+    if (sys.env.get("SPARK_GRAFT_PROBE_100X").contains("1")) {
+      val decaDocs = Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_clusters")
+      val decaSim = Seq("q_dedup_embedding")
+      generate(n1 * 100, s"$workDir/g100x")
+      generateEmbeddings(e1 * 100, s"$workDir/g100x")
+      println(s"generated g100x=${n1 * 100} docs/${e1 * 100} vecs")
+      val r100 = run(s"$workDir/g100x", "g100x", decaDocs) ++
+        run(s"$workDir/g100x", "g100x", decaSim)
+      val by10 = r10.map(r => r._1 -> r).toMap
+      println("name, wall_10x, wall_100x, ratio, shuffleMB_10x, shuffleMB_100x, shuffle_ratio, maxTask_100x_ms")
+      r100.foreach { case (n, s100, _, b100, mt100) =>
+        by10.get(n).foreach { case (_, s10, _, b10, _) =>
+          println(f"SUMMARY100 $n%-20s ${s10}%8.2f ${s100}%8.2f ${s100 / s10}%6.2fx " +
+            f"${b10 / 1e6}%10.1f ${b100 / 1e6}%10.1f ${b100.toDouble / b10}%6.2fx $mt100%8d")
+        }
+      }
     }
     spark.stop()
   }
