@@ -8,8 +8,14 @@ import scala.util.control.NonFatal
 
 /** Gateway credentials. The defaults are the reference app's hardcoded
   * integration-test pair (`integration-tests/app/src/main.rs:184-188`:
-  * admin / admin123); production embeddings pass their own. */
-final case class GatewayAuth(user: String = "admin", password: String = "admin123")
+  * admin / admin123); production embeddings pass their own. `tokenTtl`
+  * bounds a bearer token's lifetime; `None` (the default) matches the
+  * reference, whose handshake tokens never expire — multi-user
+  * deployments should set one so a leaked token stops working without a
+  * server restart. An expired token's next use answers the same
+  * unauthenticated error as a bad password; the client re-handshakes. */
+final case class GatewayAuth(user: String = "admin", password: String = "admin123",
+    tokenTtl: Option[scala.concurrent.duration.FiniteDuration] = None)
 
 /** A minimal socket front-end for [[JobRuntime]] — the client-facing
   * service surface of SURVEY §3.1 (the reference exposes FlightSQL over
@@ -139,8 +145,23 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
   // --- auth: Basic credentials -> bearer token (reference handshake,
   // app/src/main.rs:166-207). Issued tokens are accepted from any
   // connection (bearer semantics); the issuing connection is also marked
-  // authenticated so clients need not echo the token per line.
-  private val issuedTokens = ConcurrentHashMap.newKeySet[String]()
+  // authenticated so clients need not echo the token per line. Values are
+  // issue timestamps: a token older than auth.tokenTtl is rejected and
+  // dropped at its next use, and each handshake prunes the whole map —
+  // no background thread, bounded growth (one live entry per handshake
+  // within a TTL window).
+  private val issuedTokens = new ConcurrentHashMap[String, java.lang.Long]()
+
+  private def tokenLive(issuedAtMs: Long): Boolean =
+    auth.flatMap(_.tokenTtl).forall(ttl =>
+      System.currentTimeMillis() - issuedAtMs <= ttl.toMillis)
+
+  private def tokenValid(token: String): Boolean =
+    Option(issuedTokens.get(token)) match {
+      case Some(t) if tokenLive(t) => true
+      case Some(_) => issuedTokens.remove(token); false
+      case None => false
+    }
 
   private def constantTimeEq(a: String, b: String): Boolean =
     java.security.MessageDigest.isEqual(
@@ -157,13 +178,14 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
     if (!userOk || !passOk)
       throw new SecurityException("unauthenticated: invalid username or password")
     val token = java.util.UUID.randomUUID().toString
-    issuedTokens.add(token)
+    issuedTokens.entrySet().removeIf(e => !tokenLive(e.getValue))
+    issuedTokens.put(token, System.currentTimeMillis())
     token
   }
 
   private def authorized(line: String, connAuthed: Boolean): Boolean =
     auth.isEmpty || connAuthed ||
-      field(line, "token").exists(issuedTokens.contains)
+      field(line, "token").exists(tokenValid)
 
   private def handle(sock: Socket): Unit = {
     val in = new BufferedReader(
@@ -171,7 +193,9 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
     val raw = sock.getOutputStream
     val out = new PrintWriter(raw, true)
     try {
-      var authed = false
+      // The issuing connection rides its own token: when a tokenTtl is
+      // configured, expiry forces a re-handshake even on this connection.
+      var connToken: String = null
       var line = in.readLine()
       while (line != null && !closed) {
         try {
@@ -179,10 +203,10 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
           field(msg, "op") match {
             case Some("handshake") =>
               val token = handshake(msg)
-              authed = true
+              connToken = token
               out.println(s"""{"ok": true, "token": ${jstr(token)}, """ +
                 s""""authorization": ${jstr("Bearer " + token)}}""")
-            case _ if !authorized(msg, authed) =>
+            case _ if !authorized(msg, connToken != null && tokenValid(connToken)) =>
               throw new SecurityException(
                 "unauthenticated: handshake first (op=handshake) or send a valid token")
             case _ => dispatch(msg, out, raw)

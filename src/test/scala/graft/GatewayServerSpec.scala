@@ -3,8 +3,9 @@ package graft
 import java.io.{BufferedReader, InputStreamReader, PrintWriter}
 import java.net.Socket
 import java.nio.charset.StandardCharsets
-import graft.gateway.{ArrowCodec, GatewayServer, JobRuntime}
+import graft.gateway.{ArrowCodec, GatewayAuth, GatewayServer, JobRuntime}
 import org.apache.spark.sql.types._
+import scala.concurrent.duration._
 
 /** Drives the socket gateway like an external client: handshake, submit
   * over TCP, fetch each ticket as a row stream, observe
@@ -212,6 +213,46 @@ class GatewayServerSpec extends SparkSpec {
         assert(in2.readLine().contains("unauthenticated"))
       } finally s2.close()
     } finally { s1.close(); srv.close(); rt.close() }
+  }
+
+  test("tokenTtl expires bearer tokens: stale use rejected, re-handshake recovers") {
+    val rt = new JobRuntime(spark)
+    val srv = new GatewayServer(rt,
+      auth = Some(GatewayAuth(tokenTtl = Some(300.millis))))
+    val sock = new Socket("127.0.0.1", srv.boundPort)
+    try {
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      val out = new PrintWriter(sock.getOutputStream, true)
+      out.println(handshakeLine)
+      val hs = in.readLine()
+      assert(hs.contains("\"ok\": true"), hs)
+      val token = """"token": "([^"]+)"""".r.findFirstMatchIn(hs).get.group(1)
+      // Fresh token works (on a second connection, bearer-style).
+      val s2 = new Socket("127.0.0.1", srv.boundPort)
+      try {
+        val in2 = new BufferedReader(
+          new InputStreamReader(s2.getInputStream, StandardCharsets.UTF_8))
+        val out2 = new PrintWriter(s2.getOutputStream, true)
+        out2.println(s"""{"op": "running_jobs", "token": "$token"}""")
+        var line = in2.readLine()
+        while (line.startsWith("{\"row\"")) line = in2.readLine()
+        assert(line.contains("\"ok\": true"), line)
+        Thread.sleep(400)
+        // Expired: the bearer use AND the issuing connection both fail.
+        out2.println(s"""{"op": "running_jobs", "token": "$token"}""")
+        assert(in2.readLine().contains("unauthenticated"))
+        out.println("""{"op": "running_jobs"}""")
+        assert(in.readLine().contains("unauthenticated"))
+        // Re-handshake on the original connection recovers it.
+        out.println(handshakeLine)
+        assert(in.readLine().contains("\"ok\": true"))
+        out.println("""{"op": "running_jobs"}""")
+        var l3 = in.readLine()
+        while (l3.startsWith("{\"row\"")) l3 = in.readLine()
+        assert(l3.contains("\"ok\": true"), l3)
+      } finally s2.close()
+    } finally { sock.close(); srv.close(); rt.close() }
   }
 
   test("auth=None serves trusted in-process embeddings without a handshake") {
