@@ -20,8 +20,10 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); Spark 4 otherwise throws
-      // PARQUET_TYPE_ILLEGAL (see Tables.t scaladoc).
+      // If events.parquet carries TIMESTAMP(NANOS) (testdata generations
+      // drift), Spark 4 otherwise throws PARQUET_TYPE_ILLEGAL; with this
+      // flag it reads as ns-LONG, which Tables.t passes through. Harmless
+      // for micros-typed data (see Tables.t scaladoc).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // FAIR pools: a CPU-pinned query must not starve health checks
       // (reference `dist/src/executor.rs:26-108`, `tests/exception.rs:96-103`).
@@ -30,6 +32,48 @@ object Sessions {
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    registerGridWitness(s)
     s
   }
+
+  /** Per-session guard: `local()` is called from every entry point but
+    * `getOrCreate` returns the shared session — register the occupancy
+    * listener once per session, not once per call. */
+  private val gridWitnessed =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Surface the dedup grid's `observe()` occupancy witness
+    * ([[graft.pipeline.Dedup.GRID_METRIC_PREFIX]]): any query whose max
+    * (band, sig) bucket exceeded GRID_CELL — i.e. the per-bucket block grid
+    * actually escalated B > 1 — gets a WARN with the measured occupancy, so
+    * hot-bucket skew shows up in logs at runtime rather than only in a
+    * scale-probe postmortem. */
+  def registerGridWitness(s: SparkSession): Unit =
+    if (gridWitnessed.add(s)) {
+      s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        private val log = org.slf4j.LoggerFactory.getLogger("graft.grid")
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith(pipeline.Dedup.GRID_METRIC_PREFIX) && !row.isNullAt(0)) {
+              val n = row.getInt(0) // max_bucket_n
+              val b = row.getInt(1) // max_grid_b
+              Sessions.lastGridOccupancy.put(name, (n, b))
+              if (n > pipeline.Dedup.GRID_CELL)
+                log.warn(s"$name: hot band bucket of $n docs > cell " +
+                  s"${pipeline.Dedup.GRID_CELL}; block grid escalated to B=$b " +
+                  s"(${b.toLong * b} cells)")
+            }
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
+    }
+
+  /** Latest observed grid occupancy per metric name — the test hook for the
+    * listener above (observed metrics arrive on the listener bus, so specs
+    * poll this instead of racing the bus). */
+  private[graft] val lastGridOccupancy =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 }

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -13,16 +15,33 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp (PARQUET_TYPE_ILLEGAL). Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.configure]]),
-    * which surfaces the column as ns-since-epoch LONG. Ordering/grouping on
-    * the long is identical to ordering on the ns timestamp, so oracle
-    * queries that only use `ts` for ORDER BY stay comparable with DuckDB
-    * (which reads it as TIMESTAMP_NS). Never output raw `ts`.
+  /** `events.ts` is normalized here to ns-since-epoch LONG — the contract
+    * every EventOps query builds its int64 arithmetic on — regardless of the
+    * physical parquet type, which has drifted across testdata generations:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to read it as a timestamp
+    *    (PARQUET_TYPE_ILLEGAL); `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    (see [[Sessions.configure]]) surfaces it as ns-LONG → pass through.
+    *  - TIMESTAMP / TIMESTAMP_NTZ (micros): converted via
+    *    `unix_micros(ts) * 1000`. The session timezone is pinned to UTC
+    *    (Sessions.configure), so the NTZ→instant reinterpretation is the
+    *    identity the DuckDB oracle (`epoch_ns`, also UTC) applies.
+    *
+    * Ordering/grouping on the long is identical to ordering on the ns
+    * timestamp, so oracles that only use `ts` for ORDER BY stay comparable
+    * with DuckDB. Never output raw `ts`.
     */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case LongType => df
+      case _: TimestampNTZType | _: TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other; expected LONG(ns) or timestamp[_ntz]")
+    }
+  }
 
   /** Register exactly the named tables as temp views (SQL-form queries).
     * Deliberately NOT all tables: an eager register-everything forces a read

@@ -114,7 +114,7 @@ class QueriesSpec extends SparkSpec {
     assert(got == expected, s"rewrite diverged from native GROUPS truth: $got vs $expected")
   }
 
-  test("events table reads (nanos-as-long) and lead/lag orders by ns") {
+  test("events.ts is normalized to ns-LONG and lead/lag orders by ns") {
     val df = SparkEntry.queries("q_window_lead_lag")(spark, sfDir)
     assert(df.count() > 0)
     assert(Tables.t(spark, sfDir, "events").schema("ts").dataType ==
