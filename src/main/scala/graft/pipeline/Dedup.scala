@@ -228,7 +228,13 @@ object Dedup {
 
   /** ~Max docs per grid cell side: a cell evaluates at most CELL² / 2
     * candidate pairs, whatever the bucket size. */
-  private val GRID_CELL = 1024
+  private[graft] val GRID_CELL = 1024
+
+  /** Observed-metric prefix for the per-bucket grid's runtime occupancy
+    * witness (see [[gridSelfPairs]]); [[graft.Sessions]] registers a
+    * listener that WARN-logs any run whose max bucket exceeded
+    * [[GRID_CELL]] — i.e. the grid actually escalated B > 1. */
+  private[graft] val GRID_METRIC_PREFIX = "graft.grid."
 
   /** Self-join of band buckets with PER-BUCKET block-grid decomposition —
     * the fix for join-OUTPUT skew that AQE cannot see (input bytes stay
@@ -249,13 +255,27 @@ object Dedup {
     * aggregate-join pass over the bucket set.
     *
     * `buckets` needs (doc_id, band, sig); `carry` columns ride along and
-    * come back as both `c` (x side) and `y_c` (y side). */
-  private def gridSelfPairs(buckets: DataFrame, carry: Seq[String]): DataFrame = {
+    * come back as both `c` (x side) and `y_c` (y side).
+    *
+    * `metric` names an `observe()` witness (`graft.grid.<metric>`) carrying
+    * `max_bucket_n` (max docs sharing one (band, sig) bucket this run) and
+    * `max_grid_b` (the largest B the grid chose) — the runtime occupancy
+    * measurement round 7's notes flagged as missing. The grid raises B by
+    * itself (nblk is data-derived); the metric makes the escalation — and
+    * any future need to retune CELL — observable per query instead of only
+    * in a postmortem scale probe. Names are per call-site so two grid joins
+    * composed in one query keep distinct observation names. */
+  private def gridSelfPairs(buckets: DataFrame, carry: Seq[String],
+      metric: String): DataFrame = {
     val wb = Window.partitionBy(col("band"), col("sig"))
     val withB = buckets
+      .withColumn("bucket_n", count(lit(1)).over(wb).cast("int"))
       .withColumn("nblk",
-        ceil(count(lit(1)).over(wb) / lit(GRID_CELL.toDouble)).cast("int"))
+        ceil(col("bucket_n") / lit(GRID_CELL.toDouble)).cast("int"))
       .withColumn("blk", pmod(xxhash64(col("doc_id")), col("nblk")).cast("int"))
+      .observe(GRID_METRIC_PREFIX + metric,
+        max(col("bucket_n")).as("max_bucket_n"),
+        max(col("nblk")).as("max_grid_b"))
     val xs = withB.select(Seq(col("doc_id"), col("band"), col("sig"),
       col("blk").as("p"),
       explode(expr("sequence(0, nblk - 1)")).as("q")) ++ carry.map(col): _*)
@@ -284,7 +304,7 @@ object Dedup {
       // Per-bucket grid: a giant duplicate cluster (every member shares
       // every band signature) emits its pair grid across many tasks
       // instead of one straggler.
-      val cands = gridSelfPairs(buckets, Seq.empty)
+      val cands = gridSelfPairs(buckets, Seq.empty, "minhash")
         .select(col("doc_id").as("a_id"), col("y_id").as("b_id"))
         .distinct()
       val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
@@ -384,7 +404,7 @@ object Dedup {
       // fetched — kills the rest of the candidate stream before the
       // (expensive) shingle-set join and Jaccard verify. The per-bucket
       // grid ([[gridSelfPairs]]) bounds any residual hot 16-bit bucket.
-      val cands = gridSelfPairs(buckets, Seq("simhash"))
+      val cands = gridSelfPairs(buckets, Seq("simhash"), "simhash")
         .filter(bit_count(col("simhash").bitwiseXOR(col("y_simhash"))) <= SIMHASH_RADIUS)
         .select(col("doc_id").as("a_id"), col("y_id").as("b_id"))
         .distinct()

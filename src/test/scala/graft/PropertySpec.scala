@@ -168,6 +168,37 @@ class SkewSpec extends SparkSpec {
     assert(!shared, "a 7-flip pair evading every pair band must exist")
   }
 
+  test("grid occupancy witness trips on a hot band bucket (B escalates)") {
+    // VERDICT r7 residual: the block grid raised B from a window count but
+    // nothing MEASURED bucket occupancy at runtime. A corpus of identical
+    // docs puts all n docs in one (band, sig) bucket of every band; with
+    // n > GRID_CELL the observe() witness must report the occupancy and
+    // the escalated B, and the Sessions listener must have seen it.
+    import graft.pipeline.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotbucket").toFile
+    dir.deleteOnExit()
+    val n = Dedup.GRID_CELL + 76
+    val text = "the quick brown fox jumps over the lazy dog"
+    spark.range(1, n + 1)
+      .select(col("id").as("doc_id"), lit(text).as("text"), lit("en").as("lang"),
+        lit("hot").as("source"), lit(text.length.toLong).as("n_chars"))
+      .coalesce(1)
+      .write.parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    Sessions.lastGridOccupancy.clear()
+    SparkEntry.queries("q_dedup_simhash")(spark, dir.getAbsolutePath)
+      .write.format("noop").mode("overwrite").save()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var m: (Int, Int) = null
+    while (m == null && System.nanoTime() < deadline) {
+      m = Sessions.lastGridOccupancy.get(Dedup.GRID_METRIC_PREFIX + "simhash")
+      if (m == null) Thread.sleep(50)
+    }
+    assert(m != null, "grid occupancy metric never arrived on the listener bus")
+    assert(m._1 == n, s"max bucket should be the whole hot corpus: $m")
+    val expectB = math.ceil(n.toDouble / Dedup.GRID_CELL).toInt
+    assert(m._2 == expectB, s"grid should escalate to B=$expectB: $m")
+  }
+
   test("saltedBroadcastJoin equals the plain join") {
     val fact = spark.range(0, 50000)
       .select((col("id") % 5).as("fk"), col("id").as("v"))
