@@ -13,10 +13,12 @@ package graft
   *   - the JSON line is the last stdout line, printed after `spark.stop()`,
   *     so log noise can't interleave with it;
   *   - each query is timed TWICE and reports the min of the two passes
-  *     (total = sum of mins), with the host's 1-min load average emitted as
-  *     `load_avg` — round-5's driver numbers were 10-60x off under external
-  *     machine load, and min-of-2 + the load witness makes that visible
-  *     instead of silently contaminating the round's record.
+  *     (total = sum of mins), with the host's 1-min load average sampled at
+  *     every pass boundary and emitted as `load_avg_start`/`load_avg_max` —
+  *     round-5's driver numbers were 10-60x off under external machine
+  *     load, and round 7's single pre-run sample (1.9) hid a mid-run ramp
+  *     that inflated the total 3x; min-of-2 + the per-pass witness makes
+  *     contamination visible instead of silently becoming the record.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,12 +46,19 @@ object Bench {
       val err = runOnce(name)
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val loadAvg = java.lang.management.ManagementFactory
+    // Load witness, sampled per pass boundary (before pass 1, between the
+    // passes, after pass 2) — round 7 proved a single pre-run sample is
+    // blind to a mid-run ramp: load_avg 1.9 was recorded while the timed
+    // passes ran 3x inflated. start + max makes contamination self-evident.
+    def loadNow(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadNow()
     // Two timed passes, min per query: a transient load spike during one
     // pass doesn't masquerade as a plan property.
     val pass1 = names.map(n => n -> timeOne(n)).toMap
+    val loadMid = loadNow()
     val pass2 = names.map(n => n -> timeOne(n)).toMap
+    val loadMax = math.max(loadStart, math.max(loadMid, loadNow()))
     val timed = names.map { n =>
       val (s1, e1) = pass1(n)
       val (s2, e2) = pass2(n)
@@ -65,7 +74,8 @@ object Bench {
     def jsonWith(qs: Seq[(String, Double, Option[String])]) = {
       val m = qs.sortBy(_._1).map((entry _).tupled).mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n":${timed.size},""" +
-        s""""passes":2,"load_avg":${math.rint(loadAvg * 100) / 100},""" +
+        s""""passes":2,"load_avg_start":${math.rint(loadStart * 100) / 100},""" +
+        s""""load_avg_max":${math.rint(loadMax * 100) / 100},""" +
         s""""queries":$m,"errors":$errs,"sf":${jstr(sfDir)}}"""
     }
     // The driver captures only the LAST 2000 CHARS of stdout and parses the
@@ -73,14 +83,18 @@ object Bench {
     // map -> parsed:null). Budget the line at 1800 chars: keep the slowest
     // queries' timings (plus `value` = full-suite total and `n` = suite
     // size) and shed the fastest entries until it fits. Full detail goes to
-    // bench_full.json next to the repo for humans.
+    // a round-stamped bench_full_r{N}.json (SPARK_GRAFT_ROUND, else
+    // "dev") — the bare name was overwritten by any Bench invocation from
+    // the repo cwd, which destroyed round 7's only full per-query record.
     var kept = timed.sortBy(-_._2)
     while (jsonWith(kept).length > 1800 && kept.nonEmpty) kept = kept.init
     val json = jsonWith(kept)
     try {
       val full = jsonWith(timed)
+      val round = sys.env.get("SPARK_GRAFT_ROUND")
+        .orElse(sys.env.get("GRAFT_ROUND")).getOrElse("dev")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(sys.props("user.dir"), "bench_full.json"),
+        java.nio.file.Paths.get(sys.props("user.dir"), s"bench_full_r$round.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
