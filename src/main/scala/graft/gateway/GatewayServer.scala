@@ -13,9 +13,12 @@ import scala.util.control.NonFatal
   * reference, whose handshake tokens never expire — multi-user
   * deployments should set one so a leaked token stops working without a
   * server restart. An expired token's next use answers the same
-  * unauthenticated error as a bad password; the client re-handshakes. */
+  * unauthenticated error as a bad password; the client re-handshakes.
+  * `maxTokens` caps the issued-token map when no TTL would prune it:
+  * past the cap, each handshake evicts the oldest live token. */
 final case class GatewayAuth(user: String = "admin", password: String = "admin123",
-    tokenTtl: Option[scala.concurrent.duration.FiniteDuration] = None)
+    tokenTtl: Option[scala.concurrent.duration.FiniteDuration] = None,
+    maxTokens: Int = 4096)
 
 /** A minimal socket front-end for [[JobRuntime]] — the client-facing
   * service surface of SURVEY §3.1 (the reference exposes FlightSQL over
@@ -146,15 +149,19 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
   // app/src/main.rs:166-207). Issued tokens are accepted from any
   // connection (bearer semantics); the issuing connection is also marked
   // authenticated so clients need not echo the token per line. Values are
-  // issue timestamps: a token older than auth.tokenTtl is rejected and
-  // dropped at its next use, and each handshake prunes the whole map —
-  // no background thread, bounded growth (one live entry per handshake
-  // within a TTL window).
+  // issue timestamps on the MONOTONIC clock (nanoTime — a wall-clock NTP
+  // step must not stretch or collapse token lifetimes): a token older than
+  // auth.tokenTtl is rejected and dropped at its next use, and each
+  // handshake prunes the whole map — no background thread. Growth is
+  // bounded to one live entry per handshake within a TTL window when a TTL
+  // is configured; with tokenTtl=None nothing ever expires, so a hard cap
+  // evicts the oldest token instead of growing per handshake forever.
   private val issuedTokens = new ConcurrentHashMap[String, java.lang.Long]()
+  private def maxIssuedTokens: Int = auth.map(_.maxTokens).getOrElse(4096)
 
-  private def tokenLive(issuedAtMs: Long): Boolean =
+  private def tokenLive(issuedAtNanos: Long): Boolean =
     auth.flatMap(_.tokenTtl).forall(ttl =>
-      System.currentTimeMillis() - issuedAtMs <= ttl.toMillis)
+      System.nanoTime() - issuedAtNanos <= ttl.toNanos)
 
   private def tokenValid(token: String): Boolean =
     Option(issuedTokens.get(token)) match {
@@ -179,7 +186,19 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
       throw new SecurityException("unauthenticated: invalid username or password")
     val token = java.util.UUID.randomUUID().toString
     issuedTokens.entrySet().removeIf(e => !tokenLive(e.getValue))
-    issuedTokens.put(token, System.currentTimeMillis())
+    // No-TTL mode: expiry never prunes, so enforce the cap by evicting the
+    // oldest issue (nanoTime order). O(n) scan, but only at handshake rate
+    // and only once the cap is hit.
+    while (issuedTokens.size() >= maxIssuedTokens) {
+      val entries = issuedTokens.entrySet().iterator()
+      var min: java.util.Map.Entry[String, java.lang.Long] = null
+      while (entries.hasNext) {
+        val e = entries.next()
+        if (min == null || e.getValue < min.getValue) min = e
+      }
+      issuedTokens.remove(min.getKey) // non-null: size >= cap > 0
+    }
+    issuedTokens.put(token, System.nanoTime())
     token
   }
 

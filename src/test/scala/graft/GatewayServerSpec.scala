@@ -217,8 +217,11 @@ class GatewayServerSpec extends SparkSpec {
 
   test("tokenTtl expires bearer tokens: stale use rejected, re-handshake recovers") {
     val rt = new JobRuntime(spark)
+    // 2s TTL, sleep past 2.4s: the fresh-token round-trip below must land
+    // inside the TTL window, and a loaded CI host can stall a socket
+    // connect + readLine for hundreds of ms — 300ms flaked (ADVICE r7).
     val srv = new GatewayServer(rt,
-      auth = Some(GatewayAuth(tokenTtl = Some(300.millis))))
+      auth = Some(GatewayAuth(tokenTtl = Some(2.seconds))))
     val sock = new Socket("127.0.0.1", srv.boundPort)
     try {
       val in = new BufferedReader(
@@ -238,7 +241,7 @@ class GatewayServerSpec extends SparkSpec {
         var line = in2.readLine()
         while (line.startsWith("{\"row\"")) line = in2.readLine()
         assert(line.contains("\"ok\": true"), line)
-        Thread.sleep(400)
+        Thread.sleep(2400)
         // Expired: the bearer use AND the issuing connection both fail.
         out2.println(s"""{"op": "running_jobs", "token": "$token"}""")
         assert(in2.readLine().contains("unauthenticated"))
@@ -253,6 +256,41 @@ class GatewayServerSpec extends SparkSpec {
         assert(l3.contains("\"ok\": true"), l3)
       } finally s2.close()
     } finally { sock.close(); srv.close(); rt.close() }
+  }
+
+  test("maxTokens caps the no-TTL token map: oldest token evicted first") {
+    val rt = new JobRuntime(spark)
+    val srv = new GatewayServer(rt, auth = Some(GatewayAuth(maxTokens = 2)))
+    def handshake(): String = {
+      val s = new Socket("127.0.0.1", srv.boundPort)
+      try {
+        val in = new BufferedReader(
+          new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+        val out = new PrintWriter(s.getOutputStream, true)
+        out.println(handshakeLine)
+        val hs = in.readLine()
+        assert(hs.contains("\"ok\": true"), hs)
+        """"token": "([^"]+)"""".r.findFirstMatchIn(hs).get.group(1)
+      } finally s.close()
+    }
+    def bearerOk(token: String): Boolean = {
+      val s = new Socket("127.0.0.1", srv.boundPort)
+      try {
+        val in = new BufferedReader(
+          new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+        val out = new PrintWriter(s.getOutputStream, true)
+        out.println(s"""{"op": "running_jobs", "token": "$token"}""")
+        var line = in.readLine()
+        while (line.startsWith("{\"row\"")) line = in.readLine()
+        line.contains("\"ok\": true")
+      } finally s.close()
+    }
+    try {
+      val t1 = handshake(); val t2 = handshake(); val t3 = handshake()
+      // Cap 2: the third handshake evicted the oldest live token (t1).
+      assert(!bearerOk(t1), "oldest token should be evicted at the cap")
+      assert(bearerOk(t2) && bearerOk(t3), "newer tokens must survive eviction")
+    } finally { srv.close(); rt.close() }
   }
 
   test("auth=None serves trusted in-process embeddings without a handshake") {
