@@ -38,6 +38,17 @@ object ScaleProbe {
   private val textQueries = Seq("q_tfidf_keywords", "q_bm25_rank",
     "q_boilerplate_ngrams", "q_decontaminate", "q_perplexity_lm")
 
+  /** The event-ops family: argued scale-safe since round 6 (one user_id
+    * exchange, windows inside partitions, banded equi joins, no theta
+    * join) but never probed — VERDICT r7 #8. The generator grows the USER
+    * axis (10x users, same per-user density), the realistic growth
+    * direction, so wall/shuffle should track ~linearly and maxTask should
+    * stay flat; a planted hot user carrying 1% of all events watches for
+    * per-user buffering (it caught the chained-window funnel straggling —
+    * see the q_funnel scaladoc). */
+  private val eventQueries = Seq("q_asof_join", "q_funnel", "q_sessionize",
+    "q_range_join", "q_cohort_retention", "q_session_window", "q_gap_fill")
+
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -114,6 +125,42 @@ object ScaleProbe {
         .repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
 
+    /** Events with the source corpus's observable shape — empirical
+      * event_type mix and mean events/user measured from srcDir — generated
+      * entirely as Spark expressions (deterministic xxhash64 streams, no
+      * driver-side arrays: the generator itself must scale). One hot user
+      * carries 1% of all events so the probe also witnesses whether a
+      * skewed user inflates maxTask (the per-user window sort is the only
+      * place a hot key could hide). `ts` is written as ns-LONG directly —
+      * the post-normalization contract [[graft.Tables.t]] guarantees. */
+    def generateEvents(nUsers: Int, out: String): Unit = {
+      val srcEv = Tables.t(spark, srcDir, "events")
+      val mix = srcEv.groupBy("event_type").count().collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val evPerUser = math.max(1L,
+        mix.map(_._2).sum / math.max(1L, srcEv.select("user_id").distinct().count()))
+      val span = srcEv.agg(min(col("ts")), max(col("ts"))).head()
+      val (t0, t1) = (span.getLong(0), span.getLong(1))
+      val total = nUsers * evPerUser
+      val cum = mix.scanLeft(0L)(_ + _._2).tail
+      val tot = cum.last
+      // type by threshold walk over the cumulative empirical mix
+      val typeExpr = mix.zip(cum).foldRight(lit(mix.last._1): org.apache.spark.sql.Column) {
+        case (((t, _), c), acc) =>
+          when(pmod(xxhash64(col("id"), lit("ty")), lit(tot)) < c, lit(t)).otherwise(acc)
+      }
+      spark.range(0, total, 1, math.max(8, (total / 250000L).toInt))
+        .select(
+          col("id").as("event_id"),
+          (lit(t0) + pmod(xxhash64(col("id"), lit("ts")), lit(t1 - t0))).as("ts"),
+          when(pmod(xxhash64(col("id"), lit("hot")), lit(100)) === 0, lit(0L))
+            .otherwise(pmod(xxhash64(col("id"), lit("u")), lit(nUsers.toLong))).as("user_id"),
+          typeExpr.as("event_type"),
+          (pmod(xxhash64(col("id"), lit("v")), lit(10000L)) / 100.0).as("value"),
+          lit("{}").as("props"))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+
     // --- instrumented run ----------------------------------------------
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
     // Longest single task per query — the straggler witness: a balanced
@@ -160,6 +207,14 @@ object ScaleProbe {
     def keep(qs: Seq[String]): Seq[String] =
       only.fold(qs)(o => qs.filter(o.contains))
 
+    // Each query runs through the noop SINK, not count(): count() lets
+    // Catalyst prune every column nothing consumes — for the window-over-
+    // union event ops that deletes the window (and its exchange) outright,
+    // so the probe would time an empty shell (observed: q_asof_join with
+    // 0 shuffle bytes). The noop write materializes every output column,
+    // matching what Bench times; the row count rides along as an
+    // observe() metric on the same single pass.
+    var probeSeq = 0
     def run(dir: String, label: String,
         queries: Seq[String] = probeQueries): Seq[(String, Double, Long, Long, Long)] =
       keep(queries).map { name =>
@@ -167,8 +222,13 @@ object ScaleProbe {
         shuffleBytes.set(0)
         maxTaskMs.set(0)
         stages.clear()
+        probeSeq += 1
+        val obs = org.apache.spark.sql.Observation(s"probe_rows_$probeSeq")
         val t0 = System.nanoTime()
-        val cnt = SparkEntry.queries(name)(spark, dir).count()
+        SparkEntry.queries(name)(spark, dir)
+          .observe(obs, count(lit(1)).as("rows"))
+          .write.format("noop").mode("overwrite").save()
+        val cnt = obs.get("rows").asInstanceOf[Long]
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500) // drain listener events
         val sb = shuffleBytes.get()
@@ -189,16 +249,23 @@ object ScaleProbe {
     val e1 = 2000 // the sf0.1 embeddings row count
     generateEmbeddings(e1, s"$workDir/g1x")
     generateEmbeddings(e1 * 10, s"$workDir/g10x")
-    println(s"generated g1x=$n1 docs/$e1 vecs, g10x=${n1 * 10} docs/${e1 * 10} vecs")
+    val u1 = 20000 // users at 1x; events = users x empirical per-user mean
+    generateEvents(u1, s"$workDir/g1x")
+    generateEvents(u1 * 10, s"$workDir/g10x")
+    println(s"generated g1x=$n1 docs/$e1 vecs, g10x=${n1 * 10} docs/${e1 * 10} vecs, " +
+      s"events for $u1/${u1 * 10} users")
     run(s"$workDir/g1x", "warm1x") // warmup (JIT, codegen)
     run(s"$workDir/g1x", "warm1x", simQueries)
     run(s"$workDir/g1x", "warm1x", textQueries)
+    run(s"$workDir/g1x", "warm1x", eventQueries)
     val r1 = run(s"$workDir/g1x", "g1x") ++
       run(s"$workDir/g1x", "g1x", simQueries) ++
-      run(s"$workDir/g1x", "g1x", textQueries)
+      run(s"$workDir/g1x", "g1x", textQueries) ++
+      run(s"$workDir/g1x", "g1x", eventQueries)
     val r10 = run(s"$workDir/g10x", "g10x") ++
       run(s"$workDir/g10x", "g10x", simQueries) ++
-      run(s"$workDir/g10x", "g10x", textQueries)
+      run(s"$workDir/g10x", "g10x", textQueries) ++
+      run(s"$workDir/g10x", "g10x", eventQueries)
     println("name, wall_1x, wall_10x, ratio, rows_1x, rows_10x, shuffleMB_1x, shuffleMB_10x")
     r1.zip(r10).foreach { case ((n, s1, c1, b1, _), (_, s10, c10, b10, _)) =>
       println(f"SUMMARY $n%-20s ${s1}%8.2f ${s10}%8.2f ${s10 / s1}%6.2fx " +
