@@ -142,27 +142,46 @@ object EventOps {
 
   /** Ordered funnel (view -> click -> purchase): how many users reach each
     * stage, where each stage's event must be strictly after the previous
-    * stage's first event. Three chained `min(CASE)` windows over ONE
-    * user_id partitioning — Catalyst plans a single exchange reused by
-    * all three window frames (same trick as sessionize), then a per-user
-    * rollup; no self-joins, no event_type shuffles. At 100 TB: one hash
-    * exchange of the event stream + |users| rows upward. */
+    * stage's first event.
+    *
+    * Shape: ONE user_id exchange + ONE (user_id, ts) sort, two RUNNING
+    * range-frame windows, then a co-partitioned per-user aggregate. Stage
+    * qualification is a prefix property of the time-ordered stream —
+    * "this click follows a view" ⟺ the running min view-ts over STRICTLY
+    * EARLIER events (rangeBetween(-inf, -1) on the ns ts, so ties don't
+    * qualify — the oracle's `>` is strict) is non-null, and likewise a
+    * purchase follows a qualifying click — so each stage is an O(n)
+    * incremental frame over the one sorted pass, and the per-user rollup
+    * rides the window's partitioning with no further exchange.
+    *
+    * The round-8 event probe (planted hot user carrying 1% of all
+    * events) rejected both earlier forms: three chained whole-partition
+    * windows re-buffered the hot user's timeline once per stage
+    * (max-task = query wall, 12.4x at 10x users), and the CTE-style
+    * aggregate-join rewrite was worse — its per-user threshold tables
+    * exceeded the broadcast estimate, planning two SortMergeJoins that
+    * sorted the full 13M-event stream twice (481 MB shuffle in one
+    * 16-task stage, 13.5 s max task). This form sorts the stream exactly
+    * once and touches the hot user once. */
   private val funnel = QueryDef(
     "q_funnel",
     (s, d) => {
-      val w = Window.partitionBy(col("user_id"))
+      // Strictly-earlier running frame: RANGE on the ns-long ts, upper
+      // bound -1 ns, so same-instant events never satisfy each other.
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(Window.unboundedPreceding, -1)
       ev(s, d)
-        .withColumn("t_a",
-          min(when(col("event_type") === "view", col("ts"))).over(w))
-        .withColumn("t_b",
-          min(when(col("event_type") === "click" && col("ts") > col("t_a"),
-            col("ts"))).over(w))
-        .withColumn("t_c",
-          min(when(col("event_type") === "purchase" && col("ts") > col("t_b"),
-            col("ts"))).over(w))
+        .withColumn("view_prev",
+          min(when(col("event_type") === "view", col("ts"))).over(wPrev))
+        .withColumn("qclick_ts",
+          when(col("event_type") === "click" && col("view_prev").isNotNull,
+            col("ts")))
+        .withColumn("qclick_prev", min(col("qclick_ts")).over(wPrev))
         .groupBy(col("user_id"))
-        .agg(max(col("t_a")).as("t_a"), max(col("t_b")).as("t_b"),
-          max(col("t_c")).as("t_c"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_a"),
+          min(col("qclick_ts")).as("t_b"),
+          min(when(col("event_type") === "purchase" && col("qclick_prev").isNotNull,
+            col("ts"))).as("t_c"))
         .agg(count(lit(1)).as("n_users"),
           count(col("t_a")).as("n_view"),
           count(col("t_b")).as("n_view_click"),

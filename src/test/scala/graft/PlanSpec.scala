@@ -190,11 +190,16 @@ class PlanSpec extends SparkSpec {
     // Q21's two-level distinct must not plan Catalyst's Expand (which
     // would double the pre-shuffle stream).
     assert(!planString("q_tpch_q21").contains("Expand"), "q21 expanded")
-    // The funnel is windows over ONE user_id exchange — no join operator
-    // and exactly one hash exchange below the final rollup.
+    // The funnel is running range-frame windows + a co-partitioned rollup
+    // over ONE user_id exchange and ONE sort (round-8 probe: chained
+    // whole-partition windows re-buffered a hot user per stage; the
+    // aggregate-join rewrite double-sorted the full stream via two
+    // SortMergeJoins — this form sorts once and joins never).
     val funnel = planString("q_funnel")
     assert(!funnel.contains("Join"), s"funnel joined:\n$funnel")
     assert("Exchange hashpartitioning".r.findAllIn(funnel).size == 1, funnel)
+    assert("Sort ".r.findAllIn(funnel).size == 1,
+      s"funnel must sort the stream exactly once:\n$funnel")
     // Quantization is a pure per-row map: no exchange anywhere.
     assert(!planString("q_embed_quantize").contains("Exchange"), "quantize shuffled")
     // session_window aggregates partially before its single exchange.
