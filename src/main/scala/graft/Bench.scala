@@ -91,8 +91,12 @@ object Bench {
     val json = jsonWith(kept)
     try {
       val full = jsonWith(timed)
+      // No round in the env -> timestamp, so successive unstamped runs
+      // (driver rounds included) never overwrite each other's record.
       val round = sys.env.get("SPARK_GRAFT_ROUND")
-        .orElse(sys.env.get("GRAFT_ROUND")).getOrElse("dev")
+        .orElse(sys.env.get("GRAFT_ROUND"))
+        .getOrElse(java.time.LocalDateTime.now()
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.props("user.dir"), s"bench_full_r$round.json"),
         full.getBytes("UTF-8"))
