@@ -144,45 +144,47 @@ object EventOps {
     * stage, where each stage's event must be strictly after the previous
     * stage's first event.
     *
-    * Shape: ONE user_id exchange + ONE (user_id, ts) sort, two RUNNING
-    * range-frame windows, then a co-partitioned per-user aggregate. Stage
-    * qualification is a prefix property of the time-ordered stream —
-    * "this click follows a view" ⟺ the running min view-ts over STRICTLY
-    * EARLIER events (rangeBetween(-inf, -1) on the ns ts, so ties don't
-    * qualify — the oracle's `>` is strict) is non-null, and likewise a
-    * purchase follows a qualifying click — so each stage is an O(n)
-    * incremental frame over the one sorted pass, and the per-user rollup
-    * rides the window's partitioning with no further exchange.
+    * Shape: ONE explicit hash repartition of the (column-pruned) stream
+    * on user_id, reused by every stage (the three consumers canonicalize
+    * to the same exchange, so it is shuffled once and re-read); each
+    * stage is a co-partitioned complete-mode hash aggregate computing the
+    * stage threshold per user, joined back to the stream as a
+    * SHUFFLE_HASH equi join (both sides already partitioned — zero
+    * additional exchange, build side is the |users|-row threshold
+    * table's partition slice). `ts > t_a` is null when `t_a` is null, so
+    * `min(when(...))` stays null — a stage never fires before its
+    * predecessor; same three-step shape as the DuckDB oracle CTE.
     *
-    * The round-8 event probe (planted hot user carrying 1% of all
-    * events) rejected both earlier forms: three chained whole-partition
-    * windows re-buffered the hot user's timeline once per stage
-    * (max-task = query wall, 12.4x at 10x users), and the CTE-style
-    * aggregate-join rewrite was worse — its per-user threshold tables
-    * exceeded the broadcast estimate, planning two SortMergeJoins that
-    * sorted the full 13M-event stream twice (481 MB shuffle in one
-    * 16-task stage, 13.5 s max task). This form sorts the stream exactly
-    * once and touches the hot user once. */
+    * Why not windows, why not broadcast, why not sort-merge — all three
+    * were built and probed (round-8 event probe, planted hot user with 1%
+    * of all events): chained whole-partition windows buffer each user's
+    * timeline in WindowExec once per stage (an extreme user at cluster
+    * scale is a single-task spill cliff; also the slowest stable probe
+    * walls), running range-frame windows still group-buffer and add a
+    * full-stream sort, and the un-hinted join form missed the broadcast
+    * estimate and double-sorted the stream via SortMergeJoin (13.5 s max
+    * task at 10x). This form has no sort, no window buffer, no broadcast
+    * dependence: hash aggregates stream rows through bounded per-user
+    * state, so the hottest user costs one hash-map slot, and AQE can
+    * still split a skewed join partition. */
   private val funnel = QueryDef(
     "q_funnel",
     (s, d) => {
-      // Strictly-earlier running frame: RANGE on the ns-long ts, upper
-      // bound -1 ns, so same-instant events never satisfy each other.
-      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-        .rangeBetween(Window.unboundedPreceding, -1)
-      ev(s, d)
-        .withColumn("view_prev",
-          min(when(col("event_type") === "view", col("ts"))).over(wPrev))
-        .withColumn("qclick_ts",
-          when(col("event_type") === "click" && col("view_prev").isNotNull,
-            col("ts")))
-        .withColumn("qclick_prev", min(col("qclick_ts")).over(wPrev))
+      val e = ev(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        .repartition(col("user_id"))
+      val a = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_a"))
+      val b = e.join(a.hint("SHUFFLE_HASH"), "user_id")
         .groupBy(col("user_id"))
-        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_a"),
-          min(col("qclick_ts")).as("t_b"),
-          min(when(col("event_type") === "purchase" && col("qclick_prev").isNotNull,
+        .agg(first(col("t_a")).as("t_a"),
+          min(when(col("event_type") === "click" && col("ts") > col("t_a"),
+            col("ts"))).as("t_b"))
+      val c = e.join(b.hint("SHUFFLE_HASH"), "user_id")
+        .groupBy(col("user_id"))
+        .agg(first(col("t_a")).as("t_a"), first(col("t_b")).as("t_b"),
+          min(when(col("event_type") === "purchase" && col("ts") > col("t_b"),
             col("ts"))).as("t_c"))
-        .agg(count(lit(1)).as("n_users"),
+      c.agg(count(lit(1)).as("n_users"),
           count(col("t_a")).as("n_view"),
           count(col("t_b")).as("n_view_click"),
           count(col("t_c")).as("n_full_funnel"))

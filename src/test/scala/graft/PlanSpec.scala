@@ -190,16 +190,24 @@ class PlanSpec extends SparkSpec {
     // Q21's two-level distinct must not plan Catalyst's Expand (which
     // would double the pre-shuffle stream).
     assert(!planString("q_tpch_q21").contains("Expand"), "q21 expanded")
-    // The funnel is running range-frame windows + a co-partitioned rollup
-    // over ONE user_id exchange and ONE sort (round-8 probe: chained
-    // whole-partition windows re-buffered a hot user per stage; the
-    // aggregate-join rewrite double-sorted the full stream via two
-    // SortMergeJoins — this form sorts once and joins never).
+    // The funnel is chained co-partitioned aggregates + SHUFFLE_HASH
+    // threshold joins over ONE reused user_id exchange (round-8 probe:
+    // chained whole-partition windows buffer a user's whole timeline in
+    // WindowExec per stage — a spill cliff on an extreme user; un-hinted
+    // joins missed the broadcast estimate and double-sorted the stream
+    // via SortMergeJoin). Contract: no sort, no window, hash joins only,
+    // and at runtime the three stream consumers collapse onto one
+    // physical shuffle (two ReusedExchange nodes).
     val funnel = planString("q_funnel")
-    assert(!funnel.contains("Join"), s"funnel joined:\n$funnel")
-    assert("Exchange hashpartitioning".r.findAllIn(funnel).size == 1, funnel)
-    assert("Sort ".r.findAllIn(funnel).size == 1,
-      s"funnel must sort the stream exactly once:\n$funnel")
+    assert(!funnel.contains("Sort"), s"funnel sorts:\n$funnel")
+    assert(!funnel.contains("Window"), s"funnel windows again:\n$funnel")
+    assert(funnel.contains("ShuffledHashJoin") && !funnel.contains("SortMergeJoin") &&
+      !funnel.contains("NestedLoop"), s"funnel join shape wrong:\n$funnel")
+    val fdf = SparkEntry.queries("q_funnel")(spark, sfDir)
+    fdf.collect()
+    val ffinal = fdf.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(ffinal).size == 2,
+      s"stream exchange not reused across funnel stages:\n$ffinal")
     // Quantization is a pure per-row map: no exchange anywhere.
     assert(!planString("q_embed_quantize").contains("Exchange"), "quantize shuffled")
     // session_window aggregates partially before its single exchange.
