@@ -278,11 +278,20 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_PROBE_100X").contains("1")) {
       val decaDocs = Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_clusters")
       val decaSim = Seq("q_dedup_embedding")
-      generate(n1 * 100, s"$workDir/g100x")
-      generateEmbeddings(e1 * 100, s"$workDir/g100x")
-      println(s"generated g100x=${n1 * 100} docs/${e1 * 100} vecs")
+      // asof + funnel carry the event family's scale claims; 100x = 2M
+      // users (~133M events), generated distributed (the generator is
+      // pure Spark expressions, so the third decade costs no driver
+      // memory, unlike the doc corpus).
+      val decaEvents = Seq("q_asof_join", "q_funnel")
+      // Generate only the corpora a kept query will read — a narrowed
+      // PROBE_QUERIES run must not pay the 500k-doc driver-side build.
+      if (keep(decaDocs).nonEmpty) generate(n1 * 100, s"$workDir/g100x")
+      if (keep(decaSim).nonEmpty) generateEmbeddings(e1 * 100, s"$workDir/g100x")
+      if (keep(decaEvents).nonEmpty) generateEvents(u1 * 100, s"$workDir/g100x")
+      println(s"generated g100x (docs/vecs/events as kept)")
       val r100 = run(s"$workDir/g100x", "g100x", decaDocs) ++
-        run(s"$workDir/g100x", "g100x", decaSim)
+        run(s"$workDir/g100x", "g100x", decaSim) ++
+        run(s"$workDir/g100x", "g100x", decaEvents)
       val by10 = r10.map(r => r._1 -> r).toMap
       println("name, wall_10x, wall_100x, ratio, shuffleMB_10x, shuffleMB_100x, shuffle_ratio, maxTask_100x_ms")
       r100.foreach { case (n, s100, _, b100, mt100) =>
