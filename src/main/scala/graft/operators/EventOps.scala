@@ -58,6 +58,48 @@ object EventOps {
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         ON p.user_id = v.user_id AND v.ts <= p.ts"""))
 
+  /** As-of join with a TOLERANCE bound (the `merge_asof(tolerance=...)`
+    * shape): the most recent view at-or-before each purchase, but only if
+    * it happened within the last hour — older matches become NULL, the
+    * match-expiry semantics every feature pipeline needs ("the feature
+    * value must be fresh"). Same union + running-`last` single-exchange
+    * shape as [[asofJoin]] (still no join operator): the window also
+    * carries the matched view's TIMESTAMP forward, and a final map-side
+    * `when` nulls out stale matches. Cost is identical to the unbounded
+    * as-of — the tolerance is a projection, not a join predicate, so
+    * there is nothing new to probe. The oracle applies the same expiry
+    * CASE on top of DuckDB's native ASOF LEFT JOIN. */
+  private val asofTolerance = QueryDef(
+    "q_asof_tolerance",
+    (s, d) => {
+      val tolNs = 3600L * 1000 * 1000 * 1000 // 1 hour
+      val e = ev(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("event_id").as("vid"), col("ts").as("vts"),
+          lit(null).cast("long").as("pid"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast("long").as("vid"), lit(null).cast("long").as("vts"),
+          col("event_id").as("pid"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purchases)
+        .withColumn("lv", last(col("vid"), ignoreNulls = true).over(w))
+        .withColumn("lvts", last(col("vts"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("pid").as("purchase_id"), col("user_id"),
+          when(col("lvts") >= col("ts") - tolNs, col("lv"))
+            .as("matched_view"))
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id,
+      CASE WHEN epoch_ns(v.ts) >= epoch_ns(p.ts) - 3600000000000
+        THEN v.event_id END AS matched_view
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND v.ts <= p.ts"""))
+
   /** Banded range join: for every error event, how many signup events —
     * across ALL users, no equi key — happened within ±60 s.
     *
@@ -315,6 +357,6 @@ object EventOps {
         ON g.user_id = daily.user_id AND g.day = daily.day"""))
 
   val all: Seq[QueryDef] =
-    Seq(asofJoin, rangeJoin, sessionize, funnel, cohortRetention, sessionWindow,
-      gapFill)
+    Seq(asofJoin, asofTolerance, rangeJoin, sessionize, funnel, cohortRetention,
+      sessionWindow, gapFill)
 }
