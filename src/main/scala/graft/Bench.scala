@@ -83,9 +83,10 @@ object Bench {
     // map -> parsed:null). Budget the line at 1800 chars: keep the slowest
     // queries' timings (plus `value` = full-suite total and `n` = suite
     // size) and shed the fastest entries until it fits. Full detail goes to
-    // a round-stamped bench_full_r{N}.json (SPARK_GRAFT_ROUND, else
-    // "dev") — the bare name was overwritten by any Bench invocation from
-    // the repo cwd, which destroyed round 7's only full per-query record.
+    // a round-stamped bench_full_r{N}.json (SPARK_GRAFT_ROUND, else a
+    // timestamp) — the bare name was overwritten by any Bench invocation
+    // from the repo cwd, which destroyed round 7's only full per-query
+    // record.
     var kept = timed.sortBy(-_._2)
     while (jsonWith(kept).length > 1800 && kept.nonEmpty) kept = kept.init
     val json = jsonWith(kept)

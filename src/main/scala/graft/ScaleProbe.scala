@@ -228,8 +228,11 @@ object ScaleProbe {
         SparkEntry.queries(name)(spark, dir)
           .observe(obs, count(lit(1)).as("rows"))
           .write.format("noop").mode("overwrite").save()
-        val cnt = obs.get("rows").asInstanceOf[Long]
+        // Stop the clock BEFORE Observation.get: metrics arrive on the
+        // async listener bus, and its drain latency (hundreds of ms under
+        // this probe's own task-event load) must not land in the wall.
         val sec = (System.nanoTime() - t0) / 1e9
+        val cnt = obs.get("rows").asInstanceOf[Long]
         Thread.sleep(500) // drain listener events
         val sb = shuffleBytes.get()
         val mt = maxTaskMs.get()

@@ -39,9 +39,13 @@ object Sessions {
   /** Per-session guard: `local()` is called from every entry point but
     * `getOrCreate` returns the shared session — register the occupancy
     * listener once per session, not once per call. */
+  // Weak keys: a stopped-and-replaced session must not be pinned for the
+  // JVM lifetime just because the witness saw it once. synchronizedSet
+  // because WeakHashMap is not thread-safe and local() can race.
   private val gridWitnessed =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Surface the dedup grid's `observe()` occupancy witness
     * ([[graft.pipeline.Dedup.GRID_METRIC_PREFIX]]): any query whose max

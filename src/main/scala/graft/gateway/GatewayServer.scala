@@ -18,7 +18,11 @@ import scala.util.control.NonFatal
   * past the cap, each handshake evicts the oldest live token. */
 final case class GatewayAuth(user: String = "admin", password: String = "admin123",
     tokenTtl: Option[scala.concurrent.duration.FiniteDuration] = None,
-    maxTokens: Int = 4096)
+    maxTokens: Int = 4096) {
+  // A non-positive cap would make every handshake fail inside the
+  // eviction loop — reject the misconfiguration at construction.
+  require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+}
 
 /** A minimal socket front-end for [[JobRuntime]] — the client-facing
   * service surface of SURVEY §3.1 (the reference exposes FlightSQL over
@@ -187,18 +191,24 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
     val token = java.util.UUID.randomUUID().toString
     issuedTokens.entrySet().removeIf(e => !tokenLive(e.getValue))
     // No-TTL mode: expiry never prunes, so enforce the cap by evicting the
-    // oldest issue (nanoTime order). O(n) scan, but only at handshake rate
-    // and only once the cap is hit.
-    while (issuedTokens.size() >= maxIssuedTokens) {
-      val entries = issuedTokens.entrySet().iterator()
-      var min: java.util.Map.Entry[String, java.lang.Long] = null
-      while (entries.hasNext) {
-        val e = entries.next()
-        if (min == null || e.getValue < min.getValue) min = e
+    // oldest issue (nanoTime order — compared by SUBTRACTION, the only
+    // wrap-safe ordering the nanoTime contract allows). O(n) scan, but
+    // only at handshake rate and only once the cap is hit. The evict+put
+    // is synchronized: each connection handshakes on its own pool thread,
+    // and an unsynchronized check-then-act would let a handshake flood —
+    // the exact scenario the cap bounds — overshoot it.
+    issuedTokens.synchronized {
+      while (issuedTokens.size() >= maxIssuedTokens) {
+        val entries = issuedTokens.entrySet().iterator()
+        var min: java.util.Map.Entry[String, java.lang.Long] = null
+        while (entries.hasNext) {
+          val e = entries.next()
+          if (min == null || e.getValue - min.getValue < 0) min = e
+        }
+        issuedTokens.remove(min.getKey) // non-null: size >= cap > 0
       }
-      issuedTokens.remove(min.getKey) // non-null: size >= cap > 0
+      issuedTokens.put(token, System.nanoTime())
     }
-    issuedTokens.put(token, System.nanoTime())
     token
   }
 
