@@ -34,11 +34,13 @@ final case class ImageFeatures(
   * The IMAGE path is real: payloads are genuine PNG files (encoded with
   * the JDK's `javax.imageio`, which ships PNG/JPEG/BMP/GIF codecs in every
   * JRE) and features come from decoded pixels ([[ImageCodec.decodeFeatures]]).
-  * The frame-sampling and resize stages remain byte-level STAND-INS for
-  * audio/video: the JDK has no audio-codec (beyond WAV PCM) or video
-  * decoder at all, so those two keep deterministic byte semantics that the
-  * oracle can recompute, while exercising the same batch-stage plumbing a
-  * real codec would sit in.
+  * The AUDIO path is real too: genuine RIFF/WAVE PCM16 payloads through
+  * `javax.sound.sampled` on both sides ([[AudioCodec]]). The
+  * frame-sampling and resize stages remain byte-level STAND-INS for
+  * video/compressed audio: the JDK ships no video decoder or lossy audio
+  * codec, so those two keep deterministic byte semantics that the oracle
+  * can recompute, while exercising the same batch-stage plumbing a real
+  * codec would sit in.
   */
 object Multimodal {
 
@@ -182,8 +184,62 @@ object Multimodal {
         CAST(length(rs) AS BIGINT) AS n_out, md5(rs) AS fp
       FROM r"""))
 
-  val all: Seq[QueryDef] = Seq(multimodal, multimodalFrames, multimodalResize)
+  /** The audio table: one REAL WAV (RIFF/PCM16 mono) per document,
+    * generated executor-side from `doc_id` alone via the JDK's
+    * `javax.sound.sampled` WAVE writer — the deterministic sample formula
+    * makes the decoded features a closed-form function of the id, like
+    * the PNG path. Payload stays opaque `binary` + typed metadata. */
+  def audioTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val wav = AudioCodec.encodeWav(id)
+          MediaItem(id, wav, "wav", wav.length.toLong)
+        }
+      }
+      .toDF()
+  }
+
+  private val multimodalAudio = QueryDef(
+    "q_multimodal_audio",
+    (s, d) => {
+      import s.implicits._
+      audioTable(s, d).as[MediaItem]
+        .mapPartitions(items => items.map(it =>
+          AudioCodec.decodeFeatures(it.doc_id, it.media)))
+        .toDF()
+        .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+          col("sum_abs"), col("max_abs"))
+    },
+    // Payloads are real WAV files from AudioCodec's closed-form sample
+    // function of doc_id; DuckDB recomputes the expected decoded features
+    // from the formula, validating encode → RIFF/PCM16 → AudioSystem
+    // decode → sample-stats end to end (a broken decode cannot match).
+    Some("""WITH d AS (
+        SELECT doc_id, 400 + doc_id % 197 AS n FROM documents),
+      s AS (
+        SELECT d.doc_id, ((d.doc_id * 131 + i.range * 17) % 4001) - 2000 AS a
+        FROM d, range(0, 597) i WHERE i.range < d.n)
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_samples,
+        CAST(8000 AS BIGINT) AS sample_rate,
+        CAST(sum(abs(a)) AS BIGINT) AS sum_abs,
+        CAST(max(abs(a)) AS BIGINT) AS max_abs
+      FROM s GROUP BY doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(multimodal, multimodalFrames, multimodalResize, multimodalAudio)
 }
+
+/** Decoded features for one audio item: REAL sample statistics from a REAL
+  * WAV decode (see [[AudioCodec]]). All-Long schema for oracle parity. */
+final case class AudioFeatures(
+    doc_id: Long,
+    n_samples: Long,
+    sample_rate: Long,
+    sum_abs: Long,
+    max_abs: Long)
 
 /** Frame-sampling stats for one media item. */
 final case class MediaFrameStats(
@@ -253,6 +309,66 @@ object MultimodalStub {
   * actually-decoded PNG pixels — the PNG encode/decode roundtrip is
   * lossless RGB, so any decode defect breaks the match.
   */
+/** Real WAV audio codec on the JDK's `javax.sound.sampled` (the one audio
+  * format every JRE ships a codec for — PCM in a RIFF/WAVE container).
+  * Mirrors [[ImageCodec]]: deterministic samples as a closed-form function
+  * of `doc_id`, genuine container encode on write, genuine `AudioSystem`
+  * parse on read, so the oracle recomputes decoded features from the
+  * formula and a broken decode cannot match. */
+object AudioCodec {
+  val SampleRate = 8000f
+
+  /** Per-doc sample count: 400..596 — varies per doc, bounded for the
+    * oracle's fixed range() grid. */
+  def nSamples(id: Long): Int = (400 + id % 197).toInt
+
+  /** Closed-form PCM16 amplitude for sample i of doc `id` (±2000). */
+  def amp(id: Long, i: Int): Int = (((id * 131 + i.toLong * 17) % 4001) - 2000).toInt
+
+  /** A real WAV (RIFF/PCM16LE mono) payload for `doc_id`'s samples. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = nSamples(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val a = amp(id, i)
+      pcm(i * 2) = (a & 0xFF).toByte
+      pcm(i * 2 + 1) = ((a >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode a WAV payload via `AudioSystem` and compute sample stats. */
+  def decodeFeatures(id: Long, wav: Array[Byte]): AudioFeatures = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"doc $id: unexpected decoded format $fmt")
+    val bytes = in.readAllBytes()
+    in.close()
+    val n = bytes.length / 2
+    var sumAbs = 0L; var maxAbs = 0L
+    var i = 0
+    while (i < n) {
+      // little-endian signed 16-bit
+      val a = ((bytes(i * 2 + 1) << 8) | (bytes(i * 2) & 0xFF)).toShort.toInt
+      val ab = math.abs(a).toLong
+      sumAbs += ab
+      if (ab > maxAbs) maxAbs = ab
+      i += 1
+    }
+    AudioFeatures(id, n.toLong, fmt.getSampleRate.toLong, sumAbs, maxAbs)
+  }
+}
+
 object ImageCodec {
 
   // Executors must not write ImageIO's disk cache under /tmp.

@@ -142,6 +142,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("WAV encode -> AudioSystem decode is a sample identity on a known clip") {
+    val id = 42L
+    val wav = pipeline.AudioCodec.encodeWav(id)
+    // A real RIFF/WAVE container: 'RIFF' .... 'WAVE'.
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+    assert(wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E')
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate == pipeline.AudioCodec.SampleRate &&
+      fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian)
+    val bytes = in.readAllBytes(); in.close()
+    val n = pipeline.AudioCodec.nSamples(id)
+    assert(bytes.length == n * 2, s"expected $n PCM16 samples, got ${bytes.length} bytes")
+    for (i <- 0 until n) {
+      val a = ((bytes(i * 2 + 1) << 8) | (bytes(i * 2) & 0xFF)).toShort.toInt
+      assert(a == pipeline.AudioCodec.amp(id, i), s"sample $i")
+    }
+  }
+
   test("multimodal resize bounds the payload and keeps the stride contract") {
     val r = SparkEntry.queries("q_multimodal_resize")(spark, sfDir)
     val bad = r.filter(col("n_out") > 64 ||
