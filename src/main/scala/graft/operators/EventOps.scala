@@ -117,14 +117,19 @@ object EventOps {
     "q_range_join",
     (s, d) => {
       val bandNs = 60L * 1000 * 1000 * 1000
+      // Integer `div` bucketing: floor(ts / N) would go through double
+      // division, and ns timestamps exceed double's mantissa — a pair
+      // straddling a bucket edge within the ~190 ns rounding error could
+      // silently miss its bucket (the exact-predicate verify can't recover
+      // a candidate the bucket join never produced).
       val errors = ev(s, d).filter(col("event_type") === "error")
         .select(col("event_id").as("err_id"), col("ts").as("ets"))
         .withColumn("bucket",
           explode(array(Seq(-1, 0, 1).map(off =>
-            floor(col("ets") / bandNs) + off): _*)))
+            expr(s"ets div ${bandNs}L") + off): _*)))
       val signups = ev(s, d).filter(col("event_type") === "signup")
         .select(col("event_id").as("sig_id"), col("ts").as("sts"))
-        .withColumn("bucket", floor(col("sts") / bandNs))
+        .withColumn("bucket", expr(s"sts div ${bandNs}L"))
       errors.join(signups,
           errors("bucket") === signups("bucket") &&
             abs(col("ets") - col("sts")) <= bandNs, "left")
@@ -135,6 +140,38 @@ object EventOps {
       FROM (SELECT * FROM events WHERE event_type = 'error') e
       LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         ON abs(epoch_ns(e.ts) - epoch_ns(s.ts)) <= 60000000000
+      GROUP BY 1"""))
+
+  /** Hopping (sliding) window counts: events and active users per 5-minute
+    * window hopping every minute — the windowed-rate view every event
+    * pipeline dashboards on. Batch shape of Structured Streaming's
+    * `window(ts, "5 minutes", "1 minute")`: size = k·slide, so each event
+    * belongs to exactly k=5 windows, materialized as a FIXED ×5 explode of
+    * window-start keys, then one hash aggregate on the start. The window
+    * key is time — uniform by construction — so the single shuffle has no
+    * hot keys, the explode factor is a constant (not data-dependent), and
+    * distinct-user counts use Spark's partial-distinct aggregation; at
+    * 100 TB this is one exchange of k·|events| narrow rows. */
+  private val hoppingWindow = QueryDef(
+    "q_hopping_window",
+    (s, d) => {
+      val slideNs = 60L * 1000 * 1000 * 1000
+      val k = 5 // window size = k * slide = 5 minutes
+      // Integer `div`, never floor(ts / N): ns timestamps (~1.7e18)
+      // exceed double's 53-bit mantissa, so float division can misbucket
+      // boundary events by one window vs the oracle's exact `//`.
+      ev(s, d)
+        .select(col("user_id"),
+          explode(array((0 until k).map(i =>
+            (expr(s"ts div ${slideNs}L") - i) * slideNs): _*)).as("w_start"))
+        .groupBy(col("w_start"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""SELECT (epoch_ns(e.ts) // 60000000000 - i.range) * 60000000000 AS w_start,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+      FROM events e, range(0, 5) i
       GROUP BY 1"""))
 
   /** Sessionization: split each user's event stream into sessions at
@@ -358,5 +395,5 @@ object EventOps {
 
   val all: Seq[QueryDef] =
     Seq(asofJoin, asofTolerance, rangeJoin, sessionize, funnel, cohortRetention,
-      sessionWindow, gapFill)
+      sessionWindow, gapFill, hoppingWindow)
 }
