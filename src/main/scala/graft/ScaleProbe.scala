@@ -46,8 +46,9 @@ object ScaleProbe {
     * stay flat; a planted hot user carrying 1% of all events watches for
     * per-user buffering (it caught the chained-window funnel straggling —
     * see the q_funnel scaladoc). */
-  private val eventQueries = Seq("q_asof_join", "q_funnel", "q_sessionize",
-    "q_range_join", "q_cohort_retention", "q_session_window", "q_gap_fill")
+  private val eventQueries = Seq("q_asof_join", "q_asof_tolerance", "q_funnel",
+    "q_sessionize", "q_range_join", "q_cohort_retention", "q_session_window",
+    "q_gap_fill", "q_hopping_window")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))

@@ -293,6 +293,54 @@ class GatewayServerSpec extends SparkSpec {
     } finally { srv.close(); rt.close() }
   }
 
+  test("a concurrent handshake flood never overshoots maxTokens") {
+    // The cap exists to bound memory under exactly this load; the
+    // evict+put is synchronized so racing handshakes can't check-then-act
+    // past it. 24 parallel handshakes against cap 4: every handshake
+    // succeeds, and afterwards at most 4 of the issued tokens are live.
+    val rt = new JobRuntime(spark)
+    val srv = new GatewayServer(rt, auth = Some(GatewayAuth(maxTokens = 4)))
+    def handshake(): String = {
+      val s = new Socket("127.0.0.1", srv.boundPort)
+      try {
+        val in = new BufferedReader(
+          new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+        val out = new PrintWriter(s.getOutputStream, true)
+        out.println(handshakeLine)
+        val hs = in.readLine()
+        assert(hs.contains("\"ok\": true"), hs)
+        """"token": "([^"]+)"""".r.findFirstMatchIn(hs).get.group(1)
+      } finally s.close()
+    }
+    def bearerOk(token: String): Boolean = {
+      val s = new Socket("127.0.0.1", srv.boundPort)
+      try {
+        val in = new BufferedReader(
+          new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+        val out = new PrintWriter(s.getOutputStream, true)
+        out.println(s"""{"op": "running_jobs", "token": "$token"}""")
+        var line = in.readLine()
+        while (line.startsWith("{\"row\"")) line = in.readLine()
+        line.contains("\"ok\": true")
+      } finally s.close()
+    }
+    try {
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.DurationInt
+      val pool = Executors.newFixedThreadPool(12)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val tokens =
+        try Await.result(Future.sequence(
+          (1 to 24).map(_ => Future(handshake()))), 60.seconds)
+        finally pool.shutdown()
+      assert(tokens.toSet.size == 24, "every handshake must issue a token")
+      val live = tokens.count(bearerOk)
+      assert(live <= 4, s"cap overshot: $live live tokens > 4")
+      assert(live > 0, "the newest tokens must remain usable")
+    } finally { srv.close(); rt.close() }
+  }
+
   test("auth=None serves trusted in-process embeddings without a handshake") {
     val rt = new JobRuntime(spark)
     val srv = new GatewayServer(rt, auth = None)
