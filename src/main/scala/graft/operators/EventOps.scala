@@ -174,6 +174,34 @@ object EventOps {
       FROM events e, range(0, 5) i
       GROUP BY 1"""))
 
+  /** [[hoppingWindow]]'s 100 TB form: windowed ACTIVE-USER counts via the
+    * HyperLogLog++ sketch instead of exact distinct. The exact form's
+    * partial-dedup state is O(distinct (window, user) pairs) per task —
+    * the probe measured its hash maps spilling under local memory
+    * pressure at 66M exploded rows — while the sketch is FIXED-SIZE
+    * mergeable state per window (map-side combinable, one shuffle of
+    * sketches, no second aggregation phase), the standard trade when a
+    * dashboard tolerates ~2% error. Sketch values are
+    * implementation-specific, so no cross-engine value oracle exists:
+    * the driver records the weaker rows-only check (the exact variant
+    * q_hopping_window carries the full-oracle gate for the shared
+    * explode/bucketing logic), and the spec layer bounds the
+    * approximation against the exact counts. */
+  private val hoppingWindowApprox = QueryDef(
+    "q_hopping_window_approx",
+    (s, d) => {
+      val slideNs = 60L * 1000 * 1000 * 1000
+      val k = 5
+      ev(s, d)
+        .select(col("user_id"),
+          explode(array((0 until k).map(i =>
+            (expr(s"ts div ${slideNs}L") - i) * slideNs): _*)).as("w_start"))
+        .groupBy(col("w_start"))
+        .agg(count(lit(1)).as("n_events"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+    },
+    None)
+
   /** Sessionization: split each user's event stream into sessions at
     * >30 min gaps, then summarize per user. The batch formulation of what
     * streaming/EventStream.scala does with session windows: lag() marks
@@ -395,5 +423,5 @@ object EventOps {
 
   val all: Seq[QueryDef] =
     Seq(asofJoin, asofTolerance, rangeJoin, sessionize, funnel, cohortRetention,
-      sessionWindow, gapFill, hoppingWindow)
+      sessionWindow, gapFill, hoppingWindow, hoppingWindowApprox)
 }

@@ -114,6 +114,24 @@ class QueriesSpec extends SparkSpec {
     assert(got == expected, s"rewrite diverged from native GROUPS truth: $got vs $expected")
   }
 
+  test("hopping-window HLL user counts track the exact distinct counts") {
+    // The approx variant has no cross-engine oracle (sketch values are
+    // implementation-specific); this bounds it against the exact query
+    // instead: same windows, same event counts, user counts within a
+    // generous multiple of the configured 2% relative error.
+    val exact = SparkEntry.queries("q_hopping_window")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = SparkEntry.queries("q_hopping_window_approx")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet, "window sets must agree")
+    exact.foreach { case (w, (nEv, nU)) =>
+      val (aEv, aU) = approx(w)
+      assert(aEv == nEv, s"window $w: exact event counts must agree")
+      assert(math.abs(aU - nU) <= math.max(2L, (nU * 0.1).toLong),
+        s"window $w: approx users $aU vs exact $nU drifted past 10%")
+    }
+  }
+
   test("events.ts is normalized to ns-LONG and lead/lag orders by ns") {
     val df = SparkEntry.queries("q_window_lead_lag")(spark, sfDir)
     assert(df.count() > 0)
