@@ -48,7 +48,7 @@ object ScaleProbe {
     * see the q_funnel scaladoc). */
   private val eventQueries = Seq("q_asof_join", "q_asof_tolerance", "q_funnel",
     "q_sessionize", "q_range_join", "q_cohort_retention", "q_session_window",
-    "q_gap_fill", "q_hopping_window")
+    "q_gap_fill", "q_hopping_window", "q_hopping_window_approx")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))
