@@ -142,32 +142,39 @@ object EventOps {
         ON abs(epoch_ns(e.ts) - epoch_ns(s.ts)) <= 60000000000
       GROUP BY 1"""))
 
+  /** The shared (user_id, w_start) frame both hopping-window variants
+    * aggregate: each event exploded to the k window starts covering it.
+    * ONE definition so the exact variant's DuckDB oracle gates the
+    * explode/bucketing logic for the sketch variant too — a k or slide
+    * change cannot desynchronize their window grids.
+    *
+    * Integer `div`, never floor(ts / N): ns timestamps (~1.7e18) exceed
+    * double's 53-bit mantissa, so float division can misbucket boundary
+    * events by one window vs the oracle's exact `//`. */
+  private val HOP_SLIDE_NS = 60L * 1000 * 1000 * 1000
+  private val HOP_K = 5 // window size = k * slide = 5 minutes
+  private def hoppingFrame(s: SparkSession, d: String): DataFrame =
+    ev(s, d).select(col("user_id"),
+      explode(array((0 until HOP_K).map(i =>
+        (expr(s"ts div ${HOP_SLIDE_NS}L") - i) * HOP_SLIDE_NS): _*)).as("w_start"))
+
   /** Hopping (sliding) window counts: events and active users per 5-minute
     * window hopping every minute — the windowed-rate view every event
     * pipeline dashboards on. Batch shape of Structured Streaming's
     * `window(ts, "5 minutes", "1 minute")`: size = k·slide, so each event
-    * belongs to exactly k=5 windows, materialized as a FIXED ×5 explode of
-    * window-start keys, then one hash aggregate on the start. The window
-    * key is time — uniform by construction — so the single shuffle has no
-    * hot keys, the explode factor is a constant (not data-dependent), and
-    * distinct-user counts use Spark's partial-distinct aggregation; at
-    * 100 TB this is one exchange of k·|events| narrow rows. */
+    * belongs to exactly k=5 windows ([[hoppingFrame]]), then one hash
+    * aggregate on the start. The window key is time — uniform by
+    * construction — so the single shuffle has no hot keys, the explode
+    * factor is a constant (not data-dependent), and distinct-user counts
+    * use Spark's partial-distinct aggregation; at 100 TB this is one
+    * exchange of k·|events| narrow rows. */
   private val hoppingWindow = QueryDef(
     "q_hopping_window",
-    (s, d) => {
-      val slideNs = 60L * 1000 * 1000 * 1000
-      val k = 5 // window size = k * slide = 5 minutes
-      // Integer `div`, never floor(ts / N): ns timestamps (~1.7e18)
-      // exceed double's 53-bit mantissa, so float division can misbucket
-      // boundary events by one window vs the oracle's exact `//`.
-      ev(s, d)
-        .select(col("user_id"),
-          explode(array((0 until k).map(i =>
-            (expr(s"ts div ${slideNs}L") - i) * slideNs): _*)).as("w_start"))
+    (s, d) =>
+      hoppingFrame(s, d)
         .groupBy(col("w_start"))
         .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"))
-    },
+          countDistinct(col("user_id")).as("n_users")),
     Some("""SELECT (epoch_ns(e.ts) // 60000000000 - i.range) * 60000000000 AS w_start,
         CAST(count(*) AS BIGINT) AS n_events,
         CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
@@ -189,17 +196,11 @@ object EventOps {
     * approximation against the exact counts. */
   private val hoppingWindowApprox = QueryDef(
     "q_hopping_window_approx",
-    (s, d) => {
-      val slideNs = 60L * 1000 * 1000 * 1000
-      val k = 5
-      ev(s, d)
-        .select(col("user_id"),
-          explode(array((0 until k).map(i =>
-            (expr(s"ts div ${slideNs}L") - i) * slideNs): _*)).as("w_start"))
+    (s, d) =>
+      hoppingFrame(s, d)
         .groupBy(col("w_start"))
         .agg(count(lit(1)).as("n_events"),
-          approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
-    },
+          approx_count_distinct(col("user_id"), 0.02).as("n_users_approx")),
     None)
 
   /** Sessionization: split each user's event stream into sessions at

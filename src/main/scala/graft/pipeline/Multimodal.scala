@@ -309,6 +309,64 @@ object MultimodalStub {
   * actually-decoded PNG pixels — the PNG encode/decode roundtrip is
   * lossless RGB, so any decode defect breaks the match.
   */
+object ImageCodec {
+
+  // Executors must not write ImageIO's disk cache under /tmp.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  def dims(id: Long): (Int, Int) =
+    ((4 + id % 13).toInt, (4 + id % 7).toInt)
+
+  def r(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+  def g(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 11 + y * 3) % 256).toInt
+  def b(id: Long, x: Int, y: Int): Int = ((id * 23 + x * 5 + y * 19) % 256).toInt
+
+  /** A real PNG file for `doc_id`'s deterministic image. */
+  def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = dims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (r(id, x, y) << 16) | (g(id, x, y) << 8) | b(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", out))
+      throw new IllegalStateException("JDK PNG writer missing")
+    out.toByteArray
+  }
+
+  /** Decode a PNG payload and compute per-channel pixel statistics. */
+  def decodeFeatures(id: Long, png: Array[Byte]): ImageFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    if (img == null)
+      throw new IllegalArgumentException(s"doc $id: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xFF
+        sg += (rgb >> 8) & 0xFF
+        sb += rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    ImageFeatures(id, w.toLong, h.toLong, n,
+      sr * 1000L / n, sg * 1000L / n, sb * 1000L / n)
+  }
+}
+
 /** Real WAV audio codec on the JDK's `javax.sound.sampled` (the one audio
   * format every JRE ships a codec for — PCM in a RIFF/WAVE container).
   * Mirrors [[ImageCodec]]: deterministic samples as a closed-form function
@@ -366,63 +424,5 @@ object AudioCodec {
       i += 1
     }
     AudioFeatures(id, n.toLong, fmt.getSampleRate.toLong, sumAbs, maxAbs)
-  }
-}
-
-object ImageCodec {
-
-  // Executors must not write ImageIO's disk cache under /tmp.
-  javax.imageio.ImageIO.setUseCache(false)
-
-  def dims(id: Long): (Int, Int) =
-    ((4 + id % 13).toInt, (4 + id % 7).toInt)
-
-  def r(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
-  def g(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 11 + y * 3) % 256).toInt
-  def b(id: Long, x: Int, y: Int): Int = ((id * 23 + x * 5 + y * 19) % 256).toInt
-
-  /** A real PNG file for `doc_id`'s deterministic image. */
-  def encodePng(id: Long): Array[Byte] = {
-    val (w, h) = dims(id)
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        img.setRGB(x, y, (r(id, x, y) << 16) | (g(id, x, y) << 8) | b(id, x, y))
-        x += 1
-      }
-      y += 1
-    }
-    val out = new java.io.ByteArrayOutputStream()
-    if (!javax.imageio.ImageIO.write(img, "png", out))
-      throw new IllegalStateException("JDK PNG writer missing")
-    out.toByteArray
-  }
-
-  /** Decode a PNG payload and compute per-channel pixel statistics. */
-  def decodeFeatures(id: Long, png: Array[Byte]): ImageFeatures = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-    if (img == null)
-      throw new IllegalArgumentException(s"doc $id: payload is not a decodable image")
-    val w = img.getWidth
-    val h = img.getHeight
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        sr += (rgb >> 16) & 0xFF
-        sg += (rgb >> 8) & 0xFF
-        sb += rgb & 0xFF
-        x += 1
-      }
-      y += 1
-    }
-    val n = w.toLong * h
-    ImageFeatures(id, w.toLong, h.toLong, n,
-      sr * 1000L / n, sg * 1000L / n, sb * 1000L / n)
   }
 }
