@@ -132,6 +132,17 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("the driver's entry-point contract holds: entry() returns rows") {
+    // The driver smoke-checks SparkEntry.entry rows>0 before anything
+    // else; breaking it should fail HERE, not at driver time (the
+    // round-7 testdata drift surfaced exactly that way).
+    assert(SparkEntry.entry(spark).count() > 0)
+    // Every declared query has a builder, and every oracle key names a
+    // declared query — a dangling oracle entry would make the driver's
+    // DuckDB pass diverge from the Verify output set.
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("events.ts is normalized to ns-LONG and lead/lag orders by ns") {
     val df = SparkEntry.queries("q_window_lead_lag")(spark, sfDir)
     assert(df.count() > 0)
