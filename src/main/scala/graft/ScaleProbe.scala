@@ -46,8 +46,9 @@ object ScaleProbe {
     * stay flat; a planted hot user carrying 1% of all events watches for
     * per-user buffering (it caught the chained-window funnel straggling —
     * see the q_funnel scaladoc). */
-  private val eventQueries = Seq("q_asof_join", "q_asof_tolerance", "q_funnel",
-    "q_sessionize", "q_range_join", "q_cohort_retention", "q_session_window",
+  private val eventQueries = Seq("q_asof_join", "q_asof_tolerance",
+    "q_asof_chunked", "q_funnel",
+    "q_sessionize", "q_sessionize_chunked", "q_range_join", "q_cohort_retention", "q_session_window",
     "q_gap_fill", "q_hopping_window", "q_hopping_window_approx")
 
   def main(args: Array[String]): Unit = {
@@ -134,7 +135,8 @@ object ScaleProbe {
       * skewed user inflates maxTask (the per-user window sort is the only
       * place a hot key could hide). `ts` is written as ns-LONG directly —
       * the post-normalization contract [[graft.Tables.t]] guarantees. */
-    def generateEvents(nUsers: Int, out: String): Unit = {
+    def generateEvents(nUsers: Int, out: String,
+        hot: (Int, Int) = (1, 100)): Unit = {
       val srcEv = Tables.t(spark, srcDir, "events")
       val mix = srcEv.groupBy("event_type").count().collect()
         .map(r => (r.getString(0), r.getLong(1)))
@@ -154,7 +156,8 @@ object ScaleProbe {
         .select(
           col("id").as("event_id"),
           (lit(t0) + pmod(xxhash64(col("id"), lit("ts")), lit(t1 - t0))).as("ts"),
-          when(pmod(xxhash64(col("id"), lit("hot")), lit(100)) === 0, lit(0L))
+          when(pmod(xxhash64(col("id"), lit("hot")), lit(hot._2.toLong)) < hot._1,
+            lit(0L))
             .otherwise(pmod(xxhash64(col("id"), lit("u")), lit(nUsers.toLong))).as("user_id"),
           typeExpr.as("event_type"),
           (pmod(xxhash64(col("id"), lit("v")), lit(10000L)) / 100.0).as("value"),
@@ -303,6 +306,24 @@ object ScaleProbe {
           println(f"SUMMARY100 $n%-20s ${s10}%8.2f ${s100}%8.2f ${s100 / s10}%6.2fx " +
             f"${b10 / 1e6}%10.1f ${b100 / 1e6}%10.1f ${b100.toDouble / b10}%6.2fx $mt100%8d")
         }
+      }
+    }
+    // --- pathological single-user corpus (SPARK_GRAFT_PROBE_HOTUSER=1):
+    // one user carries 30% of all events — the honest stress NOTES_r08
+    // named for the per-user window-buffer residual. The plain as-of
+    // buffers the hot user's whole timeline in one task (maxTask grows
+    // with the user); the chunked form's window key is (user, day-chunk),
+    // so its maxTask should stay near the uniform corpus's numbers.
+    if (sys.env.get("SPARK_GRAFT_PROBE_HOTUSER").contains("1")) {
+      val hotQs = Seq("q_asof_join", "q_asof_chunked",
+        "q_sessionize", "q_sessionize_chunked")
+      generateEvents(u1 * 10, s"$workDir/ghot", hot = (30, 100))
+      println(s"generated ghot: ${u1 * 10} users, user 0 carrying ~30% of events")
+      run(s"$workDir/ghot", "warmhot", hotQs)
+      val rh = run(s"$workDir/ghot", "ghot", hotQs)
+      println("name, wall, shuffleMB, maxTaskMs (hot-user corpus)")
+      rh.foreach { case (n, sec, _, b, mt) =>
+        println(f"SUMMARYHOT $n%-20s ${sec}%8.2f ${b / 1e6}%10.1f $mt%8d")
       }
     }
     spark.stop()

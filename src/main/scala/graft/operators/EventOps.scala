@@ -100,6 +100,81 @@ object EventOps {
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         ON p.user_id = v.user_id AND v.ts <= p.ts"""))
 
+  /** [[asofJoin]]'s bounded-buffer form — the scale escape for the
+    * documented residual that per-user ordered windows must materialize a
+    * user's WHOLE timeline in one task's window buffer (NOTES_r08: "a
+    * pathological single-user corpus would be the honest stress"). Here
+    * the window key is (user_id, time-chunk), so a monster user's
+    * timeline splits across span/chunk tasks and each buffer is bounded
+    * by the user's events in ONE chunk, whatever the user's total:
+    *
+    *  1. within-chunk running `last(view)` — window over (user_id, chunk),
+    *     the only pass that touches event-grain rows;
+    *  2. a chunk-granularity carry table (one row per ACTIVE (user,
+    *     chunk), built exchange-free on the window's partitioning via
+    *     `max_by` over the already-windowed rows) records each chunk's
+    *     final matched view — null when the chunk saw no view;
+    *  3. the per-user prefix `last(ignoreNulls)` over STRICTLY EARLIER
+    *     chunks runs on that tiny table (rows per user = active chunks,
+    *     bounded by span/chunk — independent of event count);
+    *  4. purchases take `coalesce(within-chunk match, carry-in)` via a
+    *     SHUFFLE_HASH left join whose big side is already partitioned on
+    *     the join key (zero extra exchange; build side is chunk-grain).
+    *
+    * Correctness at the seams: a view in an earlier chunk is always
+    * earlier in time than any purchase in this chunk, equal-ts inclusive
+    * matching stays inside step 1's (ts, side) order, and `ignoreNulls`
+    * in step 3 skips view-less chunks rather than forgetting older
+    * matches. Oracle: the SAME DuckDB ASOF LEFT JOIN as [[asofJoin]];
+    * a spec test also pins it row-identical to the plain form. */
+  private val asofChunked = QueryDef(
+    "q_asof_chunked",
+    (s, d) => {
+      val chunkNs = 24L * 3600 * 1000 * 1000 * 1000 // 1 day
+      // user_id is non-null in this corpus; the EXPLICIT filter exists so
+      // the left-outer carry join's inferred isnotnull(user_id) (pushed
+      // into the build branch's scan only) cannot desynchronize the two
+      // copies of the event shuffle — with it, both branches canonicalize
+      // to one Exchange + ReusedExchange.
+      val e = ev(s, d).filter(col("user_id").isNotNull)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("event_id").as("vid"), lit(null).cast("long").as("pid"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast("long").as("vid"), col("event_id").as("pid"))
+      val tagged = views.unionByName(purchases)
+        .withColumn("chunk", expr(s"ts div ${chunkNs}L"))
+      val wIn = Window.partitionBy(col("user_id"), col("chunk"))
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = tagged
+        .withColumn("local_last", last(col("vid"), ignoreNulls = true).over(wIn))
+      // pid rides the max_by payload ONLY to pin column parity with the
+      // purchase branch: without it, pruning drops pid below this
+      // branch's copy of the event shuffle, the two exchange subtrees no
+      // longer canonicalize equal, and the stream shuffles twice instead
+      // of once + ReusedExchange (the plan contract PlanSpec pins).
+      val carry = local.groupBy(col("user_id"), col("chunk"))
+        .agg(max_by(struct(col("local_last"), col("pid")),
+          struct(col("ts"), col("side"))).as("cl"))
+        .select(col("user_id"), col("chunk"),
+          col("cl.local_last").as("chunk_last"))
+      val wc = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carryIn = carry
+        .withColumn("carry_in", last(col("chunk_last"), ignoreNulls = true).over(wc))
+        .select(col("user_id"), col("chunk"), col("carry_in"))
+      local.filter(col("side") === 1)
+        .join(carryIn.hint("SHUFFLE_HASH"), Seq("user_id", "chunk"), "left")
+        .select(col("pid").as("purchase_id"), col("user_id"),
+          coalesce(col("local_last"), col("carry_in")).as("matched_view"))
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS matched_view
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND v.ts <= p.ts"""))
+
   /** Banded range join: for every error event, how many signup events —
     * across ALL users, no equi key — happened within ±60 s.
     *
@@ -224,6 +299,85 @@ object EventOps {
         .withColumn("sess", sum(col("new_sess")).over(run))
         .groupBy(col("user_id"), col("sess"))
         .agg(count(lit(1)).as("sess_events"))
+        .groupBy(col("user_id"))
+        .agg(max(col("sess")).as("n_sessions"),
+          max(col("sess_events")).as("max_session_events"),
+          sum(col("sess_events")).as("n_events"))
+    },
+    Some("""WITH marked AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+               OR lag(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), numbered AS (
+        SELECT user_id,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess
+        FROM marked
+      ), per_sess AS (
+        SELECT user_id, sess, count(*) AS sess_events
+        FROM numbered GROUP BY 1, 2)
+      SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions,
+        CAST(max(sess_events) AS BIGINT) AS max_session_events,
+        CAST(sum(sess_events) AS BIGINT) AS n_events
+      FROM per_sess GROUP BY 1"""))
+
+  /** [[sessionize]]'s bounded-buffer form — the same chunking escape as
+    * [[asofChunked]], for the other query NOTES_r08 named in the
+    * per-user window-buffer residual. Two-level sessionization:
+    *
+    *  1. event grain, window over (user_id, day-chunk): the standard
+    *     lag/running-sum idiom assigns LOCAL session ids — buffers are
+    *     bounded by a user's events in one chunk;
+    *  2. an exchange-free aggregate (same partitioning) reduces to
+    *     session grain: (user, chunk, local sess) -> n_events, min/max ts;
+    *  3. the cross-chunk merge is the SAME gap algorithm re-applied at
+    *     session grain: per-user sessions ordered by min_ts merge when
+    *     `min_ts - lag(max_ts) <= gap`. Within a chunk consecutive local
+    *     sessions always have gap > 30 min (that is why they split), so
+    *     the uniform rule only ever fuses chunk seams — including chains
+    *     across user-inactive chunks, since the gap check uses real
+    *     timestamps, not chunk adjacency.
+    *
+    * The per-user stage-3 window is session-grain: for the dense hot user
+    * this residual defends against (millions of events, few sessions) its
+    * buffer is tiny. The honest caveat: a user whose every event is its
+    * own session (all gaps > 30 min) degenerates stage 3 to event grain —
+    * but such a timeline is sparse by construction (≤ 48 events/day),
+    * never the monster-timeline case. Oracle: identical SQL to
+    * [[sessionize]]; a spec test pins row-parity too. */
+  private val sessionizeChunked = QueryDef(
+    "q_sessionize_chunked",
+    (s, d) => {
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      val chunkNs = 24L * 3600 * 1000 * 1000 * 1000
+      val e = ev(s, d).withColumn("chunk", expr(s"ts div ${chunkNs}L"))
+      val wL = Window.partitionBy(col("user_id"), col("chunk"))
+        .orderBy(col("ts"), col("event_id"))
+      val runL = Window.partitionBy(col("user_id"), col("chunk"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val localSess = e
+        .withColumn("new_l",
+          when(col("ts") - lag(col("ts"), 1).over(wL) > gapNs, 1L)
+            .when(lag(col("ts"), 1).over(wL).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("l_sess", sum(col("new_l")).over(runL))
+        .groupBy(col("user_id"), col("chunk"), col("l_sess"))
+        .agg(count(lit(1)).as("n_ev"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+      val wS = Window.partitionBy(col("user_id")).orderBy(col("min_ts"))
+      val runS = Window.partitionBy(col("user_id")).orderBy(col("min_ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      localSess
+        .withColumn("new_m",
+          when(col("min_ts") - lag(col("max_ts"), 1).over(wS) > gapNs, 1L)
+            .when(lag(col("max_ts"), 1).over(wS).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("new_m")).over(runS))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(sum(col("n_ev")).as("sess_events"))
         .groupBy(col("user_id"))
         .agg(max(col("sess")).as("n_sessions"),
           max(col("sess_events")).as("max_session_events"),
@@ -423,6 +577,7 @@ object EventOps {
         ON g.user_id = daily.user_id AND g.day = daily.day"""))
 
   val all: Seq[QueryDef] =
-    Seq(asofJoin, asofTolerance, rangeJoin, sessionize, funnel, cohortRetention,
-      sessionWindow, gapFill, hoppingWindow, hoppingWindowApprox)
+    Seq(asofJoin, asofTolerance, asofChunked, rangeJoin, sessionize,
+      sessionizeChunked, funnel,
+      cohortRetention, sessionWindow, gapFill, hoppingWindow, hoppingWindowApprox)
 }

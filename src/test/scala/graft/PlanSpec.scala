@@ -158,6 +158,30 @@ class PlanSpec extends SparkSpec {
       range.contains("ShuffledHashJoin"), s"range join is not an equi join:\n$range")
   }
 
+  test("q_asof_chunked bounds its window buffers: chunk-grain keys, one event shuffle") {
+    // The chunked as-of form exists so no window buffers a user's WHOLE
+    // timeline: the event-grain window must partition by (user_id, chunk)
+    // — a monster user splits across span/chunk tasks — and the only
+    // per-user window runs at chunk grain (rows per user = active chunks).
+    // The carry join must be a hash join (big side already partitioned on
+    // the join key), and the event stream must shuffle once, reused.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_asof_chunked")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan
+    val windows = flattenPlan(plan).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in:\n$plan")
+    assert(windows.exists(_.partitionSpec.size == 2),
+      s"event-grain window lost its chunk key (whole-timeline buffer):\n$plan")
+    val p = plan.toString
+    assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("NestedLoop"), s"carry join shape wrong:\n$p")
+    df.collect()
+    val ffinal = df.queryExecution.executedPlan.toString
+    assert(ffinal.contains("ReusedExchange"),
+      s"event shuffle not reused between the window and carry branches:\n$ffinal")
+  }
+
   test("q_subquery_exists_or plans an ExistenceJoin (MARK join), not a semi join") {
     // Under a disjunction the EXISTS must become a mark column — the
     // reference's MARK join (datafusion_common.proto:84-90). A plain

@@ -51,6 +51,30 @@ class QueriesSpec extends SparkSpec {
       s"query build scheduled ${built - baseline} job(s) beyond schema inference")
   }
 
+  test("q_asof_chunked is row-identical to q_asof_join") {
+    // The bounded-buffer chunked rewrite must match the plain union +
+    // running-last form exactly — chunk seams (carry-in across view-less
+    // chunks, equal-ts inclusive bounds) are where a rewrite would drift.
+    val plain = SparkEntry.queries("q_asof_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val chunked = SparkEntry.queries("q_asof_chunked")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(chunked == plain,
+      s"diff: extra=${(chunked -- plain).take(5)} missing=${(plain -- chunked).take(5)}")
+  }
+
+  test("q_sessionize_chunked is row-identical to q_sessionize") {
+    // The two-level (chunk-local sessions + session-grain seam merge)
+    // rewrite must match the single-window form exactly — seams that
+    // chain across user-inactive chunks are the risky case.
+    val plain = SparkEntry.queries("q_sessionize")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val chunked = SparkEntry.queries("q_sessionize_chunked")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(chunked == plain,
+      s"diff: extra=${(chunked -- plain).take(5)} missing=${(plain -- chunked).take(5)}")
+  }
+
   test("q_select_one returns exactly 1") {
     assert(SparkEntry.queries("q_select_one")(spark, sfDir).collect()
       .map(_.getInt(0)).toSeq == Seq(1))
