@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   private val probeQueries = Seq("q_dedup_exact", "q_dedup_ngram",
-    "q_dedup_minhash", "q_dedup_simhash", "q_substring_dedup",
-    "q_dedup_clusters")
+    "q_dedup_containment", "q_dedup_minhash", "q_dedup_simhash",
+    "q_substring_dedup", "q_dedup_clusters")
 
   /** Similarity family, probed over generated embeddings (same 1x/10x
     * protocol): brute force is the exact O(NQ*N) floor, LSH is the scale

@@ -207,6 +207,67 @@ object Dedup {
         .select(col("a_id"), col("b_id"), floor(col("j") * 1e6).as("j_e6")),
     Some(allPairsJaccardSql(0.5)))
 
+  /** Asymmetric CONTAINMENT near-dup: pairs where >= 80% of doc A's
+    * trigram shingles appear in doc B (C(A,B) = |A∩B|/|A| >= t) — the
+    * boilerplate-wrapper / quote-expansion / near-superset duplicates
+    * that symmetric Jaccard structurally misses (a page embedded in a
+    * 10x-larger template has J ~ 0.1 but C ~ 1.0; a training pipeline
+    * that only runs Jaccard dedup keeps every such wrapped copy).
+    *
+    * Candidate generation is the containment form of the prefix filter:
+    * C >= t forces overlap >= ceil(t·nA), so A must share one of its
+    * (nA - ceil(t·nA) + 1) RAREST shingles (global-df order) with B —
+    * but unlike the Jaccard join there is no prefix on the container
+    * side (B may be arbitrarily large), so B contributes its full
+    * posting list and the only B-prune is the length filter nB >= t·nA.
+    * Rarity-first prefixes keep the probed posting lists small; a doc
+    * whose whole prefix is common shingles still probes hot lists — the
+    * honest worst case, same class as the simhash residual (a df-cap
+    * would break completeness; MinHash cannot express containment, so
+    * this IS the scale path for this semantics). Exact verification
+    * (`array_intersect` on the hashed sets) keeps zero false positives;
+    * all threshold arithmetic is integer (ceil(4n/5) as `(4n+4) div 5`,
+    * micros-scaled compares) — 0.8 is inexact in binary, and a float
+    * ceil at an integer boundary would silently shorten the prefix and
+    * void the pigeonhole. Oracle: all-pairs containment in DuckDB. */
+  private val dedupContainment = QueryDef(
+    "q_dedup_containment",
+    (s, d) => {
+      val sh = materializedShingles(s, d)
+      val exploded = sh.select(col("doc_id"), col("n"),
+        explode(col("shingles")).as("shingle"))
+      val dfreq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val prefixA = exploded.join(dfreq, "shingle")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+        .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+        .select(col("doc_id"), col("n"), col("shingle"))
+      val cands = prefixA.as("x").join(exploded.as("y"), "shingle")
+        .filter(col("x.doc_id") =!= col("y.doc_id") &&
+          col("y.n") * 5L >= col("x.n") * 4L)
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"),
+        col("n").as("na"))
+      val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
+      cands.join(a, "a_id").join(b, "b_id")
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .filter(col("inter") * 5L >= col("na") * 4L)
+        .select(col("a_id"), col("b_id"),
+          expr("inter * 1000000L div na").as("c_e6"))
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id,
+          list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) shingles
+        FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+      ), sized AS (SELECT doc_id, shingles, len(shingles) n FROM sh WHERE len(shingles) > 0)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        len(list_intersect(a.shingles, b.shingles)) * 1000000 // a.n AS c_e6
+      FROM sized a, sized b
+      WHERE a.doc_id != b.doc_id
+        AND len(list_intersect(a.shingles, b.shingles)) * 5 >= a.n * 4"""))
+
   /** MinHash + LSH banding (probabilistic near-dup at extreme scale):
     * 32 minhashes = 8 bands x 4 rows; docs sharing any band signature are
     * candidates; exact Jaccard verifies (so no false positives — only
@@ -518,6 +579,6 @@ object Dedup {
       FROM d, p, u"""))
 
   val all: Seq[QueryDef] =
-    Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupClusters,
-      dedupReport)
+    Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash, dedupSimhash,
+      dedupClusters, dedupReport)
 }

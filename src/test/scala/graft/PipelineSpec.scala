@@ -201,6 +201,30 @@ class PipelineSpec extends SparkSpec {
     assert(ngram == Set((5L, 6L)), s"expected the planted (5,6) pair, got $ngram")
   }
 
+  test("q_dedup_containment finds wrapped docs that symmetric Jaccard misses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain-docs").toString
+    def doc(lo: Int, hi: Int) = (lo to hi).map(i => s"t$i").mkString(" ")
+    // Doc 1 (10 shingles) is embedded verbatim at the head of doc 2 (58
+    // shingles): C(1,2) = 1.0 but J = 10/58 ~ 0.17 — the wrapped-copy
+    // shape Jaccard dedup structurally keeps. Doc 3 is unrelated.
+    Seq(
+      (1L, doc(1, 12), "en", "t", 0L),
+      (2L, doc(1, 60), "en", "t", 0L),
+      (3L, doc(100, 120), "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = SparkEntry.queries("q_dedup_containment")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(cont.keySet == Set((1L, 2L)),
+      s"expected exactly the contained->container direction, got $cont")
+    assert(cont((1L, 2L)) == 1000000L, s"full containment should be 1e6: $cont")
+    val ngram = SparkEntry.queries("q_dedup_ngram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!ngram.contains((1L, 2L)),
+      "fixture invalid: Jaccard also found the wrapped pair, so the test proves nothing")
+  }
+
   test("q_dedup_clusters closes transitively: A~B, B~C, A!~C is one cluster") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cluster-docs").toString
