@@ -111,9 +111,12 @@ object EventOps {
     *  1. within-chunk running `last(view)` — window over (user_id, chunk),
     *     the only pass that touches event-grain rows;
     *  2. a chunk-granularity carry table (one row per ACTIVE (user,
-    *     chunk), built exchange-free on the window's partitioning via
-    *     `max_by` over the already-windowed rows) records each chunk's
-    *     final matched view — null when the chunk saw no view;
+    *     chunk)) records each chunk's final view: a direct
+    *     `max_by(vid, when(side = view, ts))` aggregate of the tagged
+    *     stream — hash-aggregable (flat long buffer, null orderings
+    *     skipped), so its partial phase MAP-SIDE COMBINES below its own
+    *     exchange and only chunk-grain rows shuffle; the event stream
+    *     itself crosses the wire exactly once, for the window;
     *  3. the per-user prefix `last(ignoreNulls)` over STRICTLY EARLIER
     *     chunks runs on that tiny table (rows per user = active chunks,
     *     bounded by span/chunk — independent of event count);
@@ -123,20 +126,18 @@ object EventOps {
     *
     * Correctness at the seams: a view in an earlier chunk is always
     * earlier in time than any purchase in this chunk, equal-ts inclusive
-    * matching stays inside step 1's (ts, side) order, and `ignoreNulls`
-    * in step 3 skips view-less chunks rather than forgetting older
-    * matches. Oracle: the SAME DuckDB ASOF LEFT JOIN as [[asofJoin]];
-    * a spec test also pins it row-identical to the plain form. */
+    * matching stays inside step 1's (ts, side) order, `ignoreNulls` in
+    * step 3 skips view-less chunks rather than forgetting older matches,
+    * and purchase-only chunks still get carry rows (the aggregate runs
+    * over BOTH sides, with a null ordering — hence null chunk_last — for
+    * every purchase row). Oracle: the SAME DuckDB ASOF LEFT JOIN as
+    * [[asofJoin]]; a spec test also pins it row-identical to the plain
+    * form. */
   private val asofChunked = QueryDef(
     "q_asof_chunked",
     (s, d) => {
       val chunkNs = 24L * 3600 * 1000 * 1000 * 1000 // 1 day
-      // user_id is non-null in this corpus; the EXPLICIT filter exists so
-      // the left-outer carry join's inferred isnotnull(user_id) (pushed
-      // into the build branch's scan only) cannot desynchronize the two
-      // copies of the event shuffle — with it, both branches canonicalize
-      // to one Exchange + ReusedExchange.
-      val e = ev(s, d).filter(col("user_id").isNotNull)
+      val e = ev(s, d)
       val views = e.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), lit(0).as("side"),
           col("event_id").as("vid"), lit(null).cast("long").as("pid"))
@@ -150,16 +151,9 @@ object EventOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = tagged
         .withColumn("local_last", last(col("vid"), ignoreNulls = true).over(wIn))
-      // pid rides the max_by payload ONLY to pin column parity with the
-      // purchase branch: without it, pruning drops pid below this
-      // branch's copy of the event shuffle, the two exchange subtrees no
-      // longer canonicalize equal, and the stream shuffles twice instead
-      // of once + ReusedExchange (the plan contract PlanSpec pins).
-      val carry = local.groupBy(col("user_id"), col("chunk"))
-        .agg(max_by(struct(col("local_last"), col("pid")),
-          struct(col("ts"), col("side"))).as("cl"))
-        .select(col("user_id"), col("chunk"),
-          col("cl.local_last").as("chunk_last"))
+      val carry = tagged.groupBy(col("user_id"), col("chunk"))
+        .agg(max_by(col("vid"), when(col("side") === 0, col("ts")))
+          .as("chunk_last"))
       val wc = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val carryIn = carry

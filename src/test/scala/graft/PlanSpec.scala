@@ -164,7 +164,12 @@ class PlanSpec extends SparkSpec {
     // — a monster user splits across span/chunk tasks — and the only
     // per-user window runs at chunk grain (rows per user = active chunks).
     // The carry join must be a hash join (big side already partitioned on
-    // the join key), and the event stream must shuffle once, reused.
+    // the join key); the carry aggregate must map-side combine (partial
+    // max_by below its exchange), so the RAW event stream — the union —
+    // feeds exactly one shuffle: everything else exchanges chunk-grain
+    // rows.
+    import org.apache.spark.sql.execution.UnionExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q_asof_chunked")(spark, sfDir)
     val plan = df.queryExecution.executedPlan
@@ -176,10 +181,23 @@ class PlanSpec extends SparkSpec {
     val p = plan.toString
     assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin") &&
       !p.contains("NestedLoop"), s"carry join shape wrong:\n$p")
-    df.collect()
-    val ffinal = df.queryExecution.executedPlan.toString
-    assert(ffinal.contains("ReusedExchange"),
-      s"event shuffle not reused between the window and carry branches:\n$ffinal")
+    assert(p.contains("partial_max_by"),
+      s"carry aggregate lost its map-side combine:\n$p")
+    // An exchange carries raw event-grain rows iff a Union is reachable
+    // below it without crossing another exchange or an aggregate (both
+    // reduce to chunk grain before the wire).
+    def rawFeed(node: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      node match {
+        case _: ShuffleExchangeExec => false
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+        case _: UnionExec => true
+        case other => other.children.exists(rawFeed)
+      }
+    val rawStreamExchanges = flattenPlan(plan)
+      .collect { case ex: ShuffleExchangeExec => ex }
+      .filter(ex => rawFeed(ex.child))
+    assert(rawStreamExchanges.size == 1,
+      s"event-grain rows cross ${rawStreamExchanges.size} exchanges (want 1):\n$plan")
   }
 
   test("q_subquery_exists_or plans an ExistenceJoin (MARK join), not a semi join") {
