@@ -184,6 +184,50 @@ object Sampling {
         CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
       FROM sh"""))
 
+  /** The 8-hex-digit → int64 fold, generated once for BOTH engines so the
+    * Spark expression and the oracle SQL cannot drift: instr() on the hex
+    * alphabet is the only cross-engine-portable hex decode (see
+    * [[shardShuffle]]). Result < 2^32, exact in int64 everywhere. */
+  private def hexFold(hxCol: String): String =
+    (1 to 8).map(i =>
+      s"(CAST(instr('0123456789abcdef', substring($hxCol, $i, 1)) AS BIGINT) - 1) * " +
+        (1L << (4 * (8 - i)))).mkString(" + ")
+
+  /** Weighted sampling WITHOUT replacement — the "sample documents
+    * proportional to quality/length weight" stage of mixture
+    * construction. Priority sampling, determinized: each doc gets an
+    * integer weight w (length-banded 1..10 here; any integer weight
+    * works), a 32-bit uniform key from a seeded md5 of its id, and
+    * priority = key div w — uniform on [0, 2^32/w), so low priorities
+    * concentrate on heavy docs and the global bottom-k is an
+    * (approximately) w-proportional sample for k << N. Deterministic by
+    * construction: re-runs, retries, and backfills select the identical
+    * set (`rand()`-based weighted sampling cannot promise that), and the
+    * whole query is a map pass + TakeOrderedAndProject (per-partition
+    * bottom-k, k-row driver merge — the corpus itself never shuffles).
+    * The oracle replays the same fold/div/limit; ties are impossible
+    * (doc_id breaks them), so the selected SET is well-defined. */
+  private val sampleWeighted = QueryDef(
+    "q_sample_weighted",
+    (s, d) => {
+      Tables.t(s, d, "documents")
+        .withColumn("hx",
+          md5(concat(lit("graft-wsample-1:"), col("doc_id").cast("string"))))
+        .withColumn("w", least(lit(1L) + expr("n_chars div 400"), lit(10L)))
+        .withColumn("priority", expr(s"(${hexFold("hx")}) div w"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("w"), col("priority"))
+    },
+    Some(s"""WITH h AS (
+        SELECT doc_id,
+          least(1 + n_chars // 400, 10) AS w,
+          md5('graft-wsample-1:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents)
+      SELECT doc_id, w, (${hexFold("hx")}) // w AS priority
+      FROM h ORDER BY priority, doc_id LIMIT 100"""))
+
   val all: Seq[QueryDef] =
-    Seq(sampleSplit, sampleStratified, mixSources, langRebalance, shardShuffle)
+    Seq(sampleSplit, sampleStratified, mixSources, langRebalance, shardShuffle,
+      sampleWeighted)
 }

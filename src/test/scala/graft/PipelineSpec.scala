@@ -201,6 +201,20 @@ class PipelineSpec extends SparkSpec {
     assert(ngram == Set((5L, 6L)), s"expected the planted (5,6) pair, got $ngram")
   }
 
+  test("q_sample_weighted selects heavy docs more often than uniform would") {
+    import org.apache.spark.sql.functions._
+    val sel = SparkEntry.queries("q_sample_weighted")(spark, sfDir).collect()
+    assert(sel.length == 100, s"expected exactly k=100 rows, got ${sel.length}")
+    val meanSelected = sel.map(_.getLong(1)).sum.toDouble / sel.length
+    val corpusMean = Tables.t(spark, sfDir, "documents")
+      .select(least(lit(1L) + expr("n_chars div 400"), lit(10L)).as("w"))
+      .agg(avg(col("w"))).head().getDouble(0)
+    // Priority = uniform32 div w concentrates the bottom-k on heavy docs;
+    // a uniform sample's mean weight would match the corpus mean.
+    assert(meanSelected > corpusMean,
+      s"weighted sample mean $meanSelected <= corpus mean $corpusMean")
+  }
+
   test("q_dedup_containment finds wrapped docs that symmetric Jaccard misses") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-contain-docs").toString
