@@ -75,6 +75,50 @@ class QueriesSpec extends SparkSpec {
       s"diff: extra=${(chunked -- plain).take(5)} missing=${(plain -- chunked).take(5)}")
   }
 
+  test("chunked event ops match plain forms on adversarial seam timelines") {
+    // The corpus parity tests above use realistic data; this one generates
+    // timelines aimed at the chunk seams — events exactly AT midnight
+    // chunk boundaries, 1 ns before them, gaps exactly equal to the
+    // 30-min session threshold (== is same-session; the split needs >),
+    // and multi-day inactive stretches (carry must chain across chunks
+    // with no rows). Seeded, so failures reproduce.
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val chunkNs = 86400L * 1000L * 1000 * 1000
+    val gapNs = 1800L * 1000L * 1000 * 1000
+    val base = 1700000000L * 1000L * 1000 * 1000
+    for (round <- 0 until 3) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-seam-$round").toString
+      val rows = (0L until 4L).flatMap { u =>
+        val used = scala.collection.mutable.Set.empty[Long]
+        (0 until 150).flatMap { i =>
+          var ts = rng.nextInt(4) match {
+            case 0 => base + rng.nextInt(10) * chunkNs
+            case 1 => base + (1 + rng.nextInt(9)) * chunkNs - 1L
+            case 2 => base + math.floorMod(rng.nextLong(), 10 * chunkNs)
+            case 3 => base + rng.nextInt(3) * chunkNs + rng.nextInt(50) * gapNs
+          }
+          while (used.contains(ts)) ts += 1
+          used += ts
+          val ty = Seq("view", "purchase", "click")(rng.nextInt(3))
+          Some((u * 1000 + i, ts, u, ty, 1.0, "{}"))
+        }
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      for ((plain, chunked) <- Seq("q_asof_join" -> "q_asof_chunked",
+          "q_sessionize" -> "q_sessionize_chunked")) {
+        val p = SparkEntry.queries(plain)(spark, dir)
+          .collect().map(_.toSeq).toSet
+        val c = SparkEntry.queries(chunked)(spark, dir)
+          .collect().map(_.toSeq).toSet
+        assert(c == p, s"round $round $chunked != $plain: " +
+          s"extra=${(c -- p).take(3)} missing=${(p -- c).take(3)}")
+      }
+    }
+  }
+
   test("q_select_one returns exactly 1") {
     assert(SparkEntry.queries("q_select_one")(spark, sfDir).collect()
       .map(_.getInt(0)).toSeq == Seq(1))
