@@ -289,7 +289,7 @@ object ScaleProbe {
       // users (~133M events), generated distributed (the generator is
       // pure Spark expressions, so the third decade costs no driver
       // memory, unlike the doc corpus).
-      val decaEvents = Seq("q_asof_join", "q_funnel")
+      val decaEvents = Seq("q_asof_join", "q_asof_chunked", "q_funnel")
       // Generate only the corpora a kept query will read — a narrowed
       // PROBE_QUERIES run must not pay the 500k-doc driver-side build.
       if (keep(decaDocs).nonEmpty) generate(n1 * 100, s"$workDir/g100x")
@@ -317,13 +317,17 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_PROBE_HOTUSER").contains("1")) {
       val hotQs = Seq("q_asof_join", "q_asof_chunked",
         "q_sessionize", "q_sessionize_chunked")
-      generateEvents(u1 * 10, s"$workDir/ghot", hot = (30, 100))
-      println(s"generated ghot: ${u1 * 10} users, user 0 carrying ~30% of events")
-      run(s"$workDir/ghot", "warmhot", hotQs)
-      val rh = run(s"$workDir/ghot", "ghot", hotQs)
-      println("name, wall, shuffleMB, maxTaskMs (hot-user corpus)")
-      rh.foreach { case (n, sec, _, b, mt) =>
-        println(f"SUMMARYHOT $n%-20s ${sec}%8.2f ${b / 1e6}%10.1f $mt%8d")
+      // Same rule as the 100x block: a narrowed PROBE_QUERIES run must
+      // not pay the 13M-event generate+write for an empty table.
+      if (keep(hotQs).nonEmpty) {
+        generateEvents(u1 * 10, s"$workDir/ghot", hot = (30, 100))
+        println(s"generated ghot: ${u1 * 10} users, user 0 carrying ~30% of events")
+        run(s"$workDir/ghot", "warmhot", hotQs)
+        val rh = run(s"$workDir/ghot", "ghot", hotQs)
+        println("name, wall, shuffleMB, maxTaskMs (hot-user corpus)")
+        rh.foreach { case (n, sec, _, b, mt) =>
+          println(f"SUMMARYHOT $n%-20s ${sec}%8.2f ${b / 1e6}%10.1f $mt%8d")
+        }
       }
     }
     spark.stop()

@@ -22,6 +22,26 @@ object EventOps {
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.t(s, d, "events")
 
+  /** The tagged view/purchase stream every as-of form consumes: views as
+    * side 0 carrying `vid`, purchases as side 1 carrying `pid` (so the
+    * (ts, side) order gives ASOF's inclusive `v.ts <= p.ts` bound), in
+    * ONE definition — the three as-of variants must stay row-identical,
+    * and a tagging change applied to one but not the others would break
+    * that silently until test time. `withViewTs` additionally threads the
+    * view's own timestamp (null on the purchase side) for tolerance
+    * expiry. */
+  private def asofTagged(e: DataFrame, withViewTs: Boolean = false): DataFrame = {
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("vid"), lit(null).cast("long").as("pid"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("vid"), col("event_id").as("pid"))
+    if (!withViewTs) views.unionByName(purchases)
+    else views.withColumn("vts", col("ts"))
+      .unionByName(purchases.withColumn("vts", lit(null).cast("long")))
+  }
+
   /** As-of join: for every purchase, the most recent view by the same user
     * at-or-before the purchase time.
     *
@@ -38,17 +58,10 @@ object EventOps {
   private val asofJoin = QueryDef(
     "q_asof_join",
     (s, d) => {
-      val e = ev(s, d)
-      val views = e.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), lit(0).as("side"),
-          col("event_id").as("vid"), lit(null).cast("long").as("pid"))
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(1).as("side"),
-          lit(null).cast("long").as("vid"), col("event_id").as("pid"))
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      views.unionByName(purchases)
+      asofTagged(ev(s, d))
         .withColumn("matched_view", last(col("vid"), ignoreNulls = true).over(w))
         .filter(col("side") === 1)
         .select(col("pid").as("purchase_id"), col("user_id"), col("matched_view"))
@@ -73,19 +86,10 @@ object EventOps {
     "q_asof_tolerance",
     (s, d) => {
       val tolNs = 3600L * 1000 * 1000 * 1000 // 1 hour
-      val e = ev(s, d)
-      val views = e.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), lit(0).as("side"),
-          col("event_id").as("vid"), col("ts").as("vts"),
-          lit(null).cast("long").as("pid"))
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(1).as("side"),
-          lit(null).cast("long").as("vid"), lit(null).cast("long").as("vts"),
-          col("event_id").as("pid"))
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      views.unionByName(purchases)
+      asofTagged(ev(s, d), withViewTs = true)
         .withColumn("lv", last(col("vid"), ignoreNulls = true).over(w))
         .withColumn("lvts", last(col("vts"), ignoreNulls = true).over(w))
         .filter(col("side") === 1)
@@ -120,9 +124,16 @@ object EventOps {
     *  3. the per-user prefix `last(ignoreNulls)` over STRICTLY EARLIER
     *     chunks runs on that tiny table (rows per user = active chunks,
     *     bounded by span/chunk — independent of event count);
-    *  4. purchases take `coalesce(within-chunk match, carry-in)` via a
-    *     SHUFFLE_HASH left join whose big side is already partitioned on
-    *     the join key (zero extra exchange; build side is chunk-grain).
+    *  4. purchases take `coalesce(within-chunk match, carry-in)` via an
+    *     UN-hinted left join on (user_id, chunk): the big side leaves the
+    *     window both partitioned AND sorted on the join key, so a
+    *     sort-merge join costs it neither an exchange nor a sort, while
+    *     AQE broadcasts the carry side when it is actually small. A
+    *     SHUFFLE_HASH hint was tried and REVERTED: the carry side is one
+    *     row per active (user, chunk) — for sparse users that approaches
+    *     event grain, and the 100x probe (2M users, 133M events) OOMed
+    *     building its forced hash map. The hint pinned the right plan
+    *     for the wrong scale; the un-hinted form is sort-free anyway.
     *
     * Correctness at the seams: a view in an earlier chunk is always
     * earlier in time than any purchase in this chunk, equal-ts inclusive
@@ -137,14 +148,7 @@ object EventOps {
     "q_asof_chunked",
     (s, d) => {
       val chunkNs = 24L * 3600 * 1000 * 1000 * 1000 // 1 day
-      val e = ev(s, d)
-      val views = e.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), lit(0).as("side"),
-          col("event_id").as("vid"), lit(null).cast("long").as("pid"))
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(1).as("side"),
-          lit(null).cast("long").as("vid"), col("event_id").as("pid"))
-      val tagged = views.unionByName(purchases)
+      val tagged = asofTagged(ev(s, d))
         .withColumn("chunk", expr(s"ts div ${chunkNs}L"))
       val wIn = Window.partitionBy(col("user_id"), col("chunk"))
         .orderBy(col("ts"), col("side"))
@@ -160,7 +164,7 @@ object EventOps {
         .withColumn("carry_in", last(col("chunk_last"), ignoreNulls = true).over(wc))
         .select(col("user_id"), col("chunk"), col("carry_in"))
       local.filter(col("side") === 1)
-        .join(carryIn.hint("SHUFFLE_HASH"), Seq("user_id", "chunk"), "left")
+        .join(carryIn, Seq("user_id", "chunk"), "left")
         .select(col("pid").as("purchase_id"), col("user_id"),
           coalesce(col("local_last"), col("carry_in")).as("matched_view"))
     },

@@ -138,12 +138,19 @@ object Dedup {
     * oracle side, shared by every dedup oracle and by Prep's end-to-end
     * pipeline oracle (so a tokenizer/shingle change can never silently
     * diverge between them). Compose inside a WITH clause. */
-  private[pipeline] def pairsCteSql(rel: String, t: Double): String =
+  /** The sh/sized CTE bodies alone — THE single oracle-side definition of
+    * "trigram shingle sets with sizes", shared by [[pairsCteSql]] (all
+    * symmetric-Jaccard oracles) and the containment oracle, so a
+    * tokenizer/shingle change cannot silently diverge between them. */
+  private[pipeline] def shingleCteSql(rel: String): String =
     s"""sh AS (
         SELECT doc_id,
           list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) shingles
         FROM (SELECT doc_id, string_split(text, ' ') toks FROM $rel)
-      ), sized AS (SELECT doc_id, shingles, len(shingles) n FROM sh WHERE len(shingles) > 0),
+      ), sized AS (SELECT doc_id, shingles, len(shingles) n FROM sh WHERE len(shingles) > 0)"""
+
+  private[pipeline] def pairsCteSql(rel: String, t: Double): String =
+    s"""${shingleCteSql(rel)},
       pairs AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           CAST(FLOOR(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
@@ -257,11 +264,7 @@ object Dedup {
         .select(col("a_id"), col("b_id"),
           expr("inter * 1000000L div na").as("c_e6"))
     },
-    Some("""WITH sh AS (
-        SELECT doc_id,
-          list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) shingles
-        FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
-      ), sized AS (SELECT doc_id, shingles, len(shingles) n FROM sh WHERE len(shingles) > 0)
+    Some(s"""WITH ${shingleCteSql("documents")}
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         len(list_intersect(a.shingles, b.shingles)) * 1000000 // a.n AS c_e6
       FROM sized a, sized b

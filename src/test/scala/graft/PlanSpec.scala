@@ -178,11 +178,31 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned window in:\n$plan")
     assert(windows.exists(_.partitionSpec.size == 2),
       s"event-grain window lost its chunk key (whole-timeline buffer):\n$plan")
+    // The carry join is deliberately UN-hinted (a forced SHUFFLE_HASH
+    // build OOMed at the 100x probe — the carry side approaches event
+    // grain for sparse users). The contract that holds at every scale:
+    // an equi join (never a nested loop), whose event-grain side arrives
+    // already partitioned and sorted — no Sort and no Exchange may appear
+    // between the window and the join.
     val p = plan.toString
-    assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin") &&
-      !p.contains("NestedLoop"), s"carry join shape wrong:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"carry join degenerated:\n$p")
     assert(p.contains("partial_max_by"),
       s"carry aggregate lost its map-side combine:\n$p")
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val joins = flattenPlan(plan).collect { case j: BaseJoinExec => j }
+    assert(joins.size == 1, s"expected one carry join:\n$plan")
+    def cleanToWindow(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      n match {
+        case _: WindowExec => true
+        case _: SortExec => false
+        case _: ShuffleExchangeExec => false
+        case other if other.children.size == 1 => cleanToWindow(other.children.head)
+        case _ => false
+      }
+    assert(cleanToWindow(joins.head.left),
+      s"event-grain side re-sorted or re-shuffled above its window:\n$plan")
     // An exchange carries raw event-grain rows iff a Union is reachable
     // below it without crossing another exchange or an aggregate (both
     // reduce to chunk grain before the wire).
@@ -198,6 +218,33 @@ class PlanSpec extends SparkSpec {
       .filter(ex => rawFeed(ex.child))
     assert(rawStreamExchanges.size == 1,
       s"event-grain rows cross ${rawStreamExchanges.size} exchanges (want 1):\n$plan")
+  }
+
+  test("q_sessionize_chunked keeps its event-grain windows chunk-keyed") {
+    // Same bounded-buffer contract as q_asof_chunked: if `chunk` is ever
+    // dropped from the stage-1 window keys the query degenerates to the
+    // plain whole-timeline form — row-parity tests still pass (results
+    // are identical), so only the plan can catch it. An event-grain
+    // window is one that reaches the scan without crossing an aggregate
+    // (stage 3 runs at session grain, above the stage-2 aggregate, and
+    // is allowed its per-user key).
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("q_sessionize_chunked")(spark, sfDir)
+      .queryExecution.executedPlan
+    def eventGrain(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      n match {
+        case _: BaseAggregateExec => false
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+        case other => other.children.exists(eventGrain)
+      }
+    val windows = flattenPlan(plan).collect { case w: WindowExec => w }
+    val raw = windows.filter(w => eventGrain(w.child))
+    assert(raw.nonEmpty, s"no event-grain window found:\n$plan")
+    assert(raw.forall(_.partitionSpec.size == 2),
+      s"an event-grain window lost its chunk key (whole-timeline buffer):\n$plan")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in:\n$plan")
   }
 
   test("q_subquery_exists_or plans an ExistenceJoin (MARK join), not a semi join") {
