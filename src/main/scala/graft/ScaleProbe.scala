@@ -289,7 +289,8 @@ object ScaleProbe {
       // users (~133M events), generated distributed (the generator is
       // pure Spark expressions, so the third decade costs no driver
       // memory, unlike the doc corpus).
-      val decaEvents = Seq("q_asof_join", "q_asof_chunked", "q_funnel")
+      val decaEvents = Seq("q_asof_join", "q_asof_chunked", "q_funnel",
+        "q_sessionize", "q_sessionize_chunked")
       // Generate only the corpora a kept query will read — a narrowed
       // PROBE_QUERIES run must not pay the 500k-doc driver-side build.
       if (keep(decaDocs).nonEmpty) generate(n1 * 100, s"$workDir/g100x")
