@@ -346,5 +346,112 @@ object Similarity {
       WHERE a.vec_id < b.vec_id
         AND FLOOR(list_cosine_similarity(a.v, b.v) * 1e6) >= 950000"""))
 
-  val all: Seq[QueryDef] = Seq(annBrute, annLsh, annIvf, dedupEmbedding)
+  /** (bsig, id, vector) band rows for a vector set: every vector
+    * replicated once per LSH table, with the (table, sig) pair PACKED
+    * into one long join key — a single-column key is what lets the
+    * persisted store's bucketing satisfy the join's distribution with
+    * zero store-side exchange (a two-column join over a one-column
+    * bucketing would force a re-shuffle). Shared by the store build and
+    * the batch probe so their signatures cannot drift. */
+  private def bandRows(df: DataFrame, nTables: Int, nBits: Int,
+      idName: String, vName: String): DataFrame = {
+    val flat = hyperplanes(nTables, nBits).flatten.flatten.toSeq
+    df.select(col("vec_id"), col("v"), posexplode(
+        call_function("graft_lsh_sigs", col("v"), typedLit(flat), lit(nBits))))
+      .toDF(idName, vName, "table", "sig")
+      .select((col("table").cast("long") * 4294967296L +
+        col("sig").cast("long")).as("bsig"), col(idName), col(vName))
+  }
+
+  /** The persisted band store behind [[annIncremental]]: the historical
+    * corpus's band rows as a bsig-BUCKETED (+ sorted) external table,
+    * materialized once per (corpus, LSH geometry) per JVM — the vector
+    * analog of Curation's fingerprint store and the streaming ingest's
+    * digest store. Per-batch probes join it exchange-free on the store
+    * side: only the new batch's band rows shuffle, the historical corpus
+    * is read in place bucket-by-bucket, so per-batch cost is independent
+    * of store size. Keyed on the corpus content token (+ geometry) and
+    * rebuilt when either changes; files live under a shutdown-cleaned
+    * temp root. */
+  private val ANN_STORE_BUCKETS = 16
+  private val annStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private lazy val annStoreRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-store")
+    sys.addShutdownHook {
+      scala.reflect.io.Path(dir.toFile).deleteRecursively()
+      ()
+    }
+    dir.toString
+  }
+
+  private def bucketedBandStore(s: SparkSession, d: String, even: DataFrame,
+      nTables: Int, nBits: Int): DataFrame = {
+    val path = s"$d/embeddings.parquet"
+    val token = Tables.contentToken(path) + s"#$nTables#$nBits"
+    val table = "graft_ann_store_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    annStoreCache.compute(path, (_, old) => {
+      if (old != null && old._1 == token && s.catalog.tableExists(old._2)) old
+      else {
+        bandRows(even, nTables, nBits, "store_vec_id", "store_v")
+          .repartition(ANN_STORE_BUCKETS, col("bsig"))
+          .write.mode("overwrite")
+          .bucketBy(ANN_STORE_BUCKETS, "bsig").sortBy("bsig")
+          .option("path", s"$annStoreRoot/$table")
+          .saveAsTable(table)
+        (token, table)
+      }
+    })
+    s.table(table)
+  }
+
+  /** Incremental ANN ingest: a batch of new vectors (odd vec_ids,
+    * standing in for a fresh embedding shard) is checked against the
+    * persisted band store of the released corpus (even vec_ids) for
+    * cosine >= 0.95 near-duplicates before admission, reporting
+    * per-label batch/dup/new counts — the continuously-growing-corpus
+    * shape of [[dedupEmbedding]]. Candidates come from band collisions
+    * against the bucketed store ([[bucketedBandStore]]; zero store-side
+    * exchange, PlanSpec-asserted), verified by exact cosine at the
+    * collision row (a pair collides in <= nTables bands, so
+    * re-verification is bounded), then reduced to distinct dup ids.
+    * Recall is the [[dedupLshParams]] geometry's (>= 0.98 at the 0.95
+    * boundary; planted near-dups sit at ~0.999 where P(miss) ~ 0) and
+    * the hyperplanes are seeded, so the exact all-pairs DuckDB oracle
+    * gates completeness deterministically for a given corpus. */
+  private val annIncremental = QueryDef(
+    "q_ann_incremental",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+      val (nTables, nBits) = dedupLshParams(corpusSize(s, d))
+      val store =
+        bucketedBandStore(s, d, e.filter(col("vec_id") % 2 === 0), nTables, nBits)
+      val batch = e.filter(col("vec_id") % 2 === 1)
+      val dupIds = bandRows(batch, nTables, nBits, "vec_id", "v")
+        .join(store, "bsig")
+        .filter(floor(cosine(col("v"), col("store_v")) * 1e6) >= 950000)
+        .select(col("vec_id")).distinct()
+      batch.join(dupIds.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_batch"),
+          sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+        .withColumn("n_new", col("n_batch") - col("n_dup"))
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      batch AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+      store AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+      dup AS (
+        SELECT DISTINCT b.vec_id FROM batch b JOIN store st
+        ON CAST(FLOOR(list_cosine_similarity(b.v, st.v) * 1e6) AS BIGINT) >= 950000)
+      SELECT b.label, CAST(count(*) AS BIGINT) AS n_batch,
+        CAST(count(d.vec_id) AS BIGINT) AS n_dup,
+        CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_new
+      FROM batch b LEFT JOIN dup d ON b.vec_id = d.vec_id
+      GROUP BY 1"""))
+
+  val all: Seq[QueryDef] =
+    Seq(annBrute, annLsh, annIvf, dedupEmbedding, annIncremental)
 }

@@ -490,6 +490,50 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q_ann_incremental: the band store contributes zero exchange") {
+    // Vector analog of the fingerprint-store contract above: with
+    // broadcast off, the batch probe join must shuffle ONLY the batch's
+    // band rows; the historical corpus reads its bsig buckets in place.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = SparkEntry.queries("q_ann_incremental")(spark, sfDir)
+        .queryExecution.executedPlan
+      val flat = flattenPlan(plan)
+      def isStoreScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("graft-ann-store"))
+        case _ => false
+      }
+      val storeScans = flat.filter(isStoreScan)
+        .map(_.asInstanceOf[FileSourceScanExec])
+      assert(storeScans.nonEmpty, "store must be read through its bucketed table")
+      assert(storeScans.forall(_.bucketedScan),
+        "store scan must use its bucketing")
+      // Only the PROBE join's store side (the subtree that reaches the
+      // store scan without crossing an aggregate): the later dup-count
+      // join also contains the scan transitively, behind its distinct's
+      // legitimate shuffle.
+      val storeSides = flat.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          j.children.filter(c => flattenPlan(c).exists(isStoreScan) &&
+            !flattenPlan(c).exists {
+              case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+              case _ => false
+            })
+      }.flatten
+      assert(storeSides.nonEmpty, "no probe join over the store found")
+      storeSides.foreach { side =>
+        assert(!flattenPlan(side).exists {
+          case _: ShuffleExchangeExec => true
+          case _ => false
+        }, s"the store side must not shuffle:\n$side")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("bucketed tables co-locate the join: no exchange at all") {
     // The write-side answer to repeated 100 TB joins: bucket both fact
     // tables on the join key and the shuffle disappears from every
