@@ -30,7 +30,8 @@ object ScaleProbe {
     * path whose candidate volume must track corpus size linearly, and
     * embedding near-dup must track the (linearly planted) true-pair
     * volume. */
-  private val simQueries = Seq("q_ann_brute", "q_ann_lsh", "q_dedup_embedding")
+  private val simQueries = Seq("q_ann_brute", "q_ann_lsh", "q_dedup_embedding",
+    "q_ann_incremental")
 
   /** Heavy text-analysis stages (token-keyed shuffles with map-side
     * combine + broadcast model state): expected ~linear — the probe
