@@ -57,6 +57,23 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Hopping (sliding) 5-minute windows every 1 minute — the STREAMING
+    * form of the batch q_hopping_window pair: each event updates the
+    * k = size/slide = 5 open windows covering it, active users ride an
+    * HLL sketch (`approx_count_distinct`) so per-window state is
+    * FIXED-SIZE — exact streaming distinct would hold every user id for
+    * every open window — and the watermark expires window state as event
+    * time advances. Same state-scale argument as the batch HLL variant,
+    * applied to the store instead of the shuffle. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+      .select(col("window.start").as("win_start"), col("n"),
+        col("n_users_approx"))
+
   /** Custom sessionization with mapGroupsWithState: a user's session closes
     * after 5 minutes of processing-time inactivity (KeyValueGroupedDataset
     * stateful API — the Spark-native replacement for hand-rolled stateful

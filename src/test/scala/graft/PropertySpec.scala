@@ -58,6 +58,34 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(highJ > 100, s"test generated too few high-J pairs ($highJ)")
   }
+
+  test("containment prefix bound: C(A,B) >= t pairs share a contained-side prefix element") {
+    // The invariant q_dedup_containment's completeness rests on: if
+    // |A∩B| >= ceil(t·|A|) then A intersects B within A's first
+    // |A| - ceil(t·|A|) + 1 elements under ANY total order — with NO
+    // condition on B (the container side has no prefix). t = 0.8 with the
+    // all-integer ceil the operator uses: ceil(4n/5) = (4n+4) div 5.
+    var highC = 0
+    for (_ <- 0 until 2000) {
+      val b = randomSet()
+      // bias toward high containment: A mostly drawn FROM B
+      val a =
+        if (rng.nextBoolean())
+          b.filter(_ => rng.nextDouble() > 0.3) ++
+            (if (rng.nextDouble() < 0.3) Set(rng.nextInt(60)) else Set.empty[Int])
+        else randomSet()
+      if (a.nonEmpty && b.nonEmpty) {
+        val need = (4 * a.size + 4) / 5 // ceil(0.8 * |A|), exactly
+        if ((a intersect b).size >= need) {
+          highC += 1
+          val prefA = a.toSeq.sorted.take(a.size - need + 1).toSet
+          assert((prefA intersect b).nonEmpty,
+            s"containment prefix filter would miss ($a, $b)")
+        }
+      }
+    }
+    assert(highC > 100, s"test generated too few high-containment pairs ($highC)")
+  }
 }
 
 /** Spark-backed equivalence check for the salting utilities. */

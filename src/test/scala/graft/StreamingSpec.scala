@@ -43,6 +43,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping windows: each event lands in k=5 sliding windows, sketched users") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventRow]
+    val q = EventStream.hoppingCounts(input.toDF())
+      .writeStream.format("memory").queryName("hop_counts")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      // One batch (update-mode memory sink would otherwise hold multiple
+      // versions of a window across batches).
+      input.addData(
+        EventRow(1, ts(0, 10), 1, "click", 1.0),
+        EventRow(2, ts(0, 40), 2, "click", 2.0),
+        EventRow(3, ts(1, 10), 1, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT win_start, n, n_users_approx FROM hop_counts")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+      // 3 events x 5 covering windows each = 15 memberships.
+      assert(rows.map(_._2).sum == 15, s"memberships wrong: ${rows.toSeq}")
+      // The 10:00 window covers all three events and both users (HLL is
+      // exact at tiny cardinalities).
+      val full = rows.filter(_._1.contains("10:00:00"))
+      assert(full.map(r => (r._2, r._3)).toSeq == Seq((3L, 2L)),
+        s"10:00 window wrong: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
