@@ -35,10 +35,12 @@ final case class ImageFeatures(
   * the JDK's `javax.imageio`, which ships PNG/JPEG/BMP/GIF codecs in every
   * JRE) and features come from decoded pixels ([[ImageCodec.decodeFeatures]]).
   * The AUDIO path is real too: genuine RIFF/WAVE PCM16 payloads through
-  * `javax.sound.sampled` on both sides ([[AudioCodec]]). The
-  * frame-sampling and resize stages remain byte-level STAND-INS for
-  * video/compressed audio: the JDK ships no video decoder or lossy audio
-  * codec, so those two keep deterministic byte semantics that the oracle
+  * `javax.sound.sampled` on both sides ([[AudioCodec]]). The MULTI-FRAME
+  * path is real as well: animated GIF containers through `javax.imageio`'s
+  * frame-seeking reader ([[VideoCodec]], q_multimodal_video). Only the
+  * generic byte-level frame-sampling and resize stages remain STAND-INS,
+  * now for TRUE video codecs and lossy audio (H.26x/MP3 etc. — no JDK
+  * codec exists): they keep deterministic byte semantics that the oracle
   * can recompute, while exercising the same batch-stage plumbing a real
   * codec would sit in.
   */
@@ -228,8 +230,175 @@ object Multimodal {
         CAST(max(abs(a)) AS BIGINT) AS max_abs
       FROM s GROUP BY doc_id"""))
 
+  /** The video table: one REAL animated GIF per document — the JDK's only
+    * multi-FRAME container ([[VideoCodec]]) — generated executor-side
+    * from `doc_id` alone. Payload stays opaque `binary` + typed
+    * metadata, like images and audio. */
+  def videoTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val gif = VideoCodec.encodeGif(id)
+          MediaItem(id, gif, "gif", gif.length.toLong)
+        }
+      }
+      .toDF()
+  }
+
+  private val multimodalVideo = QueryDef(
+    "q_multimodal_video",
+    (s, d) => {
+      import s.implicits._
+      videoTable(s, d).as[MediaItem]
+        .mapPartitions(items => items.map(it =>
+          VideoCodec.decodeFrameStats(it.doc_id, it.media)))
+        .toDF()
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+          col("sampled_pixel_sum"))
+    },
+    // Payloads are real animated GIFs from VideoCodec's closed-form
+    // frame/pixel function of doc_id; the frame COUNT comes from the
+    // decoded container and the pixel sums from decoded frames, so DuckDB
+    // recomputing both from the formula gates the whole encode → GIF →
+    // frame-seek → decode path (a broken frame index or palette cannot
+    // match). Stride-2 frame sampling, grids bounded by max dims 8x6 and
+    // max 8 frames.
+    Some("""WITH d AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+          3 + doc_id % 6 AS nf
+        FROM documents),
+      px AS (
+        SELECT d.doc_id, d.nf,
+          (d.doc_id * 31 + f.range * 41 + x.range * 7 + y.range * 13) % 256 AS lvl
+        FROM d, range(0, 9) f, range(0, 9) x, range(0, 7) y
+        WHERE f.range < d.nf AND f.range % 2 = 0
+          AND x.range < d.w AND y.range < d.h)
+      SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+        CAST((max(nf) + 1) // 2 AS BIGINT) AS n_sampled,
+        CAST(sum(lvl) AS BIGINT) AS sampled_pixel_sum
+      FROM px GROUP BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(multimodal, multimodalFrames, multimodalResize, multimodalAudio)
+    Seq(multimodal, multimodalFrames, multimodalResize, multimodalAudio,
+      multimodalVideo)
+}
+
+/** Frame stats for one decoded video item: frame count from the container,
+  * stride-sampled per-pixel sums from decoded frames. */
+final case class VideoFrameStats(
+    doc_id: Long,
+    n_frames: Long,
+    n_sampled: Long,
+    sampled_pixel_sum: Long)
+
+/** The REAL multi-frame codec: animated GIF through `javax.imageio` — the
+  * one multi-frame media container every JDK ships both a writer and a
+  * frame-seeking reader for. Completes the codec ladder (PNG round 7, WAV
+  * round 8): frames are 256-level GRAYSCALE indexed images, because GIF is
+  * palette-based — a full-color frame would be quantized (lossy) and no
+  * value oracle could exist; the 256-gray palette round-trips losslessly.
+  * Frame pixels are a closed-form function of (doc_id, frame, x, y) so the
+  * oracle recomputes expected stats while Spark reads them from
+  * actually-decoded frames. */
+object VideoCodec {
+  javax.imageio.ImageIO.setUseCache(false)
+
+  val FRAME_STRIDE = 2
+
+  def dims(id: Long): (Int, Int) = ((4 + id % 5).toInt, (4 + id % 3).toInt)
+  def nFrames(id: Long): Int = (3 + id % 6).toInt
+  def level(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f.toLong * 41 + x * 7 + y * 13) % 256).toInt
+
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** A real animated GIF for `doc_id`'s deterministic frame sequence.
+    *
+    * The interlace flag is explicitly FORCED OFF per frame: the JDK GIF
+    * writer interlaces by default, and its interlaced output is CORRUPT
+    * for images of height <= 4 (an interlace pass with no rows misorders
+    * the remaining rows and zero-fills the last — found by this module's
+    * value oracle: every h=4 doc mismatched while h=5/6 round-tripped).
+    * A sum-only spec check would have missed the reorder half of the bug;
+    * the oracle plus the per-pixel identity test caught both. */
+  def encodeGif(id: Long): Array[Byte] = {
+    val (w, h) = dims(id)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    if (!it.hasNext) throw new IllegalStateException("JDK GIF writer missing")
+    val writer = it.next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      val n = nFrames(id)
+      while (f < n) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, level(id, f, x, y)); x += 1 }
+          y += 1
+        }
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), null)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val desc = root.getElementsByTagName("ImageDescriptor")
+        if (desc.getLength > 0)
+          desc.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            .setAttribute("interlaceFlag", "FALSE")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Decode the GIF container, count its frames, and sum pixel levels over
+    * every FRAME_STRIDE-th frame. */
+  def decodeFrameStats(id: Long, gif: Array[Byte]): VideoFrameStats = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    val it = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!it.hasNext)
+      throw new IllegalArgumentException(s"doc $id: payload is not a decodable container")
+    val reader = it.next()
+    try {
+      reader.setInput(iis, false) // random access: frame count needs a full scan
+      val n = reader.getNumImages(true)
+      var sum = 0L
+      var sampled = 0L
+      var f = 0
+      while (f < n) {
+        val img = reader.read(f)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+          y += 1
+        }
+        sampled += 1
+        f += FRAME_STRIDE
+      }
+      VideoFrameStats(id, n.toLong, sampled, sum)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
 }
 
 /** Decoded features for one audio item: REAL sample statistics from a REAL
@@ -255,10 +424,11 @@ final case class MediaResized(
     n_out: Long,
     resized: Array[Byte])
 
-/** Byte-level stand-ins for the codecs the JDK does NOT ship (video; audio
-  * beyond WAV PCM). A production build swaps this object for real codecs;
-  * the call site and schema do not change. Image decode is NOT stubbed —
-  * see [[ImageCodec]]. */
+/** Byte-level stand-ins for the codecs the JDK does NOT ship (true video
+  * codecs like H.26x; audio beyond WAV PCM). A production build swaps this
+  * object for real codecs; the call site and schema do not change. Image,
+  * WAV, and animated-GIF decode are NOT stubbed — see [[ImageCodec]],
+  * [[AudioCodec]], [[VideoCodec]]. */
 object MultimodalStub {
 
   private val FRAME = 16

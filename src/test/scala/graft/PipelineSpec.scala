@@ -162,6 +162,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("GIF encode -> frame-seeking decode is a per-frame pixel identity") {
+    // Same contract as the PNG and WAV identity tests: the container
+    // round-trip must be lossless (the 256-gray palette is what makes a
+    // palette-based format lossless), frame COUNT must come back from the
+    // container, and every frame's every pixel must equal the closed-form
+    // level function — on a known id, not just in aggregate.
+    // id=6 has height 4 — the regime where the JDK writer's DEFAULT
+    // (interlaced) output is corrupt (rows misordered + last row zeroed);
+    // the codec forces the interlace flag off, and this id pins that.
+    import graft.pipeline.VideoCodec
+    for (id <- Seq(6L, 7L)) {
+      val gif = VideoCodec.encodeGif(id)
+      assert(new String(gif.take(6), "US-ASCII").startsWith("GIF"),
+        "payload is not a GIF container")
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis, false)
+      assert(reader.getNumImages(true) == VideoCodec.nFrames(id))
+      val (w, h) = VideoCodec.dims(id)
+      for (f <- 0 until VideoCodec.nFrames(id)) {
+        val img = reader.read(f)
+        assert(img.getWidth == w && img.getHeight == h)
+        for (y <- 0 until h; x <- 0 until w)
+          assert((img.getRGB(x, y) & 0xFF) == VideoCodec.level(id, f, x, y),
+            s"id $id frame $f pixel ($x,$y) drifted")
+      }
+      reader.dispose(); iis.close()
+    }
+  }
+
   test("multimodal resize bounds the payload and keeps the stride contract") {
     val r = SparkEntry.queries("q_multimodal_resize")(spark, sfDir)
     val bad = r.filter(col("n_out") > 64 ||
