@@ -450,8 +450,56 @@ object Curation {
           AS dup_frac_e6
       FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id"""))
 
+  /** Corpus snapshot diff: classify every document as added / removed /
+    * changed between two corpus releases by content digest. Snapshot A is
+    * the current `documents` table; snapshot B is a deterministic evolution
+    * of it (docs with `doc_id % 11 = 3` deleted, `% 7 = 2` edited, `% 13 =
+    * 5` re-crawled under a fresh id) — the same derivation on both engines,
+    * so the diff logic itself is what the oracle checks. Unchanged rows are
+    * dropped before the result (the overwhelming majority at scale).
+    *
+    * Scale: each side reduces to (doc_id, digest) map-side — text never
+    * shuffles — then ONE doc_id-keyed full-outer join; at 100 TB that is
+    * two 24-byte/row shuffles and nothing else, and with both releases
+    * bucketed on doc_id in a catalog it is exchange-free (the same store
+    * layout [[dedupIncremental]] uses). */
+  private val snapshotDiff = QueryDef(
+    "q_snapshot_diff",
+    (s, d) => {
+      val base = docs(s, d)
+      val a = base.select(col("doc_id"), md5(col("text")).as("dig_a"))
+      val bKept = base.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 2, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text"))).as("dig_b"))
+      val bNew = base.filter(col("doc_id") % 13 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(concat(lit("recrawl "), col("text"))).as("dig_b"))
+      a.join(bKept.unionByName(bNew), Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("dig_b").isNull, "removed")
+            .when(col("dig_a").isNull, "added")
+            .when(col("dig_a") =!= col("dig_b"), "changed"))
+        .filter(col("status").isNotNull)
+        .select(col("doc_id"), col("status"))
+    },
+    Some("""WITH a AS (SELECT doc_id, md5(text) AS dig_a FROM documents),
+      b AS (
+        SELECT doc_id,
+          md5(CASE WHEN doc_id % 7 = 2 THEN text || ' [edited]' ELSE text END) AS dig_b
+        FROM documents WHERE doc_id % 11 <> 3
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, md5('recrawl ' || text) AS dig_b
+        FROM documents WHERE doc_id % 13 = 5)
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        CASE WHEN b.dig_b IS NULL THEN 'removed'
+             WHEN a.dig_a IS NULL THEN 'added'
+             ELSE 'changed' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      WHERE b.dig_b IS NULL OR a.dig_a IS NULL OR a.dig_a <> b.dig_b"""))
+
   val all: Seq[QueryDef] =
     Seq(qualityRepetition, entropyFilter, piiScrub, invertedIndex,
       sequencePack, dedupIncremental, chunkDocuments, qualityClassifier,
-      substringDedup)
+      substringDedup, snapshotDiff)
 }

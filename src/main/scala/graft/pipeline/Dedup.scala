@@ -581,7 +581,73 @@ object Dedup {
           AS dup_frac_e6
       FROM d, p, u"""))
 
+  /** Edit-distance fuzzy self-join (PassJoin-style segment filtering,
+    * Li/Deng/Feng VLDB'11): find document pairs whose fixed-width key (the
+    * first 20 chars, '~'-padded so every key is exactly 20 chars and the
+    * equal-length pigeonhole is airtight) is within edit distance τ=3.
+    *
+    * Candidate scheme: the indexed side splits its key into τ+1=4 fixed
+    * 5-char segments; if ed(a,b) ≤ τ, an optimal alignment leaves at least
+    * one of b's segments untouched (pigeonhole over ≤τ edits), and that
+    * segment appears verbatim in `a` shifted by at most τ (each shift is
+    * an indel). So the probe side emits the substring at every
+    * (segment, shift∈[-τ,τ]) position — ≤22 five-char probe keys per row
+    * after boundary clipping, `array_distinct`-deduped — and candidates
+    * join on (segment, substring). Verification = real `levenshtein` with
+    * the τ early-exit threshold, on candidates only.
+    *
+    * Scale: never all-pairs — the shuffle carries (id, 5-char gram) pairs
+    * keyed by the gram, exactly the n-gram dedup shape; candidate count is
+    * governed by segment selectivity, and ids-only travel through the
+    * pair-distinct (keys re-join after, the [[dedupNgram]] convention). */
+  private val fuzzyJoin = {
+    val TAU = 3
+    val KLEN = 20
+    val SEG = KLEN / (TAU + 1)
+    QueryDef(
+      "q_fuzzy_join",
+      (s, d) => {
+        val keyed = docs(s, d).select(col("doc_id"),
+          rpad(substring(col("text"), 1, KLEN), KLEN, "~").as("k"))
+        val indexSegs = (0 to TAU).map(i =>
+          struct(lit(i).as("seg"),
+            substring(col("k"), i * SEG + 1, SEG).as("sub")))
+        val indexed = keyed
+          .select(col("doc_id").as("b_id"),
+            explode(array(indexSegs: _*)).as("e"))
+          .select(col("b_id"), col("e.seg").as("seg"), col("e.sub").as("sub"))
+        val probeSegs = for {
+          i <- 0 to TAU
+          delta <- -TAU to TAU
+          start = i * SEG + delta
+          if start >= 0 && start + SEG <= KLEN
+        } yield struct(lit(i).as("seg"),
+          substring(col("k"), start + 1, SEG).as("sub"))
+        val probed = keyed
+          .select(col("doc_id").as("a_id"),
+            explode(array_distinct(array(probeSegs: _*))).as("e"))
+          .select(col("a_id"), col("e.seg").as("seg"), col("e.sub").as("sub"))
+        val cands = probed.join(indexed, Seq("seg", "sub"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id")).distinct()
+        val ak = keyed.select(col("doc_id").as("a_id"), col("k").as("a_k"))
+        val bk = keyed.select(col("doc_id").as("b_id"), col("k").as("b_k"))
+        cands.join(ak, "a_id").join(bk, "b_id")
+          .withColumn("dist",
+            levenshtein(col("a_k"), col("b_k"), TAU).cast("long"))
+          .filter(col("dist") >= 0)
+          .select(col("a_id"), col("b_id"), col("dist"))
+      },
+      Some(s"""WITH k AS (
+          SELECT doc_id, rpad(substr(text, 1, $KLEN), $KLEN, '~') AS k
+          FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+        FROM k a, k b
+        WHERE a.doc_id < b.doc_id AND levenshtein(a.k, b.k) <= $TAU"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash, dedupSimhash,
-      dedupClusters, dedupReport)
+      dedupClusters, dedupReport, fuzzyJoin)
 }

@@ -452,6 +452,198 @@ object Similarity {
       FROM batch b LEFT JOIN dup d ON b.vec_id = d.vec_id
       GROUP BY 1"""))
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space, then prune within-cluster items whose cosine to a
+    * higher-priority cluster-mate exceeds ε — the clusters bound the
+    * candidate set so the pairwise stage is never all-pairs.
+    *
+    * Unlike [[annIvf]] (MLlib k-means, rows-only gate), this variant is
+    * built to be FULLY oracle-checkable: a deterministic integer-quantized
+    * spherical k-means that DuckDB reproduces bit-for-bit.
+    *  - vectors quantize to `floor(x * 1e4)` int64 components; every dot
+    *    product is an exact int64 sum (order-free — no float-summation
+    *    drift to match across engines);
+    *  - centroids stay INTEGER SUM VECTORS (cosine is scale-invariant, so
+    *    dividing by the member count is unnecessary) — the update is a
+    *    plain int64 SUM aggregate;
+    *  - the only floating point is `dot / (sqrt(nn_a) * sqrt(nn_b))` over
+    *    exact integers: single correctly-rounded IEEE ops, identical on
+    *    both engines; assignment ties break to the lowest cluster id
+    *    (`array_position` first-match here = `ROW_NUMBER ... cos DESC, cl`
+    *    in the oracle).
+    * Seeds = the K lowest vec_ids; 2 Lloyd iterations, unrolled
+    * identically in the oracle CTEs. A cluster that empties drops out of
+    * the tensor on both engines (the (id, vector) pairs keep original ids).
+    *
+    * Keep-rule: within a cluster, v is pruned iff some cluster-mate u with
+    * sim(u,v) ≥ ε has lexicographically lower (centroid-sim, vec_id) —
+    * SemDeDup's "keep the item farthest from the centroid", made
+    * deterministic. Int64 exactness bounds (DIM=64, |x| ≤ 0.58): member
+    * sums are exact to ~2^49 members; centroid self-dots to N ≈ 5·10^6
+    * members/cluster at this quantization — past that, rescale the sum
+    * vector (cosine-invariant) rather than widen. K is fixed (=8) for the
+    * oracle; production SemDeDup scales K ~ sqrt(N) so per-cluster pair
+    * work stays bounded — the plan shape is unchanged.
+    *
+    * Scale: assignment is map-side against a literal tensor (the
+    * [[annIvf]] routing shape); the update is one (cl, pos)-keyed shuffle
+    * of 64-per-vector longs; K·DIM driver rows per iteration is metadata,
+    * not data ([[ivfCentroids]] discipline, content-token cached). */
+  private val SEM_K = 8
+  private val SEM_Q = 1e4
+  private val SEM_EPS_E6 = 350000L
+
+  private def semQuantized(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(col("vec_id"),
+        transform(asDouble(col("embedding")), x => floor(x * SEM_Q)).as("qv"))
+      .withColumn("nn", aggregate(
+        zip_with(col("qv"), col("qv"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+
+  /** Map-side assignment against literal (clusterId, integer sum vector)
+    * pairs: cos to every centroid, argmax with first-match (= lowest id)
+    * tie-break. Emits `cl` and the winning cosine (`cs`). */
+  private def semAssign(df: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
+    val centArr = array(cents.map { case (_, c) => lit(c) }: _*)
+    val idArr = array(cents.map { case (id, _) => lit(id) }: _*)
+    val cosArr = transform(centArr, c => {
+      val dot = aggregate(zip_with(col("qv"), c, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      val cn = aggregate(zip_with(c, c, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      dot.cast("double") / (sqrt(col("nn").cast("double")) * sqrt(cn.cast("double")))
+    })
+    df.withColumn("cosArr", cosArr)
+      .withColumn("cs", array_max(col("cosArr")))
+      .withColumn("cl", element_at(idArr,
+        array_position(col("cosArr"), col("cs")).cast("int")))
+  }
+
+  private val semCentroidCache =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Int, Array[Long])]]()
+
+  private def semCentroids(s: SparkSession, d: String): Seq[(Int, Array[Long])] = {
+    val token = Tables.contentToken(s"$d/embeddings.parquet")
+    semCentroidCache.getOrElseUpdate(token, {
+      val path = token.split('#')(0)
+      semCentroidCache.keys
+        .filter(k => k != token && k.startsWith(path + "#"))
+        .foreach(semCentroidCache.remove)
+      val q = semQuantized(s, d).localCheckpoint()
+      var cents: Seq[(Int, Array[Long])] = q.filter(col("vec_id") < SEM_K)
+        .orderBy("vec_id").select("vec_id", "qv").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray)).toSeq
+      for (_ <- 1 to 2) {
+        val sums = semAssign(q, cents)
+          .select(col("cl"), posexplode(col("qv"))).toDF("cl", "pos", "x")
+          .groupBy("cl", "pos").agg(sum(col("x")).as("s"))
+          .collect()
+        cents = sums.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cl, rows) =>
+          val v = new Array[Long](DIM)
+          rows.foreach(r => v(r.getInt(1)) = r.getLong(2))
+          (cl, v)
+        }
+      }
+      cents
+    })
+  }
+
+  private val dedupSemantic = QueryDef(
+    "q_dedup_semantic",
+    (s, d) => {
+      val cents = semCentroids(s, d)
+      val fin = semAssign(semQuantized(s, d), cents)
+        .select(col("vec_id"), col("cl"),
+          floor(col("cs") * 1e6).as("cs_e6"), col("qv"), col("nn"))
+      val u = fin.select(col("vec_id").as("u"), col("cl"),
+        col("cs_e6").as("u_cs"), col("qv").as("u_qv"), col("nn").as("u_nn"))
+      val v = fin.select(col("vec_id").as("v"), col("cl"),
+        col("cs_e6").as("v_cs"), col("qv").as("v_qv"), col("nn").as("v_nn"))
+      val pruned = u.join(v, Seq("cl")).filter(col("u") =!= col("v"))
+        .withColumn("s_e6", floor(
+          aggregate(zip_with(col("u_qv"), col("v_qv"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).cast("double")
+            / (sqrt(col("u_nn").cast("double")) * sqrt(col("v_nn").cast("double")))
+            * 1e6))
+        .filter(col("s_e6") >= SEM_EPS_E6)
+        .filter(col("u_cs") < col("v_cs") ||
+          (col("u_cs") === col("v_cs") && col("u") < col("v")))
+        .select(col("v").as("vec_id")).distinct()
+        .withColumn("is_pruned", lit(1L))
+      fin.join(pruned, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("cl").cast("long").as("cluster"),
+          col("cs_e6"),
+          when(col("is_pruned").isNull, 1L).otherwise(0L).as("kept"))
+    },
+    Some(s"""WITH q AS (
+        SELECT vec_id,
+          list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(FLOOR(x * $SEM_Q) AS BIGINT)) AS qv
+        FROM embeddings),
+      qn AS (
+        SELECT q.vec_id, q.qv, SUM(q.qv[p.i + 1] * q.qv[p.i + 1]) AS nn
+        FROM q, range(0, $DIM) p(i) GROUP BY q.vec_id, q.qv),
+      c0 AS (SELECT vec_id AS cl, qv AS cv FROM q WHERE vec_id < $SEM_K),
+      p1 AS (
+        SELECT a.vec_id, c.cl,
+          CAST(SUM(a.qv[p.i + 1] * c.cv[p.i + 1]) AS DOUBLE)
+            / (sqrt(CAST(a.nn AS DOUBLE))
+             * sqrt(CAST(SUM(c.cv[p.i + 1] * c.cv[p.i + 1]) AS DOUBLE))) AS cos
+        FROM qn a, c0 c, range(0, $DIM) p(i)
+        GROUP BY a.vec_id, a.nn, c.cl),
+      a1 AS (SELECT vec_id, cl FROM (
+          SELECT vec_id, cl,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) rn
+          FROM p1) WHERE rn = 1),
+      c1 AS (SELECT cl, list(s ORDER BY pos) AS cv FROM (
+          SELECT a1.cl, p.i AS pos, SUM(q.qv[p.i + 1]) AS s
+          FROM a1 JOIN q USING (vec_id), range(0, $DIM) p(i)
+          GROUP BY a1.cl, p.i) GROUP BY cl),
+      p2 AS (
+        SELECT a.vec_id, c.cl,
+          CAST(SUM(a.qv[p.i + 1] * c.cv[p.i + 1]) AS DOUBLE)
+            / (sqrt(CAST(a.nn AS DOUBLE))
+             * sqrt(CAST(SUM(c.cv[p.i + 1] * c.cv[p.i + 1]) AS DOUBLE))) AS cos
+        FROM qn a, c1 c, range(0, $DIM) p(i)
+        GROUP BY a.vec_id, a.nn, c.cl),
+      a2 AS (SELECT vec_id, cl FROM (
+          SELECT vec_id, cl,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) rn
+          FROM p2) WHERE rn = 1),
+      c2 AS (SELECT cl, list(s ORDER BY pos) AS cv FROM (
+          SELECT a2.cl, p.i AS pos, SUM(q.qv[p.i + 1]) AS s
+          FROM a2 JOIN q USING (vec_id), range(0, $DIM) p(i)
+          GROUP BY a2.cl, p.i) GROUP BY cl),
+      p3 AS (
+        SELECT a.vec_id, c.cl,
+          CAST(SUM(a.qv[p.i + 1] * c.cv[p.i + 1]) AS DOUBLE)
+            / (sqrt(CAST(a.nn AS DOUBLE))
+             * sqrt(CAST(SUM(c.cv[p.i + 1] * c.cv[p.i + 1]) AS DOUBLE))) AS cos
+        FROM qn a, c2 c, range(0, $DIM) p(i)
+        GROUP BY a.vec_id, a.nn, c.cl),
+      fin AS (SELECT vec_id, cl, CAST(FLOOR(cos * 1e6) AS BIGINT) AS cs_e6 FROM (
+          SELECT vec_id, cl, cos,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) rn
+          FROM p3) WHERE rn = 1),
+      sims AS (
+        SELECT a.vec_id AS u, b.vec_id AS v,
+          CAST(FLOOR(CAST(SUM(qa.qv[p.i + 1] * qb.qv[p.i + 1]) AS DOUBLE)
+            / (sqrt(CAST(qa.nn AS DOUBLE)) * sqrt(CAST(qb.nn AS DOUBLE)))
+            * 1e6) AS BIGINT) AS s_e6
+        FROM fin a JOIN fin b ON a.cl = b.cl AND a.vec_id <> b.vec_id
+        JOIN qn qa ON qa.vec_id = a.vec_id JOIN qn qb ON qb.vec_id = b.vec_id,
+        range(0, $DIM) p(i)
+        GROUP BY a.vec_id, b.vec_id, qa.nn, qb.nn),
+      pruned AS (
+        SELECT DISTINCT s.v AS vec_id
+        FROM sims s JOIN fin u ON s.u = u.vec_id JOIN fin v ON s.v = v.vec_id
+        WHERE s.s_e6 >= $SEM_EPS_E6
+          AND (u.cs_e6 < v.cs_e6 OR (u.cs_e6 = v.cs_e6 AND u.vec_id < v.vec_id)))
+      SELECT f.vec_id, CAST(f.cl AS BIGINT) AS cluster, f.cs_e6,
+        CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM fin f LEFT JOIN pruned p ON f.vec_id = p.vec_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(annBrute, annLsh, annIvf, dedupEmbedding, annIncremental)
+    Seq(annBrute, annLsh, annIvf, dedupEmbedding, annIncremental, dedupSemantic)
 }

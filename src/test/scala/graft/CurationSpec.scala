@@ -106,4 +106,20 @@ class CurationSpec extends SparkSpec {
           col("dup_trigram_frac_e6") <= 300000)).count()
     assert(bad == 0)
   }
+
+  test("q_snapshot_diff classifies exactly the derived add/remove/edit sets") {
+    val ids = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val expected =
+      ids.filter(_ % 11 == 3).map(_ -> "removed") ++
+        ids.filter(i => i % 7 == 2 && i % 11 != 3).map(_ -> "changed") ++
+        ids.filter(_ % 13 == 5).map(i => (i + 1000000L) -> "added")
+    val got = SparkEntry.queries("q_snapshot_diff")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got == expected,
+      s"diff mismatch: extra=${got -- expected} missing=${expected -- got}")
+    // Unchanged docs never appear — the diff is sparse by construction.
+    assert(got.map(_._1).intersect(
+      ids.filter(i => i % 11 != 3 && i % 7 != 2)).isEmpty)
+  }
 }

@@ -346,11 +346,94 @@ class PipelineSpec extends SparkSpec {
 
   test("pipeline plans never go quadratic (no cartesian/NLJ in dedup paths)") {
     for (q <- Seq("q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash",
-      "q_dedup_simhash", "q_dedup_embedding")) {
+      "q_dedup_simhash", "q_dedup_embedding", "q_fuzzy_join")) {
       val p = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop join")
     }
+  }
+
+  test("q_fuzzy_join == all-pairs levenshtein truth; planted edits land at exact distances") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy-docs").toString
+    // Keys are the rpad-20 prefix. Planted family around doc 1's key
+    // "alpha beta gamma del": substitution (d=1), two edits (d=2), a
+    // 3-edit indel mix (d=3, shifts every later char — the case the
+    // shift-window probing exists for), and a 4-edit string that must NOT
+    // pair with doc 1 (but sits at d<=3 of the d=3 variant — found via
+    // its own probes).
+    Seq(
+      (1L, "alpha beta gamma delta", "en", "t", 0L),
+      (2L, "alpha beta gamma delta", "en", "t", 0L), // d(1,2)=0
+      (3L, "alpha bXta gamma delta", "en", "t", 0L), // d(1,3)=1
+      (4L, "aXpha bYta gamma delta", "en", "t", 0L), // d(1,4)=2
+      (5L, "lpha bXta gaYmma delta", "en", "t", 0L), // head del + sub + mid ins: d(1,5)=3
+      (6L, "wholly unrelated text here", "en", "t", 0L),
+      (7L, "ZZpha bYta Xamma delta", "en", "t", 0L)) // d(1,7)=4: excluded
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_fuzzy_join")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // Independent truth: all pairs, real levenshtein on the same keys.
+    val keyed = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), rpad(substring(col("text"), 1, 20), 20, "~").as("k"))
+    val truth = keyed.as("a").crossJoin(keyed.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.k"), col("b.k")).cast("long").as("dist"))
+      .filter(col("dist") <= 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == truth,
+      s"segment-filtered join diverged from truth: got $got want $truth")
+    assert(got((1L, 2L)) == 0L && got((1L, 3L)) == 1L &&
+      got((1L, 4L)) == 2L && got((1L, 5L)) == 3L, s"planted distances: $got")
+    assert(!got.contains((1L, 7L)), s"d=4 pair must be excluded: $got")
+  }
+
+  test("q_fuzzy_join matches all-pairs truth on the real corpus") {
+    val keyed = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), rpad(substring(col("text"), 1, 20), 20, "~").as("k"))
+    val truth = keyed.as("a").crossJoin(keyed.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.k"), col("b.k")).cast("long").as("dist"))
+      .filter(col("dist") <= 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val got = SparkEntry.queries("q_fuzzy_join")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(truth.nonEmpty, "corpus should contain close key pairs")
+    assert(got == truth, s"got ${got.size} pairs, truth ${truth.size}")
+  }
+
+  test("q_dedup_semantic prunes a planted near-dup and keeps isolated vectors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    // Pairwise-orthogonal basis vectors (e_{3i}): every non-dup cosine is
+    // exactly 0, far under eps=0.35, so survival is guaranteed by
+    // construction rather than by a random margin.
+    def basis(i: Int): Array[Float] = {
+      val v = new Array[Float](64); v(3 * i) = 0.5f; v
+    }
+    val base = (0 until 20).map(i => (i.toLong, basis(i), 0))
+    // vec 17 := vec 12 + tiny noise on its spike: cosine ~ 0.9999, same
+    // cluster, so exactly one of the pair must be pruned.
+    val dup = base.map {
+      case (17L, _, l) =>
+        val v = basis(12); v(36) = v(36) + 0.001f; v(37) = 0.002f
+        (17L, v, l)
+      case row => row
+    }
+    dup.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("q_dedup_semantic")(spark, dir)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(3))).toMap
+    assert(r.size == 20, s"every vector classified: ${r.size}")
+    assert(r(12L)._1 == r(17L)._1, "planted dup pair must share a cluster")
+    assert(r(12L)._2 + r(17L)._2 == 1L,
+      s"exactly one of the dup pair survives: 12=${r(12L)} 17=${r(17L)}")
+    val othersPruned = r.collect {
+      case (id, (_, 0L)) if id != 12L && id != 17L => id }
+    assert(othersPruned.isEmpty, s"isolated vectors pruned: $othersPruned")
   }
 }
