@@ -144,10 +144,20 @@ object EventOps {
     * every purchase row). Oracle: the SAME DuckDB ASOF LEFT JOIN as
     * [[asofJoin]]; a spec test also pins it row-identical to the plain
     * form. */
-  private val asofChunked = QueryDef(
-    "q_asof_chunked",
-    (s, d) => {
-      val chunkNs = 24L * 3600 * 1000 * 1000 * 1000 // 1 day
+  /** Default chunk width: 1 day. The knob trades the two costs the 100x
+    * probe measured: NARROWER chunks bound the per-(user, chunk) window
+    * buffer tighter (the hot-user win) but grow the carry/seam tables
+    * toward event grain for sparse users (one carry row per active
+    * (user, chunk)); WIDER chunks do the reverse. 1 day matches the probe
+    * corpus (≤48 events/user-day uniform, hot user 30%); a deployment
+    * sizes it so (peak events per user per chunk) fits an executor's
+    * window buffer while (active user-chunks) stays well under event
+    * count. Builders below take the width explicitly; parity at
+    * non-default widths is spec-pinned (EventOpsSpec). */
+  private[graft] val DefaultChunkNs = 24L * 3600 * 1000 * 1000 * 1000
+
+  private[graft] def asofChunkedPlan(s: SparkSession, d: String,
+      chunkNs: Long): DataFrame = {
       val tagged = asofTagged(ev(s, d))
         .withColumn("chunk", expr(s"ts div ${chunkNs}L"))
       val wIn = Window.partitionBy(col("user_id"), col("chunk"))
@@ -167,7 +177,11 @@ object EventOps {
         .join(carryIn, Seq("user_id", "chunk"), "left")
         .select(col("pid").as("purchase_id"), col("user_id"),
           coalesce(col("local_last"), col("carry_in")).as("matched_view"))
-    },
+  }
+
+  private val asofChunked = QueryDef(
+    "q_asof_chunked",
+    (s, d) => asofChunkedPlan(s, d, DefaultChunkNs),
     Some("""SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS matched_view
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
@@ -345,11 +359,9 @@ object EventOps {
     * but such a timeline is sparse by construction (≤ 48 events/day),
     * never the monster-timeline case. Oracle: identical SQL to
     * [[sessionize]]; a spec test pins row-parity too. */
-  private val sessionizeChunked = QueryDef(
-    "q_sessionize_chunked",
-    (s, d) => {
+  private[graft] def sessionizeChunkedPlan(s: SparkSession, d: String,
+      chunkNs: Long): DataFrame = {
       val gapNs = 30L * 60 * 1000 * 1000 * 1000
-      val chunkNs = 24L * 3600 * 1000 * 1000 * 1000
       val e = ev(s, d).withColumn("chunk", expr(s"ts div ${chunkNs}L"))
       val wL = Window.partitionBy(col("user_id"), col("chunk"))
         .orderBy(col("ts"), col("event_id"))
@@ -380,7 +392,11 @@ object EventOps {
         .agg(max(col("sess")).as("n_sessions"),
           max(col("sess_events")).as("max_session_events"),
           sum(col("sess_events")).as("n_events"))
-    },
+  }
+
+  private val sessionizeChunked = QueryDef(
+    "q_sessionize_chunked",
+    (s, d) => sessionizeChunkedPlan(s, d, DefaultChunkNs),
     Some("""WITH marked AS (
         SELECT user_id, ts, event_id,
           CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000

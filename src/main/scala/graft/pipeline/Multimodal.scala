@@ -25,6 +25,15 @@ final case class ImageFeatures(
     mean_g_e3: Long,
     mean_b_e3: Long)
 
+/** dHash of one decoded image, split into four 16-bit bands (bits j*8+i of
+  * band j/2 — the hamming-banding unit for [[Multimodal]]'s phash dedup). */
+final case class ImagePHash(
+    doc_id: Long,
+    b0: Long,
+    b1: Long,
+    b2: Long,
+    b3: Long)
+
 /** Multimodal-column plumbing: binary payloads with typed metadata, decoded
   * and feature-extracted per partition via a typed `mapPartitions` — the
   * Scala analog of a Pandas-UDF `mapInPandas` batch stage. The partition
@@ -279,9 +288,99 @@ object Multimodal {
         CAST(sum(lvl) AS BIGINT) AS sampled_pixel_sum
       FROM px GROUP BY doc_id"""))
 
+  /** Perceptual-hash (dHash) image dedup over the REAL decode path: each
+    * PNG payload is decoded with `javax.imageio`, point-sampled to a 9x8
+    * grayscale grid (integer BT.601 weights — every step int-exact so the
+    * oracle can recompute it from the generative pixel formula), and
+    * hashed by the classic adjacent-comparison dHash into four 16-bit
+    * bands. Near-dup neighbors = hamming distance ≤ 3 over the 64 bits.
+    *
+    * Candidates come from a single-band equality join: ≤ 3 bit flips can
+    * touch at most 3 of the 4 bands, so by pigeonhole every true neighbor
+    * shares at least one band verbatim — the banding is COMPLETE at this
+    * radius, not approximate. The DuckDB oracle deliberately ignores the
+    * banding and recomputes neighbors ALL-PAIRS from the formula, so a
+    * recall bug in the banded join cannot hash-match. Per-doc output keeps
+    * the full hash (4 band columns — the end-to-end decode witness) plus
+    * the neighbor count.
+    *
+    * Scale: hash extraction is the shuffle-free `mapPartitions` decode
+    * stage; the candidate join shuffles (band, value) pairs — 4 rows of
+    * ~12 bytes per image, the [[graft.pipeline.Dedup]] banding shape — and
+    * verification touches candidates only. */
+  private val phashDedup = QueryDef(
+    "q_phash_dedup",
+    (s, d) => {
+      import s.implicits._
+      val hashed = imageTable(s, d).as[MediaItem]
+        .mapPartitions(items => items.map(it =>
+          ImageCodec.dHashBands(it.doc_id, it.media)))
+        .toDF()
+      val bands = hashed.select(col("doc_id"), posexplode(
+          array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        .toDF("doc_id", "band", "v")
+      val cands = bands.as("x").join(bands.as("y"), Seq("band", "v"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val ha = hashed.select(col("doc_id").as("a_id"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+      val hb = hashed.select(col("doc_id").as("b_id"), col("b0").as("x0"),
+        col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3"))
+      val dups = cands.join(ha, "a_id").join(hb, "b_id")
+        .filter(expr("bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
+          "bit_count(a2 ^ x2) + bit_count(a3 ^ x3)") <= 3)
+      val cnt = dups.select(col("a_id").as("doc_id"))
+        .unionAll(dups.select(col("b_id").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      hashed.join(cnt, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+    },
+    // The oracle rebuilds the dHash from the closed-form pixel function
+    // (dims 4+id%13 x 4+id%7; channel formulas as in ImageCodec) at the
+    // same 9x8 point grid, then counts hamming<=3 neighbors by brute
+    // force — independent of both the decode AND the banded join.
+    Some("""WITH d AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h FROM documents),
+      g AS (
+        SELECT d.doc_id, i.range AS i, j.range AS j,
+          (299 * ((doc_id * 31 + ((i.range * w) // 9) * 7  + ((j.range * h) // 8) * 13) % 256)
+         + 587 * ((doc_id * 17 + ((i.range * w) // 9) * 11 + ((j.range * h) // 8) * 3 ) % 256)
+         + 114 * ((doc_id * 23 + ((i.range * w) // 9) * 5  + ((j.range * h) // 8) * 19) % 256)) // 1000 AS gy
+        FROM d, range(0, 9) i, range(0, 8) j),
+      bits AS (
+        SELECT a.doc_id, a.j // 2 AS band, (a.j % 2) * 8 + a.i AS k
+        FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.i = a.i + 1 AND b.j = a.j
+        WHERE a.i < 8 AND b.gy > a.gy),
+      allb AS (SELECT doc_id, b.range AS band FROM d, range(0, 4) b),
+      bands AS (
+        SELECT ab.doc_id, ab.band,
+          CAST(COALESCE(SUM(1 << bits.k), 0) AS BIGINT) AS v
+        FROM allb ab LEFT JOIN bits
+          ON bits.doc_id = ab.doc_id AND bits.band = ab.band
+        GROUP BY ab.doc_id, ab.band),
+      h AS (SELECT doc_id,
+          MAX(CASE WHEN band = 0 THEN v END) AS b0,
+          MAX(CASE WHEN band = 1 THEN v END) AS b1,
+          MAX(CASE WHEN band = 2 THEN v END) AS b2,
+          MAX(CASE WHEN band = 3 THEN v END) AS b3
+        FROM bands GROUP BY doc_id),
+      dup AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+      cnt AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM (
+          SELECT a_id AS doc_id FROM dup
+          UNION ALL SELECT b_id FROM dup) GROUP BY doc_id)
+      SELECT h.doc_id, h.b0, h.b1, h.b2, h.b3, COALESCE(c.n_dup, 0) AS n_dup
+      FROM h LEFT JOIN cnt c USING (doc_id)"""))
+
   val all: Seq[QueryDef] =
     Seq(multimodal, multimodalFrames, multimodalResize, multimodalAudio,
-      multimodalVideo)
+      multimodalVideo, phashDedup)
 }
 
 /** Frame stats for one decoded video item: frame count from the container,
@@ -509,6 +608,36 @@ object ImageCodec {
     if (!javax.imageio.ImageIO.write(img, "png", out))
       throw new IllegalStateException("JDK PNG writer missing")
     out.toByteArray
+  }
+
+  /** Difference hash (dHash) of a decoded PNG: point-sample a 9x8
+    * grayscale grid (integer BT.601 `(299r+587g+114b)/1000`, nearest
+    * sample at `(i*w/9, j*h/8)` — all integer ops, so the oracle can
+    * replay it from the pixel formula), set bit `(j%2)*8+i` of band `j/2`
+    * when the right neighbor is strictly brighter. */
+  def dHashBands(id: Long, png: Array[Byte]): ImagePHash = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    if (img == null)
+      throw new IllegalArgumentException(s"doc $id: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    def gray(i: Int, j: Int): Int = {
+      val rgb = img.getRGB(i * w / 9, j * h / 8)
+      (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF)
+        + 114 * (rgb & 0xFF)) / 1000
+    }
+    val bands = new Array[Long](4)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (gray(i + 1, j) > gray(i, j))
+          bands(j / 2) |= 1L << ((j % 2) * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    ImagePHash(id, bands(0), bands(1), bands(2), bands(3))
   }
 
   /** Decode a PNG payload and compute per-channel pixel statistics. */

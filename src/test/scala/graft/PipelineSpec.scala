@@ -406,6 +406,27 @@ class PipelineSpec extends SparkSpec {
     assert(got == truth, s"got ${got.size} pairs, truth ${truth.size}")
   }
 
+  test("q_phash_dedup pairs identical images and isolates the rest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash-docs").toString
+    // The generative image is periodic in doc_id with period
+    // lcm(13, 7, 256) = 23296 (dims mod 13/7; channels mod 256 with odd
+    // multipliers), so ids 5 and 23301 render byte-identical PNGs —
+    // a genuine duplicate image pair under distinct ids.
+    Seq((5L, "a", "en", "t", 0L), (23301L, "b", "en", "t", 0L),
+      (7L, "c", "en", "t", 0L), (9L, "d", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_phash_dedup")(spark, dir)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)), x.getLong(5))).toMap
+    assert(r(5L)._1 == r(23301L)._1, "identical images must hash identically")
+    assert(r(5L)._2 == 1L && r(23301L)._2 == 1L,
+      s"dup pair neighbor counts: ${r(5L)._2}, ${r(23301L)._2}")
+    assert(r(7L)._2 == 0L && r(9L)._2 == 0L,
+      s"unrelated images must be isolated: ${r(7L)}, ${r(9L)}")
+  }
+
   test("q_dedup_semantic prunes a planted near-dup and keeps isolated vectors") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString

@@ -119,6 +119,27 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("chunked event ops hold parity across chunk widths (the tuning knob)") {
+    // DefaultChunkNs (1 day) is a tuning choice, not a correctness
+    // boundary: the rewrites must be width-invariant. Sweep a narrow (1 h)
+    // and a wide (7 d) width — narrow multiplies seams (the risky path),
+    // wide collapses most carries into one chunk.
+    val plainAsof = SparkEntry.queries("q_asof_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val plainSess = SparkEntry.queries("q_sessionize")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    for (w <- Seq(3600L * 1000 * 1000 * 1000, 7L * 86400 * 1000 * 1000 * 1000)) {
+      val a = operators.EventOps.asofChunkedPlan(spark, sfDir, w)
+        .collect().map(_.toSeq).toSet
+      assert(a == plainAsof, s"asof at width $w ns: " +
+        s"extra=${(a -- plainAsof).take(3)} missing=${(plainAsof -- a).take(3)}")
+      val se = operators.EventOps.sessionizeChunkedPlan(spark, sfDir, w)
+        .collect().map(_.toSeq).toSet
+      assert(se == plainSess, s"sessionize at width $w ns: " +
+        s"extra=${(se -- plainSess).take(3)} missing=${(plainSess -- se).take(3)}")
+    }
+  }
+
   test("q_select_one returns exactly 1") {
     assert(SparkEntry.queries("q_select_one")(spark, sfDir).collect()
       .map(_.getInt(0)).toSeq == Seq(1))
