@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, JaccardSimilarity, LshSignatures}
+import graft.functions.{ArgmaxCosine, CosineSimilarity, JaccardSimilarity, LshSignatures}
 
 /** Session extensions: graft's native functions, injected at session build
   * (`spark.sql.extensions=graft.GraftExtensions`). This is the sanctioned
@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 3,
           "graft_lsh_sigs(v, planes, bits) takes (array<double>, array<double>, int)")
         LshSignatures(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_argmax_cos"),
+      new ExpressionInfo(classOf[ArgmaxCosine].getName, "graft_argmax_cos"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_argmax_cos(v, tensor) takes two array<double> arguments")
+        ArgmaxCosine(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_jaccard"),

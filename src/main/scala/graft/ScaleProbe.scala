@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val probeQueries = Seq("q_dedup_exact", "q_dedup_ngram",
     "q_dedup_containment", "q_dedup_minhash", "q_dedup_simhash",
-    "q_substring_dedup", "q_dedup_clusters")
+    "q_substring_dedup", "q_dedup_clusters", "q_fuzzy_join",
+    "q_phash_dedup", "q_snapshot_diff")
 
   /** Similarity family, probed over generated embeddings (same 1x/10x
     * protocol): brute force is the exact O(NQ*N) floor, LSH is the scale
@@ -31,7 +32,23 @@ object ScaleProbe {
     * embedding near-dup must track the (linearly planted) true-pair
     * volume. */
   private val simQueries = Seq("q_ann_brute", "q_ann_lsh", "q_dedup_embedding",
-    "q_ann_incremental")
+    "q_ann_incremental", "q_dedup_semantic", "q_dedup_semantic_adaptive_k")
+
+  /** Probe-only builders beyond the SparkEntry registry. The adaptive-K
+    * semantic dedup holds MEAN CLUSTER SIZE constant (k = N/64) instead of
+    * cluster count — the production SemDeDup scaling — so the probe can
+    * contrast it with the gated fixed-K=8 plan, whose per-cluster pair
+    * work is quadratic in corpus size by construction. */
+  private val extraBuilders: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_dedup_semantic_adaptive_k" -> ((s, dir) => {
+      // k = sqrt(N): assignment work N·k·D and pair work N·(N/k)·D are
+      // both minimized where they balance, at k = sqrt(N) — k = N/m (mean
+      // size held constant) leaves assignment quadratic, k fixed leaves
+      // pairs quadratic.
+      val n = s.read.parquet(s"$dir/embeddings.parquet").count()
+      pipeline.Similarity.dedupSemanticPlan(s, dir,
+        math.max(8, math.sqrt(n.toDouble).round.toInt))
+    }))
 
   /** Heavy text-analysis stages (token-keyed shuffles with map-side
     * combine + broadcast model state): expected ~linear — the probe
@@ -230,7 +247,7 @@ object ScaleProbe {
         probeSeq += 1
         val obs = org.apache.spark.sql.Observation(s"probe_rows_$probeSeq")
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir)
+        extraBuilders.getOrElse(name, SparkEntry.queries(name))(spark, dir)
           .observe(obs, count(lit(1)).as("rows"))
           .write.format("noop").mode("overwrite").save()
         // Stop the clock BEFORE Observation.get: metrics arrive on the

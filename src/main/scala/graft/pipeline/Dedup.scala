@@ -496,9 +496,10 @@ object Dedup {
     * computes the same components via a recursive CTE. Output: every
     * clustered doc with its cluster id (= min doc_id in the component —
     * the canonical "keep" representative). */
-  private val dedupClusters = QueryDef(
-    "q_dedup_clusters",
-    (s, d) => {
+  /** Connected-component labels over the verified near-dup pairs —
+    * [[dedupClusters]]'s body, shared with [[dedupKeepBest]] (which picks
+    * a quality representative per component). */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
       val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
       val edges = pairs
         .union(pairs.select(col("b_id"), col("a_id")))
@@ -539,7 +540,11 @@ object Dedup {
       require(curSum == prevSum,
         s"label propagation did not converge in $rounds rounds")
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-    },
+  }
+
+  private val dedupClusters = QueryDef(
+    "q_dedup_clusters",
+    (s, d) => clusterLabels(s, d),
     Some(s"""WITH RECURSIVE ${pairsCteSql("documents", 0.5)},
       edges AS (SELECT a_id AS u, b_id AS v FROM pairs
                 UNION SELECT b_id, a_id FROM pairs),
@@ -581,6 +586,56 @@ object Dedup {
           AS dup_frac_e6
       FROM d, p, u"""))
 
+  /** Cluster-representative selection — the survivor rule a curation
+    * pipeline applies AFTER clustering: within each near-dup component,
+    * keep the highest-quality member (here: most tokens, the keep-longest
+    * rule; ties to the lowest doc_id) and report the component size. The
+    * canonical min-id representative ([[dedupClusters]]) answers "which
+    * cluster"; this answers "which member survives the drop".
+    *
+    * Scale: reuses [[clusterLabels]] (pointer-jumped label propagation,
+    * linear rounds), one doc_id-keyed join to per-doc token counts (text
+    * never shuffles — counts do), then a cluster-keyed window at CLUSTER
+    * grain (rows per key = component size, bounded by the dedup
+    * threshold's transitive closure — the same cardinality the clustering
+    * itself already shuffled). */
+  private val dedupKeepBest = QueryDef(
+    "q_dedup_keep_best",
+    (s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val ranked = clusterLabels(s, d).join(toks, "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(col("n_toks").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(
+          Window.partitionBy(col("cluster_id"))))
+      ranked.filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+          col("n_members"), col("n_toks").as("kept_toks"))
+    },
+    Some(s"""WITH RECURSIVE ${pairsCteSql("documents", 0.5)},
+      edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      reach(src, dst) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+      clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                   FROM reach GROUP BY src),
+      toks AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+               FROM documents),
+      ranked AS (
+        SELECT c.cluster_id, c.doc_id, t.n_toks,
+          ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+            ORDER BY t.n_toks DESC, c.doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        FROM clusters c JOIN toks t USING (doc_id))
+      SELECT cluster_id, doc_id AS kept_doc,
+        CAST(n_members AS BIGINT) AS n_members, n_toks AS kept_toks
+      FROM ranked WHERE rn = 1"""))
+
   /** Edit-distance fuzzy self-join (PassJoin-style segment filtering,
     * Li/Deng/Feng VLDB'11): find document pairs whose fixed-width key (the
     * first 20 chars, '~'-padded so every key is exactly 20 chars and the
@@ -596,10 +651,11 @@ object Dedup {
     * join on (segment, substring). Verification = real `levenshtein` with
     * the τ early-exit threshold, on candidates only.
     *
-    * Scale: never all-pairs — the shuffle carries (id, 5-char gram) pairs
-    * keyed by the gram, exactly the n-gram dedup shape; candidate count is
-    * governed by segment selectivity, and ids-only travel through the
-    * pair-distinct (keys re-join after, the [[dedupNgram]] convention). */
+    * Scale: never all-pairs — the shuffle carries (key, 5-char gram) pairs
+    * keyed by the gram, exactly the n-gram dedup shape, over DISTINCT keys
+    * only (exact-dup mass collapses before banding and expands back after
+    * verification); candidate count is governed by segment selectivity
+    * over the distinct-key population. */
   private val fuzzyJoin = {
     val TAU = 3
     val KLEN = 20
@@ -609,13 +665,20 @@ object Dedup {
       (s, d) => {
         val keyed = docs(s, d).select(col("doc_id"),
           rpad(substring(col("text"), 1, KLEN), KLEN, "~").as("k"))
+        // Exact-key collapse first (the 10x probe measured 100x shuffle
+        // growth without it): key-sharing docs — the exact-dup mass — add
+        // nothing to the CANDIDATE problem, so segment banding runs over
+        // DISTINCT keys and doc pairs come back by expansion at the end:
+        // within-key pairs are dist=0 by definition (one output-bound equi
+        // join); cross-key pairs expand each verified distinct-key pair by
+        // its doc lists.
+        val dkeys = keyed.select(col("k")).distinct()
         val indexSegs = (0 to TAU).map(i =>
           struct(lit(i).as("seg"),
             substring(col("k"), i * SEG + 1, SEG).as("sub")))
-        val indexed = keyed
-          .select(col("doc_id").as("b_id"),
-            explode(array(indexSegs: _*)).as("e"))
-          .select(col("b_id"), col("e.seg").as("seg"), col("e.sub").as("sub"))
+        val indexed = dkeys
+          .select(col("k").as("kb"), explode(array(indexSegs: _*)).as("e"))
+          .select(col("kb"), col("e.seg").as("seg"), col("e.sub").as("sub"))
         val probeSegs = for {
           i <- 0 to TAU
           delta <- -TAU to TAU
@@ -623,20 +686,62 @@ object Dedup {
           if start >= 0 && start + SEG <= KLEN
         } yield struct(lit(i).as("seg"),
           substring(col("k"), start + 1, SEG).as("sub"))
-        val probed = keyed
-          .select(col("doc_id").as("a_id"),
+        val probed = dkeys
+          .select(col("k").as("ka"),
             explode(array_distinct(array(probeSegs: _*))).as("e"))
-          .select(col("a_id"), col("e.seg").as("seg"), col("e.sub").as("sub"))
-        val cands = probed.join(indexed, Seq("seg", "sub"))
-          .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id")).distinct()
-        val ak = keyed.select(col("doc_id").as("a_id"), col("k").as("a_k"))
-        val bk = keyed.select(col("doc_id").as("b_id"), col("k").as("b_k"))
-        cands.join(ak, "a_id").join(bk, "b_id")
+          .select(col("ka"), col("e.seg").as("seg"), col("e.sub").as("sub"))
+        // 2D block grid over the candidate join — the [[gridSelfPairs]]
+        // discipline, asymmetric form. A saturated-vocabulary corpus
+        // concentrates 5-char grams: one hot (seg, sub) bucket's pair grid
+        // otherwise lands on ONE task (measured: a 141 s max task at the
+        // 10x probe while total shuffle stayed 2 MB — join-OUTPUT skew
+        // that AQE cannot see). Each side's bucket splits into
+        // ceil(n/CELL) blocks (x replicates over y's blocks and vice
+        // versa; every pair meets in exactly one (p, q) cell of ≤ CELL²
+        // pair evaluations). The count lookups join on (seg, sub) — the
+        // same key the candidate join shuffles on — so co-partitioning
+        // makes them exchange-reusing, not extra passes.
+        val CELL = 1024
+        val cnts = probed.groupBy("seg", "sub")
+          .agg(count(lit(1)).cast("int").as("np"))
+          .join(indexed.groupBy("seg", "sub")
+            .agg(count(lit(1)).cast("int").as("ni")), Seq("seg", "sub"))
+          .withColumn("bp", ceil(col("np") / lit(CELL.toDouble)).cast("int"))
+          .withColumn("bi", ceil(col("ni") / lit(CELL.toDouble)).cast("int"))
+          .select(col("seg"), col("sub"), col("bp"), col("bi"))
+        val xs = probed.join(cnts, Seq("seg", "sub"))
+          .withColumn("p", pmod(xxhash64(col("ka")), col("bp")).cast("int"))
+          .withColumn("q", explode(expr("sequence(0, bi - 1)")))
+          .select(col("seg"), col("sub"), col("p"), col("q"), col("ka"))
+        val ys = indexed.join(cnts, Seq("seg", "sub"))
+          .withColumn("q", pmod(xxhash64(col("kb")), col("bi")).cast("int"))
+          .withColumn("p", explode(expr("sequence(0, bp - 1)")))
+          .select(col("seg"), col("sub"), col("p"), col("q"), col("kb"))
+        // Explicit numbered repartition on the cell key: the cells are
+        // BYTE-tiny but CPU-quadratic, and AQE coalesces by bytes — the
+        // 10x probe watched it pack every cell into ONE task (77 s max
+        // task on a 6 MB shuffle). A REPARTITION_BY_NUM shuffle is exempt
+        // from AQE coalescing, and both sides share the join's hash
+        // distribution, so the join adds no further exchange.
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val close = xs.repartition(nPart, col("seg"), col("sub"), col("p"), col("q"))
+          .join(ys.repartition(nPart, col("seg"), col("sub"), col("p"), col("q")),
+            Seq("seg", "sub", "p", "q"))
+          .filter(col("ka") < col("kb"))
+          .select(col("ka"), col("kb")).distinct()
           .withColumn("dist",
-            levenshtein(col("a_k"), col("b_k"), TAU).cast("long"))
+            levenshtein(col("ka"), col("kb"), TAU).cast("long"))
           .filter(col("dist") >= 0)
-          .select(col("a_id"), col("b_id"), col("dist"))
+        val da = keyed.select(col("doc_id").as("ia"), col("k").as("ka"))
+        val db = keyed.select(col("doc_id").as("ib"), col("k").as("kb"))
+        val cross = close.join(da, "ka").join(db, "kb")
+          .select(least(col("ia"), col("ib")).as("a_id"),
+            greatest(col("ia"), col("ib")).as("b_id"), col("dist"))
+        val within = da
+          .join(db, col("ka") === col("kb") && col("ia") < col("ib"))
+          .select(col("ia").as("a_id"), col("ib").as("b_id"),
+            lit(0L).as("dist"))
+        cross.unionAll(within)
       },
       Some(s"""WITH k AS (
           SELECT doc_id, rpad(substr(text, 1, $KLEN), $KLEN, '~') AS k
@@ -649,5 +754,5 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash, dedupSimhash,
-      dedupClusters, dedupReport, fuzzyJoin)
+      dedupClusters, dedupReport, fuzzyJoin, dedupKeepBest)
 }

@@ -316,26 +316,39 @@ object Multimodal {
         .mapPartitions(items => items.map(it =>
           ImageCodec.dHashBands(it.doc_id, it.media)))
         .toDF()
-      val bands = hashed.select(col("doc_id"), posexplode(
-          array(col("b0"), col("b1"), col("b2"), col("b3"))))
-        .toDF("doc_id", "band", "v")
+      // Exact-hash collapse BEFORE banding: low-entropy images (flat
+      // fields, synthetic gradients) concentrate dHash onto few values, so
+      // doc-level banding goes quadratic in the concentration (the first
+      // 10x probe measured 95x shuffle growth). Identical hashes carry no
+      // pair information beyond their multiplicity — collapse them to one
+      // row + mult, pair only DISTINCT hashes, and recover per-doc counts
+      // arithmetically. The pair stage's cardinality is then hash-entropy-
+      // not corpus-size-bound.
+      val dh = hashed.groupBy("b0", "b1", "b2", "b3")
+        .agg(count(lit(1)).as("mult"))
+        .select(struct(col("b0"), col("b1"), col("b2"), col("b3")).as("hk"),
+          col("mult"))
+      val bands = dh.select(col("hk"), col("mult"), posexplode(
+          array(col("hk.b0"), col("hk.b1"), col("hk.b2"), col("hk.b3"))))
+        .toDF("hk", "mult", "band", "v")
       val cands = bands.as("x").join(bands.as("y"), Seq("band", "v"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .filter(col("x.hk") < col("y.hk"))
+        .select(col("x.hk").as("ak"), col("x.mult").as("am"),
+          col("y.hk").as("bk"), col("y.mult").as("bm"))
         .distinct()
-      val ha = hashed.select(col("doc_id").as("a_id"), col("b0").as("a0"),
-        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-      val hb = hashed.select(col("doc_id").as("b_id"), col("b0").as("x0"),
-        col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3"))
-      val dups = cands.join(ha, "a_id").join(hb, "b_id")
-        .filter(expr("bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
-          "bit_count(a2 ^ x2) + bit_count(a3 ^ x3)") <= 3)
-      val cnt = dups.select(col("a_id").as("doc_id"))
-        .unionAll(dups.select(col("b_id").as("doc_id")))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-      hashed.join(cnt, Seq("doc_id"), "left_outer")
+      val close = cands.filter(
+        expr("bit_count(ak.b0 ^ bk.b0) + bit_count(ak.b1 ^ bk.b1) + " +
+          "bit_count(ak.b2 ^ bk.b2) + bit_count(ak.b3 ^ bk.b3)") <= 3)
+      val nbrMass = close.select(col("ak").as("hk"), col("bm").as("m"))
+        .unionAll(close.select(col("bk").as("hk"), col("am").as("m")))
+        .groupBy("hk").agg(sum(col("m")).as("nbr"))
+      hashed
+        .withColumn("hk",
+          struct(col("b0"), col("b1"), col("b2"), col("b3")))
+        .join(dh, Seq("hk"))
+        .join(nbrMass, Seq("hk"), "left_outer")
         .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+          (col("mult") - 1L + coalesce(col("nbr"), lit(0L))).as("n_dup"))
     },
     // The oracle rebuilds the dHash from the closed-form pixel function
     // (dims 4+id%13 x 4+id%7; channel formulas as in ImageCodec) at the

@@ -493,55 +493,63 @@ object Similarity {
   private val SEM_Q = 1e4
   private val SEM_EPS_E6 = 350000L
 
+  /** Quantized vectors as INTEGER-VALUED doubles: every component, every
+    * sum of squares, and every dot product below stays an integer < 2^53,
+    * where double addition is exact and order-free — so `graft_cosine`
+    * (one fused codegen loop, no HOF interpretation) computes EXACTLY the
+    * oracle's `CAST(int_dot AS DOUBLE) / (sqrt(nn_a) * sqrt(nn_b))`. The
+    * first probe of this operator measured why this matters: the
+    * interpreted `aggregate(zip_with(...))` formulation put a 53 s max
+    * task on the 10x pair stage; the fused expression is the same kernel
+    * inside whole-stage codegen. */
   private def semQuantized(s: SparkSession, d: String): DataFrame =
     emb(s, d)
       .select(col("vec_id"),
-        transform(asDouble(col("embedding")), x => floor(x * SEM_Q)).as("qv"))
-      .withColumn("nn", aggregate(
-        zip_with(col("qv"), col("qv"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
+        transform(asDouble(col("embedding")),
+          x => floor(x * SEM_Q).cast("double")).as("qv"))
 
   /** Map-side assignment against literal (clusterId, integer sum vector)
-    * pairs: cos to every centroid, argmax with first-match (= lowest id)
-    * tie-break. Emits `cl` and the winning cosine (`cs`). */
-  private def semAssign(df: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
-    val centArr = array(cents.map { case (_, c) => lit(c) }: _*)
+    * pairs: the native `graft_argmax_cos` scans the FLATTENED centroid
+    * tensor in one fused codegen loop (a k-wide array of per-centroid
+    * cosine expressions fell out of whole-stage codegen at k = sqrt(N)
+    * and evaluated interpreted+boxed — measured 13 s tasks at the 10x
+    * probe). First-match tie-break = lowest cluster id, same as the
+    * composable `array_position(arr, array_max(arr))` (FunctionsSpec
+    * asserts the differential). Emits `cl` and the winning cosine (`cs`). */
+  private def semAssign(df: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
     val idArr = array(cents.map { case (id, _) => lit(id) }: _*)
-    val cosArr = transform(centArr, c => {
-      val dot = aggregate(zip_with(col("qv"), c, (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
-      val cn = aggregate(zip_with(c, c, (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
-      dot.cast("double") / (sqrt(col("nn").cast("double")) * sqrt(cn.cast("double")))
-    })
-    df.withColumn("cosArr", cosArr)
-      .withColumn("cs", array_max(col("cosArr")))
-      .withColumn("cl", element_at(idArr,
-        array_position(col("cosArr"), col("cs")).cast("int")))
+    val flat = cents.flatMap(_._2).toArray
+    df.withColumn("am", call_function("graft_argmax_cos", col("qv"), lit(flat)))
+      .withColumn("cs", col("am.cos"))
+      .withColumn("cl", element_at(idArr, col("am.idx") + 1))
+      .drop("am")
   }
 
   private val semCentroidCache =
-    new scala.collection.concurrent.TrieMap[String, Seq[(Int, Array[Long])]]()
+    new scala.collection.concurrent.TrieMap[String, Seq[(Int, Array[Double])]]()
 
-  private def semCentroids(s: SparkSession, d: String): Seq[(Int, Array[Long])] = {
-    val token = Tables.contentToken(s"$d/embeddings.parquet")
+  private def semCentroids(s: SparkSession, d: String,
+      k: Int): Seq[(Int, Array[Double])] = {
+    val token = Tables.contentToken(s"$d/embeddings.parquet") + s"#k=$k"
     semCentroidCache.getOrElseUpdate(token, {
       val path = token.split('#')(0)
       semCentroidCache.keys
-        .filter(k => k != token && k.startsWith(path + "#"))
+        .filter(kk => kk != token && kk.startsWith(path + "#"))
         .foreach(semCentroidCache.remove)
       val q = semQuantized(s, d).localCheckpoint()
-      var cents: Seq[(Int, Array[Long])] = q.filter(col("vec_id") < SEM_K)
+      var cents: Seq[(Int, Array[Double])] = q.filter(col("vec_id") < k)
         .orderBy("vec_id").select("vec_id", "qv").collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray)).toSeq
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
       for (_ <- 1 to 2) {
+        // Integer-valued addends, partial sums < 2^53: the double SUM is
+        // exact and order-free, like the oracle's int64 SUM.
         val sums = semAssign(q, cents)
           .select(col("cl"), posexplode(col("qv"))).toDF("cl", "pos", "x")
           .groupBy("cl", "pos").agg(sum(col("x")).as("s"))
           .collect()
         cents = sums.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cl, rows) =>
-          val v = new Array[Long](DIM)
-          rows.foreach(r => v(r.getInt(1)) = r.getLong(2))
+          val v = new Array[Double](DIM)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
           (cl, v)
         }
       }
@@ -549,23 +557,55 @@ object Similarity {
     })
   }
 
-  private val dedupSemantic = QueryDef(
-    "q_dedup_semantic",
-    (s, d) => {
-      val cents = semCentroids(s, d)
+  /** The plan behind `q_dedup_semantic`, with the cluster count as the
+    * explicit scale knob: per-cluster pair work is ~(N/k)² · k, so fixed k
+    * goes quadratic with corpus size while k ~ N/m (mean cluster size m
+    * held constant) keeps total pair work ~N·m — the ScaleProbe contrasts
+    * both. The gated query pins k = SEM_K = 8, the value the static
+    * oracle SQL unrolls. */
+  private[graft] def dedupSemanticPlan(s: SparkSession, d: String,
+      k: Int): DataFrame = {
+      val cents = semCentroids(s, d, k)
+      // localCheckpoint: fin feeds BOTH pair sides and the final join —
+      // uncheckpointed, the k-wide assignment projection re-evaluates
+      // once per consumer (the probe measured ~3x the assignment cost in
+      // the adaptive-k wall).
       val fin = semAssign(semQuantized(s, d), cents)
         .select(col("vec_id"), col("cl"),
-          floor(col("cs") * 1e6).as("cs_e6"), col("qv"), col("nn"))
-      val u = fin.select(col("vec_id").as("u"), col("cl"),
-        col("cs_e6").as("u_cs"), col("qv").as("u_qv"), col("nn").as("u_nn"))
-      val v = fin.select(col("vec_id").as("v"), col("cl"),
-        col("cs_e6").as("v_cs"), col("qv").as("v_qv"), col("nn").as("v_nn"))
-      val pruned = u.join(v, Seq("cl")).filter(col("u") =!= col("v"))
-        .withColumn("s_e6", floor(
-          aggregate(zip_with(col("u_qv"), col("v_qv"), (x, y) => x * y),
-            lit(0L), (acc, x) => acc + x).cast("double")
-            / (sqrt(col("u_nn").cast("double")) * sqrt(col("v_nn").cast("double")))
-            * 1e6))
+          floor(col("cs") * 1e6).as("cs_e6"), col("qv"))
+        .localCheckpoint()
+      // Per-cluster block grid on the pair stage (the gridSelfPairs
+      // discipline): k-means on weakly-clusterable data can snowball a
+      // giant cluster, whose pair grid is CPU-quadratic but byte-tiny —
+      // AQE coalesces by bytes and put a measured 12 s of fused-cosine
+      // work on single tasks at the 10x probe. Each cluster splits into
+      // ceil(n/CELL) blocks; every ORDERED pair (u,v) meets exactly once
+      // at (p = blk_u, q = blk_v); the numbered repartition keeps AQE
+      // from re-fusing the cells.
+      val SEM_CELL = 2048
+      // Cluster sizes via a k-row aggregate + broadcast-back (k <= sqrt N
+      // by construction — metadata, not data): a count WINDOW over cl
+      // would cost a full extra vector-row shuffle just to learn sizes.
+      val counts = fin.groupBy("cl")
+        .agg(count(lit(1)).cast("int").as("cn"))
+      val withB = fin.join(broadcast(counts), "cl")
+        .withColumn("nblk",
+          ceil(col("cn") / lit(SEM_CELL.toDouble)).cast("int"))
+        .withColumn("blk", pmod(xxhash64(col("vec_id")), col("nblk")).cast("int"))
+      val u = withB.select(col("cl"), col("blk").as("p"),
+        explode(expr("sequence(0, nblk - 1)")).as("q"),
+        col("vec_id").as("u"), col("cs_e6").as("u_cs"), col("qv").as("u_qv"))
+      val v = withB.select(col("cl"),
+        explode(expr("sequence(0, nblk - 1)")).as("p"),
+        col("blk").as("q"),
+        col("vec_id").as("v"), col("cs_e6").as("v_cs"), col("qv").as("v_qv"))
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val pruned = u.repartition(nPart, col("cl"), col("p"), col("q"))
+        .join(v.repartition(nPart, col("cl"), col("p"), col("q")),
+          Seq("cl", "p", "q"))
+        .filter(col("u") =!= col("v"))
+        .withColumn("s_e6",
+          floor(cosine(col("u_qv"), col("v_qv")) * 1e6))
         .filter(col("s_e6") >= SEM_EPS_E6)
         .filter(col("u_cs") < col("v_cs") ||
           (col("u_cs") === col("v_cs") && col("u") < col("v")))
@@ -575,7 +615,11 @@ object Similarity {
         .select(col("vec_id"), col("cl").cast("long").as("cluster"),
           col("cs_e6"),
           when(col("is_pruned").isNull, 1L).otherwise(0L).as("kept"))
-    },
+  }
+
+  private val dedupSemantic = QueryDef(
+    "q_dedup_semantic",
+    (s, d) => dedupSemanticPlan(s, d, SEM_K),
     Some(s"""WITH q AS (
         SELECT vec_id,
           list_transform(CAST(embedding AS DOUBLE[]),

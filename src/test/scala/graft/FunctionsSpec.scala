@@ -95,6 +95,58 @@ class FunctionsSpec extends SparkSpec {
     assert(badBits.head.isNullAt(0), "bits > 31 must yield NULL, not alias shifts")
   }
 
+  test("graft_argmax_cos equals the composable per-centroid argmax, ties to lowest idx") {
+    // Tensor = the first 6 corpus vectors flattened; every corpus vector
+    // is scored against it, so vec 0..5 hit their own slot at cos = 1.
+    val cents = vecs.filter(col("vec_id") < 6).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val flat = cents.flatten
+    val cosArr = array(cents.toSeq.map(c =>
+      call_function("graft_cosine", col("v"), lit(c))): _*)
+    val r = vecs
+      .withColumn("am", call_function("graft_argmax_cos", col("v"), lit(flat)))
+      .withColumn("cosArr", cosArr)
+      .select(col("vec_id"), col("am.idx"), col("am.cos"),
+        (array_position(col("cosArr"), array_max(col("cosArr"))) - 1).cast("int"),
+        array_max(col("cosArr")))
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getInt(1) == row.getInt(3),
+        s"vec ${row.getLong(0)}: idx ${row.getInt(1)} != composable ${row.getInt(3)}")
+      assert(row.getDouble(2) == row.getDouble(4),
+        s"vec ${row.getLong(0)}: cos ${row.getDouble(2)} != composable ${row.getDouble(4)}")
+    }
+    // Exact ties break to the LOWEST index: a tensor with the same
+    // centroid twice must report slot 0, not 1.
+    val dup = spark.sql(
+      """SELECT graft_argmax_cos(CAST(array(1.0, 0.0) AS array<double>),
+           CAST(array(1.0, 0.0, 1.0, 0.0) AS array<double>)) AS am""")
+      .select(col("am.idx")).head.getInt(0)
+    assert(dup == 0, s"tie must keep the first slot, got $dup")
+    // Null/shape semantics: indivisible tensor, zero-norm vector, null elem.
+    for (q <- Seq(
+      """SELECT graft_argmax_cos(CAST(array(1.0, 2.0) AS array<double>),
+           CAST(array(1.0, 2.0, 3.0) AS array<double>)) AS am""",
+      """SELECT graft_argmax_cos(CAST(array(0.0, 0.0) AS array<double>),
+           CAST(array(1.0, 2.0) AS array<double>)) AS am""",
+      """SELECT graft_argmax_cos(array(1.0D, CAST(NULL AS DOUBLE)),
+           CAST(array(1.0, 2.0) AS array<double>)) AS am"""))
+      assert(spark.sql(q).head.isNullAt(0), s"expected NULL from: $q")
+  }
+
+  test("graft_argmax_cos participates in whole-stage codegen") {
+    val flat = Array.fill(128)(0.25)
+    // Keep `v` referenced twice so CollapseProject leaves the interpreted
+    // HOF transform in its own lower Project (the graft_cosine test's
+    // pattern) — the assertion targets the argmax projection itself.
+    val df = vecs.select(col("v"),
+      call_function("graft_argmax_cos", col("v"), lit(flat)).as("am"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[v#\\d+, graft_argmax_cos.*"), plan)
+  }
+
   test("graft_cosine participates in whole-stage codegen") {
     val df = vecs.select(call_function("graft_cosine", col("v"), col("v")).as("s"))
     df.collect() // force execution so a codegen fallback would surface

@@ -391,6 +391,53 @@ class PipelineSpec extends SparkSpec {
     assert(!got.contains((1L, 7L)), s"d=4 pair must be excluded: $got")
   }
 
+  test("q_fuzzy_join finds every randomly-edited twin (batched adversarial edits)") {
+    import spark.implicits._
+    // 120 random high-entropy keys, each with a twin at 1..3 random edits
+    // (subs, inserts, deletes at random positions — deletions shift every
+    // later character, the case the shift-window probing must absorb).
+    // Truth is recomputed all-pairs below, so the assert covers both the
+    // planted twins and any accidental cross-pair.
+    val rnd = new scala.util.Random(13)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def randKey(): String = Array.fill(20)(alpha(rnd.nextInt(26))).mkString
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var id = 0L
+    for (_ <- 0 until 120) {
+      val base = randKey()
+      var t = base
+      for (_ <- 0 until 1 + rnd.nextInt(3)) {
+        val pos = rnd.nextInt(math.max(t.length, 1))
+        rnd.nextInt(3) match {
+          case 0 => t = t.updated(pos, alpha(rnd.nextInt(26)))
+          case 1 => t = t.take(pos) + alpha(rnd.nextInt(26)) + t.drop(pos)
+          case _ if t.length > 1 => t = t.take(pos) + t.drop(pos + 1)
+          case _ => ()
+        }
+      }
+      rows += ((id, base, "en", "t", 0L)); rows += ((id + 1, t, "en", "t", 0L))
+      id += 2
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy-rand").toString
+    rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val keyed = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), rpad(substring(col("text"), 1, 20), 20, "~").as("k"))
+    val truth = keyed.as("a").crossJoin(keyed.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.k"), col("b.k")).cast("long").as("dist"))
+      .filter(col("dist") <= 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val got = SparkEntry.queries("q_fuzzy_join")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // Some twins legitimately exceed tau at KEY level: an insert near the
+    // head pushes the tail past the 20-char truncation, adding tail edits.
+    assert(truth.size >= 80, s"fixture should retain most twin pairs, got ${truth.size}")
+    assert(got == truth,
+      s"missed=${(truth.keySet -- got.keySet).take(5)} extra=${(got.keySet -- truth.keySet).take(5)}")
+  }
+
   test("q_fuzzy_join matches all-pairs truth on the real corpus") {
     val keyed = Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"), rpad(substring(col("text"), 1, 20), 20, "~").as("k"))
@@ -404,6 +451,22 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(truth.nonEmpty, "corpus should contain close key pairs")
     assert(got == truth, s"got ${got.size} pairs, truth ${truth.size}")
+  }
+
+  test("q_dedup_keep_best keeps each cluster's longest member") {
+    val clusters = SparkEntry.queries("q_dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = clusters.groupBy(_._2).map { case (cl, members) =>
+      val ids = members.map(_._1)
+      cl -> (ids.maxBy(id => (toks(id), -id)), ids.size.toLong)
+    }
+    val got = SparkEntry.queries("q_dedup_keep_best")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(expected.nonEmpty, "corpus should contain clusters")
+    assert(got == expected, s"survivor rule diverged: got $got want $expected")
   }
 
   test("q_phash_dedup pairs identical images and isolates the rest") {

@@ -562,4 +562,36 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
     }
   }
+
+  test("round-8 continuation ops keep scale-shaped plans") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // q_snapshot_diff: ONE equi join, and both join inputs are reduced to
+    // (doc_id, digest) before the wire — document text must never shuffle.
+    val diffPlan = SparkEntry.queries("q_snapshot_diff")(spark, sfDir)
+      .queryExecution.executedPlan
+    val diffJoins = flattenPlan(diffPlan).collect { case j: BaseJoinExec => j }
+    assert(diffJoins.size == 1, s"snapshot diff wants one join:\n$diffPlan")
+    for (side <- Seq(diffJoins.head.left, diffJoins.head.right))
+      assert(side.output.size <= 2,
+        s"join input carries ${side.output.map(_.name)} — text leaked into the shuffle:\n$diffPlan")
+    // q_phash_dedup + q_dedup_semantic: banded/clustered candidates only —
+    // never a nested loop or cartesian over the corpus.
+    for (q <- Seq("q_phash_dedup", "q_dedup_semantic")) {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop:\n$p")
+    }
+    // q_fuzzy_join: the candidate pair-distinct must run over DISTINCT
+    // keys (the exact-key collapse), never doc ids — its output is the
+    // key pair.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val fuzzyPlan = SparkEntry.queries("q_fuzzy_join")(spark, sfDir)
+      .queryExecution.executedPlan
+    val distincts = flattenPlan(fuzzyPlan).collect {
+      case a: BaseAggregateExec if a.groupingExpressions.nonEmpty &&
+        a.aggregateExpressions.isEmpty => a }
+    assert(distincts.exists(_.output.map(_.name).toSet == Set("ka", "kb")),
+      s"fuzzy pair-dedup not over collapsed keys:\n$fuzzyPlan")
+  }
 }
