@@ -301,8 +301,9 @@ object ScaleProbe {
     // the scale-path families only. Shuffle bytes are the load-robust
     // metric; maxTask is the straggler witness.
     if (sys.env.get("SPARK_GRAFT_PROBE_100X").contains("1")) {
-      val decaDocs = Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_clusters")
-      val decaSim = Seq("q_dedup_embedding")
+      val decaDocs = Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_clusters",
+        "q_phash_dedup")
+      val decaSim = Seq("q_dedup_embedding", "q_dedup_semantic_adaptive_k")
       // asof + funnel carry the event family's scale claims; 100x = 2M
       // users (~133M events), generated distributed (the generator is
       // pure Spark expressions, so the third decade costs no driver
