@@ -35,10 +35,10 @@ object ScaleProbe {
     "q_ann_incremental", "q_dedup_semantic", "q_dedup_semantic_adaptive_k")
 
   /** Probe-only builders beyond the SparkEntry registry. The adaptive-K
-    * semantic dedup holds MEAN CLUSTER SIZE constant (k = N/64) instead of
-    * cluster count — the production SemDeDup scaling — so the probe can
-    * contrast it with the gated fixed-K=8 plan, whose per-cluster pair
-    * work is quadratic in corpus size by construction. */
+    * semantic dedup scales the cluster count as k = sqrt(N) — the point
+    * where assignment work (N·k·D) and pair work (N·(N/k)·D) balance —
+    * so the probe can contrast it with the gated fixed-K=8 plan, whose
+    * per-cluster pair work is quadratic in corpus size by construction. */
   private val extraBuilders: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_dedup_semantic_adaptive_k" -> ((s, dir) => {
       // k = sqrt(N): assignment work N·k·D and pair work N·(N/k)·D are

@@ -153,7 +153,8 @@ object EventOps {
     * sizes it so (peak events per user per chunk) fits an executor's
     * window buffer while (active user-chunks) stays well under event
     * count. Builders below take the width explicitly; parity at
-    * non-default widths is spec-pinned (EventOpsSpec). */
+    * non-default widths is spec-pinned (QueriesSpec "chunked event ops
+    * hold parity across chunk widths"). */
   private[graft] val DefaultChunkNs = 24L * 3600 * 1000 * 1000 * 1000
 
   private[graft] def asofChunkedPlan(s: SparkSession, d: String,

@@ -454,7 +454,8 @@ object Curation {
     * changed between two corpus releases by content digest. Snapshot A is
     * the current `documents` table; snapshot B is a deterministic evolution
     * of it (docs with `doc_id % 11 = 3` deleted, `% 7 = 2` edited, `% 13 =
-    * 5` re-crawled under a fresh id) — the same derivation on both engines,
+    * 5` re-crawled under a fresh negative id) — the same derivation on both
+    * engines,
     * so the diff logic itself is what the oracle checks. Unchanged rows are
     * dropped before the result (the overwhelming majority at scale).
     *
@@ -472,8 +473,11 @@ object Curation {
         .select(col("doc_id"),
           md5(when(col("doc_id") % 7 === 2, concat(col("text"), lit(" [edited]")))
             .otherwise(col("text"))).as("dig_b"))
+      // Fresh ids in the NEGATIVE namespace: disjoint from any
+      // non-negative corpus id at every scale (a fixed positive offset
+      // would collide once the corpus outgrows it).
       val bNew = base.filter(col("doc_id") % 13 === 5)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"),
           md5(concat(lit("recrawl "), col("text"))).as("dig_b"))
       a.join(bKept.unionByName(bNew), Seq("doc_id"), "full_outer")
         .withColumn("status",
@@ -489,7 +493,7 @@ object Curation {
           md5(CASE WHEN doc_id % 7 = 2 THEN text || ' [edited]' ELSE text END) AS dig_b
         FROM documents WHERE doc_id % 11 <> 3
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, md5('recrawl ' || text) AS dig_b
+        SELECT -doc_id - 1 AS doc_id, md5('recrawl ' || text) AS dig_b
         FROM documents WHERE doc_id % 13 = 5)
       SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
         CASE WHEN b.dig_b IS NULL THEN 'removed'

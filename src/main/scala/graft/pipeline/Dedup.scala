@@ -483,22 +483,16 @@ object Dedup {
     },
     Some(allPairsJaccardSql(0.5)))
 
-  /** Dedup *clustering*: near-dup pairs are only half the decision — a
-    * keep/drop policy needs connected components over the pair graph
-    * (A~B, B~C ⇒ {A,B,C} is one duplicate cluster even when A~C misses
-    * the threshold). Components come from distributed min-label
-    * propagation — each round every node takes the min label among itself
-    * and its neighbors; converges in O(component diameter) rounds, each
-    * round one co-partitioned join + aggregate, `localCheckpoint` capping
-    * lineage growth (the GraphX-Pregel shape without the GraphX
-    * dependency). Convergence is detected by the strictly-decreasing label
-    * sum — one scalar per round, no plan-growing comparisons. The oracle
-    * computes the same components via a recursive CTE. Output: every
-    * clustered doc with its cluster id (= min doc_id in the component —
-    * the canonical "keep" representative). */
   /** Connected-component labels over the verified near-dup pairs —
     * [[dedupClusters]]'s body, shared with [[dedupKeepBest]] (which picks
-    * a quality representative per component). */
+    * a quality representative per component). Components come from
+    * distributed min-label propagation — each round every node takes the
+    * min label among itself and its neighbors; converges in O(component
+    * diameter) rounds, each round one co-partitioned join + aggregate,
+    * `localCheckpoint` capping lineage growth (the GraphX-Pregel shape
+    * without the GraphX dependency). Convergence is detected by the
+    * strictly-decreasing label sum — one scalar per round, no
+    * plan-growing comparisons. */
   private def clusterLabels(s: SparkSession, d: String): DataFrame = {
       val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
       val edges = pairs
@@ -542,6 +536,13 @@ object Dedup {
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Dedup *clustering*: near-dup pairs are only half the decision — a
+    * keep/drop policy needs connected components over the pair graph
+    * (A~B, B~C ⇒ {A,B,C} is one duplicate cluster even when A~C misses
+    * the threshold). The oracle computes the same components via a
+    * recursive CTE. Output: every clustered doc with its cluster id
+    * (= min doc_id in the component — the canonical "keep"
+    * representative). */
   private val dedupClusters = QueryDef(
     "q_dedup_clusters",
     (s, d) => clusterLabels(s, d),

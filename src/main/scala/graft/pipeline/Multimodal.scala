@@ -312,10 +312,14 @@ object Multimodal {
     "q_phash_dedup",
     (s, d) => {
       import s.implicits._
+      // localCheckpoint: the decode (the heaviest stage) feeds both the
+      // distinct-hash aggregate and the final per-doc join — without it
+      // every image is encoded+decoded once per consumer.
       val hashed = imageTable(s, d).as[MediaItem]
         .mapPartitions(items => items.map(it =>
           ImageCodec.dHashBands(it.doc_id, it.media)))
         .toDF()
+        .localCheckpoint()
       // Exact-hash collapse BEFORE banding: low-entropy images (flat
       // fields, synthetic gradients) concentrate dHash onto few values, so
       // doc-level banding goes quadratic in the concentration (the first

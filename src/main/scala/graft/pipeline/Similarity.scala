@@ -530,11 +530,17 @@ object Similarity {
 
   private def semCentroids(s: SparkSession, d: String,
       k: Int): Seq[(Int, Array[Double])] = {
-    val token = Tables.contentToken(s"$d/embeddings.parquet") + s"#k=$k"
+    val content = Tables.contentToken(s"$d/embeddings.parquet")
+    val token = content + s"#k=$k"
     semCentroidCache.getOrElseUpdate(token, {
       val path = token.split('#')(0)
+      // Evict stale-CONTENT entries for this path only; same-content
+      // entries at other k values are live (the probe alternates k=8 and
+      // k=sqrt(N) over one corpus — evicting by path alone would defeat
+      // the cache and re-run the Lloyd iterations inside timed walls).
       semCentroidCache.keys
-        .filter(kk => kk != token && kk.startsWith(path + "#"))
+        .filter(kk => kk != token && kk.startsWith(path + "#") &&
+          !kk.startsWith(content + "#k="))
         .foreach(semCentroidCache.remove)
       val q = semQuantized(s, d).localCheckpoint()
       var cents: Seq[(Int, Array[Double])] = q.filter(col("vec_id") < k)

@@ -113,7 +113,7 @@ class CurationSpec extends SparkSpec {
     val expected =
       ids.filter(_ % 11 == 3).map(_ -> "removed") ++
         ids.filter(i => i % 7 == 2 && i % 11 != 3).map(_ -> "changed") ++
-        ids.filter(_ % 13 == 5).map(i => (i + 1000000L) -> "added")
+        ids.filter(_ % 13 == 5).map(i => (-i - 1L) -> "added")
     val got = SparkEntry.queries("q_snapshot_diff")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
     assert(got == expected,
