@@ -483,6 +483,39 @@ object Dedup {
     },
     Some(allPairsJaccardSql(0.5)))
 
+  /** One labels result per corpus per JVM: [[dedupClusters]] and
+    * [[dedupKeepBest]] both consume the component labels, and the label
+    * propagation is an eager multi-round computation — without the cache
+    * each consumer re-runs every round. Same discipline as
+    * [[materializedShingles]]: the result persists as a temp PARQUET
+    * (session-free files — a cached DataFrame would hold dead-session
+    * checkpoint blocks after a gateway restart-in-place), keyed on the
+    * corpus content token, stale entries deleted in place. */
+  private val clusterLabelsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  sys.addShutdownHook {
+    clusterLabelsCache.values.forEach { case (_, dir) =>
+      scala.reflect.io.Path(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  private def clusterLabelsCached(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/documents.parquet"
+    val token = Tables.contentToken(path)
+    val dir = clusterLabelsCache.compute(path, (_, old) => {
+      if (old != null && old._1 == token) old
+      else {
+        if (old != null)
+          scala.reflect.io.Path(new java.io.File(old._2)).deleteRecursively()
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-cluster-labels").toString
+        clusterLabels(s, d).write.mode("overwrite").parquet(out)
+        (token, out)
+      }
+    })._2
+    s.read.parquet(dir)
+  }
+
   /** Connected-component labels over the verified near-dup pairs —
     * [[dedupClusters]]'s body, shared with [[dedupKeepBest]] (which picks
     * a quality representative per component). Components come from
@@ -545,7 +578,7 @@ object Dedup {
     * representative). */
   private val dedupClusters = QueryDef(
     "q_dedup_clusters",
-    (s, d) => clusterLabels(s, d),
+    (s, d) => clusterLabelsCached(s, d),
     Some(s"""WITH RECURSIVE ${pairsCteSql("documents", 0.5)},
       edges AS (SELECT a_id AS u, b_id AS v FROM pairs
                 UNION SELECT b_id, a_id FROM pairs),
@@ -605,7 +638,7 @@ object Dedup {
     (s, d) => {
       val toks = docs(s, d).select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))
-      val ranked = clusterLabels(s, d).join(toks, "doc_id")
+      val ranked = clusterLabelsCached(s, d).join(toks, "doc_id")
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("cluster_id"))
             .orderBy(col("n_toks").desc, col("doc_id"))))
