@@ -40,15 +40,24 @@ object ScaleProbe {
     * so the probe can contrast it with the gated fixed-K=8 plan, whose
     * per-cluster pair work is quadratic in corpus size by construction. */
   private val extraBuilders: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_dedup_semantic_adaptive_k" -> ((s, dir) => {
-      // k = sqrt(N): assignment work N·k·D and pair work N·(N/k)·D are
-      // both minimized where they balance, at k = sqrt(N) — k = N/m (mean
-      // size held constant) leaves assignment quadratic, k fixed leaves
-      // pairs quadratic.
-      val n = s.read.parquet(s"$dir/embeddings.parquet").count()
-      pipeline.Similarity.dedupSemanticPlan(s, dir,
-        math.max(8, math.sqrt(n.toDouble).round.toInt))
-    }))
+    Map(
+      "q_dedup_semantic_adaptive_k" -> ((s, dir) => {
+        // k = sqrt(N): assignment work N·k·D and pair work N·(N/k)·D are
+        // both minimized where they balance, at k = sqrt(N) — k = N/m
+        // (mean size held constant) leaves assignment quadratic, k fixed
+        // leaves pairs quadratic.
+        val n = s.read.parquet(s"$dir/embeddings.parquet").count()
+        pipeline.Similarity.dedupSemanticPlan(s, dir,
+          math.max(8, math.sqrt(n.toDouble).round.toInt))
+      }),
+      // Chunk-width variants of the bounded-buffer event rewrites: the
+      // hot-user probe contrasts them with the 1-day default — narrower
+      // chunks cut the monster user's per-window buffer further at the
+      // cost of more seam rows.
+      "q_asof_chunked_6h" -> ((s, dir) =>
+        operators.EventOps.asofChunkedPlan(s, dir, 6L * 3600 * 1000 * 1000 * 1000)),
+      "q_sessionize_chunked_6h" -> ((s, dir) =>
+        operators.EventOps.sessionizeChunkedPlan(s, dir, 6L * 3600 * 1000 * 1000 * 1000)))
 
   /** Heavy text-analysis stages (token-keyed shuffles with map-side
     * combine + broadcast model state): expected ~linear — the probe
@@ -335,8 +344,8 @@ object ScaleProbe {
     // with the user); the chunked form's window key is (user, day-chunk),
     // so its maxTask should stay near the uniform corpus's numbers.
     if (sys.env.get("SPARK_GRAFT_PROBE_HOTUSER").contains("1")) {
-      val hotQs = Seq("q_asof_join", "q_asof_chunked",
-        "q_sessionize", "q_sessionize_chunked")
+      val hotQs = Seq("q_asof_join", "q_asof_chunked", "q_asof_chunked_6h",
+        "q_sessionize", "q_sessionize_chunked", "q_sessionize_chunked_6h")
       // Same rule as the 100x block: a narrowed PROBE_QUERIES run must
       // not pay the 13M-event generate+write for an empty table.
       if (keep(hotQs).nonEmpty) {

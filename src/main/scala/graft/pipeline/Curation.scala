@@ -502,8 +502,76 @@ object Curation {
       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
       WHERE b.dig_b IS NULL OR a.dig_a IS NULL OR a.dig_a <> b.dig_b"""))
 
+  /** Distribution drift between two corpus releases: per-bucket PSI
+    * (population stability index) contributions over the document-length
+    * histogram — the monitoring gate a data lead reads before accepting a
+    * new crawl into the training mix. Snapshot B is [[snapshotDiff]]'s
+    * deterministic evolution (same deletion/edit/recrawl rules), so the
+    * drift is real and reproducible on both engines.
+    *
+    * Numerics: counts are exact integers; Laplace smoothing
+    * `(n + 1) / (total + n_buckets)` keeps empty buckets finite; each
+    * bucket's `(pa - pb) * ln(pa / pb)` is floored at 1e6 ONCE (the
+    * tfidf/bm25 ln-parity convention). Contributions stay PER BUCKET —
+    * a global PSI would sum doubles across rows, whose order neither
+    * engine guarantees; the consumer sums the e6 integers exactly.
+    *
+    * Scale: two map-side histogram aggregates (bucket-keyed, map-side
+    * combine), one bucket-grain full-outer join, one-row totals
+    * broadcast — nothing touches text after the length projection. */
+  private val snapshotDrift = QueryDef(
+    "q_snapshot_drift",
+    (s, d) => {
+      val base = docs(s, d)
+      val aLen = base.select((expr("length(text) div 100")).as("bucket"))
+      val bLen = base.filter(col("doc_id") % 11 =!= 3)
+        .select(when(col("doc_id") % 7 === 2,
+          concat(col("text"), lit(" [edited]"))).otherwise(col("text")).as("t"))
+        .unionByName(base.filter(col("doc_id") % 13 === 5)
+          .select(concat(lit("recrawl "), col("text")).as("t")))
+        .select(expr("length(t) div 100").as("bucket"))
+      val na = aLen.groupBy("bucket").agg(count(lit(1)).as("n_a"))
+      val nb = bLen.groupBy("bucket").agg(count(lit(1)).as("n_b"))
+      val hist = na.join(nb, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+      val tot = hist.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"),
+        count(lit(1)).as("nbk"))
+      hist.crossJoin(broadcast(tot))
+        .withColumn("pa", (col("n_a") + 1).cast("double") / (col("ta") + col("nbk")).cast("double"))
+        .withColumn("pb", (col("n_b") + 1).cast("double") / (col("tb") + col("nbk")).cast("double"))
+        .select(col("bucket"), col("n_a"), col("n_b"),
+          floor((col("pa") - col("pb")) * log(col("pa") / col("pb")) * 1e6)
+            .as("psi_e6"))
+    },
+    Some("""WITH a AS (
+        SELECT length(text) // 100 AS bucket FROM documents),
+      b AS (
+        SELECT length(CASE WHEN doc_id % 7 = 2 THEN text || ' [edited]'
+                           ELSE text END) // 100 AS bucket
+        FROM documents WHERE doc_id % 11 <> 3
+        UNION ALL
+        SELECT length('recrawl ' || text) // 100 AS bucket
+        FROM documents WHERE doc_id % 13 = 5),
+      na AS (SELECT bucket, count(*) AS n_a FROM a GROUP BY bucket),
+      nb AS (SELECT bucket, count(*) AS n_b FROM b GROUP BY bucket),
+      hist AS (
+        SELECT COALESCE(na.bucket, nb.bucket) AS bucket,
+          COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        FROM na FULL OUTER JOIN nb ON na.bucket = nb.bucket),
+      tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb, COUNT(*) AS nbk FROM hist)
+      SELECT bucket, n_a, n_b,
+        CAST(FLOOR(
+          (CAST(n_a + 1 AS DOUBLE) / CAST(ta + nbk AS DOUBLE)
+           - CAST(n_b + 1 AS DOUBLE) / CAST(tb + nbk AS DOUBLE))
+          * ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + nbk AS DOUBLE))
+             / (CAST(n_b + 1 AS DOUBLE) / CAST(tb + nbk AS DOUBLE)))
+          * 1e6) AS BIGINT) AS psi_e6
+      FROM hist, tot"""))
+
   val all: Seq[QueryDef] =
     Seq(qualityRepetition, entropyFilter, piiScrub, invertedIndex,
       sequencePack, dedupIncremental, chunkDocuments, qualityClassifier,
-      substringDedup, snapshotDiff)
+      substringDedup, snapshotDiff, snapshotDrift)
 }

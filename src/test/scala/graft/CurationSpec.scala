@@ -122,4 +122,17 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._1).intersect(
       ids.filter(i => i % 11 != 3 && i % 7 != 2)).isEmpty)
   }
+
+  test("q_snapshot_drift: per-bucket PSI terms are non-negative and detect the drift") {
+    val rows = SparkEntry.queries("q_snapshot_drift")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "histogram should have buckets")
+    // (pa-pb) and ln(pa/pb) always share sign, so every true PSI term is
+    // >= 0 and the e6 floor preserves that.
+    val neg = rows.filter(_._4 < 0)
+    assert(neg.isEmpty, s"negative PSI contributions: ${neg.take(3)}")
+    // The derived snapshot really drifts (deletions + edits + recrawls),
+    // so total PSI must be strictly positive.
+    assert(rows.map(_._4).sum > 0, "derived snapshot should show drift")
+  }
 }
