@@ -311,7 +311,7 @@ object ScaleProbe {
     // metric; maxTask is the straggler witness.
     if (sys.env.get("SPARK_GRAFT_PROBE_100X").contains("1")) {
       val decaDocs = Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_clusters",
-        "q_phash_dedup")
+        "q_phash_dedup", "q_tfidf_keywords", "q_bm25_rank", "q_decontaminate")
       val decaSim = Seq("q_dedup_embedding", "q_dedup_semantic_adaptive_k")
       // asof + funnel carry the event family's scale claims; 100x = 2M
       // users (~133M events), generated distributed (the generator is

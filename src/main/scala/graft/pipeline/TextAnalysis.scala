@@ -409,12 +409,17 @@ object TextAnalysis {
           .as("gram"))
       val evalGrams = broadcast(
         g.filter(col("doc_id") % 97 === 0).select(col("gram")).distinct())
+      // ONE pass over the corpus grams: a broadcast marker join + a single
+      // doc-keyed aggregate computes total and shared counts together.
+      // The earlier tot/shared two-branch shape re-ran the corpus explode
+      // per consumer (the 100x probe put an 11 s straggler on it) and paid
+      // an extra doc-keyed join. evalGrams is distinct, so the left-outer
+      // marker matches each gram instance at most once (= the semi count).
       val corpus = g.filter(col("doc_id") % 97 =!= 0)
-      val tot = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-      val shared = corpus.join(evalGrams, Seq("gram"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-      tot.join(shared, Seq("doc_id"), "left_outer")
-        .na.fill(0L, Seq("n_shared"))
+      corpus.join(evalGrams.withColumn("hit", lit(1L)), Seq("gram"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
         .orderBy(col("n_shared").desc, col("doc_id"))
         .limit(20)
     },

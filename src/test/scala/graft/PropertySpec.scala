@@ -86,6 +86,62 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(highC > 100, s"test generated too few high-containment pairs ($highC)")
   }
+  test("PassJoin pigeonhole: ed <= 3 keys always share a (segment, shift <= 3) gram") {
+    // The completeness invariant q_fuzzy_join's candidate scheme rests
+    // on, in the exact DIRECTION the query checks (the probe side takes
+    // shifted substrings, the index side fixed segments): for rpad-20
+    // keys within edit distance tau=3, some fixed 5-char segment of the
+    // INDEX key appears verbatim in the PROBE key at a start offset
+    // within +-tau. Randomized edits include indels, which shift every
+    // later character — the case the shift window exists for.
+    val tau = 3; val klen = 20; val seg = klen / (tau + 1)
+    def key(s: String): String = (s.take(klen) + "~" * klen).take(klen)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    def candidateMatch(probe: String, index: String): Boolean =
+      (0 to tau).exists { i =>
+        val segment = index.substring(i * seg, i * seg + seg)
+        (-tau to tau).exists { delta =>
+          val start = i * seg + delta
+          start >= 0 && start + seg <= klen &&
+            probe.substring(start, start + seg) == segment
+        }
+      }
+    val alpha = "abcdefghij"
+    var covered = 0
+    for (_ <- 0 until 2000) {
+      val base = Array.fill(klen)(alpha(rng.nextInt(alpha.length))).mkString
+      var t = base
+      for (_ <- 0 until 1 + rng.nextInt(3)) {
+        val pos = rng.nextInt(math.max(t.length, 1))
+        rng.nextInt(3) match {
+          case 0 => t = t.updated(pos, alpha(rng.nextInt(alpha.length)))
+          case 1 => t = t.take(pos) + alpha(rng.nextInt(alpha.length)) + t.drop(pos)
+          case _ if t.length > 1 => t = t.take(pos) + t.drop(pos + 1)
+          case _ => ()
+        }
+      }
+      val (ka, kb) = (key(base), key(t))
+      if (ka != kb && lev(ka, kb) <= tau) {
+        covered += 1
+        val (probe, index) = if (ka < kb) (ka, kb) else (kb, ka)
+        assert(candidateMatch(probe, index),
+          s"pigeonhole violated: probe=$probe index=$index d=${lev(ka, kb)}")
+      }
+    }
+    assert(covered > 1000, s"generator should produce mostly in-radius pairs: $covered")
+  }
 }
 
 /** Spark-backed equivalence check for the salting utilities. */
