@@ -735,7 +735,7 @@ object Dedup {
         // pair evaluations). The count lookups join on (seg, sub) — the
         // same key the candidate join shuffles on — so co-partitioning
         // makes them exchange-reusing, not extra passes.
-        val CELL = 1024
+        val CELL = 512
         val cnts = probed.groupBy("seg", "sub")
           .agg(count(lit(1)).cast("int").as("np"))
           .join(indexed.groupBy("seg", "sub")
