@@ -122,10 +122,13 @@ class PlanSpec extends SparkSpec {
     // avgdl / corpus size), O(n) compares.
     // q_lang_rebalance's cross is n_langs rows x ONE normalizing-total row;
     // q_perplexity_lm's is bigram types x ONE vocabulary-size row;
-    // q_dedup_report's are one-row x one-row scalar combines.
+    // q_dedup_report's are one-row x one-row scalar combines;
+    // q_snapshot_drift's is histogram buckets x ONE totals row (the same
+    // scalar-broadcast shape as q22).
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
       "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank",
-      "q_tfidf_keywords", "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report")
+      "q_tfidf_keywords", "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report",
+      "q_snapshot_drift")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
