@@ -623,10 +623,11 @@ object Similarity {
           when(col("is_pruned").isNull, 1L).otherwise(0L).as("kept"))
   }
 
-  private val dedupSemantic = QueryDef(
-    "q_dedup_semantic",
-    (s, d) => dedupSemanticPlan(s, d, SEM_K),
-    Some(s"""WITH q AS (
+  /** The full oracle for [[dedupSemanticPlan]] at cluster count `k`:
+    * the 2-iteration integer-quantized spherical k-means unrolled
+    * CTE-by-CTE, then the grid-independent pair/prune stages. */
+  private def semOracleSql(k: Int): String =
+    s"""WITH q AS (
         SELECT vec_id,
           list_transform(CAST(embedding AS DOUBLE[]),
             x -> CAST(FLOOR(x * $SEM_Q) AS BIGINT)) AS qv
@@ -634,7 +635,7 @@ object Similarity {
       qn AS (
         SELECT q.vec_id, q.qv, SUM(q.qv[p.i + 1] * q.qv[p.i + 1]) AS nn
         FROM q, range(0, $DIM) p(i) GROUP BY q.vec_id, q.qv),
-      c0 AS (SELECT vec_id AS cl, qv AS cv FROM q WHERE vec_id < $SEM_K),
+      c0 AS (SELECT vec_id AS cl, qv AS cv FROM q WHERE vec_id < $k),
       p1 AS (
         SELECT a.vec_id, c.cl,
           CAST(SUM(a.qv[p.i + 1] * c.cv[p.i + 1]) AS DOUBLE)
@@ -692,8 +693,25 @@ object Similarity {
           AND (u.cs_e6 < v.cs_e6 OR (u.cs_e6 = v.cs_e6 AND u.vec_id < v.vec_id)))
       SELECT f.vec_id, CAST(f.cl AS BIGINT) AS cluster, f.cs_e6,
         CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-      FROM fin f LEFT JOIN pruned p ON f.vec_id = p.vec_id"""))
+      FROM fin f LEFT JOIN pruned p ON f.vec_id = p.vec_id"""
+
+  private val dedupSemantic = QueryDef(
+    "q_dedup_semantic",
+    (s, d) => dedupSemanticPlan(s, d, SEM_K),
+    Some(semOracleSql(SEM_K)))
+
+  /** The adaptive-scaling code path, gated too: k = 22 = ceil(sqrt N) at
+    * the sf0.01 gate corpus (N = 500) — the balance point the ScaleProbe's
+    * adaptive builder computes dynamically. A static k is what lets the
+    * oracle stay a fixed string; the plan exercises the wide-tensor
+    * `graft_argmax_cos` assignment and multi-block grid exactly as the
+    * probe's adaptive variant does. */
+  private val dedupSemanticSqrtK = QueryDef(
+    "q_dedup_semantic_sqrtk",
+    (s, d) => dedupSemanticPlan(s, d, 22),
+    Some(semOracleSql(22)))
 
   val all: Seq[QueryDef] =
-    Seq(annBrute, annLsh, annIvf, dedupEmbedding, annIncremental, dedupSemantic)
+    Seq(annBrute, annLsh, annIvf, dedupEmbedding, annIncremental,
+      dedupSemantic, dedupSemanticSqrtK)
 }
