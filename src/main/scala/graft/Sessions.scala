@@ -64,10 +64,12 @@ object Sessions {
               val n = row.getInt(0) // max_bucket_n
               val b = row.getInt(1) // max_grid_b
               Sessions.lastGridOccupancy.put(name, (n, b))
-              if (n > pipeline.Dedup.GRID_CELL)
-                log.warn(s"$name: hot band bucket of $n docs > cell " +
-                  s"${pipeline.Dedup.GRID_CELL}; block grid escalated to B=$b " +
-                  s"(${b.toLong * b} cells)")
+              // B > 1 IS the escalation, whatever the site's cell size
+              // (each grid site — simhash/minhash bands, fuzzy grams,
+              // semantic clusters — picks its own CELL).
+              if (b > 1)
+                log.warn(s"$name: hot bucket of $n rows; block grid " +
+                  s"escalated to B=$b (${b.toLong * b} cells)")
             }
           }
         override def onFailure(funcName: String,

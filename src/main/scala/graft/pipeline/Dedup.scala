@@ -690,10 +690,52 @@ object Dedup {
     * only (exact-dup mass collapses before banding and expands back after
     * verification); candidate count is governed by segment selectivity
     * over the distinct-key population. */
+  private val FUZZY_TAU = 3
+  private val FUZZY_KLEN = 20
+  private val FUZZY_SEG = FUZZY_KLEN / (FUZZY_TAU + 1)
+  private val FUZZY_CELL = 512
+
+  /** The fuzzy-join grid's per-(segment, gram) cell table — bucket sizes
+    * on both sides and the block counts the 2D grid chose. Exposed so the
+    * skew spec can assert escalation DIRECTLY on a hot-gram corpus: the
+    * in-plan observe() witness is unusable here — the candidate subtree
+    * gets broadcast into the expansion joins and a CollectMetrics riding
+    * a broadcast subtree never surfaces its metrics (measured; the
+    * semantic-dedup grid keeps its observe because its pair stage stays
+    * on a streamed path). */
+  private[graft] def fuzzyGridCells(s: SparkSession, d: String): DataFrame = {
+    val keyed = docs(s, d).select(col("doc_id"),
+      rpad(substring(col("text"), 1, FUZZY_KLEN), FUZZY_KLEN, "~").as("k"))
+    val dkeys = keyed.select(col("k")).distinct()
+    val indexSegs = (0 to FUZZY_TAU).map(i =>
+      struct(lit(i).as("seg"),
+        substring(col("k"), i * FUZZY_SEG + 1, FUZZY_SEG).as("sub")))
+    val indexed = dkeys
+      .select(col("k").as("kb"), explode(array(indexSegs: _*)).as("e"))
+      .select(col("kb"), col("e.seg").as("seg"), col("e.sub").as("sub"))
+    val probeSegs = for {
+      i <- 0 to FUZZY_TAU
+      delta <- -FUZZY_TAU to FUZZY_TAU
+      start = i * FUZZY_SEG + delta
+      if start >= 0 && start + FUZZY_SEG <= FUZZY_KLEN
+    } yield struct(lit(i).as("seg"),
+      substring(col("k"), start + 1, FUZZY_SEG).as("sub"))
+    val probed = dkeys
+      .select(col("k").as("ka"),
+        explode(array_distinct(array(probeSegs: _*))).as("e"))
+      .select(col("ka"), col("e.seg").as("seg"), col("e.sub").as("sub"))
+    probed.groupBy("seg", "sub")
+      .agg(count(lit(1)).cast("int").as("np"))
+      .join(indexed.groupBy("seg", "sub")
+        .agg(count(lit(1)).cast("int").as("ni")), Seq("seg", "sub"))
+      .withColumn("bp", ceil(col("np") / lit(FUZZY_CELL.toDouble)).cast("int"))
+      .withColumn("bi", ceil(col("ni") / lit(FUZZY_CELL.toDouble)).cast("int"))
+  }
+
   private val fuzzyJoin = {
-    val TAU = 3
-    val KLEN = 20
-    val SEG = KLEN / (TAU + 1)
+    val TAU = FUZZY_TAU
+    val KLEN = FUZZY_KLEN
+    val SEG = FUZZY_SEG
     QueryDef(
       "q_fuzzy_join",
       (s, d) => {
@@ -735,13 +777,7 @@ object Dedup {
         // pair evaluations). The count lookups join on (seg, sub) — the
         // same key the candidate join shuffles on — so co-partitioning
         // makes them exchange-reusing, not extra passes.
-        val CELL = 512
-        val cnts = probed.groupBy("seg", "sub")
-          .agg(count(lit(1)).cast("int").as("np"))
-          .join(indexed.groupBy("seg", "sub")
-            .agg(count(lit(1)).cast("int").as("ni")), Seq("seg", "sub"))
-          .withColumn("bp", ceil(col("np") / lit(CELL.toDouble)).cast("int"))
-          .withColumn("bi", ceil(col("ni") / lit(CELL.toDouble)).cast("int"))
+        val cnts = fuzzyGridCells(s, d)
           .select(col("seg"), col("sub"), col("bp"), col("bi"))
         val xs = probed.join(cnts, Seq("seg", "sub"))
           .withColumn("p", pmod(xxhash64(col("ka")), col("bp")).cast("int"))

@@ -598,6 +598,9 @@ object Similarity {
         .withColumn("nblk",
           ceil(col("cn") / lit(SEM_CELL.toDouble)).cast("int"))
         .withColumn("blk", pmod(xxhash64(col("vec_id")), col("nblk")).cast("int"))
+        .observe(Dedup.GRID_METRIC_PREFIX + "semantic",
+          max(col("cn")).as("max_bucket_n"),
+          max(col("nblk")).as("max_grid_b"))
       val u = withB.select(col("cl"), col("blk").as("p"),
         explode(expr("sequence(0, nblk - 1)")).as("q"),
         col("vec_id").as("u"), col("cs_e6").as("u_cs"), col("qv").as("u_qv"))

@@ -283,6 +283,89 @@ class SkewSpec extends SparkSpec {
     assert(m._2 == expectB, s"grid should escalate to B=$expectB: $m")
   }
 
+  test("fuzzy-join grid escalates on a hot gram bucket (cells table)") {
+    // Every key shares the segment-0 gram "aaaaa" (the tails are distinct
+    // and a-free, so shifted probe windows stay out of that bucket): one
+    // (seg, sub) bucket holds all n distinct keys on BOTH sides and the 2D
+    // grid must escalate. Asserted on the exposed cells table directly —
+    // an in-plan observe() witness cannot surface here because the
+    // candidate subtree is broadcast into the expansion joins (see
+    // fuzzyGridCells' scaladoc); the query itself must still return the
+    // all-pairs truth through the escalated grid.
+    import graft.pipeline.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotgram").toFile
+    dir.deleteOnExit()
+    val alpha = "bcdefghijklmnopqrstuvwxyz"
+    val r = new Random(5)
+    val n = 700 // > CELL=512 for a 2-block escalation
+    val rows = (0 until n).map { i =>
+      val key = "aaaaa" + Array.fill(15)(alpha(r.nextInt(alpha.length))).mkString
+      (i.toLong, key + " tail words here", "en", "hot", 20L)
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val hot = Dedup.fuzzyGridCells(spark, dir.getAbsolutePath)
+      .filter(col("seg") === 0 && col("sub") === "aaaaa")
+      .collect()
+    assert(hot.length == 1, s"expected the one hot bucket, got ${hot.toSeq}")
+    val row = hot.head
+    assert(row.getInt(row.fieldIndex("ni")) == n &&
+      row.getInt(row.fieldIndex("np")) >= n,
+      s"hot bucket should hold all $n keys: $row")
+    assert(row.getInt(row.fieldIndex("bi")) >= 2 &&
+      row.getInt(row.fieldIndex("bp")) >= 2,
+      s"grid should escalate past one block: $row")
+    // And the gridded query still computes the exact answer on this corpus.
+    val got = SparkEntry.queries("q_fuzzy_join")(spark, dir.getAbsolutePath)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val keyed = Tables.t(spark, dir.getAbsolutePath, "documents")
+      .select(col("doc_id"), rpad(substring(col("text"), 1, 20), 20, "~").as("k"))
+    val truth = keyed.as("a").crossJoin(keyed.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(levenshtein(col("a.k"), col("b.k")) <= 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == truth, s"got ${got.size} pairs, truth ${truth.size}")
+  }
+
+  test("semantic-dedup grid witness trips on a snowballed cluster") {
+    // Near-identical vectors all land in one cluster: its pair grid must
+    // escalate (cn > SEM_CELL=2048 -> nblk >= 2) and the witness report it.
+    import graft.pipeline.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotcluster").toFile
+    dir.deleteOnExit()
+    val r = new Random(9)
+    val n = 2200
+    // Seed 0 takes the hot direction +e_0; seeds 1..7 are ANTI-aligned
+    // (-e_0 plus a distinguishing jitter), so every hot vector's argmax is
+    // unambiguous: cluster 0 wins them all (orthogonal or near-identical
+    // decoys instead let per-vector noise spread the mass ~n/8, measured).
+    val rows = (0 until n).map { i =>
+      val v =
+        if (i == 0) Array.tabulate(64)(j => if (j == 0) 1.0f else 0.0f)
+        else if (i < 8) Array.tabulate(64)(j =>
+          if (j == 0) -1.0f else if (j == i) 0.01f else 0.0f)
+        else Array.tabulate(64)(j =>
+          (if (j == 0) 1.0f else 0.0f) + (r.nextFloat() - 0.5f) * 0.01f)
+      (i.toLong, v, 0)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"${dir.getAbsolutePath}/embeddings.parquet")
+    Sessions.lastGridOccupancy.clear()
+    SparkEntry.queries("q_dedup_semantic")(spark, dir.getAbsolutePath)
+      .write.format("noop").mode("overwrite").save()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var m: (Int, Int) = null
+    while (m == null && System.nanoTime() < deadline) {
+      m = Sessions.lastGridOccupancy.get(Dedup.GRID_METRIC_PREFIX + "semantic")
+      if (m == null) Thread.sleep(50)
+    }
+    assert(m != null, "semantic grid metric never arrived on the listener bus")
+    assert(m._1 >= n - 8, s"snowballed cluster should hold ~all $n vectors: $m")
+    assert(m._2 >= 2, s"grid should escalate past one block: $m")
+  }
+
   test("saltedBroadcastJoin equals the plain join") {
     val fact = spark.range(0, 50000)
       .select((col("id") % 5).as("fk"), col("id").as("v"))
