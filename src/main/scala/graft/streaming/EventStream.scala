@@ -111,6 +111,43 @@ object EventStream {
       .withWatermark("ts", "2 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Streaming distribution-drift monitor — the streaming face of the
+    * batch `q_snapshot_drift` PSI gate: per 1-minute window, histogram
+    * the event `value` into decade buckets and score each bucket's
+    * population-stability term against a STATIC reference histogram.
+    *
+    * `refHist` carries (bucket, p_ref_e6) — reference probabilities in
+    * e6 units, metadata-sized, broadcast; `expectedPerWindow` is the
+    * configured nominal event rate (monitoring needs an expectation to
+    * normalize against — a second streaming aggregation for the window
+    * total would be a chained stateful agg, which Structured Streaming
+    * forbids in one query). p_obs Laplace-smooths by the bucket count so
+    * silent buckets stay finite, and each term is floored at 1e6 once
+    * (the ln-parity convention); terms stay PER (window, bucket) — a
+    * cross-bucket sum is the consumer's exact integer add.
+    *
+    * Scale: ONE stateful aggregation keyed by (window, bucket) —
+    * uniformly distributed, watermark-expired — then a broadcast join
+    * and map-side arithmetic. State per executor = open windows x 10
+    * buckets, independent of ingest rate. */
+  def driftMonitor(events: DataFrame, refHist: DataFrame,
+      expectedPerWindow: Long): DataFrame = {
+    val nBuckets = 10
+    events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute"),
+        least(floor(col("value") / 10).cast("int"), lit(nBuckets - 1)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(refHist), Seq("bucket"), "left_outer")
+      .select(col("window.start").as("win_start"), col("bucket"), col("n"),
+        floor(lit(1e6) * {
+          val pObs = (col("n") + 1).cast("double") /
+            lit((expectedPerWindow + nBuckets).toDouble)
+          val pRef = (coalesce(col("p_ref_e6"), lit(0L)) + 1).cast("double") / 1e6
+          (pObs - pRef) * log(pObs / pRef)
+        }).as("psi_e6"))
+  }
+
   /** Wire a memory-source stream of events through windowedCounts into an
     * in-memory sink; returns the query name to poll. Used by specs and as
     * the reference wiring for a real (kafka/file) source at deploy time. */

@@ -70,6 +70,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift monitor scores in-distribution windows ~0 and flags a shifted window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // Reference: uniform over buckets 0..4 (p = 0.2 each), silence in 5..9.
+    val refHist = Seq.tabulate(5)(b => (b, 200000L))
+      .toDF("bucket", "p_ref_e6")
+    val input = MemoryStream[EventRow]
+    val q = EventStream.driftMonitor(input.toDF(), refHist,
+        expectedPerWindow = 10L)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      // Window 10:00 matches the reference: 10 events, 2 per bucket 0..4.
+      input.addData((0 until 10).map(i =>
+        EventRow(i.toLong, ts(0, i + 1), i.toLong, "view", (i % 5) * 10 + 1.0)): _*)
+      // Window 10:01 drifts hard: all 10 events in bucket 9.
+      input.addData((0 until 10).map(i =>
+        EventRow(100 + i.toLong, ts(1, i + 1), i.toLong, "view", 95.0)): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT win_start, bucket, n, psi_e6 FROM drift")
+        .collect()
+        .map(r => ((r.getTimestamp(0).toString.contains("10:00:00"), r.getInt(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+      // In-distribution buckets: p_obs = 3/20 vs p_ref ~ 0.2 — small terms,
+      // far below the drifted bucket's.
+      val calm = (0 until 5).map(b => rows((true, b))._2)
+      assert(calm.forall(_ >= 0), s"PSI terms must be >= 0: $calm")
+      // The shifted window concentrates in bucket 9 (p_ref ~ 1e-6).
+      val (nHot, psiHot) = rows((false, 9))
+      assert(nHot == 10L, s"all drifted events in bucket 9: $nHot")
+      assert(calm.forall(_ < psiHot / 10),
+        s"drifted bucket must dominate: calm=$calm hot=$psiHot")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
