@@ -50,6 +50,12 @@ object ScaleProbe {
         pipeline.Similarity.dedupSemanticPlan(s, dir,
           math.max(8, math.sqrt(n.toDouble).round.toInt))
       }),
+      // The probe must measure the label PROPAGATION, not the result
+      // cache: clusterLabelsCached would serve the warm1x run's persisted
+      // parquet to the timed g1x pass while g10x (never warmed) pays the
+      // full multi-round computation — inflating the scaling ratio.
+      "q_dedup_clusters" -> ((s, dir) =>
+        pipeline.Dedup.clusterLabels(s, dir)),
       // Chunk-width variants of the bounded-buffer event rewrites: the
       // hot-user probe contrasts them with the 1-day default — narrower
       // chunks cut the monster user's per-window buffer further at the

@@ -73,4 +73,47 @@ object Tables {
     walk(root)
     s"${root.getCanonicalPath}#$n#$bytes#$maxM"
   }
+
+  /** Content-keyed temp-parquet materialization — THE shared discipline
+    * for per-corpus derived stores (the shingle index, cluster labels):
+    * one persisted copy per input path per JVM, keyed on [[contentToken]]
+    * so an in-place regen rebuilds instead of serving stale data; the
+    * superseded copy is deleted in place; a build FAILURE deletes the
+    * half-written directory before rethrowing (a designed failure like
+    * non-convergence must not leak a temp dir per retry on a long-lived
+    * gateway); a shutdown hook reclaims live copies. */
+  private[graft] def contentKeyedTempParquet(
+      cache: java.util.concurrent.ConcurrentHashMap[String, (String, String)],
+      s: SparkSession, path: String, prefix: String)
+      (build: => DataFrame): DataFrame = {
+    val token = contentToken(path)
+    val dir = cache.compute(path, (_, old) => {
+      if (old != null && old._1 == token) old
+      else {
+        if (old != null)
+          scala.reflect.io.Path(new java.io.File(old._2)).deleteRecursively()
+        val out = java.nio.file.Files.createTempDirectory(prefix).toString
+        try build.write.mode("overwrite").parquet(out)
+        catch {
+          case e: Throwable =>
+            scala.reflect.io.Path(new java.io.File(out)).deleteRecursively()
+            throw e
+        }
+        (token, out)
+      }
+    })._2
+    s.read.parquet(dir)
+  }
+
+  /** Register the shutdown reclamation for a [[contentKeyedTempParquet]]
+    * cache (call once per cache at object init). */
+  private[graft] def registerTempCacheCleanup(
+      cache: java.util.concurrent.ConcurrentHashMap[String, (String, String)]): Unit = {
+    sys.addShutdownHook {
+      cache.values.forEach { case (_, dir) =>
+        scala.reflect.io.Path(new java.io.File(dir)).deleteRecursively()
+      }
+    }
+    ()
+  }
 }

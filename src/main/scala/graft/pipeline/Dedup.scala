@@ -75,32 +75,11 @@ object Dedup {
   // long-lived gateway JVM holds at most one index per corpus.
   private val shingleIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-  sys.addShutdownHook {
-    shingleIndexCache.values.forEach { case (_, dir) =>
-      scala.reflect.io.Path(new java.io.File(dir)).deleteRecursively()
-    }
-  }
+  Tables.registerTempCacheCleanup(shingleIndexCache)
 
-  private def materializedShingles(s: SparkSession, d: String): DataFrame = {
-    // Keyed on a content token (leaf-file count + bytes + max mtime, see
-    // Tables.contentToken): regenerated documents at the same path —
-    // including part-files rewritten in place inside a directory — rebuild
-    // the index instead of serving a stale copy.
-    val path = s"$d/documents.parquet"
-    val token = Tables.contentToken(path)
-    val dir = shingleIndexCache.compute(path, (_, old) => {
-      if (old != null && old._1 == token) old
-      else {
-        if (old != null)
-          scala.reflect.io.Path(new java.io.File(old._2)).deleteRecursively()
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-shingle-idx").toString
-        hashedShingles(docs(s, d)).write.mode("overwrite").parquet(out)
-        (token, out)
-      }
-    })._2
-    s.read.parquet(dir)
-  }
+  private def materializedShingles(s: SparkSession, d: String): DataFrame =
+    Tables.contentKeyedTempParquet(shingleIndexCache, s,
+      s"$d/documents.parquet", "graft-shingle-idx")(hashedShingles(docs(s, d)))
 
   /** Exact dedup: sha256 over normalized text; keep the smallest doc_id per
     * digest. One shuffle keyed by digest — uniform by construction, so no
@@ -493,28 +472,11 @@ object Dedup {
     * corpus content token, stale entries deleted in place. */
   private val clusterLabelsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-  sys.addShutdownHook {
-    clusterLabelsCache.values.forEach { case (_, dir) =>
-      scala.reflect.io.Path(new java.io.File(dir)).deleteRecursively()
-    }
-  }
+  Tables.registerTempCacheCleanup(clusterLabelsCache)
 
-  private def clusterLabelsCached(s: SparkSession, d: String): DataFrame = {
-    val path = s"$d/documents.parquet"
-    val token = Tables.contentToken(path)
-    val dir = clusterLabelsCache.compute(path, (_, old) => {
-      if (old != null && old._1 == token) old
-      else {
-        if (old != null)
-          scala.reflect.io.Path(new java.io.File(old._2)).deleteRecursively()
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-cluster-labels").toString
-        clusterLabels(s, d).write.mode("overwrite").parquet(out)
-        (token, out)
-      }
-    })._2
-    s.read.parquet(dir)
-  }
+  private def clusterLabelsCached(s: SparkSession, d: String): DataFrame =
+    Tables.contentKeyedTempParquet(clusterLabelsCache, s,
+      s"$d/documents.parquet", "graft-cluster-labels")(clusterLabels(s, d))
 
   /** Connected-component labels over the verified near-dup pairs —
     * [[dedupClusters]]'s body, shared with [[dedupKeepBest]] (which picks
@@ -526,7 +488,7 @@ object Dedup {
     * without the GraphX dependency). Convergence is detected by the
     * strictly-decreasing label sum — one scalar per round, no
     * plan-growing comparisons. */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame = {
       val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
       val edges = pairs
         .union(pairs.select(col("b_id"), col("a_id")))
@@ -703,7 +665,14 @@ object Dedup {
     * a broadcast subtree never surfaces its metrics (measured; the
     * semantic-dedup grid keeps its observe because its pair stage stays
     * on a streamed path). */
-  private[graft] def fuzzyGridCells(s: SparkSession, d: String): DataFrame = {
+  /** The ONE construction of the fuzzy join's working tables — rpad-20
+    * keys, distinct keys, the index-side fixed segments and the
+    * probe-side shift-window substrings. Both the query and the grid
+    * cells derive from THESE DataFrames, so the (seg, sub) keys the cnts
+    * join matches against are the same subtree by construction (two
+    * independent copies could silently diverge and the inner join would
+    * drop candidates). Returns (keyed, probed, indexed). */
+  private def fuzzyParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val keyed = docs(s, d).select(col("doc_id"),
       rpad(substring(col("text"), 1, FUZZY_KLEN), FUZZY_KLEN, "~").as("k"))
     val dkeys = keyed.select(col("k")).distinct()
@@ -724,12 +693,20 @@ object Dedup {
       .select(col("k").as("ka"),
         explode(array_distinct(array(probeSegs: _*))).as("e"))
       .select(col("ka"), col("e.seg").as("seg"), col("e.sub").as("sub"))
+    (keyed, probed, indexed)
+  }
+
+  private def gridCellsFrom(probed: DataFrame, indexed: DataFrame): DataFrame =
     probed.groupBy("seg", "sub")
       .agg(count(lit(1)).cast("int").as("np"))
       .join(indexed.groupBy("seg", "sub")
         .agg(count(lit(1)).cast("int").as("ni")), Seq("seg", "sub"))
       .withColumn("bp", ceil(col("np") / lit(FUZZY_CELL.toDouble)).cast("int"))
       .withColumn("bi", ceil(col("ni") / lit(FUZZY_CELL.toDouble)).cast("int"))
+
+  private[graft] def fuzzyGridCells(s: SparkSession, d: String): DataFrame = {
+    val (_, probed, indexed) = fuzzyParts(s, d)
+    gridCellsFrom(probed, indexed)
   }
 
   private val fuzzyJoin = {
@@ -739,33 +716,14 @@ object Dedup {
     QueryDef(
       "q_fuzzy_join",
       (s, d) => {
-        val keyed = docs(s, d).select(col("doc_id"),
-          rpad(substring(col("text"), 1, KLEN), KLEN, "~").as("k"))
         // Exact-key collapse first (the 10x probe measured 100x shuffle
         // growth without it): key-sharing docs — the exact-dup mass — add
         // nothing to the CANDIDATE problem, so segment banding runs over
-        // DISTINCT keys and doc pairs come back by expansion at the end:
-        // within-key pairs are dist=0 by definition (one output-bound equi
-        // join); cross-key pairs expand each verified distinct-key pair by
-        // its doc lists.
-        val dkeys = keyed.select(col("k")).distinct()
-        val indexSegs = (0 to TAU).map(i =>
-          struct(lit(i).as("seg"),
-            substring(col("k"), i * SEG + 1, SEG).as("sub")))
-        val indexed = dkeys
-          .select(col("k").as("kb"), explode(array(indexSegs: _*)).as("e"))
-          .select(col("kb"), col("e.seg").as("seg"), col("e.sub").as("sub"))
-        val probeSegs = for {
-          i <- 0 to TAU
-          delta <- -TAU to TAU
-          start = i * SEG + delta
-          if start >= 0 && start + SEG <= KLEN
-        } yield struct(lit(i).as("seg"),
-          substring(col("k"), start + 1, SEG).as("sub"))
-        val probed = dkeys
-          .select(col("k").as("ka"),
-            explode(array_distinct(array(probeSegs: _*))).as("e"))
-          .select(col("ka"), col("e.seg").as("seg"), col("e.sub").as("sub"))
+        // DISTINCT keys ([[fuzzyParts]]) and doc pairs come back by
+        // expansion at the end: within-key pairs are dist=0 by definition
+        // (one output-bound equi join); cross-key pairs expand each
+        // verified distinct-key pair by its doc lists.
+        val (keyed, probed, indexed) = fuzzyParts(s, d)
         // 2D block grid over the candidate join — the [[gridSelfPairs]]
         // discipline, asymmetric form. A saturated-vocabulary corpus
         // concentrates 5-char grams: one hot (seg, sub) bucket's pair grid
@@ -777,7 +735,7 @@ object Dedup {
         // pair evaluations). The count lookups join on (seg, sub) — the
         // same key the candidate join shuffles on — so co-partitioning
         // makes them exchange-reusing, not extra passes.
-        val cnts = fuzzyGridCells(s, d)
+        val cnts = gridCellsFrom(probed, indexed)
           .select(col("seg"), col("sub"), col("bp"), col("bi"))
         val xs = probed.join(cnts, Seq("seg", "sub"))
           .withColumn("p", pmod(xxhash64(col("ka")), col("bp")).cast("int"))

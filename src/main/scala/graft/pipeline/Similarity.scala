@@ -703,8 +703,9 @@ object Similarity {
     (s, d) => dedupSemanticPlan(s, d, SEM_K),
     Some(semOracleSql(SEM_K)))
 
-  /** The adaptive-scaling code path, gated too: k = 22 = ceil(sqrt N) at
-    * the sf0.01 gate corpus (N = 500) — the balance point the ScaleProbe's
+  /** The adaptive-scaling code path, gated too: k = 22 = round(sqrt N) at
+    * the sf0.01 gate corpus (N = 500; sqrt = 22.36 — the probe builder
+    * rounds, it does not ceil) — the balance point the ScaleProbe's
     * adaptive builder computes dynamically. A static k is what lets the
     * oracle stay a fixed string; the plan exercises the wide-tensor
     * `graft_argmax_cos` assignment and multi-block grid exactly as the

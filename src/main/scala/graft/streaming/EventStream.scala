@@ -126,24 +126,41 @@ object EventStream {
     * (the ln-parity convention); terms stay PER (window, bucket) — a
     * cross-bucket sum is the consumer's exact integer add.
     *
-    * Scale: ONE stateful aggregation keyed by (window, bucket) —
-    * uniformly distributed, watermark-expired — then a broadcast join
-    * and map-side arithmetic. State per executor = open windows x 10
-    * buckets, independent of ingest rate. */
+    * Scale: ONE stateful aggregation keyed by window — watermark-expired,
+    * one 10-counter row of state per open window, independent of ingest
+    * rate — then a broadcast join and map-side arithmetic. */
   def driftMonitor(events: DataFrame, refHist: DataFrame,
       expectedPerWindow: Long): DataFrame = {
     val nBuckets = 10
+    // One counter PER BUCKET inside a window-keyed aggregation (not a
+    // (window, bucket)-keyed one): every window emits all nBuckets rows,
+    // zeros included — drift-by-DISAPPEARANCE from a reference-heavy
+    // bucket scores its full PSI term instead of silently emitting no
+    // row. State = one 10-counter row per open window. Out-of-domain
+    // values clamp into the edge buckets on both ends.
+    val bucketOf = greatest(lit(0),
+      least(floor(col("value") / 10).cast("int"), lit(nBuckets - 1)))
+    val counters = Seq.tabulate(nBuckets)(b =>
+      sum(when(bucketOf === b, 1L).otherwise(0L)).as(s"n$b"))
     events
       .withWatermark("ts", "2 minutes")
-      .groupBy(window(col("ts"), "1 minute"),
-        least(floor(col("value") / 10).cast("int"), lit(nBuckets - 1)).as("bucket"))
-      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(counters.head, counters.tail: _*)
+      .select(col("window.start").as("win_start"), posexplode(
+        array(Seq.tabulate(nBuckets)(b => col(s"n$b")): _*)))
+      .toDF("win_start", "bucket", "n")
       .join(broadcast(refHist), Seq("bucket"), "left_outer")
-      .select(col("window.start").as("win_start"), col("bucket"), col("n"),
+      .select(col("win_start"), col("bucket"), col("n"),
         floor(lit(1e6) * {
-          val pObs = (col("n") + 1).cast("double") /
-            lit((expectedPerWindow + nBuckets).toDouble)
-          val pRef = (coalesce(col("p_ref_e6"), lit(0L)) + 1).cast("double") / 1e6
+          // SYMMETRIC smoothing: the reference converts to an expected
+          // COUNT and smooths exactly like the observation — a bucket
+          // empty on both sides then scores exactly 0 (asymmetric
+          // smoothing would manufacture phantom drift there).
+          val denom = lit((expectedPerWindow + nBuckets).toDouble)
+          val pObs = (col("n") + 1).cast("double") / denom
+          val nRef = coalesce(col("p_ref_e6"), lit(0L)).cast("double") /
+            1e6 * expectedPerWindow
+          val pRef = (nRef + 1) / denom
           (pObs - pRef) * log(pObs / pRef)
         }).as("psi_e6"))
   }

@@ -97,11 +97,23 @@ class StreamingSpec extends SparkSpec {
       // far below the drifted bucket's.
       val calm = (0 until 5).map(b => rows((true, b))._2)
       assert(calm.forall(_ >= 0), s"PSI terms must be >= 0: $calm")
+      // Mutually-empty buckets (no reference mass, no events) score
+      // exactly 0 — the symmetric-smoothing contract.
+      val mutual = (5 until 10).map(b => rows((true, b)))
+      assert(mutual.forall(r => r._1 == 0L && r._2 == 0L),
+        s"empty-empty buckets must score 0: $mutual")
       // The shifted window concentrates in bucket 9 (p_ref ~ 1e-6).
       val (nHot, psiHot) = rows((false, 9))
       assert(nHot == 10L, s"all drifted events in bucket 9: $nHot")
       assert(calm.forall(_ < psiHot / 10),
         s"drifted bucket must dominate: calm=$calm hot=$psiHot")
+      // Drift-by-DISAPPEARANCE: bucket 0 carries p_ref = 0.2 but received
+      // ZERO events in the shifted window — the zero row must exist and
+      // score well above the in-distribution terms.
+      val (nGone, psiGone) = rows((false, 0))
+      assert(nGone == 0L, s"bucket 0 should be empty in the drifted window: $nGone")
+      assert(calm.forall(_ < psiGone),
+        s"disappearance must score: calm=$calm gone=$psiGone")
     } finally q.stop()
   }
 
