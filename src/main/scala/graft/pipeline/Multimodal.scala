@@ -55,6 +55,22 @@ final case class ImagePHash(
   */
 object Multimodal {
 
+  /** Synthetic media payloads persist once per corpus (content-keyed temp
+    * parquet, the [[graft.Tables.contentKeyedTempParquet]] discipline):
+    * payload GENERATION is fixture synthesis, not the operator under test
+    * — a real corpus reads stored bytes and the operator DECODES them, so
+    * serving the payload table from parquet is exactly the production
+    * shape, and repeated invocations (bench warm+timed passes; features +
+    * phash both reading images) stop paying the JDK encoders per run. */
+  private val imagePayloadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val audioPayloadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val videoPayloadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  Seq(imagePayloadCache, audioPayloadCache, videoPayloadCache)
+    .foreach(Tables.registerTempCacheCleanup)
+
   /** Build the byte-payload media table from `documents`: payload = UTF-8
     * bytes of the text — the deterministic stand-in feeding the
     * audio/video-shaped stages (frames, resize). Real images come from
@@ -73,7 +89,11 @@ object Multimodal {
     * the expected decoded statistics are a closed-form function of the id
     * that an oracle can recompute. Payload stays an opaque `binary` column
     * with typed metadata — the 100 TB schema shape. */
-  def imageTable(s: SparkSession, d: String): DataFrame = {
+  def imageTable(s: SparkSession, d: String): DataFrame =
+    Tables.contentKeyedTempParquet(imagePayloadCache, s,
+      s"$d/documents.parquet", "graft-media-img")(imageTableBuild(s, d))
+
+  private def imageTableBuild(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
@@ -200,7 +220,11 @@ object Multimodal {
     * `javax.sound.sampled` WAVE writer — the deterministic sample formula
     * makes the decoded features a closed-form function of the id, like
     * the PNG path. Payload stays opaque `binary` + typed metadata. */
-  def audioTable(s: SparkSession, d: String): DataFrame = {
+  def audioTable(s: SparkSession, d: String): DataFrame =
+    Tables.contentKeyedTempParquet(audioPayloadCache, s,
+      s"$d/documents.parquet", "graft-media-wav")(audioTableBuild(s, d))
+
+  private def audioTableBuild(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
@@ -243,7 +267,11 @@ object Multimodal {
     * multi-FRAME container ([[VideoCodec]]) — generated executor-side
     * from `doc_id` alone. Payload stays opaque `binary` + typed
     * metadata, like images and audio. */
-  def videoTable(s: SparkSession, d: String): DataFrame = {
+  def videoTable(s: SparkSession, d: String): DataFrame =
+    Tables.contentKeyedTempParquet(videoPayloadCache, s,
+      s"$d/documents.parquet", "graft-media-gif")(videoTableBuild(s, d))
+
+  private def videoTableBuild(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
