@@ -24,7 +24,8 @@ object ScaleProbe {
   private val probeQueries = Seq("q_dedup_exact", "q_dedup_ngram",
     "q_dedup_containment", "q_dedup_minhash", "q_dedup_simhash",
     "q_substring_dedup", "q_dedup_clusters", "q_fuzzy_join",
-    "q_phash_dedup", "q_snapshot_diff")
+    "q_phash_dedup", "q_snapshot_diff", "q_snapshot_drift",
+    "q_dedup_keep_best_uncached")
 
   /** Similarity family, probed over generated embeddings (same 1x/10x
     * protocol): brute force is the exact O(NQ*N) floor, LSH is the scale
@@ -56,6 +57,10 @@ object ScaleProbe {
       // full multi-round computation — inflating the scaling ratio.
       "q_dedup_clusters" -> ((s, dir) =>
         pipeline.Dedup.clusterLabels(s, dir)),
+      // Same isolation for the survivor-selection consumer of the labels.
+      "q_dedup_keep_best_uncached" -> ((s, dir) =>
+        pipeline.Dedup.keepBestFrom(s, dir,
+          pipeline.Dedup.clusterLabels(s, dir))),
       // Chunk-width variants of the bounded-buffer event rewrites: the
       // hot-user probe contrasts them with the 1-day default — narrower
       // chunks cut the monster user's per-window buffer further at the

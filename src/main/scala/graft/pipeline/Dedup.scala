@@ -595,21 +595,27 @@ object Dedup {
     * grain (rows per key = component size, bounded by the dedup
     * threshold's transitive closure — the same cardinality the clustering
     * itself already shuffled). */
+  /** The survivor selection over a given labels relation — shared by the
+    * gated query (cached labels) and the ScaleProbe (uncached, so the
+    * measured scaling covers the propagation, not a parquet read). */
+  private[graft] def keepBestFrom(s: SparkSession, d: String,
+      labels: DataFrame): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val ranked = labels.join(toks, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_toks").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(
+        Window.partitionBy(col("cluster_id"))))
+    ranked.filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+        col("n_members"), col("n_toks").as("kept_toks"))
+  }
+
   private val dedupKeepBest = QueryDef(
     "q_dedup_keep_best",
-    (s, d) => {
-      val toks = docs(s, d).select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_toks"))
-      val ranked = clusterLabelsCached(s, d).join(toks, "doc_id")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("cluster_id"))
-            .orderBy(col("n_toks").desc, col("doc_id"))))
-        .withColumn("n_members", count(lit(1)).over(
-          Window.partitionBy(col("cluster_id"))))
-      ranked.filter(col("rn") === 1)
-        .select(col("cluster_id"), col("doc_id").as("kept_doc"),
-          col("n_members"), col("n_toks").as("kept_toks"))
-    },
+    (s, d) => keepBestFrom(s, d, clusterLabelsCached(s, d)),
     Some(s"""WITH RECURSIVE ${pairsCteSql("documents", 0.5)},
       edges AS (SELECT a_id AS u, b_id AS v FROM pairs
                 UNION SELECT b_id, a_id FROM pairs),
