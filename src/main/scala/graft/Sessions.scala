@@ -36,6 +36,17 @@ object Sessions {
     s
   }
 
+  /** Per-session one-time registration of UDAF-API functions. Codegen
+    * expressions register via [[GraftExtensions]] (injectFunction), but the
+    * `Aggregator`+`udaf()` path has no extensions hook — it must go through
+    * `udf.register`, which WARNs on re-registration. Registering here (once
+    * per session, same guard as the grid witness) instead of inside each
+    * query build keeps the bench tail free of
+    * "replaced a previously registered function" spam. */
+  private def registerUdafs(s: SparkSession): Unit =
+    s.udf.register("graft_wmean",
+      org.apache.spark.sql.functions.udaf(graft.functions.WeightedMean))
+
   /** Per-session guard: `local()` is called from every entry point but
     * `getOrCreate` returns the shared session — register the occupancy
     * listener once per session, not once per call. */
@@ -55,6 +66,7 @@ object Sessions {
     * scale-probe postmortem. */
   def registerGridWitness(s: SparkSession): Unit =
     if (gridWitnessed.add(s)) {
+      registerUdafs(s)
       s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
         private val log = org.slf4j.LoggerFactory.getLogger("graft.grid")
         override def onSuccess(funcName: String,

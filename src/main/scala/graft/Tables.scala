@@ -77,11 +77,21 @@ object Tables {
   /** Content-keyed temp-parquet materialization — THE shared discipline
     * for per-corpus derived stores (the shingle index, cluster labels):
     * one persisted copy per input path per JVM, keyed on [[contentToken]]
-    * so an in-place regen rebuilds instead of serving stale data; the
-    * superseded copy is deleted in place; a build FAILURE deletes the
-    * half-written directory before rethrowing (a designed failure like
-    * non-convergence must not leak a temp dir per retry on a long-lived
-    * gateway); a shutdown hook reclaims live copies. */
+    * so an in-place regen rebuilds instead of serving stale data.
+    *
+    * Rebuild protocol is build-to-fresh-dir THEN swap THEN delete: the
+    * superseded directory is deleted only AFTER the replacement build
+    * succeeded, so a failed rebuild leaves the map still holding the old
+    * (token, dir) entry with its directory intact — a later query at the
+    * old content (or a retry) keeps working instead of dereferencing a
+    * deleted path. A build FAILURE deletes only the half-written fresh
+    * directory before rethrowing (a designed failure like non-convergence
+    * must not leak a temp dir per retry on a long-lived gateway);
+    * `compute` leaves the mapping unchanged when the function throws.
+    * Same-key concurrent callers serialize on the bin — deliberate (one
+    * build, the rest wait for it rather than racing duplicate Spark
+    * jobs); distinct corpus paths rarely share a bin in a map this small.
+    * A shutdown hook reclaims live copies. */
   private[graft] def contentKeyedTempParquet(
       cache: java.util.concurrent.ConcurrentHashMap[String, (String, String)],
       s: SparkSession, path: String, prefix: String)
@@ -90,8 +100,6 @@ object Tables {
     val dir = cache.compute(path, (_, old) => {
       if (old != null && old._1 == token) old
       else {
-        if (old != null)
-          scala.reflect.io.Path(new java.io.File(old._2)).deleteRecursively()
         val out = java.nio.file.Files.createTempDirectory(prefix).toString
         try build.write.mode("overwrite").parquet(out)
         catch {
@@ -99,10 +107,65 @@ object Tables {
             scala.reflect.io.Path(new java.io.File(out)).deleteRecursively()
             throw e
         }
+        if (old != null)
+          scala.reflect.io.Path(new java.io.File(old._2)).deleteRecursively()
         (token, out)
       }
     })._2
     s.read.parquet(dir)
+  }
+
+  /** Once-per-token in-memory build — the driver-memory sibling of
+    * [[contentKeyedTempParquet]], for caches of plain values (centroid
+    * arrays, corpus row counts) whose builders run Spark jobs.
+    *
+    * A bare `TrieMap.getOrElseUpdate` is NOT atomic for an expensive
+    * builder: two concurrent callers for one token can both run the build
+    * (racing duplicate Spark jobs), and eviction side effects inside the
+    * builder mutate the map mid-computation. Here exactly one caller wins
+    * `computeIfAbsent` (which only installs an empty future — no work under
+    * the bin lock), runs the build outside any map lock, then completes the
+    * future; everyone else awaits it. On failure the mapping is removed
+    * (later callers retry) and waiters see the exception.
+    *
+    * `evict` names the stale keys to drop after a successful build (e.g.
+    * superseded content tokens for the same corpus path); on top of that a
+    * hard cap bounds the cache on a long-lived gateway whose corpus paths
+    * come and go — oldest-iteration-order completed entries beyond
+    * [[KEYED_ONCE_CAP]] are dropped (refetch = one rebuild, not a leak). */
+  private[graft] val KEYED_ONCE_CAP = 64
+  private[graft] def keyedOnce[T](
+      cache: java.util.concurrent.ConcurrentHashMap[
+        String, java.util.concurrent.CompletableFuture[T]],
+      token: String)(evict: String => Boolean)(build: => T): T = {
+    var mine = false
+    val f = cache.computeIfAbsent(token, _ => {
+      mine = true; new java.util.concurrent.CompletableFuture[T]()
+    })
+    if (mine) {
+      try {
+        val v = build
+        cache.keySet.forEach(k => if (k != token && evict(k)) cache.remove(k))
+        if (cache.size > KEYED_ONCE_CAP) {
+          val it = cache.entrySet().iterator()
+          while (cache.size > KEYED_ONCE_CAP && it.hasNext) {
+            val e = it.next()
+            if ((e.getValue ne f) && e.getValue.isDone) it.remove()
+          }
+        }
+        f.complete(v)
+      } catch {
+        case e: Throwable =>
+          cache.remove(token, f)
+          f.completeExceptionally(e)
+          throw e
+      }
+    }
+    try f.join()
+    catch {
+      case e: java.util.concurrent.CompletionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
   }
 
   /** Register the shutdown reclamation for a [[contentKeyedTempParquet]]

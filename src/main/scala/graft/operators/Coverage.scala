@@ -174,8 +174,9 @@ object Coverage {
   private val customUdaf = QueryDef(
     "q_agg_custom_udaf",
     (s, d) => {
-      s.udf.register("graft_wmean",
-        org.apache.spark.sql.functions.udaf(graft.functions.WeightedMean))
+      // graft_wmean is session-registered once in Sessions (not here): a
+      // per-build udf.register spams "replaced a previously registered
+      // function" across every bench/verify pass.
       t(s, d, "lineitem")
         .select(col("l_returnflag"),
           col("l_quantity").cast("long").as("v"),

@@ -204,25 +204,25 @@ object Similarity {
     * an ordinary expression). Keyed on the content token (not bare mtime)
     * and superseded entries are replaced in place, so regenerated data
     * retrains and old centroids don't accumulate. */
-  private val ivfCentroidCache =
-    new scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
+  // Tables.keyedOnce, not TrieMap.getOrElseUpdate: the builder runs Spark
+  // jobs, so the build must be once-per-token under concurrency and the
+  // eviction must not mutate the map mid-computation (ADVICE r8).
+  private val ivfCentroidCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Array[Array[Double]]]]()
 
   private def ivfCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
     val token = Tables.contentToken(s"$d/embeddings.parquet")
-    ivfCentroidCache.getOrElseUpdate(token, {
+    // One live entry per corpus path: drop superseded tokens for the same
+    // path so a long-lived JVM doesn't hoard stale centroids.
+    val path = token.split('#')(0)
+    Tables.keyedOnce(ivfCentroidCache, token)(_.startsWith(path + "#")) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val fea = emb(s, d)
         .select(array_to_vector(asDouble(col("embedding"))).as("features"))
       val model = new KMeans().setK(IVF_K).setSeed(42).setMaxIter(10).fit(fea)
-      // One live entry per corpus path: drop superseded tokens for the same
-      // path so a long-lived JVM doesn't hoard stale centroids.
-      val path = token.split('#')(0)
-      ivfCentroidCache.keys
-        .filter(k => k != token && k.startsWith(path + "#"))
-        .foreach(ivfCentroidCache.remove)
       model.clusterCenters.map(_.toArray)
-    })
+    }
   }
 
   private val annIvf = QueryDef(
@@ -308,18 +308,15 @@ object Similarity {
     * discipline as [[ivfCentroids]]): repeated plan builds — verify, bench
     * warm+timed passes, spec sweeps — reuse the count instead of scheduling
     * a job each. */
-  private val corpusSizeCache =
-    new scala.collection.concurrent.TrieMap[String, Long]()
+  private val corpusSizeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Long]]()
 
-  private def corpusSize(s: SparkSession, d: String): Long = {
+  private[graft] def corpusSize(s: SparkSession, d: String): Long = {
     val token = Tables.contentToken(s"$d/embeddings.parquet")
-    corpusSizeCache.getOrElseUpdate(token, {
-      val path = token.split('#')(0)
-      corpusSizeCache.keys
-        .filter(k => k != token && k.startsWith(path + "#"))
-        .foreach(corpusSizeCache.remove)
+    val path = token.split('#')(0)
+    Tables.keyedOnce(corpusSizeCache, token)(_.startsWith(path + "#")) {
       emb(s, d).count()
-    })
+    }
   }
 
   private val dedupEmbedding = QueryDef(
@@ -525,23 +522,20 @@ object Similarity {
       .drop("am")
   }
 
-  private val semCentroidCache =
-    new scala.collection.concurrent.TrieMap[String, Seq[(Int, Array[Double])]]()
+  private val semCentroidCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Seq[(Int, Array[Double])]]]()
 
   private def semCentroids(s: SparkSession, d: String,
       k: Int): Seq[(Int, Array[Double])] = {
     val content = Tables.contentToken(s"$d/embeddings.parquet")
     val token = content + s"#k=$k"
-    semCentroidCache.getOrElseUpdate(token, {
-      val path = token.split('#')(0)
-      // Evict stale-CONTENT entries for this path only; same-content
-      // entries at other k values are live (the probe alternates k=8 and
-      // k=sqrt(N) over one corpus — evicting by path alone would defeat
-      // the cache and re-run the Lloyd iterations inside timed walls).
-      semCentroidCache.keys
-        .filter(kk => kk != token && kk.startsWith(path + "#") &&
-          !kk.startsWith(content + "#k="))
-        .foreach(semCentroidCache.remove)
+    val path = token.split('#')(0)
+    // Evict stale-CONTENT entries for this path only; same-content
+    // entries at other k values are live (the probe alternates k=8 and
+    // k=sqrt(N) over one corpus — evicting by path alone would defeat
+    // the cache and re-run the Lloyd iterations inside timed walls).
+    Tables.keyedOnce(semCentroidCache, token)(kk =>
+      kk.startsWith(path + "#") && !kk.startsWith(content + "#k=")) {
       val q = semQuantized(s, d).localCheckpoint()
       var cents: Seq[(Int, Array[Double])] = q.filter(col("vec_id") < k)
         .orderBy("vec_id").select("vec_id", "qv").collect()
@@ -560,7 +554,7 @@ object Similarity {
         }
       }
       cents
-    })
+    }
   }
 
   /** The plan behind `q_dedup_semantic`, with the cluster count as the

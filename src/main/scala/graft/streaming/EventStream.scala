@@ -140,15 +140,27 @@ object EventStream {
     // values clamp into the edge buckets on both ends.
     val bucketOf = greatest(lit(0),
       least(floor(col("value") / 10).cast("int"), lit(nBuckets - 1)))
-    val counters = Seq.tabulate(nBuckets)(b =>
-      sum(when(bucketOf === b, 1L).otherwise(0L)).as(s"n$b"))
+    // NULL-valued events get their own bucket -1. Subtle: Spark's
+    // least/greatest SKIP null arguments (they return null only when ALL
+    // args are null), so bucketOf silently clamps a NULL value into the
+    // top bucket — a schema-rotted upstream feed would masquerade as
+    // legitimate high-value drift. The explicit isNotNull guard keeps the
+    // numeric buckets honest, and refHist has no -1 row, so its reference
+    // probability coalesces to 0 and any NULL arrivals score their full
+    // smoothed PSI term: schema rot shows up AS drift, distinguishably.
+    val counters =
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("nNull") +:
+      Seq.tabulate(nBuckets)(b =>
+        sum(when(col("value").isNotNull && bucketOf === b, 1L)
+          .otherwise(0L)).as(s"n$b"))
     events
       .withWatermark("ts", "2 minutes")
       .groupBy(window(col("ts"), "1 minute"))
       .agg(counters.head, counters.tail: _*)
       .select(col("window.start").as("win_start"), posexplode(
-        array(Seq.tabulate(nBuckets)(b => col(s"n$b")): _*)))
-      .toDF("win_start", "bucket", "n")
+        array(col("nNull") +: Seq.tabulate(nBuckets)(b => col(s"n$b")): _*)))
+      .toDF("win_start", "pos", "n")
+      .select(col("win_start"), (col("pos") - 1).as("bucket"), col("n"))
       .join(broadcast(refHist), Seq("bucket"), "left_outer")
       .select(col("win_start"), col("bucket"), col("n"),
         floor(lit(1e6) * {

@@ -117,6 +117,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift monitor counts NULL-valued events in the explicit -1 bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val refHist = Seq.tabulate(5)(b => (b, 200000L)).toDF("bucket", "p_ref_e6")
+    // EventRow.value is a primitive Double, so NULLs need an Option-typed
+    // stream — the shape a schema-rotted upstream feed would produce.
+    val input = MemoryStream[(Long, Timestamp, Option[Double])]
+    val q = EventStream.driftMonitor(
+        input.toDF.toDF("event_id", "ts", "value"), refHist,
+        expectedPerWindow = 10L)
+      .writeStream.format("memory").queryName("drift_null")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      input.addData((0 until 10).map(i => (i.toLong, ts(0, i + 1),
+        if (i < 4) None else Some(((i % 5) * 10 + 1.0): Double))): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT bucket, n, psi_e6 FROM drift_null")
+        .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+      // The 4 NULL-valued events land in bucket -1 (not silently dropped),
+      // the observed total is preserved, and — with no reference mass at
+      // -1 — their presence scores as drift.
+      assert(rows(-1)._1 == 4L, s"NULLs must be counted: $rows")
+      assert(rows(-1)._2 > 0L, s"NULL arrivals must score drift: $rows")
+      assert(rows.values.map(_._1).sum == 10L,
+        s"observed total must include NULL events: $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
