@@ -51,9 +51,9 @@ object ScaleProbe {
         // generation (below) — a bare count() here would schedule an extra
         // job inside the timed probe wall, inflating the adaptive-k
         // variant's measured runtime vs the fixed-k plan it contrasts.
-        val n = pipeline.Similarity.corpusSize(s, dir)
+        // Same k rule as the gated q_dedup_semantic_adaptive.
         pipeline.Similarity.dedupSemanticPlan(s, dir,
-          math.max(8, math.sqrt(n.toDouble).round.toInt))
+          pipeline.Similarity.adaptiveSemK(pipeline.Similarity.corpusSize(s, dir)))
       }),
       // The probe must measure the label PROPAGATION, not the result
       // cache: clusterLabelsCached would serve the warm1x run's persisted

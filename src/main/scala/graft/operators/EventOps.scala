@@ -276,20 +276,39 @@ object EventOps {
     * pressure at 66M exploded rows — while the sketch is FIXED-SIZE
     * mergeable state per window (map-side combinable, one shuffle of
     * sketches, no second aggregation phase), the standard trade when a
-    * dashboard tolerates ~2% error. Sketch values are
-    * implementation-specific, so no cross-engine value oracle exists:
-    * the driver records the weaker rows-only check (the exact variant
-    * q_hopping_window carries the full-oracle gate for the shared
-    * explode/bucketing logic), and the spec layer bounds the
-    * approximation against the exact counts. */
+    * dashboard tolerates a small relative error.
+    *
+    * Sketch VALUES are implementation-specific (no cross-engine value
+    * oracle exists), but the sketch's error CONTRACT is checkable: the
+    * gated output is `(w_start, n_events, within_2pct)` where Spark
+    * co-computes the exact distinct in the same aggregate and tests
+    * |hll − exact| / exact <= [[HOP_HLL_TOL]] per window; the DuckDB
+    * oracle computes the same windows exactly, where the bound holds
+    * trivially (TRUE). A sketch regression — rsd drift, merge bug,
+    * bucketing skew — flips a boolean and fails the hash gate, so the
+    * contract itself is driver-gated rather than spec-only. The sketch
+    * runs at rsd 0.01 against the 0.02 contract (2 sigma of headroom;
+    * HLL error is deterministic per dataset, and per-window cardinalities
+    * at gate scale sit in the sketch's exact sparse range). The
+    * production form is the approx-only aggregation — co-computing exact
+    * here is the certification harness, not the scale path. */
+  private[graft] val HOP_HLL_TOL = 0.02
   private val hoppingWindowApprox = QueryDef(
     "q_hopping_window_approx",
     (s, d) =>
       hoppingFrame(s, d)
         .groupBy(col("w_start"))
         .agg(count(lit(1)).as("n_events"),
-          approx_count_distinct(col("user_id"), 0.02).as("n_users_approx")),
-    None)
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
+        .select(col("w_start"), col("n_events"),
+          (abs(col("n_users_approx") - col("n_users")) <=
+            col("n_users").cast("double") * HOP_HLL_TOL).as("within_2pct")),
+    Some("""SELECT (epoch_ns(e.ts) // 60000000000 - i.range) * 60000000000 AS w_start,
+        CAST(count(*) AS BIGINT) AS n_events,
+        TRUE AS within_2pct
+      FROM events e, range(0, 5) i
+      GROUP BY 1"""))
 
   /** Sessionization: split each user's event stream into sessions at
     * >30 min gaps, then summarize per user. The batch formulation of what

@@ -80,6 +80,18 @@ object Similarity {
     * recall; real near-dup embeddings (cosine > 0.9) are caught with
     * P ~ 1 even at narrow settings. */
   private val DIM = 64
+
+  /** Semantic-dedup / quantized-k-means constants, declared up here
+    * because [[annIvf]]'s oracle string interpolates them at object-init
+    * time — a later declaration would silently interpolate the
+    * pre-initialization default (0.0) into the SQL. SEM_Q: integer
+    * quantization scale (components become exact int64s); SEM_EPS_E6:
+    * the e6-scaled cosine prune threshold; SEM_K: the fixed gate k and
+    * the floor for the adaptive k. */
+  private val SEM_K = 8
+  private val SEM_Q = 1e4
+  private val SEM_EPS_E6 = 350000L
+
   private[graft] def hyperplanes(tables: Int, bits: Int): Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(42)
     Array.fill(tables, bits, DIM)(rng.nextDouble() - 0.5)
@@ -189,85 +201,78 @@ object Similarity {
     * multiprobe LSH path (q_ann_lsh) is the exact-recall option on
     * uniform data. Centroids are tiny
     * (K x DIM doubles) and ship as literals; only cell ids shuffle.
-    * Rows-only (k-means cells are seed/instance-specific); recall gated in
-    * PipelineSpec. */
+    *
+    * FULL-oracle gated (r9; previously rows-only under MLlib k-means,
+    * whose float iteration order is engine-private): the coarse quantizer
+    * is now the same deterministic integer-quantized spherical k-means
+    * the semantic-dedup family gates ([[semCentroids]], cosine metric —
+    * the Faiss inner-product-IVF shape), so DuckDB reproduces training,
+    * assignment, probe ranking, and the quantized rerank bit-for-bit
+    * through [[semKmeansCtes]]. Recall vs brute force stays spec-gated in
+    * PipelineSpec on top of the value gate. */
   private[graft] val IVF_K = 16
   private[graft] val NPROBE = 12
-  /** One set of trained coarse-quantizer centroids per corpus per JVM: the
-    * fit is a pure function of the (deterministic-seed) input parquet, and
-    * a production IVF index trains centroids once and serves every query
-    * after — repeated calls (verify + bench + gateway) reuse them instead
-    * of re-running 10 k-means iterations. The cache holds plain double
-    * arrays, NOT the KMeansModel: a model fit under one SparkSession would
-    * reference a dead session after a gateway restart-in-place and fail at
-    * `transform` time; raw centroids are session-free (assignment below is
-    * an ordinary expression). Keyed on the content token (not bare mtime)
-    * and superseded entries are replaced in place, so regenerated data
-    * retrains and old centroids don't accumulate. */
-  // Tables.keyedOnce, not TrieMap.getOrElseUpdate: the builder runs Spark
-  // jobs, so the build must be once-per-token under concurrency and the
-  // eviction must not mutate the map mid-computation (ADVICE r8).
-  private val ivfCentroidCache = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.CompletableFuture[Array[Array[Double]]]]()
-
-  private def ivfCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
-    val token = Tables.contentToken(s"$d/embeddings.parquet")
-    // One live entry per corpus path: drop superseded tokens for the same
-    // path so a long-lived JVM doesn't hoard stale centroids.
-    val path = token.split('#')(0)
-    Tables.keyedOnce(ivfCentroidCache, token)(_.startsWith(path + "#")) {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val fea = emb(s, d)
-        .select(array_to_vector(asDouble(col("embedding"))).as("features"))
-      val model = new KMeans().setK(IVF_K).setSeed(42).setMaxIter(10).fit(fea)
-      model.clusterCenters.map(_.toArray)
-    }
-  }
-
   private val annIvf = QueryDef(
     "q_ann_ivf",
     (s, d) => {
-      val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val cents = ivfCentroids(s, d)
-      // Assignment = argmin squared euclidean distance over the literal
-      // centroid tensor — a pure per-row projection (ties break to the
-      // lowest cell via array_position's first-match rule, matching
-      // KMeansModel.transform). No shuffle, no model object: the exact
-      // shape an IVF index uses to route 100 TB of vectors map-side.
-      val centArr = array(cents.map(c => lit(c)): _*)
-      val d2s = transform(centArr, c => aggregate(
-        zip_with(col("v"), c, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
-      val assigned = e
-        .withColumn("d2s", d2s)
-        .withColumn("cell",
-          (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int"))
-        .select(col("vec_id"), col("v"), col("cell"))
-      // Centroid table as a literal relation (K x DIM doubles).
+      // Coarse quantizer = the deterministic quantized spherical k-means
+      // (shared with the semantic-dedup family; content-token cached, so
+      // a production gateway trains once and routes every query after).
+      val cents = semCentroids(s, d, IVF_K)
+      // Assignment = fused argmax-cosine against the literal centroid
+      // tensor — a pure per-row projection, no shuffle, no model object:
+      // the exact shape an IVF index uses to route 100 TB of vectors
+      // map-side. localCheckpoint: feeds both the query side and the
+      // candidate side below.
+      val assigned = semAssign(semQuantized(s, d), cents)
+        .select(col("vec_id"), col("cl").as("cell"), col("qv"))
+        .localCheckpoint()
+      // Centroid table as a literal relation (K x DIM quantized doubles).
       val centroids = s.createDataFrame(
-        cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+        cents.map { case (i, c) => (i, c.toSeq) })
         .toDF("cell", "centroid")
-      // Each query probes its NPROBE nearest cells by centroid cosine.
+      // Each query probes its NPROBE most-cosine-similar cells. The
+      // cosines are exact-integer arithmetic (quantized components), so
+      // the ranking is bit-identical to the oracle's p3 CTE.
       val q = assigned.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .select(col("vec_id").as("qid"), col("qv").as("q_qv"))
       val probes = broadcast(q.crossJoin(broadcast(centroids))
-        .select(col("qid"), col("qv"), col("cell"),
-          cosine(col("qv"), col("centroid")).as("cs"))
+        .select(col("qid"), col("q_qv"), col("cell"),
+          cosine(col("q_qv"), col("centroid")).as("cs"))
         .withColumn("pr", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cell"))))
         .filter(col("pr") <= NPROBE)
-        .select(col("qid"), col("qv"), col("cell")))
-      // Candidates = vectors in probed cells; exact re-rank.
+        .select(col("qid"), col("q_qv"), col("cell")))
+      // Candidates = vectors in probed cells; quantized-cosine re-rank
+      // (each vector lives in exactly one cell, so (qid, nid) is unique).
       probes.join(assigned.filter(col("vec_id") >= NQ), Seq("cell"))
         .select(col("qid"), col("vec_id").as("nid"),
-          floor(cosine(col("qv"), col("v")) * 1e6).as("s"))
+          floor(cosine(col("q_qv"), col("qv")) * 1e6).as("s"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("s").desc, col("nid"))))
         .filter(col("rn") <= K)
         .select(col("qid"), col("nid"), col("s"), col("rn"))
     },
-    None)
+    Some(semKmeansCtes(IVF_K.toString) + s""",
+      probes AS (
+        SELECT vec_id AS qid, cl AS cell FROM (
+          SELECT vec_id, cl,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) pr
+          FROM p3 WHERE vec_id < $NQ) WHERE pr <= $NPROBE),
+      scored AS (
+        SELECT p.qid, f.vec_id AS nid,
+          CAST(FLOOR(CAST(SUM(qa.qv[r.i + 1] * qb.qv[r.i + 1]) AS DOUBLE)
+            / (sqrt(CAST(qa.nn AS DOUBLE)) * sqrt(CAST(qb.nn AS DOUBLE)))
+            * 1e6) AS BIGINT) AS s
+        FROM probes p JOIN fin f ON f.cl = p.cell AND f.vec_id >= $NQ
+        JOIN qn qa ON qa.vec_id = p.qid JOIN qn qb ON qb.vec_id = f.vec_id,
+        range(0, $DIM) r(i)
+        GROUP BY p.qid, f.vec_id, qa.nn, qb.nn),
+      ranked AS (
+        SELECT qid, nid, s,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+        FROM scored)
+      SELECT qid, nid, s, rn FROM ranked WHERE rn <= $K"""))
 
   /** Embedding-cosine near-duplicate pairs (the "semantic dedup" stage):
     * LSH bucketing with corpus-adaptive geometry ([[dedupLshParams]]; 8
@@ -486,10 +491,6 @@ object Similarity {
     * [[annIvf]] routing shape); the update is one (cl, pos)-keyed shuffle
     * of 64-per-vector longs; K·DIM driver rows per iteration is metadata,
     * not data ([[ivfCentroids]] discipline, content-token cached). */
-  private val SEM_K = 8
-  private val SEM_Q = 1e4
-  private val SEM_EPS_E6 = 350000L
-
   /** Quantized vectors as INTEGER-VALUED doubles: every component, every
     * sum of squares, and every dot product below stays an integer < 2^53,
     * where double addition is exact and order-free — so `graft_cosine`
@@ -620,10 +621,55 @@ object Similarity {
           when(col("is_pruned").isNull, 1L).otherwise(0L).as("kept"))
   }
 
-  /** The full oracle for [[dedupSemanticPlan]] at cluster count `k`:
-    * the 2-iteration integer-quantized spherical k-means unrolled
-    * CTE-by-CTE, then the grid-independent pair/prune stages. */
-  private def semOracleSql(k: Int): String =
+  /** The adaptive cluster count: k = round(sqrt N), floored at SEM_K —
+    * the balance point where assignment work (N·k·D) and per-cluster pair
+    * work (N·(N/k)·D) meet. ONE definition feeds the Spark builder, the
+    * scale probe, and (as the equivalent SQL in [[semOracleSqlExpr]]) the
+    * DuckDB oracle, so the scaling rule itself is hash-gated — not just a
+    * k value someone froze by hand. */
+  private[graft] def adaptiveSemK(n: Long): Int =
+    math.max(SEM_K, math.sqrt(n.toDouble).round.toInt)
+
+  /** [[adaptiveSemK]] as DuckDB SQL over the same corpus the query reads:
+    * ROUND() half-away-from-zero matches Scala Long.round for positive
+    * values (sqrt of an integer is never an exact .5 in double anyway). */
+  private val ADAPTIVE_K_SQL =
+    s"(SELECT GREATEST($SEM_K, CAST(ROUND(SQRT(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM embeddings)"
+
+  /** The full oracle for [[dedupSemanticPlan]] with the cluster count
+    * given as a SQL expression (a literal for the fixed-k gate, the
+    * [[ADAPTIVE_K_SQL]] subquery for the adaptive gate): the 2-iteration
+    * integer-quantized spherical k-means unrolled CTE-by-CTE, then the
+    * grid-independent pair/prune stages. */
+  private def semOracleSql(k: Int): String = semOracleSqlExpr(k.toString)
+
+  private def semOracleSqlExpr(k: String): String = semKmeansCtes(k) + s""",
+      sims AS (
+        SELECT a.vec_id AS u, b.vec_id AS v,
+          CAST(FLOOR(CAST(SUM(qa.qv[p.i + 1] * qb.qv[p.i + 1]) AS DOUBLE)
+            / (sqrt(CAST(qa.nn AS DOUBLE)) * sqrt(CAST(qb.nn AS DOUBLE)))
+            * 1e6) AS BIGINT) AS s_e6
+        FROM fin a JOIN fin b ON a.cl = b.cl AND a.vec_id <> b.vec_id
+        JOIN qn qa ON qa.vec_id = a.vec_id JOIN qn qb ON qb.vec_id = b.vec_id,
+        range(0, $DIM) p(i)
+        GROUP BY a.vec_id, b.vec_id, qa.nn, qb.nn),
+      pruned AS (
+        SELECT DISTINCT s.v AS vec_id
+        FROM sims s JOIN fin u ON s.u = u.vec_id JOIN fin v ON s.v = v.vec_id
+        WHERE s.s_e6 >= $SEM_EPS_E6
+          AND (u.cs_e6 < v.cs_e6 OR (u.cs_e6 = v.cs_e6 AND u.vec_id < v.vec_id)))
+      SELECT f.vec_id, CAST(f.cl AS BIGINT) AS cluster, f.cs_e6,
+        CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM fin f LEFT JOIN pruned p ON f.vec_id = p.vec_id"""
+
+  /** The 2-iteration integer-quantized spherical k-means as DuckDB CTEs,
+    * shared by the semantic-dedup oracles AND the IVF oracle: `q`/`qn`
+    * (quantized vectors + self-dots), `c0..c2` (centroid sum vectors per
+    * iteration), `p1..p3` (all (vector, cluster) cosines per iteration),
+    * `fin` (final argmax assignment). Exact int64 dots make every cosine
+    * bit-identical to the Spark side's `graft_cosine`/`graft_argmax_cos`
+    * over the same quantization ([[semQuantized]]). */
+  private def semKmeansCtes(k: String): String =
     s"""WITH q AS (
         SELECT vec_id,
           list_transform(CAST(embedding AS DOUBLE[]),
@@ -673,43 +719,27 @@ object Similarity {
       fin AS (SELECT vec_id, cl, CAST(FLOOR(cos * 1e6) AS BIGINT) AS cs_e6 FROM (
           SELECT vec_id, cl, cos,
             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) rn
-          FROM p3) WHERE rn = 1),
-      sims AS (
-        SELECT a.vec_id AS u, b.vec_id AS v,
-          CAST(FLOOR(CAST(SUM(qa.qv[p.i + 1] * qb.qv[p.i + 1]) AS DOUBLE)
-            / (sqrt(CAST(qa.nn AS DOUBLE)) * sqrt(CAST(qb.nn AS DOUBLE)))
-            * 1e6) AS BIGINT) AS s_e6
-        FROM fin a JOIN fin b ON a.cl = b.cl AND a.vec_id <> b.vec_id
-        JOIN qn qa ON qa.vec_id = a.vec_id JOIN qn qb ON qb.vec_id = b.vec_id,
-        range(0, $DIM) p(i)
-        GROUP BY a.vec_id, b.vec_id, qa.nn, qb.nn),
-      pruned AS (
-        SELECT DISTINCT s.v AS vec_id
-        FROM sims s JOIN fin u ON s.u = u.vec_id JOIN fin v ON s.v = v.vec_id
-        WHERE s.s_e6 >= $SEM_EPS_E6
-          AND (u.cs_e6 < v.cs_e6 OR (u.cs_e6 = v.cs_e6 AND u.vec_id < v.vec_id)))
-      SELECT f.vec_id, CAST(f.cl AS BIGINT) AS cluster, f.cs_e6,
-        CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-      FROM fin f LEFT JOIN pruned p ON f.vec_id = p.vec_id"""
+          FROM p3) WHERE rn = 1)"""
 
   private val dedupSemantic = QueryDef(
     "q_dedup_semantic",
     (s, d) => dedupSemanticPlan(s, d, SEM_K),
     Some(semOracleSql(SEM_K)))
 
-  /** The adaptive-scaling code path, gated too: k = 22 = round(sqrt N) at
-    * the sf0.01 gate corpus (N = 500; sqrt = 22.36 — the probe builder
-    * rounds, it does not ceil) — the balance point the ScaleProbe's
-    * adaptive builder computes dynamically. A static k is what lets the
-    * oracle stay a fixed string; the plan exercises the wide-tensor
-    * `graft_argmax_cos` assignment and multi-block grid exactly as the
-    * probe's adaptive variant does. */
-  private val dedupSemanticSqrtK = QueryDef(
-    "q_dedup_semantic_sqrtk",
-    (s, d) => dedupSemanticPlan(s, d, 22),
-    Some(semOracleSql(22)))
+  /** The adaptive-scaling code path, gated WITH its scaling rule: k is
+    * computed from the corpus on BOTH sides — Spark via the cached
+    * [[corpusSize]] row count (a plan literal, since k shapes the centroid
+    * tensor), DuckDB via the [[ADAPTIVE_K_SQL]] subquery over the same
+    * table — so the gate hash-checks the k = round(sqrt N) path itself
+    * (22 at the sf0.01 corpus), not a hand-frozen k. The plan exercises
+    * the wide-tensor `graft_argmax_cos` assignment and multi-block grid
+    * exactly as the ScaleProbe's adaptive variant does. */
+  private val dedupSemanticAdaptive = QueryDef(
+    "q_dedup_semantic_adaptive",
+    (s, d) => dedupSemanticPlan(s, d, adaptiveSemK(corpusSize(s, d))),
+    Some(semOracleSqlExpr(ADAPTIVE_K_SQL)))
 
   val all: Seq[QueryDef] =
     Seq(annBrute, annLsh, annIvf, dedupEmbedding, annIncremental,
-      dedupSemantic, dedupSemanticSqrtK)
+      dedupSemantic, dedupSemanticAdaptive)
 }
