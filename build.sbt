@@ -36,3 +36,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// local-cluster[N,cores,mem] (LocalClusterSpec): the in-process standalone
+// Worker launches REAL executor JVMs and resolves the Spark distribution
+// via SPARK_HOME (launcher AbstractCommandBuilder adds $SPARK_HOME/jars to
+// the executor classpath). The graft classes ride in on
+// spark.executor.extraClassPath = java.class.path (set by the suite).
+// SPARK_SCALA_VERSION is normally exported by bin/load-spark-env.sh; the
+// in-JVM Worker's launcher asks for it before it can locate $SPARK_HOME/jars.
+Test / envVars ++= Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
+run / envVars ++= Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")

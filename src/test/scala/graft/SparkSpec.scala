@@ -13,9 +13,16 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = {
-    val s = Sessions.local("8")
-    gateway.Udfs.register(s)
+  // Revivable, not a lazy val: LocalClusterSpec stops the shared local
+  // session to run its own local-cluster[2,...] one (one SparkContext per
+  // JVM), so any suite ordered after it must get a FRESH local session
+  // instead of the stopped one.
+  private var s: SparkSession = _
+  def session: SparkSession = synchronized {
+    if (s == null || s.sparkContext.isStopped) {
+      s = Sessions.local("8")
+      gateway.Udfs.register(s)
+    }
     s
   }
 }
