@@ -24,6 +24,7 @@ object ScaleProbe {
   private val probeQueries = Seq("q_dedup_exact", "q_dedup_ngram",
     "q_dedup_containment", "q_dedup_minhash", "q_dedup_simhash",
     "q_substring_dedup", "q_dedup_clusters", "q_fuzzy_join",
+    "q_fuzzy_cands_r8", "q_fuzzy_cands_r9",
     "q_phash_dedup", "q_snapshot_diff", "q_snapshot_drift",
     "q_dedup_keep_best_uncached")
 
@@ -55,6 +56,16 @@ object ScaleProbe {
         pipeline.Similarity.dedupSemanticPlan(s, dir,
           pipeline.Similarity.adaptiveSemK(pipeline.Similarity.corpusSize(s, dir)))
       }),
+      // A/B of the fuzzy join's candidate stage on one corpus: the r8
+      // form (±τ=3 shift window, no multi-match suppression) vs the r9
+      // form (equal-length ±1 window + first-match suppression). The
+      // probe's observed row count IS the candidate count.
+      "q_fuzzy_cands_r8" -> ((s, dir) =>
+        pipeline.Dedup.fuzzyCandidates(s, dir, shiftW = 3)),
+      "q_fuzzy_cands_r9" -> ((s, dir) =>
+        pipeline.Dedup.fuzzyCandidates(s, dir)),
+      "q_fuzzy_cands_suppressed" -> ((s, dir) =>
+        pipeline.Dedup.fuzzyCandidates(s, dir, suppress = true)),
       // The probe must measure the label PROPAGATION, not the result
       // cache: clusterLabelsCached would serve the warm1x run's persisted
       // parquet to the timed g1x pass while g10x (never warmed) pays the

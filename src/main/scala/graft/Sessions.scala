@@ -78,10 +78,23 @@ object Sessions {
               Sessions.lastGridOccupancy.put(name, (n, b))
               // B > 1 IS the escalation, whatever the site's cell size
               // (each grid site — simhash/minhash bands, fuzzy grams,
-              // semantic clusters — picks its own CELL).
-              if (b > 1)
-                log.warn(s"$name: hot bucket of $n rows; block grid " +
-                  s"escalated to B=$b (${b.toLong * b} cells)")
+              // semantic clusters — picks its own CELL). The decision
+              // layer classifies it under the grid cost model and, in the
+              // saturated regime, surfaces the site's strategy escape —
+              // structured (registry) and logged, not just a WARN string.
+              val d = pipeline.Dedup.gridDecision(name, n, b)
+              Sessions.gridDecisions.put(name, d)
+              d.regime match {
+                case "absorbed" =>
+                  log.warn(s"$name: hot bucket of $n rows; block grid " +
+                    s"escalated to B=$b (${b.toLong * b} cells) — absorbed, " +
+                    "per-task pair work stays bounded")
+                case "saturated" =>
+                  log.error(s"$name: bucket of $n rows drove the grid to " +
+                    s"B=$b — this banding is saturated on this corpus. " +
+                    d.recommendation.getOrElse(""))
+                case _ => ()
+              }
             }
           }
         override def onFailure(funcName: String,
@@ -94,4 +107,10 @@ object Sessions {
     * poll this instead of racing the bus). */
   private[graft] val lastGridOccupancy =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  /** Latest [[graft.pipeline.Dedup.GridDecision]] per grid site — the
+    * STRUCTURED face of the occupancy witness (a monitoring stack or the
+    * gateway polls this; the logs carry the same content as text). */
+  private[graft] val gridDecisions =
+    new java.util.concurrent.ConcurrentHashMap[String, pipeline.Dedup.GridDecision]()
 }

@@ -275,9 +275,68 @@ object Dedup {
 
   /** Observed-metric prefix for the per-bucket grid's runtime occupancy
     * witness (see [[gridSelfPairs]]); [[graft.Sessions]] registers a
-    * listener that WARN-logs any run whose max bucket exceeded
-    * [[GRID_CELL]] — i.e. the grid actually escalated B > 1. */
+    * listener that turns each observation into a [[GridDecision]]
+    * (structured registry + log), not just a WARN line. */
   private[graft] val GRID_METRIC_PREFIX = "graft.grid."
+
+  /** Structured verdict on one grid site's observed occupancy — what the
+    * runtime witness ACTS on (round-8 verdict: the witness only warned;
+    * nothing decided anything).
+    *
+    * The block grid itself already auto-escalates without bound: B =
+    * ceil(n/CELL) is data-derived, so per-TASK pair work is capped at
+    * ~CELL²/2 no matter how hot a bucket gets. What the grid cannot fix
+    * is TOTAL candidate mass — a bucket of n docs emits ~n²/2 candidate
+    * pairs whatever the layout, replicating n·B band rows to spread them.
+    * The decision layer names the regime that cost model puts the site in:
+    *
+    *  - `linear` (B == 1): zero replication, the common path.
+    *  - `absorbed` (1 < B <= [[GRID_SATURATION_B]]): a hot bucket
+    *    escalated the grid; per-task work stays bounded and total extra
+    *    work (≤ SATURATION_B· n replicated rows, ≤ SATURATION_B²·CELL²/2
+    *    pair evals per bucket) is within the linear budget's headroom.
+    *    Observable, no action needed.
+    *  - `saturated` (B > SATURATION_B): this banding has stopped
+    *    discriminating on this corpus — total candidate mass for the
+    *    bucket (> (32·CELL)²/2 ≈ 5·10⁸ pair evals) grows quadratically
+    *    and no grid layout changes that. `recommendation` carries the
+    *    site's documented strategy escape ([[gridEscapes]]). */
+  final case class GridDecision(site: String, maxBucket: Int, gridB: Int,
+      regime: String, recommendation: Option[String])
+
+  private[graft] val GRID_SATURATION_B = 32
+
+  /** The documented per-site escape hatches for the `saturated` regime —
+    * the strategy switch the round-8 notes prescribed in prose, now
+    * machine-surfaced. */
+  private[graft] val gridEscapes: Map[String, String] = Map(
+    "simhash" -> ("correlated fingerprints have saturated the 16-bit pair " +
+      "bands; switch to MinHash banding (q_dedup_minhash), whose bucket " +
+      "mass tracks true-Jaccard duplicate mass instead of tf-weight " +
+      "correlation — the documented path past ~10^6 docs"),
+    "minhash" -> ("a duplicate cluster of this size dominates the corpus; " +
+      "shard by content digest prefix and dedup shards independently " +
+      "before cross-shard reconciliation"),
+    "semantic" -> ("a snowballed k-means cluster; raise the cluster count " +
+      "toward sqrt(N) (q_dedup_semantic_adaptive) so per-cluster pair " +
+      "mass stays bounded"))
+
+  /** Map an observed (site, max bucket, grid B) to its [[GridDecision]]
+    * under the cost model above. Pure — unit-testable at thresholds the
+    * end-to-end specs cannot affordably construct (a `saturated` corpus
+    * would have to emit >5·10⁸ pairs). */
+  private[graft] def gridDecision(metric: String, maxBucket: Int,
+      gridB: Int): GridDecision = {
+    val site = metric.stripPrefix(GRID_METRIC_PREFIX)
+    if (gridB <= 1)
+      GridDecision(site, maxBucket, gridB, "linear", None)
+    else if (gridB <= GRID_SATURATION_B)
+      GridDecision(site, maxBucket, gridB, "absorbed", None)
+    else
+      GridDecision(site, maxBucket, gridB, "saturated",
+        Some(gridEscapes.getOrElse(site,
+          "candidate mass is quadratic at this site; switch banding strategy")))
+  }
 
   /** Self-join of band buckets with PER-BUCKET block-grid decomposition —
     * the fix for join-OUTPUT skew that AQE cannot see (input bytes stay
@@ -646,21 +705,47 @@ object Dedup {
     * Candidate scheme: the indexed side splits its key into τ+1=4 fixed
     * 5-char segments; if ed(a,b) ≤ τ, an optimal alignment leaves at least
     * one of b's segments untouched (pigeonhole over ≤τ edits), and that
-    * segment appears verbatim in `a` shifted by at most τ (each shift is
-    * an indel). So the probe side emits the substring at every
-    * (segment, shift∈[-τ,τ]) position — ≤22 five-char probe keys per row
-    * after boundary clipping, `array_distinct`-deduped — and candidates
-    * join on (segment, substring). Verification = real `levenshtein` with
-    * the τ early-exit threshold, on candidates only.
+    * segment appears verbatim in `a` shifted by the NET indel count before
+    * it. Because every key is rpad'ed to exactly [[FUZZY_KLEN]] chars, the
+    * alignment's insertions and deletions must balance (I = D), so
+    * I + D + S ≤ τ forces I = D ≤ ⌊τ/2⌋ and the shift window is
+    * [-⌊τ/2⌋, +⌊τ/2⌋] = ±1 — NOT ±τ (the r8 form probed ±3: provably 3x
+    * wider than the equal-length geometry needs; PropertySpec's randomized
+    * indel generator pins the tight bound). The probe side emits the
+    * substring at every (segment, shift∈[-1,1]) position — ≤10 five-char
+    * probe keys per row after boundary clipping (was 22),
+    * `array_distinct`-deduped — and candidates join on
+    * (segment, substring). Verification = real `levenshtein` with the τ
+    * early-exit threshold, on candidates only.
+    *
+    * Ordered-emission suppression (the PPJoin trick applied to PassJoin
+    * segments) was implemented and MEASURED OUT (r9): emitting each pair
+    * only from its first matching segment cut candidates a further 4%
+    * (61.6M → 59.1M at the 10x probe) but the in-cell predicate (~8
+    * substring equalities per collision row) tripled the quadratic
+    * kernel's per-pair cost (cells wall 2.3 s → 5.5 s, max task 0.8 s →
+    * 3.8 s) — because `distinct`'s map-side partial aggregation already
+    * collapses duplicate collisions before they shuffle, the rows saved
+    * were nearly free anyway. Rarity-ordering the emissions cannot beat
+    * position-ordering here either: the join has generated every
+    * collision row before any ordering can act, and the survivor count
+    * (one per pair) is identical under any total order. The window
+    * shrink above is where the candidate mass actually went.
     *
     * Scale: never all-pairs — the shuffle carries (key, 5-char gram) pairs
     * keyed by the gram, exactly the n-gram dedup shape, over DISTINCT keys
     * only (exact-dup mass collapses before banding and expands back after
     * verification); candidate count is governed by segment selectivity
-    * over the distinct-key population. */
+    * over the distinct-key population, and the ±⌊τ/2⌋ window halves the
+    * per-bucket probe mass a saturated vocabulary densifies. */
   private val FUZZY_TAU = 3
   private val FUZZY_KLEN = 20
   private val FUZZY_SEG = FUZZY_KLEN / (FUZZY_TAU + 1)
+  // Equal-length keys: net indels before any segment ≤ ⌊τ/2⌋ (I = D).
+  private val FUZZY_SHIFT = FUZZY_TAU / 2
+  // Re-probed at the ±1 window (10x, saturated vocab): 256 vs 512 is a
+  // wall wash (6.3 vs 6.6 s, within load noise) and 512 carries ~30%
+  // less replication shuffle (32 vs 48 MB) — keep the r8 knee.
   private val FUZZY_CELL = 512
 
   /** The fuzzy-join grid's per-(segment, gram) cell table — bucket sizes
@@ -678,7 +763,8 @@ object Dedup {
     * join matches against are the same subtree by construction (two
     * independent copies could silently diverge and the inner join would
     * drop candidates). Returns (keyed, probed, indexed). */
-  private def fuzzyParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+  private def fuzzyParts(s: SparkSession, d: String,
+      shiftW: Int = FUZZY_SHIFT): (DataFrame, DataFrame, DataFrame) = {
     val keyed = docs(s, d).select(col("doc_id"),
       rpad(substring(col("text"), 1, FUZZY_KLEN), FUZZY_KLEN, "~").as("k"))
     val dkeys = keyed.select(col("k")).distinct()
@@ -690,7 +776,7 @@ object Dedup {
       .select(col("kb"), col("e.seg").as("seg"), col("e.sub").as("sub"))
     val probeSegs = for {
       i <- 0 to FUZZY_TAU
-      delta <- -FUZZY_TAU to FUZZY_TAU
+      delta <- -shiftW to shiftW
       start = i * FUZZY_SEG + delta
       if start >= 0 && start + FUZZY_SEG <= FUZZY_KLEN
     } yield struct(lit(i).as("seg"),
@@ -700,6 +786,46 @@ object Dedup {
         explode(array_distinct(array(probeSegs: _*))).as("e"))
       .select(col("ka"), col("e.seg").as("seg"), col("e.sub").as("sub"))
     (keyed, probed, indexed)
+  }
+
+  /** The fuzzy join's candidate stream — gridded collision rows after the
+    * ka < kb orientation filter, BEFORE the distinct+verify stages.
+    * Parameterized on the shift window (and the measured-out suppression
+    * experiment, see the q_fuzzy_join scaladoc) so the ScaleProbe can A/B
+    * the r8 form (±τ window) against the current one on the same corpus;
+    * the gated query consumes the defaults. */
+  private[graft] def fuzzyCandidates(s: SparkSession, d: String,
+      shiftW: Int = FUZZY_SHIFT, suppress: Boolean = false): DataFrame = {
+    val (_, probed, indexed) = fuzzyParts(s, d, shiftW)
+    val cnts = gridCellsFrom(probed, indexed)
+      .select(col("seg"), col("sub"), col("bp"), col("bi"))
+    val xs = probed.join(cnts, Seq("seg", "sub"))
+      .withColumn("p", pmod(xxhash64(col("ka")), col("bp")).cast("int"))
+      .withColumn("q", explode(expr("sequence(0, bi - 1)")))
+      .select(col("seg"), col("sub"), col("p"), col("q"), col("ka"))
+    val ys = indexed.join(cnts, Seq("seg", "sub"))
+      .withColumn("q", pmod(xxhash64(col("kb")), col("bi")).cast("int"))
+      .withColumn("p", explode(expr("sequence(0, bp - 1)")))
+      .select(col("seg"), col("sub"), col("p"), col("q"), col("kb"))
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // suppress=true keeps a collision row only at the FIRST segment of kb
+    // matching ka — retained for the probe's A/B record only; the gated
+    // query runs without it (measured: -4% rows, +2.4x cell wall).
+    def segMatches(j: Int): Column = (for {
+      delta <- -shiftW to shiftW
+      st = j * FUZZY_SEG + delta
+      if st >= 0 && st + FUZZY_SEG <= FUZZY_KLEN
+    } yield substring(col("ka"), st + 1, FUZZY_SEG) ===
+        substring(col("kb"), j * FUZZY_SEG + 1, FUZZY_SEG))
+      .reduce(_ || _)
+    val earlierMatch = (1 to FUZZY_TAU).map(i =>
+      col("seg") === i && (0 until i).map(segMatches).reduce(_ || _))
+      .reduce(_ || _)
+    val joined = xs.repartition(nPart, col("seg"), col("sub"), col("p"), col("q"))
+      .join(ys.repartition(nPart, col("seg"), col("sub"), col("p"), col("q")),
+        Seq("seg", "sub", "p", "q"))
+      .filter(col("ka") < col("kb"))
+    if (suppress) joined.filter(!earlierMatch) else joined
   }
 
   private def gridCellsFrom(probed: DataFrame, indexed: DataFrame): DataFrame =
@@ -729,39 +855,19 @@ object Dedup {
         // expansion at the end: within-key pairs are dist=0 by definition
         // (one output-bound equi join); cross-key pairs expand each
         // verified distinct-key pair by its doc lists.
-        val (keyed, probed, indexed) = fuzzyParts(s, d)
         // 2D block grid over the candidate join — the [[gridSelfPairs]]
-        // discipline, asymmetric form. A saturated-vocabulary corpus
-        // concentrates 5-char grams: one hot (seg, sub) bucket's pair grid
-        // otherwise lands on ONE task (measured: a 141 s max task at the
-        // 10x probe while total shuffle stayed 2 MB — join-OUTPUT skew
-        // that AQE cannot see). Each side's bucket splits into
-        // ceil(n/CELL) blocks (x replicates over y's blocks and vice
-        // versa; every pair meets in exactly one (p, q) cell of ≤ CELL²
-        // pair evaluations). The count lookups join on (seg, sub) — the
-        // same key the candidate join shuffles on — so co-partitioning
-        // makes them exchange-reusing, not extra passes.
-        val cnts = gridCellsFrom(probed, indexed)
-          .select(col("seg"), col("sub"), col("bp"), col("bi"))
-        val xs = probed.join(cnts, Seq("seg", "sub"))
-          .withColumn("p", pmod(xxhash64(col("ka")), col("bp")).cast("int"))
-          .withColumn("q", explode(expr("sequence(0, bi - 1)")))
-          .select(col("seg"), col("sub"), col("p"), col("q"), col("ka"))
-        val ys = indexed.join(cnts, Seq("seg", "sub"))
-          .withColumn("q", pmod(xxhash64(col("kb")), col("bi")).cast("int"))
-          .withColumn("p", explode(expr("sequence(0, bp - 1)")))
-          .select(col("seg"), col("sub"), col("p"), col("q"), col("kb"))
-        // Explicit numbered repartition on the cell key: the cells are
-        // BYTE-tiny but CPU-quadratic, and AQE coalesces by bytes — the
-        // 10x probe watched it pack every cell into ONE task (77 s max
-        // task on a 6 MB shuffle). A REPARTITION_BY_NUM shuffle is exempt
-        // from AQE coalescing, and both sides share the join's hash
-        // distribution, so the join adds no further exchange.
-        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val close = xs.repartition(nPart, col("seg"), col("sub"), col("p"), col("q"))
-          .join(ys.repartition(nPart, col("seg"), col("sub"), col("p"), col("q")),
-            Seq("seg", "sub", "p", "q"))
-          .filter(col("ka") < col("kb"))
+        // discipline, asymmetric form ([[fuzzyCandidates]]). A saturated-
+        // vocabulary corpus concentrates 5-char grams: one hot (seg, sub)
+        // bucket's pair grid otherwise lands on ONE task (measured: a
+        // 141 s max task at the 10x probe while total shuffle stayed 2 MB
+        // — join-OUTPUT skew that AQE cannot see). Each side's bucket
+        // splits into ceil(n/CELL) blocks (every pair meets in exactly one
+        // (p, q) cell of ≤ CELL² pair evaluations); the explicit numbered
+        // repartition on the cell key keeps AQE's byte-based coalescing
+        // from packing the CPU-quadratic cells onto one task.
+        val keyed = docs(s, d).select(col("doc_id"),
+          rpad(substring(col("text"), 1, KLEN), KLEN, "~").as("k"))
+        val close = fuzzyCandidates(s, d)
           .select(col("ka"), col("kb")).distinct()
           .withColumn("dist",
             levenshtein(col("ka"), col("kb"), TAU).cast("long"))

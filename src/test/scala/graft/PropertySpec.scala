@@ -86,15 +86,20 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(highC > 100, s"test generated too few high-containment pairs ($highC)")
   }
-  test("PassJoin pigeonhole: ed <= 3 keys always share a (segment, shift <= 3) gram") {
+  test("PassJoin pigeonhole: ed <= 3 keys always share a (segment, shift <= 1) gram") {
     // The completeness invariant q_fuzzy_join's candidate scheme rests
     // on, in the exact DIRECTION the query checks (the probe side takes
     // shifted substrings, the index side fixed segments): for rpad-20
     // keys within edit distance tau=3, some fixed 5-char segment of the
     // INDEX key appears verbatim in the PROBE key at a start offset
-    // within +-tau. Randomized edits include indels, which shift every
-    // later character — the case the shift window exists for.
+    // within +-floor(tau/2) — the EQUAL-LENGTH bound (both keys are
+    // padded to exactly 20 chars, so the alignment's insertions and
+    // deletions balance: I = D <= floor(tau/2), and a segment's shift is
+    // the net indel count before it). Randomized edits include indels,
+    // which shift every later character — the case the window exists for;
+    // the generator would catch an unsound window shrink here.
     val tau = 3; val klen = 20; val seg = klen / (tau + 1)
+    val shift = tau / 2
     def key(s: String): String = (s.take(klen) + "~" * klen).take(klen)
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(b.length + 1)(identity)
@@ -112,7 +117,7 @@ class PropertySpec extends AnyFunSuite {
     def candidateMatch(probe: String, index: String): Boolean =
       (0 to tau).exists { i =>
         val segment = index.substring(i * seg, i * seg + seg)
-        (-tau to tau).exists { delta =>
+        (-shift to shift).exists { delta =>
           val start = i * seg + delta
           start >= 0 && start + seg <= klen &&
             probe.substring(start, start + seg) == segment
@@ -281,6 +286,51 @@ class SkewSpec extends SparkSpec {
     assert(m._1 == n, s"max bucket should be the whole hot corpus: $m")
     val expectB = math.ceil(n.toDouble / Dedup.GRID_CELL).toInt
     assert(m._2 == expectB, s"grid should escalate to B=$expectB: $m")
+    // The witness now DECIDES, not just warns: the hot corpus must have
+    // produced a structured `absorbed` decision (grid handled it; no
+    // strategy switch recommended at B=2).
+    val d = Sessions.gridDecisions.get(Dedup.GRID_METRIC_PREFIX + "simhash")
+    assert(d != null, "no structured grid decision was recorded")
+    assert(d.regime == "absorbed" && d.maxBucket == n && d.gridB == expectB
+      && d.recommendation.isEmpty, s"wrong decision: $d")
+    // And the escalated grid still computes the exact answer: n identical
+    // docs => all C(n,2) pairs at J = 1.0.
+    val cnt = SparkEntry.queries("q_dedup_simhash")(spark, dir.getAbsolutePath).count()
+    assert(cnt == n.toLong * (n - 1) / 2,
+      s"escalated grid changed the answer: $cnt pairs")
+  }
+
+  test("grid decisions: linear on the gate corpus, saturated names the escape") {
+    import graft.pipeline.Dedup
+    // End-to-end: the normal corpus stays in the `linear` regime and the
+    // simhash output is identical with the decision layer active (it is
+    // pure observation — PipelineSpec separately pins output == all-pairs
+    // truth on this corpus).
+    Sessions.gridDecisions.clear()
+    Sessions.lastGridOccupancy.clear()
+    SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var d: Dedup.GridDecision = null
+    while (d == null && System.nanoTime() < deadline) {
+      d = Sessions.gridDecisions.get(Dedup.GRID_METRIC_PREFIX + "simhash")
+      if (d == null) Thread.sleep(50)
+    }
+    assert(d != null && d.regime == "linear" && d.recommendation.isEmpty,
+      s"gate corpus must not escalate: $d")
+    // Unit face of the cost model (a `saturated` corpus would have to
+    // emit >5e8 pairs end-to-end — assert the thresholds directly).
+    val sat = Dedup.gridDecision(Dedup.GRID_METRIC_PREFIX + "simhash",
+      (Dedup.GRID_SATURATION_B + 1) * Dedup.GRID_CELL, Dedup.GRID_SATURATION_B + 1)
+    assert(sat.regime == "saturated" &&
+      sat.recommendation.exists(_.contains("MinHash")),
+      s"saturated simhash must recommend the minhash escape: $sat")
+    val edge = Dedup.gridDecision(Dedup.GRID_METRIC_PREFIX + "simhash",
+      Dedup.GRID_SATURATION_B * Dedup.GRID_CELL, Dedup.GRID_SATURATION_B)
+    assert(edge.regime == "absorbed", s"B at the cap is still absorbed: $edge")
+    val sem = Dedup.gridDecision(Dedup.GRID_METRIC_PREFIX + "semantic", 100000, 64)
+    assert(sem.recommendation.exists(_.contains("sqrt(N)")),
+      s"saturated semantic must recommend adaptive-k: $sem")
   }
 
   test("fuzzy-join grid escalates on a hot gram bucket (cells table)") {
