@@ -450,14 +450,44 @@ object Curation {
           AS dup_frac_e6
       FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id"""))
 
+  /** Snapshot B — the "next release" — as a REAL persisted parquet root
+    * (r9; previously derived inline inside each query's plan): docs with
+    * `doc_id % 11 = 3` deleted, `% 7 = 2` edited, `% 13 = 5` re-crawled
+    * under a fresh NEGATIVE id (disjoint from any non-negative corpus id
+    * at every scale — a fixed positive offset would collide once the
+    * corpus outgrows it). The evolution stays a pure deterministic
+    * function of A — that is what keeps the DuckDB oracle (which derives
+    * B in SQL from `documents`) a full value gate — but the snapshot
+    * family now READS it as a second parquet input: two releases, two
+    * scans, the IO shape a release-over-release gate has in production,
+    * where snapshot B is last month's crawl sitting in its own
+    * directory. Materialized once per corpus per JVM
+    * ([[Tables.contentKeyedTempParquet]] discipline, like the shingle
+    * index); a testdata regen rebuilds it via the content token. */
+  private val snapshotBCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  Tables.registerTempCacheCleanup(snapshotBCache)
+
+  private def snapshotB(s: SparkSession, d: String): DataFrame =
+    Tables.contentKeyedTempParquet(snapshotBCache, s,
+      s"$d/documents.parquet", "graft-snapshot-b") {
+      val base = docs(s, d)
+      base.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 2, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(col("doc_id") % 13 === 5)
+          .select((-col("doc_id") - 1L).as("doc_id"),
+            concat(lit("recrawl "), col("text")).as("text")))
+    }
+
   /** Corpus snapshot diff: classify every document as added / removed /
     * changed between two corpus releases by content digest. Snapshot A is
-    * the current `documents` table; snapshot B is a deterministic evolution
-    * of it (docs with `doc_id % 11 = 3` deleted, `% 7 = 2` edited, `% 13 =
-    * 5` re-crawled under a fresh negative id) — the same derivation on both
-    * engines,
-    * so the diff logic itself is what the oracle checks. Unchanged rows are
-    * dropped before the result (the overwhelming majority at scale).
+    * the current `documents` table; snapshot B is the persisted second
+    * release root ([[snapshotB]]) — two real parquet inputs, with the
+    * deterministic derivation keeping the oracle a full value gate.
+    * Unchanged rows are dropped before the result (the overwhelming
+    * majority at scale).
     *
     * Scale: each side reduces to (doc_id, digest) map-side — text never
     * shuffles — then ONE doc_id-keyed full-outer join; at 100 TB that is
@@ -467,19 +497,9 @@ object Curation {
   private val snapshotDiff = QueryDef(
     "q_snapshot_diff",
     (s, d) => {
-      val base = docs(s, d)
-      val a = base.select(col("doc_id"), md5(col("text")).as("dig_a"))
-      val bKept = base.filter(col("doc_id") % 11 =!= 3)
-        .select(col("doc_id"),
-          md5(when(col("doc_id") % 7 === 2, concat(col("text"), lit(" [edited]")))
-            .otherwise(col("text"))).as("dig_b"))
-      // Fresh ids in the NEGATIVE namespace: disjoint from any
-      // non-negative corpus id at every scale (a fixed positive offset
-      // would collide once the corpus outgrows it).
-      val bNew = base.filter(col("doc_id") % 13 === 5)
-        .select((-col("doc_id") - 1L).as("doc_id"),
-          md5(concat(lit("recrawl "), col("text"))).as("dig_b"))
-      a.join(bKept.unionByName(bNew), Seq("doc_id"), "full_outer")
+      val a = docs(s, d).select(col("doc_id"), md5(col("text")).as("dig_a"))
+      val b = snapshotB(s, d).select(col("doc_id"), md5(col("text")).as("dig_b"))
+      a.join(b, Seq("doc_id"), "full_outer")
         .withColumn("status",
           when(col("dig_b").isNull, "removed")
             .when(col("dig_a").isNull, "added")
@@ -505,9 +525,10 @@ object Curation {
   /** Distribution drift between two corpus releases: per-bucket PSI
     * (population stability index) contributions over the document-length
     * histogram — the monitoring gate a data lead reads before accepting a
-    * new crawl into the training mix. Snapshot B is [[snapshotDiff]]'s
-    * deterministic evolution (same deletion/edit/recrawl rules), so the
-    * drift is real and reproducible on both engines.
+    * new crawl into the training mix. Snapshot B is the persisted second
+    * release root ([[snapshotB]], shared with the diff), so the operator
+    * reads two real parquet inputs and the drift is real and reproducible
+    * on both engines.
     *
     * Numerics: counts are exact integers; Laplace smoothing
     * `(n + 1) / (total + n_buckets)` keeps empty buckets finite; each
@@ -522,14 +543,8 @@ object Curation {
   private val snapshotDrift = QueryDef(
     "q_snapshot_drift",
     (s, d) => {
-      val base = docs(s, d)
-      val aLen = base.select((expr("length(text) div 100")).as("bucket"))
-      val bLen = base.filter(col("doc_id") % 11 =!= 3)
-        .select(when(col("doc_id") % 7 === 2,
-          concat(col("text"), lit(" [edited]"))).otherwise(col("text")).as("t"))
-        .unionByName(base.filter(col("doc_id") % 13 === 5)
-          .select(concat(lit("recrawl "), col("text")).as("t")))
-        .select(expr("length(t) div 100").as("bucket"))
+      val aLen = docs(s, d).select(expr("length(text) div 100").as("bucket"))
+      val bLen = snapshotB(s, d).select(expr("length(text) div 100").as("bucket"))
       val na = aLen.groupBy("bucket").agg(count(lit(1)).as("n_a"))
       val nb = bLen.groupBy("bucket").agg(count(lit(1)).as("n_b"))
       val hist = na.join(nb, Seq("bucket"), "full_outer")
