@@ -34,7 +34,8 @@ object ScaleProbe {
     * embedding near-dup must track the (linearly planted) true-pair
     * volume. */
   private val simQueries = Seq("q_ann_brute", "q_ann_lsh", "q_dedup_embedding",
-    "q_ann_incremental", "q_dedup_semantic", "q_dedup_semantic_adaptive_k")
+    "q_ann_incremental", "q_dedup_semantic", "q_dedup_semantic_adaptive_k",
+    "q_ann_ivf")
 
   /** Probe-only builders beyond the SparkEntry registry. The adaptive-K
     * semantic dedup scales the cluster count as k = sqrt(N) — the point

@@ -53,5 +53,42 @@ object GatewayQueries {
     },
     Some("SELECT 'Available' AS status, CAST(1 AS BIGINT) AS n_nodes"))
 
-  val all: Seq[QueryDef] = Seq(runningJobs, clusterNodes)
+  /** The `grid_decisions` observability view (refresh-on-scan DSv2 over
+    * [[graft.Sessions.gridDecisions]]): run one grid-bearing dedup query
+    * to populate the registry, wait for its decision to land on the
+    * listener bus, then observe the view via SQL. Deterministic at the
+    * gate corpus: the minhash site stays in the `linear` regime with no
+    * recommendation, so the materialized observation is a fixed relation
+    * (the escalated/saturated regimes are spec-gated in SkewSpec, where
+    * the corpus is constructed). */
+  private val gridDecisions = QueryDef(
+    "q_grid_decisions",
+    (s, d) => {
+      val metric = graft.pipeline.Dedup.GRID_METRIC_PREFIX + "minhash"
+      graft.Sessions.gridDecisions.remove(metric)
+      graft.pipeline.Dedup.all.find(_.name == "q_dedup_minhash").get
+        .build(s, d).write.format("noop").mode("overwrite").save()
+      // Observed metrics arrive on the async listener bus; bounded wait.
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (graft.Sessions.gridDecisions.get(metric) == null &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      val rt = new JobRuntime(s)
+      try {
+        rt.registerGridDecisionsView()
+        val observed = s.sql("""SELECT site, regime,
+            CAST(recommendation IS NULL AS BOOLEAN) AS no_escape
+          FROM grid_decisions WHERE site = 'minhash'""").collect()
+        s.createDataFrame(java.util.Arrays.asList(observed: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("site",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("regime",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("no_escape",
+              org.apache.spark.sql.types.BooleanType, nullable = false))))
+      } finally rt.close()
+    },
+    Some("""SELECT 'minhash' AS site, 'linear' AS regime, TRUE AS no_escape"""))
+
+  val all: Seq[QueryDef] = Seq(runningJobs, clusterNodes, gridDecisions)
 }

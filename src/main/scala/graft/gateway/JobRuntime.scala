@@ -473,6 +473,16 @@ final class JobRuntime(
     spark.read.format("graft-running-jobs").option("runtimeId", runtimeId)
       .load().createOrReplaceTempView("running_jobs")
 
+  /** Register `grid_decisions` — the dedup grids' occupancy-decision
+    * registry ([[graft.Sessions.gridDecisions]]) as a refresh-on-scan SQL
+    * view, same discipline as `running_jobs`: a dashboard polls
+    * `SELECT * FROM grid_decisions WHERE regime <> 'linear'` and sees
+    * escalations (and the saturated regime's strategy recommendation) the
+    * moment the witness listener records them. */
+  def registerGridDecisionsView(): Unit =
+    spark.read.format("graft-grid-decisions")
+      .load().createOrReplaceTempView("grid_decisions")
+
   /** Cluster/heartbeat observability — the reference's `cluster_nodes`
     * membership table fed by `Heartbeater` upserts
     * (`dist/src/heartbeat.rs:21-73`, `clusters/postgres/src/cluster.rs:

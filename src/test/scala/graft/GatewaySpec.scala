@@ -213,6 +213,27 @@ class GatewaySpec extends SparkSpec {
     }
   }
 
+  test("grid_decisions view refreshes on every scan (no re-registration)") {
+    withRuntime() { rt =>
+      rt.registerGridDecisionsView()
+      Sessions.gridDecisions.clear()
+      assert(spark.sql(
+        "SELECT * FROM grid_decisions WHERE site = 'test_site'").count() == 0)
+      // A decision recorded AFTER registration must be visible on the next
+      // scan — the refresh-on-scan contract running_jobs also carries.
+      Sessions.gridDecisions.put("graft.grid.test_site",
+        pipeline.Dedup.GridDecision("test_site", 50000, 64, "saturated",
+          Some("switch strategy")))
+      val rows = spark.sql("""SELECT max_bucket, grid_b, regime, recommendation
+          FROM grid_decisions WHERE site = 'test_site'""").collect()
+      assert(rows.length == 1, s"expected the decision row: ${rows.toSeq}")
+      assert(rows.head.getInt(0) == 50000 && rows.head.getInt(1) == 64 &&
+        rows.head.getString(2) == "saturated" &&
+        rows.head.getString(3) == "switch strategy", s"${rows.head}")
+      Sessions.gridDecisions.remove("graft.grid.test_site")
+    }
+  }
+
   test("cancel removes the job and further fetches fail") {
     withRuntime() { rt =>
       val h = rt.submit("SELECT id FROM range(0, 10, 1, 2)")
