@@ -24,7 +24,7 @@ object ScaleProbe {
   private val probeQueries = Seq("q_dedup_exact", "q_dedup_ngram",
     "q_dedup_containment", "q_dedup_minhash", "q_dedup_simhash",
     "q_substring_dedup", "q_dedup_clusters", "q_fuzzy_join",
-    "q_fuzzy_cands_r8", "q_fuzzy_cands_r9",
+    "q_fuzzy_cands_r8", "q_fuzzy_cands_r9", "q_fuzzy_cands_suppressed",
     "q_phash_dedup", "q_snapshot_diff", "q_snapshot_drift",
     "q_dedup_keep_best_uncached")
 
@@ -67,6 +67,13 @@ object ScaleProbe {
         pipeline.Dedup.fuzzyCandidates(s, dir)),
       "q_fuzzy_cands_suppressed" -> ((s, dir) =>
         pipeline.Dedup.fuzzyCandidates(s, dir, suppress = true)),
+      // The gated q_hopping_window_approx co-computes the EXACT distinct
+      // (the error-contract certification harness); the probe must time
+      // the approx-only PRODUCTION plan or it reintroduces the
+      // O(distinct (window, user)) dedup state the sketch exists to avoid
+      // and measures the harness, not the operator.
+      "q_hopping_window_approx" -> ((s, dir) =>
+        operators.EventOps.hoppingApproxProductionPlan(s, dir)),
       // The probe must measure the label PROPAGATION, not the result
       // cache: clusterLabelsCached would serve the warm1x run's persisted
       // parquet to the timed g1x pass while g10x (never warmed) pays the
@@ -325,6 +332,16 @@ object ScaleProbe {
     run(s"$workDir/g1x", "warm1x", simQueries)
     run(s"$workDir/g1x", "warm1x", textQueries)
     run(s"$workDir/g1x", "warm1x", eventQueries)
+    // Targeted g10x warm for the train-once / build-once operators only:
+    // their steady-state claim is "the timed query serves from the
+    // persisted/cached artifact" (IVF centroids per (corpus, k); the
+    // snapshot-B release store), and g10x gets no family-wide warm pass —
+    // without this their one-time build lands inside the single timed 10x
+    // wall, the corpusSize defect this round fixed, in new clothes. The
+    // dedup family's shingle index deliberately stays UNwarmed (its build
+    // is declared part of the measured cost — see run()'s comment).
+    run(s"$workDir/g10x", "warm10x",
+      Seq("q_ann_ivf", "q_snapshot_diff", "q_snapshot_drift"))
     val r1 = run(s"$workDir/g1x", "g1x") ++
       run(s"$workDir/g1x", "g1x", simQueries) ++
       run(s"$workDir/g1x", "g1x", textQueries) ++

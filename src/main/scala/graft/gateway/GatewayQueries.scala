@@ -68,10 +68,17 @@ object GatewayQueries {
       graft.Sessions.gridDecisions.remove(metric)
       graft.pipeline.Dedup.all.find(_.name == "q_dedup_minhash").get
         .build(s, d).write.format("noop").mode("overwrite").save()
-      // Observed metrics arrive on the async listener bus; bounded wait.
+      // Observed metrics arrive on the async listener bus; bounded wait,
+      // then fail LOUDLY — a silent fall-through would surface as an
+      // opaque 0-vs-1-row hash mismatch at the driver instead of naming
+      // the real cause (listener-bus drop, or a session that never went
+      // through Sessions.registerGridWitness).
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (graft.Sessions.gridDecisions.get(metric) == null &&
         System.nanoTime() < deadline) Thread.sleep(50)
+      require(graft.Sessions.gridDecisions.get(metric) != null,
+        s"no grid decision for $metric after 30s — listener bus dropped the " +
+          "observe event, or this session lacks the grid witness listener")
       val rt = new JobRuntime(s)
       try {
         rt.registerGridDecisionsView()

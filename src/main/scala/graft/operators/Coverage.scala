@@ -174,9 +174,13 @@ object Coverage {
   private val customUdaf = QueryDef(
     "q_agg_custom_udaf",
     (s, d) => {
-      // graft_wmean is session-registered once in Sessions (not here): a
-      // per-build udf.register spams "replaced a previously registered
-      // function" across every bench/verify pass.
+      // Sessions registers graft_wmean once per session; the existence
+      // check keeps THIS query self-contained on any session (an embedder
+      // building its own SparkSession must not fail at analysis) without
+      // the per-build re-registration warning a bare register() spams.
+      if (!s.catalog.functionExists("graft_wmean"))
+        s.udf.register("graft_wmean",
+          org.apache.spark.sql.functions.udaf(graft.functions.WeightedMean))
       t(s, d, "lineitem")
         .select(col("l_returnflag"),
           col("l_quantity").cast("long").as("v"),

@@ -293,6 +293,20 @@ object EventOps {
     * production form is the approx-only aggregation — co-computing exact
     * here is the certification harness, not the scale path. */
   private[graft] val HOP_HLL_TOL = 0.02
+
+  /** The PRODUCTION form of the approx hopping window — the approx-only
+    * aggregation with no exact co-computation. The gated query below is
+    * the certification harness (it must co-compute exact to emit the
+    * error-contract boolean); anything measuring the 100 TB shape — the
+    * ScaleProbe — must time THIS plan, or it reintroduces the
+    * O(distinct (window, user)) partial-dedup state the sketch exists to
+    * avoid and measures the harness instead of the operator. */
+  private[graft] def hoppingApproxProductionPlan(s: SparkSession,
+      d: String): DataFrame =
+    hoppingFrame(s, d)
+      .groupBy(col("w_start"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
   private val hoppingWindowApprox = QueryDef(
     "q_hopping_window_approx",
     (s, d) =>

@@ -865,8 +865,10 @@ object Dedup {
         // (p, q) cell of ≤ CELL² pair evaluations); the explicit numbered
         // repartition on the cell key keeps AQE's byte-based coalescing
         // from packing the CPU-quadratic cells onto one task.
-        val keyed = docs(s, d).select(col("doc_id"),
-          rpad(substring(col("text"), 1, KLEN), KLEN, "~").as("k"))
+        // keyed comes from fuzzyParts (its ONE-construction invariant): a
+        // second inline copy of the rpad-20 normalization could silently
+        // diverge from the candidate keys and drop every cross-key pair.
+        val (keyed, _, _) = fuzzyParts(s, d)
         val close = fuzzyCandidates(s, d)
           .select(col("ka"), col("kb")).distinct()
           .withColumn("dist",

@@ -310,7 +310,7 @@ object Similarity {
   }
 
   /** One metadata row count per corpus per JVM (same content-token cache
-    * discipline as [[ivfCentroids]]): repeated plan builds — verify, bench
+    * discipline as [[semCentroids]]): repeated plan builds — verify, bench
     * warm+timed passes, spec sweeps — reuse the count instead of scheduling
     * a job each. */
   private val corpusSizeCache = new java.util.concurrent.ConcurrentHashMap[
@@ -490,7 +490,7 @@ object Similarity {
     * Scale: assignment is map-side against a literal tensor (the
     * [[annIvf]] routing shape); the update is one (cl, pos)-keyed shuffle
     * of 64-per-vector longs; K·DIM driver rows per iteration is metadata,
-    * not data ([[ivfCentroids]] discipline, content-token cached). */
+    * not data ([[semCentroids]] discipline, content-token cached). */
   /** Quantized vectors as INTEGER-VALUED doubles: every component, every
     * sum of squares, and every dot product below stays an integer < 2^53,
     * where double addition is exact and order-free — so `graft_cosine`
