@@ -50,6 +50,8 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_dedup_minhash",         // graft_jaccard + block grid + shingle store
     "q_dedup_semantic",        // graft_cosine pair stage + localCheckpoint
     "q_asof_chunked",          // union-fed chunk window + carry join
+    "q_dedup_semantic_adaptive", // corpus-derived k, wide argmax tensor
+    "q_snapshot_drift",        // two-parquet-root release comparison
     "q_hopping_window_approx", // HLL sketches merged across executors
     "q_multimodal_features",   // PNG decode inside executor mapPartitions
     "q_substring_dedup",       // co-partitioned fingerprint semi join
@@ -143,6 +145,34 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(h.fetch(h.tickets.head).size == 10000)
       assert(h.status == JobStatus.Completed)
     } finally rt.close()
+  }
+
+  test("structured streaming runs its stateful aggregation on remote executors") {
+    // Watermarked windowed counts through a MemoryStream on the cluster
+    // session: the stateful aggregation's state store partitions live in
+    // executor JVMs (HDFSBackedStateStore under the shared local FS), the
+    // surface local[n] can't exercise. Same data/asserts as
+    // StreamingSpec's first test's head.
+    // cluster is a var; implicits need a stable path.
+    val c = cluster
+    implicit val sqlCtx = c.sqlContext
+    import c.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[graft.streaming.EventRow]
+    val q = graft.streaming.EventStream
+      .startWindowedQuery(cluster, input.toDF(), "lc_win_counts")
+    try {
+      def ts(min: Int, sec: Int): java.sql.Timestamp =
+        java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+      input.addData(
+        graft.streaming.EventRow(1, ts(0, 10), 1, "click", 1.0),
+        graft.streaming.EventRow(2, ts(0, 40), 2, "click", 2.0),
+        graft.streaming.EventRow(3, ts(1, 10), 1, "view", 3.0))
+      q.processAllAvailable()
+      val got = cluster.sql("SELECT event_type, n FROM lc_win_counts")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == Map("click" -> 2L, "view" -> 1L), s"windowed counts: $got")
+    } finally q.stop()
   }
 
   test("panic() in a remote executor fails the job, not the service") {
