@@ -533,7 +533,7 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   Tables.registerTempCacheCleanup(clusterLabelsCache)
 
-  private def clusterLabelsCached(s: SparkSession, d: String): DataFrame =
+  private[pipeline] def clusterLabelsCached(s: SparkSession, d: String): DataFrame =
     Tables.contentKeyedTempParquet(clusterLabelsCache, s,
       s"$d/documents.parquet", "graft-cluster-labels")(clusterLabels(s, d))
 

@@ -227,7 +227,53 @@ object Sampling {
       SELECT doc_id, w, (${hexFold("hx")}) // w AS priority
       FROM h ORDER BY priority, doc_id LIMIT 100"""))
 
+  /** LEAKAGE-SAFE train/valid/test split: hash-split like [[sampleSplit]],
+    * but the split key is the near-dup CLUSTER's canonical id
+    * (min doc_id in the component, [[Dedup.clusterLabelsCached]]) rather
+    * than the document's own id — every member of a duplicate cluster
+    * lands in the same split, so a test document can never have a near-dup
+    * twin sitting in train (the eval-contamination channel a plain
+    * per-document split leaves open; the standard hygiene rule behind
+    * group-aware splitting). Unclustered documents split by their own id,
+    * identically to [[sampleSplit]].
+    *
+    * Scale: the labels come from the persisted per-corpus store (built
+    * once, like the shingle index); this query is then one doc_id-keyed
+    * left join (labels are cluster members only — the overwhelming
+    * minority — so AQE broadcasts them at any realistic dup rate) plus a
+    * map-side hash projection. Oracle: the same recursive-CTE components
+    * the clustering oracle computes, joined and split by the same
+    * portable hash. */
+  private val splitLeakageSafe = QueryDef(
+    "q_split_leakage_safe",
+    (s, d) => {
+      val labels = Dedup.clusterLabelsCached(s, d)
+      val key = coalesce(col("cluster_id"), col("doc_id"))
+      val bucket = splitHash(key) % 10
+      Tables.t(s, d, "documents")
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(bucket < 8, "train").when(bucket === 8, "valid")
+            .otherwise("test").as("split"))
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.pairsCteSql("documents", 0.5)},
+      edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      reach(src, dst) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+      comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+               FROM reach GROUP BY src)
+      SELECT d.doc_id,
+        CASE WHEN (COALESCE(c.cluster_id, d.doc_id) * 40503) % 65536 % 10 < 8
+               THEN 'train'
+             WHEN (COALESCE(c.cluster_id, d.doc_id) * 40503) % 65536 % 10 = 8
+               THEN 'valid'
+             ELSE 'test' END AS split
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleSplit, sampleStratified, mixSources, langRebalance, shardShuffle,
-      sampleWeighted)
+      sampleWeighted, splitLeakageSafe)
 }

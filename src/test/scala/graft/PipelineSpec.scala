@@ -469,6 +469,35 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected, s"survivor rule diverged: got $got want $expected")
   }
 
+  test("q_split_leakage_safe: no near-dup pair straddles a split boundary") {
+    // The leakage contract itself, asserted from two independent outputs:
+    // every verified near-dup pair (q_dedup_ngram, exact Jaccard >= 0.5)
+    // must land in ONE split — the eval-contamination channel a plain
+    // per-document split leaves open. Plus: unclustered docs split exactly
+    // like q_sample_split would (the rule degrades to the plain split),
+    // and all three splits are populated.
+    val split = SparkEntry.queries("q_split_leakage_safe")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus should contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"leak: pair ($a, $b) split as (${split(a)}, ${split(b)})")
+    }
+    val clustered = SparkEntry.queries("q_dedup_clusters")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    def plainSplit(id: Long): String = {
+      val b = (id * 40503L) % 65536L % 10L
+      if (b < 8) "train" else if (b == 8) "valid" else "test"
+    }
+    split.filterNot { case (id, _) => clustered(id) }.foreach { case (id, sp) =>
+      assert(sp == plainSplit(id), s"unclustered doc $id must split plainly")
+    }
+    assert(split.values.toSet == Set("train", "valid", "test"),
+      s"all splits populated: ${split.values.toSet}")
+  }
+
   test("q_phash_dedup pairs identical images and isolates the rest") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-phash-docs").toString
