@@ -641,6 +641,38 @@ object Dedup {
           AS dup_frac_e6
       FROM d, p, u"""))
 
+  /** Cross-source duplication matrix: verified near-dup pair counts per
+    * UNORDERED source pair — the curation view that answers "which crawls
+    * duplicate each other" (and how much of a new source is already
+    * covered by the existing mix) before anyone pays to ingest it.
+    * Reuses [[verifiedPairs]] and the materialized shingle index; the
+    * marginal cost is two doc_id-keyed joins to the (doc_id, source)
+    * projection — text never shuffles — and a source-grain aggregate
+    * (source cardinality is tiny at any corpus size, so the final
+    * aggregate is metadata). The pair is canonicalized with
+    * least/greatest so (A,B) and (B,A) count once. */
+  private val dedupCrossSource = QueryDef(
+    "q_dedup_cross_source",
+    (s, d) => {
+      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    Some(s"""WITH ${pairsCteSql("documents", 0.5)}
+      SELECT LEAST(da.source, db.source) AS source_a,
+        GREATEST(da.source, db.source) AS source_b,
+        CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs p
+      JOIN documents da ON p.a_id = da.doc_id
+      JOIN documents db ON p.b_id = db.doc_id
+      GROUP BY 1, 2"""))
+
   /** Cluster-representative selection — the survivor rule a curation
     * pipeline applies AFTER clustering: within each near-dup component,
     * keep the highest-quality member (here: most tokens, the keep-longest
@@ -896,5 +928,5 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash, dedupSimhash,
-      dedupClusters, dedupReport, fuzzyJoin, dedupKeepBest)
+      dedupClusters, dedupReport, fuzzyJoin, dedupKeepBest, dedupCrossSource)
 }

@@ -163,5 +163,79 @@ object Profiling {
       JOIN cells c ON k.r = c.r AND k.bucket = c.bucket
       GROUP BY 1, 2"""))
 
-  val all: Seq[QueryDef] = Seq(profileTable, sketchCms)
+  /** Approximate quantiles with a GATED error contract — the
+    * q_hopping_window_approx certification pattern applied to the second
+    * sketch family a profiling stage runs at 100 TB: `approx_percentile`
+    * (Greenwald-Khanna, fixed-size mergeable state, one pass) instead of
+    * exact `percentile` (sort-buffer per group). Sketch values are
+    * implementation-specific, so the gated output is the CONTRACT: per
+    * (column, quantile), a boolean that the approx value's RANK interval
+    * intersects the sketch's guarantee window — Spark co-computes the
+    * exact rank interval of the approx value (two one-pass aggregates
+    * joined at metadata grain) and checks
+    * [count(<v), count(<=v)] ∩ [qN − εN − 1, qN + εN + 1] ≠ ∅ for
+    * ε = 1/accuracy; the oracle emits the same (column, quantile) grid
+    * with TRUE. Rank (not value) error is what GK guarantees — a
+    * value-error bound would be vacuous on skewed columns — and the
+    * INTERVAL form is the correct statement under ties (l_quantity has
+    * 50 discrete values, so a returned value occupies a ~2%-of-N-wide
+    * rank range and any point-rank check fails regardless of sketch
+    * quality; measured before this form landed). */
+  private val QUANTS = Seq(0.5, 0.9, 0.99)
+  private val GK_ACC = 1000
+  private val profileQuantiles = QueryDef(
+    "q_profile_quantiles",
+    (s, d) => {
+      val li = Tables.t(s, d, "lineitem")
+      val cols = Seq("l_extendedprice", "l_quantity")
+      val qarr = array(QUANTS.map(lit): _*)
+      // One pass: every column's sketch in one aggregate row.
+      val approxRow = li.agg(
+        count(lit(1)).as("n"),
+        approx_percentile(col(cols.head).cast("double"), qarr, lit(GK_ACC))
+          .as(s"ap_${cols.head}"),
+        approx_percentile(col(cols(1)).cast("double"), qarr, lit(GK_ACC))
+          .as(s"ap_${cols(1)}"))
+      // (column, q, approx value) rows, metadata-sized.
+      val est = cols.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        (acc, c) =>
+          val one = approxRow.select(lit(c).as("colname"), col("n"),
+            posexplode(col(s"ap_$c"))).toDF("colname", "n", "qi", "est")
+          Some(acc.fold(one)(_.unionByName(one)))
+      }.get
+      // Exact rank INTERVAL of each approx value: one more pass counting
+      // values < est and <= est per (column, quantile) — a broadcast of
+      // the tiny est table against the fact scan, aggregated map-side.
+      // With TIES (l_quantity is 50 discrete values) the returned value
+      // occupies the whole rank interval (count(<v), count(<=v)]; GK
+      // guarantees SOME occupied position lies within eps*N of q*N, so
+      // the contract is interval INTERSECTION, not a point check — a
+      // point rank/N would fail on any coarse column no matter how good
+      // the sketch is.
+      val ranks = cols.map { c =>
+        li.select(col(c).cast("double").as("v")).crossJoin(
+          broadcast(est.filter(col("colname") === c)
+            .select(col("qi"), col("est"))))
+          .groupBy(col("qi"))
+          .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("rank_lt"),
+            sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("rank_le"))
+          .withColumn("colname", lit(c))
+      }.reduce(_.unionByName(_))
+      est.join(ranks, Seq("colname", "qi"))
+        .select(col("colname"),
+          floor(element_at(typedLit(QUANTS), col("qi") + 1) * 100).cast("long")
+            .as("q_pct"),
+          {
+            val target = element_at(typedLit(QUANTS), col("qi") + 1) *
+              col("n").cast("double")
+            val eps = lit(1.0 / GK_ACC) * col("n").cast("double") + 1.0
+            (col("rank_le").cast("double") >= target - eps &&
+              col("rank_lt").cast("double") <= target + eps).as("within_bound")
+          })
+    },
+    Some("""SELECT c.colname, q.q_pct, TRUE AS within_bound
+      FROM (VALUES ('l_extendedprice'), ('l_quantity')) c(colname),
+           (VALUES (CAST(50 AS BIGINT)), (90), (99)) q(q_pct)"""))
+
+  val all: Seq[QueryDef] = Seq(profileTable, sketchCms, profileQuantiles)
 }
