@@ -333,6 +333,43 @@ class SkewSpec extends SparkSpec {
       s"saturated semantic must recommend adaptive-k: $sem")
   }
 
+  test("q_dedup_auto routes on the saturated decision and keeps the answer") {
+    import graft.pipeline.Dedup
+    val metric = Dedup.GRID_METRIC_PREFIX + "simhash"
+    // Default route (registry clear / linear): the SimHash path — its
+    // plan carries the hamming bit_count candidate filter.
+    Sessions.gridDecisions.remove(metric)
+    val defPlan = SparkEntry.queries("q_dedup_auto")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(defPlan.contains("bit_count"),
+      "default route should be the simhash path")
+    val defRows = SparkEntry.queries("q_dedup_auto")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Seed a saturated decision: the router must take the documented
+    // escape (MinHash banding — no hamming filter in the plan)...
+    Sessions.gridDecisions.put(metric,
+      Dedup.GridDecision("simhash", 50000, 64, "saturated", Some("minhash")))
+    try {
+      val escPlan = SparkEntry.queries("q_dedup_auto")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!escPlan.contains("bit_count"),
+        "saturated route should be the minhash path")
+      // ...and the switch can only IMPROVE completeness: both strategies
+      // end in the same exact-Jaccard verification (identical precision),
+      // and minhash's candidate recall dominates — it is blind to nothing
+      // simhash sees, while simhash's tf-weighted radius misses
+      // tf-divergent near-dups. This corpus proves the strict case: it
+      // carries real J >= 0.5 pairs outside hamming radius 6 (the
+      // documented blind spot), which the escape route finds.
+      val escRows = SparkEntry.queries("q_dedup_auto")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(defRows.subsetOf(escRows),
+        s"the escape route lost pairs: ${defRows -- escRows}")
+      assert((escRows -- defRows).nonEmpty,
+        "this corpus should exhibit simhash's tf blind spot (see scaladoc)")
+    } finally Sessions.gridDecisions.remove(metric)
+  }
+
   test("fuzzy-join grid escalates on a hot gram bucket (cells table)") {
     // Every key shares the segment-0 gram "aaaaa" (the tails are distinct
     // and a-free, so shifted probe windows stay out of that bucket): one
