@@ -86,6 +86,9 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     local.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // The local expected-pass above also fires the grid witness; clear it
+    // so the telemetry test below proves the CLUSTER path, not a leftover.
+    Sessions.gridDecisions.remove(graft.pipeline.Dedup.GRID_METRIC_PREFIX + "minhash")
     val b = SparkSession.builder()
       .master("local-cluster[2,4,4096]")
       .config("spark.executor.memory", "3g")
@@ -117,6 +120,25 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(canon(SparkEntry.queries(name)(cluster, sfDir)) == expected(name),
         s"$name diverged between local[8] and local-cluster execution")
     }
+  }
+
+  test("grid occupancy telemetry flows from remote executors to the registry") {
+    // The occupancy witness is an observe() (CollectMetrics) whose partial
+    // aggregates are computed IN executor JVMs and merged on the driver's
+    // listener bus — the telemetry path the decision layer (and the
+    // grid_decisions view) depends on. The slice above ran
+    // q_dedup_minhash on the cluster session; its decision must have
+    // landed.
+    val metric = graft.pipeline.Dedup.GRID_METRIC_PREFIX + "minhash"
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var d: graft.pipeline.Dedup.GridDecision = null
+    while (d == null && System.nanoTime() < deadline) {
+      d = Sessions.gridDecisions.get(metric)
+      if (d == null) Thread.sleep(50)
+    }
+    assert(d != null, "no grid decision arrived from the cluster run")
+    assert(d.regime == "linear" && d.maxBucket > 0,
+      s"unexpected decision from the cluster run: $d")
   }
 
   test("gateway ticketed fetch drains partitions cached on remote executors") {
