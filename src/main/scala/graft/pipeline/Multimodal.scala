@@ -423,9 +423,41 @@ object Multimodal {
       SELECT h.doc_id, h.b0, h.b1, h.b2, h.b3, COALESCE(c.n_dup, 0) AS n_dup
       FROM h LEFT JOIN cnt c USING (doc_id)"""))
 
+  /** Acoustic fingerprinting over the real WAV corpus: the audio analog
+    * of the image family's dHash — per-window quantized energy levels,
+    * the signature a 100 TB audio pipeline bands on for near-dup
+    * detection (identical plumbing to [[q_phash_dedup]]'s: decode in
+    * executor mapPartitions, signature as integer columns, banding as an
+    * equi join — this corpus's closed-form PCM has no planted audio
+    * twins, so the gated output is the fingerprint table itself and the
+    * oracle recomputes every level from the sample formula, proving the
+    * full decode→window→quantize path). */
+  private val audioFingerprint = QueryDef(
+    "q_audio_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      audioTable(s, d).as[MediaItem]
+        .mapPartitions(items => items.map(it =>
+          AudioCodec.fingerprint(it.doc_id, it.media)))
+        .toDF()
+        .select(col("doc_id"), col("n_windows"), col("fp"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, 400 + doc_id % 197 AS n FROM documents),
+      s AS (
+        SELECT d.doc_id, i.range AS i,
+          abs(((d.doc_id * 131 + i.range * 17) % 4001) - 2000) AS a
+        FROM d, range(0, 597) i WHERE i.range < d.n),
+      w AS (
+        SELECT doc_id, i // 100 AS w, CAST(SUM(a) // 25000 AS BIGINT) AS lvl
+        FROM s GROUP BY doc_id, i // 100)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        string_agg(CAST(lvl AS VARCHAR), '-' ORDER BY w) AS fp
+      FROM w GROUP BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(multimodal, multimodalFrames, multimodalResize, multimodalAudio,
-      multimodalVideo, phashDedup)
+      multimodalVideo, phashDedup, audioFingerprint)
 }
 
 /** Frame stats for one decoded video item: frame count from the container,
@@ -553,6 +585,15 @@ final case class AudioFeatures(
     sample_rate: Long,
     sum_abs: Long,
     max_abs: Long)
+
+/** Acoustic fingerprint of one audio item: quantized per-window energy
+  * levels from a REAL WAV decode (see [[AudioCodec.fingerprint]]).
+  * All-integer so the oracle recomputes it exactly from the sample
+  * formula. */
+final case class AudioFingerprint(
+    doc_id: Long,
+    n_windows: Long,
+    fp: String)
 
 /** Frame-sampling stats for one media item. */
 final case class MediaFrameStats(
@@ -745,6 +786,41 @@ object AudioCodec {
     javax.sound.sampled.AudioSystem.write(stream,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
+  }
+
+  /** Acoustic-fingerprint geometry: non-overlapping FP_WINDOW-sample
+    * energy windows, each window's sum-of-|amplitude| quantized by
+    * FP_QUANTUM into a small level — the per-window energy signature an
+    * audio pipeline banding-joins on (the Shazam-family shape reduced to
+    * its energy skeleton; a production system would hash spectral peaks,
+    * but the windowing/quantize/band plumbing is identical). Mean |amp|
+    * is ~1000, so a full window's sum is ~100k and levels sit in 0..8 —
+    * coarse enough to be decode-stable, fine enough to discriminate. */
+  val FP_WINDOW = 100
+  val FP_QUANTUM = 25000L
+
+  /** Windowed-energy fingerprint from a REAL WAV decode: all-integer, so
+    * the DuckDB oracle reproduces it exactly from the closed-form sample
+    * formula — the gate validates encode → RIFF → AudioSystem decode →
+    * windowing → quantization end to end. */
+  def fingerprint(id: Long, wav: Array[Byte]): AudioFingerprint = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val bytes = in.readAllBytes()
+    in.close()
+    val n = bytes.length / 2
+    val nw = (n + FP_WINDOW - 1) / FP_WINDOW
+    val sums = new Array[Long](nw)
+    var i = 0
+    while (i < n) {
+      val a = ((bytes(i * 2 + 1) << 8) | (bytes(i * 2) & 0xFF)).toShort.toInt
+      sums(i / FP_WINDOW) += math.abs(a).toLong
+      i += 1
+    }
+    // String-rendered levels (not an array column): the driver's hash
+    // compare is scalar-typed, and the dash-joined form is also the
+    // natural band-join key.
+    AudioFingerprint(id, nw.toLong, sums.map(_ / FP_QUANTUM).mkString("-"))
   }
 
   /** Decode a WAV payload via `AudioSystem` and compute sample stats. */
