@@ -90,7 +90,12 @@ object Bench {
     var kept = timed.sortBy(-_._2)
     while (jsonWith(kept).length > 1800 && kept.nonEmpty) kept = kept.init
     val json = jsonWith(kept)
-    try {
+    // Only FULL-suite runs write the durable per-query record: a narrowed
+    // dev run (explicit query args) would otherwise litter the repo with
+    // round-stamped files carrying one or two queries, and a
+    // SPARK_GRAFT_ROUND-stamped narrow run would even CLOBBER the round's
+    // real record.
+    if (args.isEmpty) try {
       val full = jsonWith(timed)
       // No round in the env -> timestamp, so successive unstamped runs
       // (driver rounds included) never overwrite each other's record.
