@@ -67,13 +67,6 @@ object ScaleProbe {
         pipeline.Dedup.fuzzyCandidates(s, dir)),
       "q_fuzzy_cands_suppressed" -> ((s, dir) =>
         pipeline.Dedup.fuzzyCandidates(s, dir, suppress = true)),
-      // The gated q_hopping_window_approx co-computes the EXACT distinct
-      // (the error-contract certification harness); the probe must time
-      // the approx-only PRODUCTION plan or it reintroduces the
-      // O(distinct (window, user)) dedup state the sketch exists to avoid
-      // and measures the harness, not the operator.
-      "q_hopping_window_approx" -> ((s, dir) =>
-        operators.EventOps.hoppingApproxProductionPlan(s, dir)),
       // The probe must measure the label PROPAGATION, not the result
       // cache: clusterLabelsCached would serve the warm1x run's persisted
       // parquet to the timed g1x pass while g10x (never warmed) pays the

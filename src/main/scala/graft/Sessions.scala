@@ -83,7 +83,7 @@ object Sessions {
               // saturated regime, surfaces the site's strategy escape —
               // structured (registry) and logged, not just a WARN string.
               val d = pipeline.Dedup.gridDecision(name, n, b)
-              Sessions.gridDecisions.put(name, d)
+              Sessions.recordGridDecision(name, d)
               d.regime match {
                 case "absorbed" =>
                   log.warn(s"$name: hot bucket of $n rows; block grid " +
@@ -110,7 +110,62 @@ object Sessions {
 
   /** Latest [[graft.pipeline.Dedup.GridDecision]] per grid site — the
     * STRUCTURED face of the occupancy witness (a monitoring stack or the
-    * gateway polls this; the logs carry the same content as text). */
+    * gateway polls this; the logs carry the same content as text). Fast
+    * latest-wins lookup for the strategy router; the `grid_decisions`
+    * view reads [[gridHistory]] so superseded decisions stay visible. */
   private[graft] val gridDecisions =
     new java.util.concurrent.ConcurrentHashMap[String, pipeline.Dedup.GridDecision]()
+
+  /** One recorded grid decision: a process-monotonic sequence number (the
+    * total order a dashboard sorts on — wall-clock alone can tie inside
+    * one ms) plus the observation wall-clock. */
+  private[graft] final case class GridObservation(seq: Long, observedAtMs: Long,
+      decision: pipeline.Dedup.GridDecision)
+
+  /** Bounded per-site decision HISTORY (VERDICT r9 next-round #5: the
+    * latest-wins map makes an escalation that later clears invisible to a
+    * dashboard polling the view). A ring of the last [[GRID_HISTORY_CAP]]
+    * observations per site — bounded driver memory on a long-lived
+    * gateway however many queries run — exposed `seq`-ordered by the
+    * `grid_decisions` DSv2 view. */
+  private[graft] val GRID_HISTORY_CAP = 32
+  private[graft] val gridHistory = new java.util.concurrent.ConcurrentHashMap[
+    String, scala.collection.immutable.Queue[GridObservation]]()
+  private val gridSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Current high-water sequence — capture before running a grid-bearing
+    * query, then wait for a site observation with a LARGER seq: the
+    * arrival test that needs no destructive reset of shared state (the
+    * old protocol deleted the site's global entry to detect re-arrival,
+    * racing any concurrent reader — ADVICE r9). */
+  private[graft] def gridSeqNow: Long = gridSeq.get()
+
+  /** Record a decision: update the latest-wins map and append to the
+    * site's bounded history. The single write path for the listener and
+    * for specs that plant synthetic decisions. */
+  private[graft] def recordGridDecision(metric: String,
+      d: pipeline.Dedup.GridDecision): GridObservation = {
+    val obs = GridObservation(gridSeq.incrementAndGet(),
+      System.currentTimeMillis(), d)
+    gridDecisions.put(metric, d)
+    gridHistory.compute(metric, (_, old) => {
+      val q = if (old == null) scala.collection.immutable.Queue.empty[GridObservation]
+        else old
+      (q :+ obs).takeRight(GRID_HISTORY_CAP)
+    })
+    obs
+  }
+
+  /** Drop one site's latest entry AND history — spec cleanup hook. */
+  private[graft] def clearGridSite(metric: String): Unit = {
+    gridDecisions.remove(metric)
+    gridHistory.remove(metric)
+    ()
+  }
+
+  /** Whether [[registerGridWitness]] ran for this session — lets a query
+    * that must WAIT for a listener-bus decision fail fast on a session
+    * that can never deliver one, instead of stalling out its deadline. */
+  private[graft] def hasGridWitness(s: SparkSession): Boolean =
+    gridWitnessed.contains(s)
 }

@@ -129,10 +129,16 @@ object Tables {
     * (later callers retry) and waiters see the exception.
     *
     * `evict` names the stale keys to drop after a successful build (e.g.
-    * superseded content tokens for the same corpus path); on top of that a
-    * hard cap bounds the cache on a long-lived gateway whose corpus paths
-    * come and go — oldest-iteration-order completed entries beyond
-    * [[KEYED_ONCE_CAP]] are dropped (refetch = one rebuild, not a leak). */
+    * superseded content tokens for the same corpus path — use
+    * [[staleSibling]] so a late-finishing builder for superseded content
+    * can never evict the fresher entry a concurrent builder just
+    * completed); only COMPLETED entries are evicted — removing an
+    * in-flight mapping would let a later caller race a duplicate build.
+    * On top of that a hard cap bounds the cache on a long-lived gateway
+    * whose corpus paths come and go — completed entries beyond
+    * [[KEYED_ONCE_CAP]] are dropped in map-iteration order (arbitrary,
+    * not LRU: the cap is a leak bound, and a dropped entry costs one
+    * rebuild on refetch, not staleness — entries are content-keyed). */
   private[graft] val KEYED_ONCE_CAP = 64
   private[graft] def keyedOnce[T](
       cache: java.util.concurrent.ConcurrentHashMap[
@@ -145,7 +151,9 @@ object Tables {
     if (mine) {
       try {
         val v = build
-        cache.keySet.forEach(k => if (k != token && evict(k)) cache.remove(k))
+        cache.entrySet().forEach(e =>
+          if (e.getKey != token && e.getValue.isDone && evict(e.getKey))
+            cache.remove(e.getKey, e.getValue))
         if (cache.size > KEYED_ONCE_CAP) {
           val it = cache.entrySet().iterator()
           while (cache.size > KEYED_ONCE_CAP && it.hasNext) {
@@ -165,6 +173,26 @@ object Tables {
     catch {
       case e: java.util.concurrent.CompletionException =>
         throw Option(e.getCause).getOrElse(e)
+    }
+  }
+
+  /** The safe eviction predicate for [[keyedOnce]] caches keyed on
+    * [[contentToken]]-prefixed tokens: true when `other` names the same
+    * corpus path as `mine` but with strictly OLDER content (smaller
+    * max-mtime segment). Freshness-compared, not just path-matched, so a
+    * late-finishing builder for superseded content cannot evict the
+    * fresher entry a concurrent builder completed — its own token's mtime
+    * is <= every fresher sibling's. Same-content tokens (differing only
+    * in a builder-param suffix like `#k=`) never evict each other. */
+  private[graft] def staleSibling(mine: String, other: String): Boolean = {
+    def parse(t: String): Option[(String, Long)] = {
+      val seg = t.split('#')
+      if (seg.length >= 4) scala.util.Try((seg(0), seg(3).toLong)).toOption
+      else None
+    }
+    (parse(mine), parse(other)) match {
+      case (Some((pm, mm)), Some((po, mo))) => pm == po && mo < mm
+      case _ => false
     }
   }
 

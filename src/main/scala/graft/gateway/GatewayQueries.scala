@@ -61,39 +61,65 @@ object GatewayQueries {
     * recommendation, so the materialized observation is a fixed relation
     * (the escalated/saturated regimes are spec-gated in SkewSpec, where
     * the corpus is constructed). */
+  private val gridObservedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Array[org.apache.spark.sql.Row]]]()
+
   private val gridDecisions = QueryDef(
     "q_grid_decisions",
     (s, d) => {
-      val metric = graft.pipeline.Dedup.GRID_METRIC_PREFIX + "minhash"
-      graft.Sessions.gridDecisions.remove(metric)
-      graft.pipeline.Dedup.all.find(_.name == "q_dedup_minhash").get
-        .build(s, d).write.format("noop").mode("overwrite").save()
-      // Observed metrics arrive on the async listener bus; bounded wait,
-      // then fail LOUDLY — a silent fall-through would surface as an
-      // opaque 0-vs-1-row hash mismatch at the driver instead of naming
-      // the real cause (listener-bus drop, or a session that never went
-      // through Sessions.registerGridWitness).
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (graft.Sessions.gridDecisions.get(metric) == null &&
-        System.nanoTime() < deadline) Thread.sleep(50)
-      require(graft.Sessions.gridDecisions.get(metric) != null,
-        s"no grid decision for $metric after 30s — listener bus dropped the " +
-          "observe event, or this session lacks the grid witness listener")
-      val rt = new JobRuntime(s)
-      try {
-        rt.registerGridDecisionsView()
-        val observed = s.sql("""SELECT site, regime,
-            CAST(recommendation IS NULL AS BOOLEAN) AS no_escape
-          FROM grid_decisions WHERE site = 'minhash'""").collect()
-        s.createDataFrame(java.util.Arrays.asList(observed: _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("site",
-              org.apache.spark.sql.types.StringType, nullable = false),
-            org.apache.spark.sql.types.StructField("regime",
-              org.apache.spark.sql.types.StringType, nullable = false),
-            org.apache.spark.sql.types.StructField("no_escape",
-              org.apache.spark.sql.types.BooleanType, nullable = false))))
-      } finally rt.close()
+      // Once per corpus content per JVM (ADVICE r9: every plan BUILD —
+      // PlanSpec iterates all queries — paid a full minhash dedup): the
+      // observation is deterministic per corpus, so repeated builds serve
+      // the cached rows; a regenerated corpus re-certifies.
+      val token = Tables.contentToken(s"$d/documents.parquet")
+      val observed = Tables.keyedOnce(gridObservedCache, token)(
+        Tables.staleSibling(token, _)) {
+        val metric = graft.pipeline.Dedup.GRID_METRIC_PREFIX + "minhash"
+        // Fail FAST on a session that can never deliver a decision —
+        // the old protocol slept its full 30s deadline first (ADVICE r9).
+        require(graft.Sessions.hasGridWitness(s),
+          "this session lacks the grid-witness listener " +
+            "(build it via Sessions.local / Sessions.registerGridWitness)")
+        // Arrival detection WITHOUT mutating shared state: capture the
+        // sequence high-water, run the grid-bearing dedup, wait for a
+        // minhash observation with a larger seq. The old protocol
+        // deleted the site's global entry to detect re-arrival — racing
+        // any concurrent build or dashboard poll (ADVICE r9).
+        val seq0 = graft.Sessions.gridSeqNow
+        def arrived(): Boolean =
+          Option(graft.Sessions.gridHistory.get(metric))
+            .exists(_.exists(_.seq > seq0))
+        graft.pipeline.Dedup.all.find(_.name == "q_dedup_minhash").get
+          .build(s, d).write.format("noop").mode("overwrite").save()
+        // Observed metrics arrive on the async listener bus; bounded
+        // wait, then fail LOUDLY — a silent fall-through would surface
+        // as an opaque 0-vs-1-row hash mismatch at the driver instead of
+        // naming the real cause (a listener-bus drop).
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!arrived() && System.nanoTime() < deadline) Thread.sleep(50)
+        require(arrived(),
+          s"no grid decision for $metric after 30s — listener bus dropped " +
+            "the observe event")
+        val rt = new JobRuntime(s)
+        try {
+          rt.registerGridDecisionsView()
+          // Latest decision for the site = max-seq row (the view exposes
+          // the full bounded history; earlier certifications remain
+          // visible but this gate checks the current regime).
+          s.sql("""SELECT site, regime,
+              CAST(recommendation IS NULL AS BOOLEAN) AS no_escape
+            FROM grid_decisions WHERE site = 'minhash'
+            ORDER BY seq DESC LIMIT 1""").collect()
+        } finally rt.close()
+      }
+      s.createDataFrame(java.util.Arrays.asList(observed: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("site",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("regime",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("no_escape",
+            org.apache.spark.sql.types.BooleanType, nullable = false))))
     },
     Some("""SELECT 'minhash' AS site, 'linear' AS regime, TRUE AS no_escape"""))
 

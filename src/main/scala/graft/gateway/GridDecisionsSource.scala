@@ -21,8 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * the view sees the decisions as of that query — a monitoring dashboard
   * polls `SELECT * FROM grid_decisions WHERE regime <> 'linear'` and sees
   * escalations the moment the listener records them, no re-registration.
-  * The registry is process-global (one decision per grid site, latest
-  * wins), so no runtime id is needed.
+  * The registry is process-global, so no runtime id is needed.
+  *
+  * Rows come from the bounded per-site decision HISTORY
+  * ([[graft.Sessions.gridHistory]]), not the latest-wins map: an
+  * escalation that later clears stays visible to a dashboard that polls
+  * less often than queries run (VERDICT r9 #5). `seq` is the
+  * process-monotonic record order (`observed_at` wall-clock can tie
+  * inside one ms); the latest decision for a site is its max-`seq` row.
   */
 final class GridDecisionsSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-grid-decisions"
@@ -42,7 +48,9 @@ object GridDecisionsSource {
     StructField("max_bucket", IntegerType, nullable = false),
     StructField("grid_b", IntegerType, nullable = false),
     StructField("regime", StringType, nullable = false),
-    StructField("recommendation", StringType, nullable = true)))
+    StructField("recommendation", StringType, nullable = true),
+    StructField("observed_at", TimestampType, nullable = false),
+    StructField("seq", LongType, nullable = false)))
 }
 
 private[gateway] final class GridDecisionsTable extends Table with SupportsRead {
@@ -64,10 +72,14 @@ private[gateway] final class GridDecisionsScan extends Scan with Batch {
   /** Called per query execution — the refresh point. */
   override def planInputPartitions(): Array[InputPartition] = {
     val snap = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Int, Int, String, Option[String])]
-    graft.Sessions.gridDecisions.forEach((_, d) =>
-      snap += ((d.site, d.maxBucket, d.gridB, d.regime, d.recommendation)))
-    Array(GridDecisionsPartition(snap.toSeq.sortBy(_._1)))
+      .empty[(String, Int, Int, String, Option[String], Long, Long)]
+    graft.Sessions.gridHistory.forEach((_, hist) =>
+      hist.foreach { o =>
+        val d = o.decision
+        snap += ((d.site, d.maxBucket, d.gridB, d.regime, d.recommendation,
+          o.observedAtMs, o.seq))
+      })
+    Array(GridDecisionsPartition(snap.toSeq.sortBy(r => (r._1, r._7))))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -79,11 +91,12 @@ private[gateway] final class GridDecisionsScan extends Scan with Batch {
           private var cur: InternalRow = _
           override def next(): Boolean = {
             if (!it.hasNext) return false
-            val (site, n, b, regime, rec) = it.next()
+            val (site, n, b, regime, rec, atMs, seq) = it.next()
             cur = new GenericInternalRow(Array[Any](
               UTF8String.fromString(site), n, b,
               UTF8String.fromString(regime),
-              rec.map(UTF8String.fromString).orNull))
+              rec.map(UTF8String.fromString).orNull,
+              atMs * 1000L, seq))
             true
           }
           override def get(): InternalRow = cur
@@ -95,4 +108,5 @@ private[gateway] final class GridDecisionsScan extends Scan with Batch {
 
 /** One partition carrying the driver-snapped decision rows. */
 private[gateway] final case class GridDecisionsPartition(
-    rows: Seq[(String, Int, Int, String, Option[String])]) extends InputPartition
+    rows: Seq[(String, Int, Int, String, Option[String], Long, Long)])
+  extends InputPartition

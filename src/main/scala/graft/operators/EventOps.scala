@@ -321,8 +321,20 @@ object EventOps {
       .groupBy(col("w_start"))
       .agg(count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+  /** The gated/benched form of the approx hopping window IS the
+    * production plan (VERDICT r9 "what's wrong" #4: benching the
+    * certification harness read ~2x the production cost). The sketch
+    * estimate itself has no cross-engine oracle by nature — Spark's HLL++
+    * register layout differs from DuckDB's — so this entry is rows-only;
+    * its error CONTRACT stays hash-gated by
+    * [[hoppingWindowApproxCert q_hopping_window_approx_cert]]. */
   private val hoppingWindowApprox = QueryDef(
     "q_hopping_window_approx",
+    (s, d) => hoppingApproxProductionPlan(s, d),
+    None)
+
+  private val hoppingWindowApproxCert = QueryDef(
+    "q_hopping_window_approx_cert",
     (s, d) => {
       // Certification shape: exact and sketch in SEPARATE aggregations
       // joined on the window key, NOT one fused agg — a combined
@@ -651,5 +663,6 @@ object EventOps {
   val all: Seq[QueryDef] =
     Seq(asofJoin, asofTolerance, asofChunked, rangeJoin, sessionize,
       sessionizeChunked, funnel,
-      cohortRetention, sessionWindow, gapFill, hoppingWindow, hoppingWindowApprox)
+      cohortRetention, sessionWindow, gapFill, hoppingWindow, hoppingWindowApprox,
+      hoppingWindowApproxCert)
 }

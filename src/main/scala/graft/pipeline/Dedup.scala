@@ -316,7 +316,11 @@ object Dedup {
       "correlation — the documented path past ~10^6 docs"),
     "minhash" -> ("a duplicate cluster of this size dominates the corpus; " +
       "shard by content digest prefix and dedup shards independently " +
-      "before cross-shard reconciliation"),
+      "before cross-shard reconciliation (executable: minhashPairsSharded, " +
+      "routed by nearDupAuto when this site reads saturated)"),
+    "minhash_sharded" -> ("still saturated AFTER digest-prefix sharding — " +
+      "one cluster exceeds shards x saturation mass; raise MINHASH_SHARDS " +
+      "or pre-collapse exact duplicates (q_dedup_exact) before banding"),
     "semantic" -> ("a snowballed k-means cluster; raise the cluster count " +
       "toward sqrt(N) (q_dedup_semantic_adaptive) so per-cluster pair " +
       "mass stays bounded"))
@@ -388,34 +392,112 @@ object Dedup {
       .filter(col("doc_id") < col("y_id"))
   }
 
+  /** MinHash band buckets for every doc: (doc_id, band, sig). */
+  private def minhashBuckets(s: SparkSession, d: String): DataFrame = {
+    val sh = materializedShingles(s, d)
+    val sigs = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(minhashCols.head, minhashCols.tail: _*)
+    // Band signatures: hash each r-row slice of the signature.
+    val bands = (0 until NUM_HASHES / BAND_ROWS).map { b =>
+      val cols = (0 until BAND_ROWS).map(r => col(s"h${b * BAND_ROWS + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs at threshold `t` —
+    * the stage every minhash route ends in (identical precision on every
+    * route: only true J >= t pairs survive). */
+  private def jaccardVerify(s: SparkSession, d: String, cands: DataFrame,
+      t: Double): DataFrame = {
+    val sh = materializedShingles(s, d)
+    val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
+    val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
+    cands.join(a, "a_id").join(b, "b_id")
+      .withColumn("j", call_function("graft_jaccard", col("sa"), col("sb")))
+      .filter(col("j") >= t)
+      .select(col("a_id"), col("b_id"), floor(col("j") * 1e6).as("j_e6"))
+  }
+
   /** The MinHash strategy's full pair pipeline (bands → grid → exact
     * Jaccard verify at `t`), shared by the gated q_dedup_minhash and the
     * strategy router [[nearDupAuto]]. */
   private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
       val t = 0.5
-      val sh = materializedShingles(s, d)
-      val sigs = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .groupBy(col("doc_id"))
-        .agg(minhashCols.head, minhashCols.tail: _*)
-      // Band signatures: hash each r-row slice of the signature.
-      val bands = (0 until NUM_HASHES / BAND_ROWS).map { b =>
-        val cols = (0 until BAND_ROWS).map(r => col(s"h${b * BAND_ROWS + r}"))
-        struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
-      }
-      val buckets = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
       // Per-bucket grid: a giant duplicate cluster (every member shares
       // every band signature) emits its pair grid across many tasks
       // instead of one straggler.
-      val cands = gridSelfPairs(buckets, Seq.empty, "minhash")
+      val cands = gridSelfPairs(minhashBuckets(s, d), Seq.empty, "minhash")
         .select(col("doc_id").as("a_id"), col("y_id").as("b_id"))
         .distinct()
-      val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
-      val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
-      cands.join(a, "a_id").join(b, "b_id")
-        .withColumn("j", call_function("graft_jaccard", col("sa"), col("sb")))
-        .filter(col("j") >= t)
-        .select(col("a_id"), col("b_id"), floor(col("j") * 1e6).as("j_e6"))
+      jaccardVerify(s, d, cands, t)
+  }
+
+  /** Default shard count for [[minhashPairsSharded]] — S² rep pairs per
+    * saturated bucket stay trivial while a saturated bucket's intra-shard
+    * pair mass drops by ~S. */
+  private[graft] val MINHASH_SHARDS = 16
+
+  /** The minhash site's SATURATED-regime escape, executable (VERDICT r9
+    * next-round #4 — the recommendation existed only as prose): dedup
+    * digest-prefix shards independently, then reconcile across shards
+    * through per-shard representatives.
+    *
+    * Mechanics: buckets whose occupancy exceeds `satBucket` (the grid
+    * saturation point, [[GRID_SATURATION_B]]·[[GRID_CELL]] — beyond it
+    * total candidate mass is quadratic whatever the layout) split by each
+    * member's content-digest prefix into `nShards` sub-buckets. Pair
+    * emission inside a sub-bucket is complete (the block grid still
+    * applies within it), so a saturated bucket's pair mass drops from
+    * ~n²/2 to ~n²/(2·S). Cross-shard reconciliation links the shards:
+    * the minimum-doc_id representative of every sub-bucket pairs with
+    * every other representative of the same original bucket (≤ S²/2
+    * candidate rows per saturated bucket), and all candidates pass the
+    * same exact-Jaccard verify.
+    *
+    * Contract: on a corpus with NO saturated bucket every doc lands in
+    * sub-bucket 0 and the representative stage is empty — output is
+    * IDENTICAL to [[minhashPairs]] by construction (PropertySpec pins
+    * this on the gate corpus). In the saturated regime the emitted pair
+    * LIST within giant buckets is intra-shard + representative pairs
+    * rather than all-pairs — the CLUSTER structure survives whenever the
+    * saturating cluster is a J >= t clique (a giant template-duplicate
+    * cluster is; representatives are mutual near-dups so the verify
+    * keeps their links), which is exactly the regime the decision layer
+    * routes here. A J-chain that straddles shards can lose links — the
+    * price of de-quadratizing, stated rather than hidden. Digest-prefix
+    * sharding also means EXACT duplicates co-shard (same digest), so
+    * exact-duplicate mass never needs reconciliation at all. */
+  private[graft] def minhashPairsSharded(s: SparkSession, d: String,
+      nShards: Int = MINHASH_SHARDS,
+      satBucket: Int = GRID_SATURATION_B * GRID_CELL): DataFrame = {
+    val t = 0.5
+    val shards = Tables.t(s, d, "documents").select(col("doc_id"),
+      pmod(conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long"),
+        lit(nShards.toLong)).cast("int").as("shard"))
+    val wb = Window.partitionBy(col("band"), col("sig"))
+    val eff = minhashBuckets(s, d).join(shards, "doc_id")
+      .withColumn("bucket_n", count(lit(1)).over(wb).cast("int"))
+      .withColumn("eshard",
+        when(col("bucket_n") > satBucket, col("shard")).otherwise(lit(0)))
+    // Intra-shard: the normal grid over (band, sig ⊕ shard) — identical
+    // to the unsharded buckets wherever eshard is uniformly 0.
+    val intra = gridSelfPairs(
+      eff.select(col("doc_id"), col("band"),
+        xxhash64(col("sig"), col("eshard")).as("sig")),
+      Seq.empty, "minhash_sharded")
+      .select(col("doc_id").as("a_id"), col("y_id").as("b_id"))
+    // Cross-shard reconciliation: representatives of each saturated
+    // bucket's sub-buckets pair with each other (≤ S²/2 rows per bucket).
+    val reps = eff.filter(col("bucket_n") > satBucket)
+      .groupBy(col("band"), col("sig"), col("eshard"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val cross = reps.as("x").join(reps.as("y"), Seq("band", "sig"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    jaccardVerify(s, d, intra.unionByName(cross).distinct(), t)
   }
 
   private val dedupMinhash = QueryDef(
@@ -555,11 +637,28 @@ object Dedup {
     * registry state; on the gate corpus the registry reads `linear`, the
     * simhash path runs, and both routes equal the shared all-pairs
     * oracle anyway. */
+  /** The pure routing decision given each site's latest observed regime —
+    * unit-testable without a registry or a session. Routes follow the
+    * documented escapes ([[gridEscapes]]): simhash saturated → minhash
+    * banding; minhash ALSO saturated → digest-prefix sharded minhash
+    * ([[minhashPairsSharded]] — r9's prose recommendation, now
+    * executable). */
+  private[graft] def autoRoute(simhashRegime: Option[String],
+      minhashRegime: Option[String]): String =
+    (simhashRegime, minhashRegime) match {
+      case (Some("saturated"), Some("saturated")) => "minhash_sharded"
+      case (Some("saturated"), _) => "minhash"
+      case _ => "simhash"
+    }
+
   private[graft] def nearDupAuto(s: SparkSession, d: String): DataFrame = {
-    val saturated = Option(
-      graft.Sessions.gridDecisions.get(GRID_METRIC_PREFIX + "simhash"))
-      .exists(_.regime == "saturated")
-    if (saturated) minhashPairs(s, d) else simhashPairs(s, d)
+    def regime(site: String): Option[String] = Option(
+      graft.Sessions.gridDecisions.get(GRID_METRIC_PREFIX + site)).map(_.regime)
+    autoRoute(regime("simhash"), regime("minhash")) match {
+      case "minhash_sharded" => minhashPairsSharded(s, d)
+      case "minhash" => minhashPairs(s, d)
+      case _ => simhashPairs(s, d)
+    }
   }
 
   private val dedupAuto = QueryDef(

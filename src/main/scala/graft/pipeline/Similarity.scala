@@ -318,8 +318,7 @@ object Similarity {
 
   private[graft] def corpusSize(s: SparkSession, d: String): Long = {
     val token = Tables.contentToken(s"$d/embeddings.parquet")
-    val path = token.split('#')(0)
-    Tables.keyedOnce(corpusSizeCache, token)(_.startsWith(path + "#")) {
+    Tables.keyedOnce(corpusSizeCache, token)(Tables.staleSibling(token, _)) {
       emb(s, d).count()
     }
   }
@@ -530,13 +529,12 @@ object Similarity {
       k: Int): Seq[(Int, Array[Double])] = {
     val content = Tables.contentToken(s"$d/embeddings.parquet")
     val token = content + s"#k=$k"
-    val path = token.split('#')(0)
-    // Evict stale-CONTENT entries for this path only; same-content
+    // Evict strictly-OLDER-content entries for this path only
+    // (freshness-compared via the token's mtime segment); same-content
     // entries at other k values are live (the probe alternates k=8 and
     // k=sqrt(N) over one corpus — evicting by path alone would defeat
     // the cache and re-run the Lloyd iterations inside timed walls).
-    Tables.keyedOnce(semCentroidCache, token)(kk =>
-      kk.startsWith(path + "#") && !kk.startsWith(content + "#k=")) {
+    Tables.keyedOnce(semCentroidCache, token)(Tables.staleSibling(token, _)) {
       val q = semQuantized(s, d).localCheckpoint()
       var cents: Seq[(Int, Array[Double])] = q.filter(col("vec_id") < k)
         .orderBy("vec_id").select("vec_id", "qv").collect()

@@ -167,8 +167,13 @@ object EventStream {
           // SYMMETRIC smoothing: the reference converts to an expected
           // COUNT and smooths exactly like the observation — a bucket
           // empty on both sides then scores exactly 0 (asymmetric
-          // smoothing would manufacture phantom drift there).
-          val denom = lit((expectedPerWindow + nBuckets).toDouble)
+          // smoothing would manufacture phantom drift there). The
+          // Laplace denominator counts one pseudo-count per EMITTED
+          // bucket — nBuckets numeric plus the -1 NULL bucket — so the
+          // smoothed per-window probabilities sum to ~1 over exactly the
+          // rows this query emits (ADVICE r9: the 10-bucket denominator
+          // left the -1 row on a different convention).
+          val denom = lit((expectedPerWindow + nBuckets + 1).toDouble)
           val pObs = (col("n") + 1).cast("double") / denom
           val nRef = coalesce(col("p_ref_e6"), lit(0L)).cast("double") /
             1e6 * expectedPerWindow

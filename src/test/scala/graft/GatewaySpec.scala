@@ -216,12 +216,12 @@ class GatewaySpec extends SparkSpec {
   test("grid_decisions view refreshes on every scan (no re-registration)") {
     withRuntime() { rt =>
       rt.registerGridDecisionsView()
-      Sessions.gridDecisions.clear()
+      Sessions.clearGridSite("graft.grid.test_site")
       assert(spark.sql(
         "SELECT * FROM grid_decisions WHERE site = 'test_site'").count() == 0)
       // A decision recorded AFTER registration must be visible on the next
       // scan — the refresh-on-scan contract running_jobs also carries.
-      Sessions.gridDecisions.put("graft.grid.test_site",
+      Sessions.recordGridDecision("graft.grid.test_site",
         pipeline.Dedup.GridDecision("test_site", 50000, 64, "saturated",
           Some("switch strategy")))
       val rows = spark.sql("""SELECT max_bucket, grid_b, regime, recommendation
@@ -230,8 +230,56 @@ class GatewaySpec extends SparkSpec {
       assert(rows.head.getInt(0) == 50000 && rows.head.getInt(1) == 64 &&
         rows.head.getString(2) == "saturated" &&
         rows.head.getString(3) == "switch strategy", s"${rows.head}")
-      Sessions.gridDecisions.remove("graft.grid.test_site")
+      Sessions.clearGridSite("graft.grid.test_site")
     }
+  }
+
+  test("grid_decisions keeps history: an escalation that later clears " +
+    "stays visible, seq-ordered") {
+    withRuntime() { rt =>
+      rt.registerGridDecisionsView()
+      Sessions.clearGridSite("graft.grid.hist_site")
+      try {
+        // Two successive decisions for one site — e.g. a hot-bucket
+        // escalation that the next run (regenerated corpus) no longer
+        // shows. A latest-wins view would hide the first; the history
+        // view must expose BOTH, in record order, with the max-seq row
+        // being the current regime.
+        Sessions.recordGridDecision("graft.grid.hist_site",
+          pipeline.Dedup.GridDecision("hist_site", 9000, 40, "saturated",
+            Some("switch strategy")))
+        Sessions.recordGridDecision("graft.grid.hist_site",
+          pipeline.Dedup.GridDecision("hist_site", 120, 1, "linear", None))
+        val rows = spark.sql("""SELECT regime, seq, observed_at
+            FROM grid_decisions WHERE site = 'hist_site' ORDER BY seq""")
+          .collect()
+        assert(rows.length == 2, s"both observations must be visible: ${rows.toSeq}")
+        assert(rows(0).getString(0) == "saturated" &&
+          rows(1).getString(0) == "linear", s"${rows.toSeq}")
+        assert(rows(0).getLong(1) < rows(1).getLong(1),
+          "seq must order the observations")
+        assert(!rows(0).isNullAt(2) && !rows(1).isNullAt(2))
+        // The current regime is the max-seq row — the form q_grid_decisions
+        // gates on.
+        val latest = spark.sql("""SELECT regime FROM grid_decisions
+            WHERE site = 'hist_site' ORDER BY seq DESC LIMIT 1""").collect()
+        assert(latest.head.getString(0) == "linear")
+      } finally Sessions.clearGridSite("graft.grid.hist_site")
+    }
+  }
+
+  test("grid history is bounded per site") {
+    Sessions.clearGridSite("graft.grid.cap_site")
+    try {
+      (1 to Sessions.GRID_HISTORY_CAP + 5).foreach(i =>
+        Sessions.recordGridDecision("graft.grid.cap_site",
+          pipeline.Dedup.GridDecision("cap_site", i, 1, "linear", None)))
+      val hist = Sessions.gridHistory.get("graft.grid.cap_site")
+      assert(hist.size == Sessions.GRID_HISTORY_CAP)
+      // Ring semantics: the OLDEST entries fell off, the latest survives.
+      assert(hist.last.decision.maxBucket == Sessions.GRID_HISTORY_CAP + 5)
+      assert(hist.head.decision.maxBucket == 6)
+    } finally Sessions.clearGridSite("graft.grid.cap_site")
   }
 
   test("cancel removes the job and further fetches fail") {

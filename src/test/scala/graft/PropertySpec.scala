@@ -370,6 +370,106 @@ class SkewSpec extends SparkSpec {
     } finally Sessions.gridDecisions.remove(metric)
   }
 
+  test("autoRoute: the minhash site's saturation routes to digest-prefix " +
+    "sharding (unit)") {
+    import graft.pipeline.Dedup.autoRoute
+    assert(autoRoute(None, None) == "simhash")
+    assert(autoRoute(Some("linear"), Some("linear")) == "simhash")
+    assert(autoRoute(Some("absorbed"), None) == "simhash")
+    assert(autoRoute(Some("saturated"), None) == "minhash")
+    assert(autoRoute(Some("saturated"), Some("linear")) == "minhash")
+    assert(autoRoute(Some("saturated"), Some("absorbed")) == "minhash")
+    // Both banding strategies saturated: the only remaining escape is the
+    // sharded route.
+    assert(autoRoute(Some("saturated"), Some("saturated")) == "minhash_sharded")
+    // A saturated minhash observation alone doesn't change the default
+    // route — the router only reaches the minhash family via simhash's
+    // escape.
+    assert(autoRoute(None, Some("saturated")) == "simhash")
+  }
+
+  test("q_dedup_auto takes the sharded route when BOTH banding sites are " +
+    "saturated") {
+    import graft.pipeline.Dedup
+    val sim = Dedup.GRID_METRIC_PREFIX + "simhash"
+    val mh = Dedup.GRID_METRIC_PREFIX + "minhash"
+    Sessions.recordGridDecision(sim,
+      Dedup.GridDecision("simhash", 50000, 64, "saturated", Some("minhash")))
+    Sessions.recordGridDecision(mh,
+      Dedup.GridDecision("minhash", 80000, 96, "saturated", Some("shard")))
+    try {
+      // The sharded plan is recognizable by its own grid-metric site.
+      val plan = SparkEntry.queries("q_dedup_auto")(spark, sfDir)
+        .queryExecution.analyzed.toString
+      assert(plan.contains("minhash_sharded"),
+        "double-saturated route should be the sharded minhash path")
+      // On the gate corpus (no saturated bucket) the sharded route's
+      // output equals the fixed minhash strategy's — routing under a
+      // stale/planted decision can only be a no-op here, never wrong.
+      val viaAuto = SparkEntry.queries("q_dedup_auto")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val plain = Dedup.minhashPairs(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaAuto == plain, "sharded route diverged on a normal corpus")
+    } finally {
+      Sessions.clearGridSite(sim)
+      Sessions.clearGridSite(mh)
+    }
+  }
+
+  test("minhash sharding: parity with the plain strategy on the normal " +
+    "corpus, by construction") {
+    import graft.pipeline.Dedup
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs(Dedup.minhashPairsSharded(spark, sfDir)) ==
+      pairs(Dedup.minhashPairs(spark, sfDir)),
+      "no saturated bucket => the sharded pipeline must be IDENTICAL")
+  }
+
+  test("minhash sharding de-quadratizes a saturated near-dup clique and " +
+    "keeps it one cluster") {
+    import graft.pipeline.Dedup
+    // A giant template-duplicate cluster: 24 docs sharing a 60-token base
+    // with one unique tail token each (J ~ 0.9 clique, DISTINCT digests —
+    // exact duplicates would co-shard and prove nothing), plus unrelated
+    // docs that must stay outside every pair. satBucket is forced tiny so
+    // the spec exercises the saturated path without a 32k-doc corpus.
+    val dir = java.nio.file.Files.createTempDirectory("graft-shardsat").toFile
+    dir.deleteOnExit()
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val clique = (1 to 24).map(i => (i.toLong, s"$base unique$i"))
+    val noise = (25 to 36).map(i =>
+      (i.toLong, (1 to 40).map(j => s"alien${i}_$j").mkString(" ")))
+    import spark.implicits._
+    (clique ++ noise).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("t").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1)
+      .write.parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairs(Dedup.minhashPairs(spark, dir.getAbsolutePath))
+    assert(plain == (for { a <- 1L to 24L; b <- a + 1 to 24L } yield (a, b)).toSet,
+      "premise: the clique should be complete under plain minhash")
+    val sharded = pairs(Dedup.minhashPairsSharded(spark, dir.getAbsolutePath,
+      nShards = 4, satBucket = 4))
+    // De-quadratized: strictly fewer emitted pairs than the all-pairs
+    // clique...
+    assert(sharded.size < plain.size,
+      s"sharding should bound pair mass: ${sharded.size} vs ${plain.size}")
+    assert(sharded.nonEmpty && sharded.subsetOf(plain),
+      "sharded pairs must be true clique pairs (same exact-Jaccard verify)")
+    // ...while the CLUSTER structure survives: intra-shard pairs plus
+    // representative links keep all 24 docs in one connected component.
+    val parent = scala.collection.mutable.Map((1L to 24L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    sharded.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((1L to 24L).map(find).toSet.size == 1,
+      "the saturated clique must remain a single connected component")
+  }
+
   test("fuzzy-join grid escalates on a hot gram bucket (cells table)") {
     // Every key shares the segment-0 gram "aaaaa" (the tails are distinct
     // and a-free, so shifted probe windows stay out of that bucket): one

@@ -213,7 +213,7 @@ class QueriesSpec extends SparkSpec {
     // variant, so a contract break localizes here before the driver pass.
     val exact = SparkEntry.queries("q_hopping_window")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val approx = SparkEntry.queries("q_hopping_window_approx")(spark, sfDir)
+    val approx = SparkEntry.queries("q_hopping_window_approx_cert")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(approx.keySet == exact.keySet, "window sets must agree")
     exact.foreach { case (w, nEv) =>
