@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling + frequency sketching — the "know your corpus" stage a
@@ -121,9 +122,7 @@ object Profiling {
     * partial agg and no token aggregate at all. Probe selection is
     * orderBy+limit (TakeOrderedAndProject — per-partition top-k then one
     * 20-row merge, never a global sort or single-partition window). */
-  private val sketchCms = QueryDef(
-    "q_sketch_cms",
-    (s, d) => {
+  private def cmsAudit(s: SparkSession, d: String): DataFrame = {
       val toks = Tables.t(s, d, "documents")
         .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
       val cnts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -141,7 +140,11 @@ object Profiling {
         .groupBy(col("tok"), col("cnt"))
         .agg(min(col("cell")).as("est_cnt"))
         .select(col("tok"), col("cnt").as("exact_cnt"), col("est_cnt"))
-    },
+  }
+
+  private val sketchCms = QueryDef(
+    "q_sketch_cms",
+    (s, d) => cmsAudit(s, d),
     Some("""WITH toks AS (
         SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
         FROM documents),
@@ -162,6 +165,44 @@ object Profiling {
       JOIN keyed k ON p.tok = k.tok
       JOIN cells c ON k.r = c.r AND k.bucket = c.bucket
       GROUP BY 1, 2"""))
+
+  /** The CMS's error CONTRACT, gated (the q_profile_quantiles /
+    * q_hopping_window_approx certification pattern applied to the third
+    * sketch family): per probed key, (a) the estimate never undercounts
+    * (structural — every cell the key hashes into holds at least its own
+    * count) and (b) the overcount stays within the textbook ε·N bound for
+    * ε = e/width at confidence 1 − e^(−depth): est ≤ exact + (e/512)·N,
+    * N = total token instances. q_sketch_cms already hash-gates the exact
+    * sketch VALUES (the Rabin–Karp hashing is oracle-portable); this
+    * entry gates the GUARANTEE a user sizes the sketch by — a width or
+    * merge regression that kept values self-consistent but broke the
+    * bound fails here. The oracle recomputes the probe set and emits the
+    * contract as literal TRUE per key, so any FALSE hash-mismatches at
+    * the driver. Deterministic: the bound has ~150–1400 counts of
+    * headroom on the gate corpora (measured overcount: 0 — the top-20
+    * tokens share no saturated cell), far beyond what a testdata regen
+    * moves. */
+  private val sketchCmsCert = QueryDef(
+    "q_sketch_cms_cert",
+    (s, d) => {
+      val audited = cmsAudit(s, d)
+      // N must be the FULL stream length, not the probe subtotal.
+      val total = Tables.t(s, d, "documents")
+        .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+        .agg(count(lit(1)).cast("double").as("n_total"))
+      audited.crossJoin(broadcast(total))
+        .select(col("tok"),
+          (col("est_cnt") >= col("exact_cnt")).as("never_under"),
+          (col("est_cnt").cast("double") <=
+            col("exact_cnt").cast("double") +
+              lit(math.E / 512.0) * col("n_total")).as("within_eps"))
+    },
+    Some("""WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        FROM documents),
+      cnts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
+      SELECT tok, TRUE AS never_under, TRUE AS within_eps
+      FROM (SELECT tok FROM cnts ORDER BY cnt DESC, tok LIMIT 20)"""))
 
   /** Approximate quantiles with a GATED error contract — the
     * q_hopping_window_approx certification pattern applied to the second
@@ -237,5 +278,6 @@ object Profiling {
       FROM (VALUES ('l_extendedprice'), ('l_quantity')) c(colname),
            (VALUES (CAST(50 AS BIGINT)), (90), (99)) q(q_pct)"""))
 
-  val all: Seq[QueryDef] = Seq(profileTable, sketchCms, profileQuantiles)
+  val all: Seq[QueryDef] =
+    Seq(profileTable, sketchCms, sketchCmsCert, profileQuantiles)
 }

@@ -36,6 +36,20 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("q_sketch_cms_cert: the eps-N overcount contract holds on every probe") {
+    // The gated certification face: both booleans must be TRUE per key
+    // (the driver hash-gates the same contract against literal-TRUE
+    // oracle rows; this spec localizes a break before the driver pass).
+    val rows = SparkEntry.queries("q_sketch_cms_cert")(spark, sfDir).collect()
+    assert(rows.length == 20, "20 probe tokens")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("never_under"),
+        s"CMS under-estimated ${r.getAs[String]("tok")}")
+      assert(r.getAs[Boolean]("within_eps"),
+        s"CMS overcount for ${r.getAs[String]("tok")} broke the eps*N bound")
+    }
+  }
+
   test("q_chunk_documents covers every token exactly (window/stride contract)") {
     val chunks = SparkEntry.queries("q_chunk_documents")(spark, sfDir)
     // Per doc: chunk ids contiguous from 0, every chunk non-empty and <= 64,
