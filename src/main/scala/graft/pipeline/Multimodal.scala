@@ -93,9 +93,21 @@ object Multimodal {
     Tables.contentKeyedTempParquet(imagePayloadCache, s,
       s"$d/documents.parquet", "graft-media-img")(imageTableBuild(s, d))
 
+  /** Media-store partitioning: the downstream decode stages are CPU-bound
+    * PER ROW, so the store (whose file layout fixes the decode stage's
+    * parallelism — payloads are far below files.maxPartitionBytes, one
+    * task per file) must partition by ROW COUNT, not bytes. Inheriting
+    * the document table's byte-sized layout capped a 50k-doc corpus's
+    * decode at 8 tasks and made maxTask grow linearly with corpus size
+    * (probe witness, r10). ~2k payloads per file keeps tasks near a
+    * second at every tier and scales the task count with the corpus. */
+  private def mediaParts(s: SparkSession, d: String): Int =
+    math.max(8, (Tables.t(s, d, "documents").count() / 2000L).toInt)
+
   private def imageTableBuild(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+      .repartition(mediaParts(s, d))
       .mapPartitions { ids =>
         // Per-partition init: the ImageIO codec path warms up here once.
         ids.map { id =>
@@ -227,6 +239,7 @@ object Multimodal {
   private def audioTableBuild(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+      .repartition(mediaParts(s, d)) // row-count layout, see mediaParts
       .mapPartitions { ids =>
         ids.map { id =>
           val wav = AudioCodec.encodeWav(id)
@@ -274,6 +287,7 @@ object Multimodal {
   private def videoTableBuild(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+      .repartition(mediaParts(s, d)) // row-count layout, see mediaParts
       .mapPartitions { ids =>
         ids.map { id =>
           val gif = VideoCodec.encodeGif(id)
@@ -761,6 +775,45 @@ object ImageCodec {
 object AudioCodec {
   val SampleRate = 8000f
 
+  /** The registered WAV reader/writer, resolved ONCE per JVM through the
+    * public `javax.sound.sampled.spi` ServiceLoader surface. Every
+    * `AudioSystem.getAudioInputStream`/`write` call re-resolves providers
+    * through `JDK13Services.getProviders` — a GLOBALLY SYNCHRONIZED
+    * static — so per-row decode under 25+ concurrent executor tasks
+    * serializes on that lock (r10 probe witness: the decode stage's
+    * maxTask equaled the stage wall at every tier, 25 balanced tasks
+    * each "running" the full wall). Same genuine JDK provider
+    * (WaveFileReader is stateless; each call returns a fresh stream),
+    * minus the per-call global lock. */
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    var found: javax.sound.sampled.spi.AudioFileReader = null
+    while (found == null && it.hasNext) {
+      val r = it.next()
+      try {
+        r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(encodeWav(0L))).close()
+        found = r
+      } catch { case _: Exception => () }
+    }
+    require(found != null, "no WAV-capable AudioFileReader registered")
+    found
+  }
+
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var found: javax.sound.sampled.spi.AudioFileWriter = null
+    while (found == null && it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        found = w
+    }
+    require(found != null, "no WAV-capable AudioFileWriter registered")
+    found
+  }
+
   /** Per-doc sample count: 400..596 — varies per doc, bounded for the
     * oracle's fixed range() grid. */
   def nSamples(id: Long): Int = (400 + id % 197).toInt
@@ -783,7 +836,7 @@ object AudioCodec {
     val stream = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(stream,
+    wavWriter.write(stream,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
@@ -804,7 +857,7 @@ object AudioCodec {
     * formula — the gate validates encode → RIFF → AudioSystem decode →
     * windowing → quantization end to end. */
   def fingerprint(id: Long, wav: Array[Byte]): AudioFingerprint = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    val in = wavReader.getAudioInputStream(
       new java.io.ByteArrayInputStream(wav))
     val bytes = in.readAllBytes()
     in.close()
@@ -825,7 +878,7 @@ object AudioCodec {
 
   /** Decode a WAV payload via `AudioSystem` and compute sample stats. */
   def decodeFeatures(id: Long, wav: Array[Byte]): AudioFeatures = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    val in = wavReader.getAudioInputStream(
       new java.io.ByteArrayInputStream(wav))
     val fmt = in.getFormat
     require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
