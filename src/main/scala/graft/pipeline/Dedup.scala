@@ -790,16 +790,25 @@ object Dedup {
     * UNORDERED source pair — the curation view that answers "which crawls
     * duplicate each other" (and how much of a new source is already
     * covered by the existing mix) before anyone pays to ingest it.
-    * Reuses [[verifiedPairs]] and the materialized shingle index; the
-    * marginal cost is two doc_id-keyed joins to the (doc_id, source)
-    * projection — text never shuffles — and a source-grain aggregate
-    * (source cardinality is tiny at any corpus size, so the final
-    * aggregate is metadata). The pair is canonicalized with
-    * least/greatest so (A,B) and (B,A) count once. */
+    * Pairs come from [[minhashPairs]] — the banding SCALE PATH, not the
+    * exact-complete ngram prefix join: this view is a corpus-grain
+    * telemetry matrix, and riding the prefix join would bind it to that
+    * family's documented dictionary-saturation regime (the r10 probe's
+    * third decade hit exactly that: candidate spill filled the disk at
+    * 500k synthetic docs, while minhash shuffle stays linear). Both
+    * generators end in the same exact-Jaccard verify at the same
+    * threshold, and minhash recall vs all-pairs truth is itself gated
+    * (q_dedup_minhash shares this query's all-pairs oracle), so the
+    * matrix is identical wherever banding recall is complete. Marginal
+    * cost beyond the pair pipeline: two doc_id-keyed joins to the
+    * (doc_id, source) projection — text never shuffles — and a
+    * source-grain aggregate (source cardinality is tiny at any corpus
+    * size, so the final aggregate is metadata). The pair is
+    * canonicalized with least/greatest so (A,B) and (B,A) count once. */
   private val dedupCrossSource = QueryDef(
     "q_dedup_cross_source",
     (s, d) => {
-      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+      val pairs = minhashPairs(s, d).select(col("a_id"), col("b_id"))
       val src = docs(s, d).select(col("doc_id"), col("source"))
       pairs
         .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")

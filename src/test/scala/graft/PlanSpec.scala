@@ -128,10 +128,12 @@ class PlanSpec extends SparkSpec {
     // q_profile_quantiles' cross is the fact scan x THREE broadcast
     // (quantile, estimate) rows per column — the rank-certification pass,
     // O(n) compares against metadata, same class as q22.
+    // q_sketch_cms_cert's cross is 20 probe rows x ONE stream-length row
+    // (the eps*N bound's N) — the q22 scalar-broadcast shape again.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
       "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank",
       "q_tfidf_keywords", "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report",
-      "q_snapshot_drift", "q_profile_quantiles")
+      "q_snapshot_drift", "q_profile_quantiles", "q_sketch_cms_cert")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
