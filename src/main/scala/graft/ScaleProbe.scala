@@ -105,119 +105,29 @@ object ScaleProbe {
     "q_sessionize", "q_sessionize_chunked", "q_range_join", "q_cohort_retention", "q_session_window",
     "q_gap_fill", "q_hopping_window", "q_hopping_window_approx")
 
+  /** Round-9 additions (VERDICT r10 list #6 — no decade entries yet).
+    * Measured AFTER the dedup family with their own warm pass, because
+    * their scale claim is MARGINAL cost over the amortized content-keyed
+    * stores (shingle index; the cluster-label store
+    * q_split_leakage_safe joins) — a cold run would re-measure the store
+    * builds the family probes already cover. q_audio_fingerprint has no
+    * store (decode is the cost); it rides the same warm pass for JIT
+    * parity with its family's methodology. */
+  private val lateQueries = Seq("q_dedup_cross_source", "q_split_leakage_safe",
+    "q_audio_fingerprint")
+
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
-    // --- empirical shape from the source corpus ------------------------
-    val src = Tables.t(spark, srcDir, "documents")
-    val vocab = src.select(explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "").groupBy("tok").count()
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val lengths = src.select(size(split(col("text"), " "))).collect().map(_.getInt(0))
-    val langs = src.groupBy("lang").count().collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-
-    def generate(n: Int, out: String): Unit = {
-      val rnd = new scala.util.Random(42)
-      val cumV = vocab.scanLeft(0L)(_ + _._2).tail
-      val totV = cumV.last
-      def sampleTok(): String = {
-        val x = rnd.nextLong(totV)
-        vocab(cumV.indexWhere(_ > x))._1
-      }
-      val cumL = langs.scanLeft(0L)(_ + _._2).tail
-      def sampleLang(): String = {
-        val x = rnd.nextLong(cumL.last)
-        langs(cumL.indexWhere(_ > x))._1
-      }
-      val docs = new Array[Array[String]](n)
-      var i = 0
-      while (i < n) {
-        docs(i) =
-          if (i > 100 && rnd.nextDouble() < 0.01) {
-            // planted near-dup: 5% token perturbation of an earlier doc
-            docs(rnd.nextInt(i)).map(t =>
-              if (rnd.nextDouble() < 0.05) sampleTok() else t)
-          } else {
-            Array.fill(lengths(rnd.nextInt(lengths.length)))(sampleTok())
-          }
-        i += 1
-      }
-      val rows = docs.zipWithIndex.map { case (toks, id) =>
-        val text = toks.mkString(" ")
-        (id.toLong, text, sampleLang(), s"src${id % 10}", text.length.toLong)
-      }
-      import spark.implicits._
-      // ~20k docs per partition at every tier (the
-      // files.maxPartitionBytes shape a real cluster would see).
-      val parts = math.max(8, n / 20000)
-      rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
-        .repartition(parts).write.mode("overwrite").parquet(s"$out/documents.parquet")
-    }
-
-    /** 64-dim Gaussian embeddings (the sf corpus's shape: random vectors,
-      * int labels), with 1% planted near-dups — an earlier vector plus
-      * sigma=0.03 noise, cosine ~ 0.998 >> the 0.95 dedup threshold — so
-      * q_dedup_embedding's true-pair volume grows linearly like the
-      * document generator's. */
-    def generateEmbeddings(n: Int, out: String): Unit = {
-      val rnd = new scala.util.Random(43)
-      val vecs = new Array[Array[Float]](n)
-      var i = 0
-      while (i < n) {
-        vecs(i) =
-          if (i > 100 && rnd.nextDouble() < 0.01)
-            vecs(rnd.nextInt(i)).map(x => x + 0.03f * rnd.nextGaussian().toFloat)
-          else Array.fill(64)(rnd.nextGaussian().toFloat)
-        i += 1
-      }
-      import spark.implicits._
-      vecs.zipWithIndex
-        .map { case (v, id) => (id.toLong, v.toSeq, rnd.nextInt(10)) }.toSeq
-        .toDF("vec_id", "embedding", "label")
-        .select(col("vec_id"), col("embedding").cast("array<float>"),
-          col("label").cast("int"))
-        .repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    }
-
-    /** Events with the source corpus's observable shape — empirical
-      * event_type mix and mean events/user measured from srcDir — generated
-      * entirely as Spark expressions (deterministic xxhash64 streams, no
-      * driver-side arrays: the generator itself must scale). One hot user
-      * carries 1% of all events so the probe also witnesses whether a
-      * skewed user inflates maxTask (the per-user window sort is the only
-      * place a hot key could hide). `ts` is written as ns-LONG directly —
-      * the post-normalization contract [[graft.Tables.t]] guarantees. */
+    // --- corpus generation (shared with SfScale) ---------------------
+    def generate(n: Int, out: String): Unit =
+      CorpusGen.documents(spark, srcDir, n, out)
+    def generateEmbeddings(n: Int, out: String): Unit =
+      CorpusGen.embeddings(spark, n, out)
     def generateEvents(nUsers: Int, out: String,
-        hot: (Int, Int) = (1, 100)): Unit = {
-      val srcEv = Tables.t(spark, srcDir, "events")
-      val mix = srcEv.groupBy("event_type").count().collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-      val evPerUser = math.max(1L,
-        mix.map(_._2).sum / math.max(1L, srcEv.select("user_id").distinct().count()))
-      val span = srcEv.agg(min(col("ts")), max(col("ts"))).head()
-      val (t0, t1) = (span.getLong(0), span.getLong(1))
-      val total = nUsers * evPerUser
-      val cum = mix.scanLeft(0L)(_ + _._2).tail
-      val tot = cum.last
-      // type by threshold walk over the cumulative empirical mix
-      val typeExpr = mix.zip(cum).foldRight(lit(mix.last._1): org.apache.spark.sql.Column) {
-        case (((t, _), c), acc) =>
-          when(pmod(xxhash64(col("id"), lit("ty")), lit(tot)) < c, lit(t)).otherwise(acc)
-      }
-      spark.range(0, total, 1, math.max(8, (total / 250000L).toInt))
-        .select(
-          col("id").as("event_id"),
-          (lit(t0) + pmod(xxhash64(col("id"), lit("ts")), lit(t1 - t0))).as("ts"),
-          when(pmod(xxhash64(col("id"), lit("hot")), lit(hot._2.toLong)) < hot._1,
-            lit(0L))
-            .otherwise(pmod(xxhash64(col("id"), lit("u")), lit(nUsers.toLong))).as("user_id"),
-          typeExpr.as("event_type"),
-          (pmod(xxhash64(col("id"), lit("v")), lit(10000L)) / 100.0).as("value"),
-          lit("{}").as("props"))
-        .write.mode("overwrite").parquet(s"$out/events.parquet")
-    }
+        hot: (Int, Int) = (1, 100)): Unit =
+      CorpusGen.events(spark, srcDir, nUsers, out, hot)
 
     // --- instrumented run ----------------------------------------------
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
@@ -335,14 +245,22 @@ object ScaleProbe {
     // is declared part of the measured cost — see run()'s comment).
     run(s"$workDir/g10x", "warm10x",
       Seq("q_ann_ivf", "q_snapshot_diff", "q_snapshot_drift"))
-    val r1 = run(s"$workDir/g1x", "g1x") ++
-      run(s"$workDir/g1x", "g1x", simQueries) ++
-      run(s"$workDir/g1x", "g1x", textQueries) ++
-      run(s"$workDir/g1x", "g1x", eventQueries)
-    val r10 = run(s"$workDir/g10x", "g10x") ++
-      run(s"$workDir/g10x", "g10x", simQueries) ++
-      run(s"$workDir/g10x", "g10x", textQueries) ++
-      run(s"$workDir/g10x", "g10x", eventQueries)
+    val r1 = {
+      val fams = run(s"$workDir/g1x", "g1x") ++
+        run(s"$workDir/g1x", "g1x", simQueries) ++
+        run(s"$workDir/g1x", "g1x", textQueries) ++
+        run(s"$workDir/g1x", "g1x", eventQueries)
+      run(s"$workDir/g1x", "warmlate1x", lateQueries)
+      fams ++ run(s"$workDir/g1x", "g1x", lateQueries)
+    }
+    val r10 = {
+      val fams = run(s"$workDir/g10x", "g10x") ++
+        run(s"$workDir/g10x", "g10x", simQueries) ++
+        run(s"$workDir/g10x", "g10x", textQueries) ++
+        run(s"$workDir/g10x", "g10x", eventQueries)
+      run(s"$workDir/g10x", "warmlate10x", lateQueries)
+      fams ++ run(s"$workDir/g10x", "g10x", lateQueries)
+    }
     println("name, wall_1x, wall_10x, ratio, rows_1x, rows_10x, shuffleMB_1x, shuffleMB_10x")
     r1.zip(r10).foreach { case ((n, s1, c1, b1, _), (_, s10, c10, b10, _)) =>
       println(f"SUMMARY $n%-20s ${s1}%8.2f ${s10}%8.2f ${s10 / s1}%6.2fx " +
@@ -365,7 +283,8 @@ object ScaleProbe {
         "q_sessionize", "q_sessionize_chunked")
       // Generate only the corpora a kept query will read — a narrowed
       // PROBE_QUERIES run must not pay the 500k-doc driver-side build.
-      if (keep(decaDocs).nonEmpty) generate(n1 * 100, s"$workDir/g100x")
+      if (keep(decaDocs ++ lateQueries).nonEmpty)
+        generate(n1 * 100, s"$workDir/g100x")
       if (keep(decaSim).nonEmpty) {
         generateEmbeddings(e1 * 100, s"$workDir/g100x")
         pipeline.Similarity.corpusSize(spark, s"$workDir/g100x")
@@ -376,9 +295,16 @@ object ScaleProbe {
       // coarse-quantizer training is one-time per (corpus, k) and must
       // not land inside the single timed 100x wall.
       run(s"$workDir/g100x", "warm100x", Seq("q_ann_ivf"))
-      val r100 = run(s"$workDir/g100x", "g100x", decaDocs) ++
-        run(s"$workDir/g100x", "g100x", decaSim) ++
-        run(s"$workDir/g100x", "g100x", decaEvents)
+      val r100 = {
+        val fams = run(s"$workDir/g100x", "g100x", decaDocs) ++
+          run(s"$workDir/g100x", "g100x", decaSim) ++
+          run(s"$workDir/g100x", "g100x", decaEvents)
+        if (keep(lateQueries).nonEmpty) {
+          // Same amortized-store discipline as the 1x/10x late runs.
+          run(s"$workDir/g100x", "warmlate100x", lateQueries)
+          fams ++ run(s"$workDir/g100x", "g100x", lateQueries)
+        } else fams
+      }
       val by10 = r10.map(r => r._1 -> r).toMap
       println("name, wall_10x, wall_100x, ratio, shuffleMB_10x, shuffleMB_100x, shuffle_ratio, maxTask_100x_ms")
       r100.foreach { case (n, s100, _, b100, mt100) =>
