@@ -113,21 +113,32 @@ object ClusterParity {
     var matched, topology = List.empty[String]
     var diverged = List.empty[String]
     names.foreach { n =>
+      if (topologyDependent(n)) {
+        // q_cluster_nodes returns (status, n_nodes). The cluster session
+        // must SEE both executor JVMs: the single 'Available' row's count
+        // must be >= 2 (it is 3 here — driver block manager + 2 executors —
+        // but the topology CLAIM is "more than the driver", so the gate is
+        // the executor floor, with the exact rows echoed on failure).
+        // Collected ONCE, inside the same try as everything else — a
+        // failed query must not abort the remaining probe loop.
+        try {
+          val rows = SparkEntry.queries(n)(cluster, sfDir).collect()
+          val avail = rows.filter(_.getString(0) == "Available")
+          if (avail.length == 1 && avail.head.getLong(1) >= 2) topology ::= n
+          else diverged ::= s"$n (topology check failed: ${rows.mkString(";")})"
+        } catch { case e: Throwable =>
+          diverged ::= s"$n (cluster: ${e.getMessage})"
+        }
+      } else {
       val got = try Right(digest(SparkEntry.queries(n)(cluster, sfDir)))
                 catch { case e: Throwable => Left(s"cluster: ${e.getMessage}") }
-      if (topologyDependent(n)) {
-        // q_cluster_nodes: the cluster session must SEE its two executors.
-        val rows = SparkEntry.queries(n)(cluster, sfDir).collect()
-        val ok = got.isRight && rows.exists(r =>
-          r.toString.contains("2") || rows.length >= 2)
-        if (ok) topology ::= n
-        else diverged ::= s"$n (topology check failed: ${rows.mkString(";")})"
-      } else (expected(n), got) match {
+      (expected(n), got) match {
         case (Right(e), Right(g)) if e == g => matched ::= n
         case (Right(e), Right(g)) =>
           diverged ::= s"$n (local ${e._1} rows/${e._2.take(12)} vs cluster ${g._1} rows/${g._2.take(12)})"
         case (Left(e), _) => diverged ::= s"$n ($e)"
         case (_, Left(g)) => diverged ::= s"$n ($g)"
+      }
       }
     }
     val clusterSec = (System.nanoTime() - t1) / 1e9

@@ -108,14 +108,6 @@ object Sessions {
   private[graft] val lastGridOccupancy =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 
-  /** Latest [[graft.pipeline.Dedup.GridDecision]] per grid site — the
-    * STRUCTURED face of the occupancy witness (a monitoring stack or the
-    * gateway polls this; the logs carry the same content as text). Fast
-    * latest-wins lookup for the strategy router; the `grid_decisions`
-    * view reads [[gridHistory]] so superseded decisions stay visible. */
-  private[graft] val gridDecisions =
-    new java.util.concurrent.ConcurrentHashMap[String, pipeline.Dedup.GridDecision]()
-
   /** One recorded grid decision: a process-monotonic sequence number (the
     * total order a dashboard sorts on — wall-clock alone can tie inside
     * one ms) plus the observation wall-clock. */
@@ -140,14 +132,15 @@ object Sessions {
     * racing any concurrent reader — ADVICE r9). */
   private[graft] def gridSeqNow: Long = gridSeq.get()
 
-  /** Record a decision: update the latest-wins map and append to the
-    * site's bounded history. The single write path for the listener and
-    * for specs that plant synthetic decisions. */
+  /** Record a decision: append to the site's bounded history — the SINGLE
+    * store (ADVICE r10: a separate latest-wins map updated alongside the
+    * history let a concurrent reader momentarily see the two disagree
+    * about the current regime). The single write path for the listener
+    * and for specs that plant synthetic decisions. */
   private[graft] def recordGridDecision(metric: String,
       d: pipeline.Dedup.GridDecision): GridObservation = {
     val obs = GridObservation(gridSeq.incrementAndGet(),
       System.currentTimeMillis(), d)
-    gridDecisions.put(metric, d)
     gridHistory.compute(metric, (_, old) => {
       val q = if (old == null) scala.collection.immutable.Queue.empty[GridObservation]
         else old
@@ -156,9 +149,16 @@ object Sessions {
     obs
   }
 
-  /** Drop one site's latest entry AND history — spec cleanup hook. */
+  /** Latest decision for a site, derived from the history's newest entry
+    * (appends happen under the per-key `compute`, so `last` IS max-seq).
+    * The strategy router's latest-wins lookup — same source of truth the
+    * `grid_decisions` view reads, so they can never disagree. */
+  private[graft] def latestGridDecision(
+      metric: String): Option[pipeline.Dedup.GridDecision] =
+    Option(gridHistory.get(metric)).flatMap(_.lastOption).map(_.decision)
+
+  /** Drop one site's history — spec cleanup hook. */
   private[graft] def clearGridSite(metric: String): Unit = {
-    gridDecisions.remove(metric)
     gridHistory.remove(metric)
     ()
   }

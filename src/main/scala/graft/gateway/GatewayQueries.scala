@@ -54,7 +54,7 @@ object GatewayQueries {
     Some("SELECT 'Available' AS status, CAST(1 AS BIGINT) AS n_nodes"))
 
   /** The `grid_decisions` observability view (refresh-on-scan DSv2 over
-    * [[graft.Sessions.gridDecisions]]): run one grid-bearing dedup query
+    * [[graft.Sessions.gridHistory]]): run one grid-bearing dedup query
     * to populate the registry, wait for its decision to land on the
     * listener bus, then observe the view via SQL. Deterministic at the
     * gate corpus: the minhash site stays in the `linear` regime with no

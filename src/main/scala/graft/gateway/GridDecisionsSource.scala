@@ -12,7 +12,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** `grid_decisions` as a refresh-on-scan DataSource V2 table — the SQL
   * face of the dedup grids' occupancy-decision registry
-  * ([[graft.Sessions.gridDecisions]]; decisions are produced by the
+  * ([[graft.Sessions.gridHistory]]; decisions are produced by the
   * query-execution listener from each grid's `observe()` witness).
   *
   * Same discipline as [[RunningJobsSource]] (the reference re-reads its
@@ -24,7 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * The registry is process-global, so no runtime id is needed.
   *
   * Rows come from the bounded per-site decision HISTORY
-  * ([[graft.Sessions.gridHistory]]), not the latest-wins map: an
+  * ([[graft.Sessions.gridHistory]] — since ADVICE r10 the ONLY store;
+  * the router's latest-wins lookup derives from its newest entry): an
   * escalation that later clears stays visible to a dashboard that polls
   * less often than queries run (VERDICT r9 #5). `seq` is the
   * process-monotonic record order (`observed_at` wall-clock can tie

@@ -474,7 +474,7 @@ final class JobRuntime(
       .load().createOrReplaceTempView("running_jobs")
 
   /** Register `grid_decisions` — the dedup grids' occupancy-decision
-    * registry ([[graft.Sessions.gridDecisions]]) as a refresh-on-scan SQL
+    * registry ([[graft.Sessions.gridHistory]]) as a refresh-on-scan SQL
     * view, same discipline as `running_jobs`: a dashboard polls
     * `SELECT * FROM grid_decisions WHERE regime <> 'linear'` and sees
     * escalations (and the saturated regime's strategy recommendation) the

@@ -500,10 +500,65 @@ object Dedup {
     jaccardVerify(s, d, intra.unionByName(cross).distinct(), t)
   }
 
+  // RECALL DEPENDENCY (ADVICE r10): this query's oracle is the EXHAUSTIVE
+  // all-pairs ground truth, so the gate stays green only while banding
+  // recall is complete on the gate corpus (q_dedup_cross_source inherits
+  // the same exposure through minhashPairs). That dependency is gated
+  // ONCE, in its honest probabilistic form, by q_dedup_recall_cert below —
+  // a regen-planted marginal-J miss flips this gate AND the cert names
+  // the cause (marginal zone vs broken banding).
   private val dedupMinhash = QueryDef(
     "q_dedup_minhash",
     (s, d) => minhashPairs(s, d),
     Some(allPairsJaccardSql(0.5)))
+
+  /** Above this exact Jaccard, a banding miss is the SCHEME's fault, not
+    * statistics: P(miss) = (1-J^4)^8 < 5% for J > 0.747 with the 8x4
+    * banding above. */
+  private[graft] val RECALL_HIGH_J = 0.75
+
+  /** MinHash banding-recall certification (ADVICE r10: q_dedup_minhash and
+    * q_dedup_cross_source both ride banding recall being complete on the
+    * gate corpus; gate that shared dependency once, explicitly). The
+    * banding's real contract is probabilistic — P(detect) = 1-(1-J^4)^8 —
+    * so certifying "recall == 1" would be the same corpus luck restated.
+    * What IS certifiable:
+    *
+    *  - `n_true`: the exhaustive J >= 0.5 truth count, computed here by
+    *    the provably-complete prefix-filtered join ([[verifiedPairs]])
+    *    and recomputed by DuckDB from first principles (all-pairs CTE) —
+    *    pins Spark's truth set to ground truth;
+    *  - `found_subset_of_true`: every banding-emitted pair is a true pair
+    *    (precision; the exact-Jaccard verify guarantees it, and this
+    *    cross-checks the two pipelines' shingle definitions agree);
+    *  - `no_high_j_missed`: every true pair the banding missed has
+    *    J <= [[RECALL_HIGH_J]] — the zone where P(miss) >= ~5% makes a
+    *    miss statistically expected. A miss ABOVE it means the banding is
+    *    broken, not unlucky.
+    *
+    * Deterministic per corpus (fixed xxhash64 seeds), so the gate is
+    * stable run-over-run; a testdata regen that plants a marginal-J
+    * band-evading pair fails q_dedup_minhash's exhaustive oracle while
+    * this cert stays green and localizes the cause. */
+  private val dedupRecallCert = QueryDef(
+    "q_dedup_recall_cert",
+    (s, d) => {
+      val truth = verifiedPairs(s, d, 0.5)
+        .select(col("a_id"), col("b_id"), col("j")).withColumn("in_t", lit(1))
+      val found = minhashPairs(s, d)
+        .select(col("a_id"), col("b_id")).withColumn("in_f", lit(1))
+      truth.join(found, Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          count(col("in_t")).as("n_true"),
+          (count(when(col("in_t").isNull, 1)) === 0)
+            .as("found_subset_of_true"),
+          (count(when(col("in_f").isNull && col("j") > RECALL_HIGH_J, 1)) === 0)
+            .as("no_high_j_missed"))
+    },
+    Some(s"""WITH ${pairsCteSql("documents", 0.5)}
+      SELECT count(*) AS n_true, TRUE AS found_subset_of_true,
+        TRUE AS no_high_j_missed
+      FROM pairs"""))
 
   /** 64-bit SimHash fingerprints: sign of the tf-weighted sum of each
     * token-hash bit. Exposed for the spec layer, which measures true
@@ -652,8 +707,8 @@ object Dedup {
     }
 
   private[graft] def nearDupAuto(s: SparkSession, d: String): DataFrame = {
-    def regime(site: String): Option[String] = Option(
-      graft.Sessions.gridDecisions.get(GRID_METRIC_PREFIX + site)).map(_.regime)
+    def regime(site: String): Option[String] =
+      graft.Sessions.latestGridDecision(GRID_METRIC_PREFIX + site).map(_.regime)
     autoRoute(regime("simhash"), regime("minhash")) match {
       case "minhash_sharded" => minhashPairsSharded(s, d)
       case "minhash" => minhashPairs(s, d)
@@ -798,7 +853,11 @@ object Dedup {
     * 500k synthetic docs, while minhash shuffle stays linear). Both
     * generators end in the same exact-Jaccard verify at the same
     * threshold, and minhash recall vs all-pairs truth is itself gated
-    * (q_dedup_minhash shares this query's all-pairs oracle), so the
+    * (q_dedup_minhash shares this query's all-pairs oracle, and
+    * q_dedup_recall_cert names the shared dependency explicitly: both
+    * gates ride banding recall being complete on the gate corpus —
+    * probabilistically expected at the corpus's J distribution, certified
+    * in the honest form there), so the
     * matrix is identical wherever banding recall is complete. Marginal
     * cost beyond the pair pipeline: two doc_id-keyed joins to the
     * (doc_id, source) projection — text never shuffles — and a
@@ -1081,7 +1140,7 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] =
-    Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash, dedupSimhash,
-      dedupClusters, dedupReport, fuzzyJoin, dedupKeepBest, dedupCrossSource,
-      dedupAuto)
+    Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash,
+      dedupRecallCert, dedupSimhash, dedupClusters, dedupReport, fuzzyJoin,
+      dedupKeepBest, dedupCrossSource, dedupAuto)
 }

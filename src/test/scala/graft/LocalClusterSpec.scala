@@ -88,7 +88,7 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     SparkSession.clearDefaultSession()
     // The local expected-pass above also fires the grid witness; clear it
     // so the telemetry test below proves the CLUSTER path, not a leftover.
-    Sessions.gridDecisions.remove(graft.pipeline.Dedup.GRID_METRIC_PREFIX + "minhash")
+    Sessions.clearGridSite(graft.pipeline.Dedup.GRID_METRIC_PREFIX + "minhash")
     val b = SparkSession.builder()
       .master("local-cluster[2,4,4096]")
       .config("spark.executor.memory", "3g")
@@ -133,7 +133,7 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     var d: graft.pipeline.Dedup.GridDecision = null
     while (d == null && System.nanoTime() < deadline) {
-      d = Sessions.gridDecisions.get(metric)
+      d = Sessions.latestGridDecision(metric).orNull
       if (d == null) Thread.sleep(50)
     }
     assert(d != null, "no grid decision arrived from the cluster run")

@@ -289,7 +289,7 @@ class SkewSpec extends SparkSpec {
     // The witness now DECIDES, not just warns: the hot corpus must have
     // produced a structured `absorbed` decision (grid handled it; no
     // strategy switch recommended at B=2).
-    val d = Sessions.gridDecisions.get(Dedup.GRID_METRIC_PREFIX + "simhash")
+    val d = Sessions.latestGridDecision(Dedup.GRID_METRIC_PREFIX + "simhash").orNull
     assert(d != null, "no structured grid decision was recorded")
     assert(d.regime == "absorbed" && d.maxBucket == n && d.gridB == expectB
       && d.recommendation.isEmpty, s"wrong decision: $d")
@@ -306,14 +306,14 @@ class SkewSpec extends SparkSpec {
     // simhash output is identical with the decision layer active (it is
     // pure observation — PipelineSpec separately pins output == all-pairs
     // truth on this corpus).
-    Sessions.gridDecisions.clear()
+    Sessions.gridHistory.clear()
     Sessions.lastGridOccupancy.clear()
     SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     var d: Dedup.GridDecision = null
     while (d == null && System.nanoTime() < deadline) {
-      d = Sessions.gridDecisions.get(Dedup.GRID_METRIC_PREFIX + "simhash")
+      d = Sessions.latestGridDecision(Dedup.GRID_METRIC_PREFIX + "simhash").orNull
       if (d == null) Thread.sleep(50)
     }
     assert(d != null && d.regime == "linear" && d.recommendation.isEmpty,
@@ -338,7 +338,7 @@ class SkewSpec extends SparkSpec {
     val metric = Dedup.GRID_METRIC_PREFIX + "simhash"
     // Default route (registry clear / linear): the SimHash path — its
     // plan carries the hamming bit_count candidate filter.
-    Sessions.gridDecisions.remove(metric)
+    Sessions.clearGridSite(metric)
     val defPlan = SparkEntry.queries("q_dedup_auto")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(defPlan.contains("bit_count"),
@@ -347,7 +347,7 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // Seed a saturated decision: the router must take the documented
     // escape (MinHash banding — no hamming filter in the plan)...
-    Sessions.gridDecisions.put(metric,
+    Sessions.recordGridDecision(metric,
       Dedup.GridDecision("simhash", 50000, 64, "saturated", Some("minhash")))
     try {
       val escPlan = SparkEntry.queries("q_dedup_auto")(spark, sfDir)
@@ -367,7 +367,7 @@ class SkewSpec extends SparkSpec {
         s"the escape route lost pairs: ${defRows -- escRows}")
       assert((escRows -- defRows).nonEmpty,
         "this corpus should exhibit simhash's tf blind spot (see scaladoc)")
-    } finally Sessions.gridDecisions.remove(metric)
+    } finally Sessions.clearGridSite(metric)
   }
 
   test("autoRoute: the minhash site's saturation routes to digest-prefix " +

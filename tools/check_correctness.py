@@ -50,12 +50,26 @@ def main(sfdir, outdir, timeout_s=None):
             continue
         timer = None
         timed_out = []
+        # Each oracle runs on its OWN cursor (a separate connection to the
+        # same in-memory catalog): if the oracle finishes just as the timer
+        # fires, cancel() comes too late and the stray interrupt would
+        # otherwise abort the NEXT oracle on a shared connection (spurious
+        # ORACLE ERR). Interrupting a per-query cursor cannot leak across
+        # queries; the done-guard additionally keeps a completed query from
+        # being misreported as a timeout.
+        cur = con.cursor()
+        done = threading.Event()
+        guard = threading.Lock()
         if timeout_s:
-            timer = threading.Timer(
-                timeout_s, lambda: (timed_out.append(True), con.interrupt()))
+            def fire(c=cur):
+                with guard:
+                    if not done.is_set():
+                        timed_out.append(True)
+                        c.interrupt()
+            timer = threading.Timer(timeout_s, fire)
             timer.start()
         try:
-            odf = con.sql(oracle[name]).df()
+            odf = cur.sql(oracle[name]).df()
         except Exception as e:
             if timed_out:
                 print(f"{name}: TIMEOUT (oracle > {timeout_s}s at this SF)")
@@ -64,8 +78,11 @@ def main(sfdir, outdir, timeout_s=None):
                 print(f"{name}: ORACLE ERR {e}")
             continue
         finally:
+            with guard:
+                done.set()
             if timer:
                 timer.cancel()
+            cur.close()
         s, o = canon(spark_df), canon(odf)
         rows = len(s) == len(o)
         schema = list(s.columns) == list(o.columns)
