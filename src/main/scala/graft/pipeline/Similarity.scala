@@ -737,7 +737,100 @@ object Similarity {
     (s, d) => dedupSemanticPlan(s, d, adaptiveSemK(corpusSize(s, d))),
     Some(semOracleSqlExpr(ADAPTIVE_K_SQL)))
 
+  /** Hybrid retrieval: BM25 lexical ranking fused with cosine semantic
+    * ranking via Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009 —
+    * public; rrf(d) = Σ_lists 1/(k + rank_d), k = 60). The pattern every
+    * RAG-ish pipeline runs: two retrievers over the SAME doc ids
+    * (documents.doc_id ≡ embeddings.vec_id in this corpus), fuse by rank
+    * not score, so the two scoring scales never need calibrating.
+    *
+    *  - lexical list: [[TextAnalysis.bm25Scores]] over the shared probe
+    *    terms (same scoring as the gated q_bm25_rank), top-50 by
+    *    (bm25_e6 DESC, doc_id);
+    *  - semantic list: exact cosine of every embedding against the
+    *    vec_id-0 query vector (same floor-e6/tie-break discipline as
+    *    q_ann_brute), top-50;
+    *  - fusion: absent-from-a-list contributes 0 (rank encoded 0, not
+    *    NULL — keeps the gate's column types null-free); rrf_e6 =
+    *    Σ floor(1e6 / (60 + rank)); emit top-10 by (rrf_e6 DESC, doc_id).
+    *
+    * Scale shape: the corpus is touched by (a) token-keyed BM25 combines
+    * and (b) ONE broadcast-scalar cosine scan + TakeOrdered top-k — no
+    * corpus-grain shuffle, no all-pairs anywhere. The rank windows run on
+    * LIMIT-bounded 50-row relations (constant, corpus-size-independent),
+    * not on the corpus. */
+  private val RRF_K = 60
+  private val HYB_TOPN = 50
+  private val HYB_OUT = 10
+  private val hybridRetrieval = QueryDef(
+    "q_hybrid_retrieval",
+    (s, d) => {
+      def rrf(rank: Column): Column =
+        when(rank > 0, floor(lit(1e6) / (lit(RRF_K) + rank))).otherwise(lit(0L))
+      val lex = TextAnalysis.bm25Scores(s, d, TextAnalysis.BM25_TERMS)
+        .orderBy(col("bm25_e6").desc, col("doc_id")).limit(HYB_TOPN)
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("bm25_e6").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("lex_rank"))
+      val e = emb(s, d)
+      val qv = broadcast(e.filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding")).as("qv")))
+      val sem = e.crossJoin(qv)
+        .select(col("vec_id").as("doc_id"),
+          floor(cosine(col("qv"), asDouble(col("embedding"))) * 1e6).as("cos_e6"))
+        .orderBy(col("cos_e6").desc, col("doc_id")).limit(HYB_TOPN)
+        .withColumn("sem_rank", row_number().over(
+          Window.orderBy(col("cos_e6").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("sem_rank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("sem_rank"), lit(0L)).as("sem_rank"))
+        .withColumn("rrf_e6",
+          (rrf(col("lex_rank")) + rrf(col("sem_rank"))).cast("long"))
+        .orderBy(col("rrf_e6").desc, col("doc_id")).limit(HYB_OUT)
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks2 GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+      s AS (SELECT (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl) / n_docs AS avgdl FROM n),
+      tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks2
+             WHERE tok IN ('spark', 'query', 'window') GROUP BY 1, 2),
+      df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT doc_id,
+          CAST(FLOOR(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+            (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1e6) AS BIGINT)
+            AS score_e6
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), n, s),
+      lexall AS (SELECT doc_id, CAST(SUM(score_e6) AS BIGINT) AS bm25_e6
+                 FROM scored GROUP BY 1),
+      lex AS (SELECT doc_id, rn AS lex_rank FROM (
+          SELECT doc_id,
+            ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id) AS rn
+          FROM lexall) t WHERE rn <= $HYB_TOPN),
+      qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id = 0),
+      semall AS (SELECT vec_id AS doc_id,
+          CAST(FLOOR(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) * 1e6) AS BIGINT)
+            AS cos_e6
+        FROM embeddings, qv),
+      sem AS (SELECT doc_id, rn AS sem_rank FROM (
+          SELECT doc_id,
+            ROW_NUMBER() OVER (ORDER BY cos_e6 DESC, doc_id) AS rn
+          FROM semall) t WHERE rn <= $HYB_TOPN)
+      SELECT COALESCE(l.doc_id, m.doc_id) AS doc_id,
+        CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+        CAST(COALESCE(sem_rank, 0) AS BIGINT) AS sem_rank,
+        CAST(COALESCE(CAST(FLOOR(1e6 / ($RRF_K + lex_rank)) AS BIGINT), 0) +
+             COALESCE(CAST(FLOOR(1e6 / ($RRF_K + sem_rank)) AS BIGINT), 0) AS BIGINT)
+          AS rrf_e6
+      FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id
+      ORDER BY rrf_e6 DESC, doc_id LIMIT $HYB_OUT"""))
+
   val all: Seq[QueryDef] =
     Seq(annBrute, annLsh, annIvf, dedupEmbedding, annIncremental,
-      dedupSemantic, dedupSemanticAdaptive)
+      dedupSemantic, dedupSemanticAdaptive, hybridRetrieval)
 }

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -304,9 +305,14 @@ object TextAnalysis {
     * structural order in both engines (IEEE ops are exactly rounded, so
     * identical trees give identical doubles). One doc-keyed shuffle for
     * tf⋈dl; df and the avgdl scalar ride broadcasts. */
-  private val bm25 = QueryDef(
-    "q_bm25_rank",
-    (s, d) => {
+  /** BM25 document scores for a term set: (doc_id, bm25_e6, n_terms) for
+    * every doc matching at least one term. Shared by q_bm25_rank and the
+    * hybrid-retrieval fusion ([[Similarity]]'s q_hybrid_retrieval) so the
+    * two lexical rankings can never drift apart. Token-keyed aggregations
+    * with map-side partial counts; corpus stats ride one broadcast scalar
+    * row — linear at any corpus size. */
+  private[pipeline] def bm25Scores(s: SparkSession, d: String,
+      terms: Seq[String]): DataFrame = {
       val toks = docs(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
@@ -317,7 +323,7 @@ object TextAnalysis {
       val stats = dl.agg(sum(col("dl")).cast(DoubleType).as("sumdl"))
         .crossJoin(broadcast(n))
         .select((col("sumdl") / col("n_docs")).as("avgdl"), col("n_docs"))
-      val tf = toks.filter(col("tok").isin("spark", "query", "window"))
+      val tf = toks.filter(col("tok").isin(terms: _*))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       tf.join(broadcast(df), "tok")
@@ -330,9 +336,17 @@ object TextAnalysis {
             lit(1e6)))
         .groupBy(col("doc_id"))
         .agg(sum(col("score_e6")).as("bm25_e6"), count(lit(1)).as("n_terms"))
+  }
+
+  /** The probe terms every lexical-ranking gate uses (BM25 + hybrid). */
+  private[pipeline] val BM25_TERMS = Seq("spark", "query", "window")
+
+  private val bm25 = QueryDef(
+    "q_bm25_rank",
+    (s, d) =>
+      bm25Scores(s, d, BM25_TERMS)
         .orderBy(col("bm25_e6").desc, col("doc_id"))
-        .limit(20)
-    },
+        .limit(20),
     Some("""WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
@@ -543,8 +557,121 @@ object TextAnalysis {
         CAST(FLOOR(CAST(n_oov AS DOUBLE) / n_toks * 1e6) AS BIGINT) AS oov_frac_e6
       FROM j"""))
 
+  /** The FULL Gopher repetition-filter family (Rae et al. 2021, "Scaling
+    * Language Models", appendix A1.1 — public; q_quality_repetition in
+    * [[Curation]] keeps its simpler two-signal form): documents dominated
+    * by repeated
+    * n-grams are low-value for LM training. Two signal families over word
+    * n-grams, char-mass accounted (count × gram chars, overlapping
+    * occurrences included — fractions can exceed 1 on pathological docs;
+    * they threshold identically either way):
+    *
+    *  - top-n-gram fraction (n = 2, 3, 4): characters covered by the
+    *    single most frequent n-gram, / len(text). "Most frequent" alone
+    *    is ambiguous under count ties, so the tie-break is pinned: count
+    *    desc, gram length desc, then lexicographic — both engines rank
+    *    identically;
+    *  - duplicate-n-gram fraction (n = 5, 10): characters covered by ALL
+    *    occurrences of n-grams appearing more than once, / len(text).
+    *
+    * `keep` applies the paper's thresholds (top: 0.20/0.18/0.16; dup:
+    * 0.15 at n=5, 0.10 at n=10). Scale shape: one explode per n (a map
+    * stage over each doc), ONE (doc, n, gram)-keyed count with map-side
+    * partials, a per-doc-per-n rank window (bounded by a single doc's
+    * gram vocabulary, never corpus-grain), then a doc-keyed fold — no
+    * shuffle wider than the doc-keyed combine at any corpus size. */
+  private val NS_TOP = Seq(2, 3, 4)
+  private val NS_DUP = Seq(5, 10)
+  private val repetition = QueryDef(
+    "q_quality_gopher",
+    (s, d) => {
+      def gramsFor(n: Int) =
+        when(size(col("toks")) >= n,
+          expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(toks, i, $n)))"))
+          .otherwise(expr("CAST(array() AS array<string>)"))
+      val base = docs(s, d).select(col("doc_id"),
+        length(col("text")).as("total"), split(col("text"), " ").as("toks"))
+      val g = (NS_TOP ++ NS_DUP).map { n =>
+        base.select(col("doc_id"), col("total"), lit(n).as("n"),
+          explode(gramsFor(n)).as("g"))
+      }.reduce(_.unionAll(_))
+      val cnt = g.groupBy(col("doc_id"), col("total"), col("n"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("chars", col("cnt") * length(col("g")))
+      val topAggs = NS_TOP.map(n =>
+        max(when(col("n") === n, col("frac"))).as(s"top${n}_e6"))
+      val dupAggs = NS_DUP.map(n =>
+        max(when(col("n") === n, col("frac"))).as(s"dup${n}_e6"))
+      val top = cnt.filter(col("n").isin(NS_TOP.map(Int.box): _*))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"), col("n"))
+            .orderBy(col("cnt").desc, length(col("g")).desc, col("g"))))
+        .filter(col("rn") === 1)
+        .withColumn("frac", floor(col("chars") * lit(1e6) / col("total")))
+        .groupBy(col("doc_id"))
+        .agg(topAggs.head, topAggs.tail: _*)
+      val dup = cnt
+        .filter(col("n").isin(NS_DUP.map(Int.box): _*) && col("cnt") >= 2)
+        .groupBy(col("doc_id"), col("n"), col("total"))
+        .agg(sum(col("chars")).as("chars"))
+        .withColumn("frac", floor(col("chars") * lit(1e6) / col("total")))
+        .groupBy(col("doc_id"))
+        .agg(dupAggs.head, dupAggs.tail: _*)
+      val cols = NS_TOP.map(n => s"top${n}_e6") ++ NS_DUP.map(n => s"dup${n}_e6")
+      val filled = docs(s, d).select(col("doc_id"))
+        .join(top, Seq("doc_id"), "left").join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id") +: cols.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      filled.withColumn("keep",
+        col("top2_e6") <= 200000 && col("top3_e6") <= 180000 &&
+          col("top4_e6") <= 160000 && col("dup5_e6") <= 150000 &&
+          col("dup10_e6") <= 100000)
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, len(text) AS total, string_split(text, ' ') AS toks
+        FROM documents),
+      g0 AS (
+        SELECT doc_id, total, n, toks,
+          unnest(generate_series(1, len(toks) - n + 1)) AS i
+        FROM base, (VALUES (2), (3), (4), (5), (10)) ns(n)),
+      g AS (
+        SELECT doc_id, total, n,
+          array_to_string(list_slice(toks, i, i + n - 1), ' ') AS g
+        FROM g0),
+      cnt AS (
+        SELECT doc_id, total, n, g, COUNT(*) AS cnt, COUNT(*) * len(g) AS chars
+        FROM g GROUP BY 1, 2, 3, 4),
+      top AS (
+        SELECT doc_id,
+          MAX(CASE WHEN n = 2 THEN frac END) AS top2_e6,
+          MAX(CASE WHEN n = 3 THEN frac END) AS top3_e6,
+          MAX(CASE WHEN n = 4 THEN frac END) AS top4_e6
+        FROM (
+          SELECT doc_id, n, CAST(FLOOR(chars * 1e6 / total) AS BIGINT) AS frac,
+            ROW_NUMBER() OVER (PARTITION BY doc_id, n
+              ORDER BY cnt DESC, len(g) DESC, g) AS rn
+          FROM cnt WHERE n IN (2, 3, 4)) t
+        WHERE rn = 1 GROUP BY 1),
+      dup AS (
+        SELECT doc_id,
+          MAX(CASE WHEN n = 5 THEN frac END) AS dup5_e6,
+          MAX(CASE WHEN n = 10 THEN frac END) AS dup10_e6
+        FROM (
+          SELECT doc_id, n, CAST(FLOOR(SUM(chars) * 1e6 / total) AS BIGINT) AS frac
+          FROM cnt WHERE n IN (5, 10) AND cnt >= 2
+          GROUP BY doc_id, n, total) t
+        GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(top2_e6, 0) AS top2_e6, COALESCE(top3_e6, 0) AS top3_e6,
+        COALESCE(top4_e6, 0) AS top4_e6, COALESCE(dup5_e6, 0) AS dup5_e6,
+        COALESCE(dup10_e6, 0) AS dup10_e6,
+        (COALESCE(top2_e6, 0) <= 200000 AND COALESCE(top3_e6, 0) <= 180000
+          AND COALESCE(top4_e6, 0) <= 160000 AND COALESCE(dup5_e6, 0) <= 150000
+          AND COALESCE(dup10_e6, 0) <= 100000) AS keep
+      FROM documents d LEFT JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)"""))
+
   val all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab,
       fingerprintRolling, tfidfKeywords, outlierFilter, boilerplate, bm25,
-      bigramLm, decontaminate, perplexityLm, oovRate)
+      bigramLm, decontaminate, perplexityLm, oovRate, repetition)
 }

@@ -549,4 +549,82 @@ class PipelineSpec extends SparkSpec {
       case (id, (_, 0L)) if id != 12L && id != 17L => id }
     assert(othersPruned.isEmpty, s"isolated vectors pruned: $othersPruned")
   }
+
+  test("q_quality_gopher matches an independent sliding-window brute force") {
+    // Independent reimplementation with plain Scala collections (no Spark
+    // expressions shared with the query): per doc, per n, count every
+    // n-gram by sliding window, then apply the documented char-mass
+    // accounting and tie-break. Exact equality on the whole corpus.
+    def fracs(text: String): (Long, Long, Long, Long, Long) = {
+      val toks = text.split(" ", -1)
+      val total = text.length.toLong
+      def gramCounts(n: Int): Map[String, Int] =
+        if (toks.length < n) Map.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).map { case (g, o) => g -> o.size }
+      def top(n: Int): Long = {
+        val c = gramCounts(n)
+        if (c.isEmpty) 0L
+        else {
+          // count desc, gram length desc, lexicographic asc
+          val (g, cnt) = c.toSeq.sortBy { case (g, k) => (-k, -g.length, g) }.head
+          math.floor(cnt.toLong * g.length * 1e6 / total).toLong
+        }
+      }
+      def dup(n: Int): Long = {
+        val chars = gramCounts(n).collect {
+          case (g, k) if k >= 2 => k.toLong * g.length }.sum
+        math.floor(chars * 1e6 / total).toLong
+      }
+      (top(2), top(3), top(4), dup(5), dup(10))
+    }
+    val want = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> fracs(r.getString(1))).toMap
+    val got = SparkEntry.queries("q_quality_gopher")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)),
+          r.getBoolean(6))).toMap
+    assert(got.keySet == want.keySet, "one row per document")
+    for ((id, (f, keep)) <- got) {
+      assert(f == want(id), s"doc $id: got $f want ${want(id)}")
+      val (t2, t3, t4, d5, d10) = f
+      assert(keep == (t2 <= 200000 && t3 <= 180000 && t4 <= 160000 &&
+        d5 <= 150000 && d10 <= 100000), s"doc $id keep flag")
+    }
+    // The corpus must exercise both outcomes or the gate is vacuous.
+    assert(got.values.exists(_._2) && got.values.exists(!_._2),
+      "corpus should contain both kept and flagged docs")
+  }
+
+  test("q_hybrid_retrieval fuses consistently and honors both retrievers") {
+    val out = SparkEntry.queries("q_hybrid_retrieval")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 10, s"top-10 contract: ${out.length}")
+    assert(out.map(_._1).distinct.length == 10, "no duplicate doc_ids")
+    // Internal consistency: rrf_e6 must be recomputable from the emitted
+    // ranks (absent-from-list encoded as rank 0 contributing 0).
+    def c(r: Long) = if (r > 0) math.floor(1e6 / (60 + r)).toLong else 0L
+    for ((id, lex, sem, rrf) <- out) {
+      assert(lex >= 0 && lex <= 50 && sem >= 0 && sem <= 50, s"doc $id ranks")
+      assert(rrf == c(lex) + c(sem), s"doc $id rrf_e6 mismatch")
+      assert(lex > 0 || sem > 0, s"doc $id in neither list")
+    }
+    // The fused list is rrf-descending with doc_id tie-break.
+    val key = out.map(t => (-t._4, t._1)).toSeq
+    assert(key == key.sorted, "output must be (rrf desc, doc_id) ordered")
+    // Both retrievers contribute rows (rank-1 docs are NOT guaranteed a
+    // top-10 fusion slot — ten both-list docs can out-sum a single-list
+    // rank 1 — so membership is asserted per retriever, not per doc).
+    assert(out.exists(_._2 > 0), "no lexical contribution in the fusion")
+    assert(out.exists(_._3 > 0), "no semantic contribution in the fusion")
+    // Cross-check the lexical rank labels against the gated q_bm25_rank
+    // ordering: any fused doc with lex_rank r <= 20 must be q_bm25_rank's
+    // row r (same scoring, same tie-break).
+    val bm = SparkEntry.queries("q_bm25_rank")(spark, sfDir)
+      .collect().map(_.getLong(0))
+    for ((id, lex, _, _) <- out if lex >= 1 && lex <= bm.length)
+      assert(bm(lex.toInt - 1) == id,
+        s"doc $id claims lex_rank $lex but q_bm25_rank row $lex is ${bm(lex.toInt - 1)}")
+  }
 }

@@ -130,10 +130,15 @@ class PlanSpec extends SparkSpec {
     // O(n) compares against metadata, same class as q22.
     // q_sketch_cms_cert's cross is 20 probe rows x ONE stream-length row
     // (the eps*N bound's N) — the q22 scalar-broadcast shape again.
+    // q_hybrid_retrieval: the semantic side broadcasts ONE query-vector
+    // row against the corpus scan (the q22 scalar-broadcast shape) and
+    // inherits q_bm25_rank's broadcast corpus-stats row on the lexical
+    // side.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
       "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank",
       "q_tfidf_keywords", "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report",
-      "q_snapshot_drift", "q_profile_quantiles", "q_sketch_cms_cert")
+      "q_snapshot_drift", "q_profile_quantiles", "q_sketch_cms_cert",
+      "q_hybrid_retrieval")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
