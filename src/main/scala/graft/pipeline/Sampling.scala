@@ -273,7 +273,88 @@ object Sampling {
              ELSE 'test' END AS split
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id"""))
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public): score every raw
+    * document by how much its hashed-n-gram feature distribution looks like
+    * a TARGET distribution (here: the corpus's `lang = 'en'` slice standing
+    * in for "high-quality target domain"), then keep the top-scoring docs.
+    * Features are hashed unigrams in [[DSIR_B]] buckets (the portable
+    * seeded-md5 fold — see [[shardShuffle]]); per-bucket importance weight
+    * is the add-one-smoothed log-likelihood ratio
+    * ln((ct+1)/(Nt+B)) − ln((cr+1)/(Nr+B)), floor-truncated at 1e-6 once
+    * per bucket (the tfidf/bm25 ln-parity convention); a document's score
+    * is the exact integer sum of its token instances' bucket weights, and
+    * selection is the top-[[DSIR_SEL]] by (score desc, doc_id) — a total
+    * order, so both engines pick the identical set.
+    *
+    * Scale shape: ONE token-keyed structure — the per-(doc, bucket) count
+    * table g, built with map-side combines (tokens hash to ≤ B buckets per
+    * doc, so g is ≤ docs × B and in practice ≈ docs × distinct-tokens).
+    * Bucket stats (≤ B = 1024 rows) aggregate from g with partial combines
+    * and BROADCAST back, so token instances never shuffle on the
+    * low-cardinality bucket key (B keys would be a skew trap at corpus
+    * grain); totals derive from the 1024-row stats, not the corpus. Final
+    * selection is TakeOrderedAndProject (per-partition top-k, k-row driver
+    * merge); the rank window runs on the LIMIT-bounded 100-row relation,
+    * never the corpus. g is recomputed for its two consumers at gate scale
+    * (two parquet scans); a 100 TB run would checkpoint g once. */
+  private val DSIR_B = 1024
+  private val DSIR_SEL = 100
+  private val dsirSelect = QueryDef(
+    "q_dsir_select",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DoubleType
+      val g = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+        .withColumn("hx", md5(concat(lit("graft-dsir-1:"), col("tok"))))
+        .withColumn("b", expr(s"(${hexFold("hx")}) % $DSIR_B"))
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("n"))
+      val bs = g.groupBy(col("b")).agg(
+        sum(col("n")).as("cr"),
+        sum(when(col("lang") === "en", col("n")).otherwise(lit(0L))).as("ct"))
+      val tot = bs.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      val w = bs.crossJoin(broadcast(tot)).select(col("b"),
+        floor((log((col("ct") + 1L).cast(DoubleType) /
+            (col("nt") + lit(DSIR_B.toLong)).cast(DoubleType)) -
+          log((col("cr") + 1L).cast(DoubleType) /
+            (col("nr") + lit(DSIR_B.toLong)).cast(DoubleType))) * 1e6)
+          .cast("long").as("w_e6"))
+      g.join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_toks"), sum(col("n") * col("w_e6")).as("score_e6"))
+        .orderBy(col("score_e6").desc, col("doc_id")).limit(DSIR_SEL)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, lang,
+          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents),
+      h AS (SELECT doc_id, lang, md5('graft-dsir-1:' || tok) AS hx FROM toks),
+      g AS (SELECT doc_id, lang, (${hexFold("hx")}) % $DSIR_B AS b,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM h GROUP BY 1, 2, 3),
+      bs AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cr,
+               CAST(SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS ct
+             FROM g GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt
+              FROM bs),
+      w AS (SELECT b,
+              CAST(FLOOR((ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + $DSIR_B AS DOUBLE))
+                - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $DSIR_B AS DOUBLE))) * 1e6)
+                AS BIGINT) AS w_e6
+            FROM bs, tot),
+      sc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_toks,
+               CAST(SUM(n * w_e6) AS BIGINT) AS score_e6
+             FROM g JOIN w USING (b) GROUP BY 1)
+      SELECT doc_id, n_toks, score_e6,
+        CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rn
+      FROM sc ORDER BY score_e6 DESC, doc_id LIMIT $DSIR_SEL"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleSplit, sampleStratified, mixSources, langRebalance, shardShuffle,
-      sampleWeighted, splitLeakageSafe)
+      sampleWeighted, splitLeakageSafe, dsirSelect)
 }

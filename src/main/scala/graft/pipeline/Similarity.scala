@@ -830,7 +830,52 @@ object Similarity {
       FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id
       ORDER BY rrf_e6 DESC, doc_id LIMIT $HYB_OUT"""))
 
+  /** Hard-negative mining for contrastive training (the retrieval-training
+    * data op: for each anchor, the most-similar corpus vectors with a
+    * DIFFERENT label are the "hard negatives" that make the best training
+    * pairs — random negatives are too easy, same-label neighbors are
+    * positives, not negatives). For each anchor (vec_id < [[HN_NQ]]): exact
+    * cosine against every vector whose label differs, top-[[HN_K]] by
+    * (similarity desc, vec_id) — the q_ann_brute floor-e6/tie-break
+    * discipline, so both engines rank identically.
+    *
+    * Scale shape: identical to q_ann_brute — the anchor set (queries ×
+    * label) broadcasts, the corpus is touched by ONE map-side scan (the
+    * label inequality is a pre-score filter, pruning same-label rows before
+    * any cosine is computed), and only NQ×K candidates per partition reach
+    * the rank shuffle. At 100 TB the corpus side stays partition-parallel;
+    * nothing is all-pairs. */
+  private val HN_NQ = 6
+  private val HN_K = 8
+  private val hardNegatives = QueryDef(
+    "q_hard_negatives",
+    (s, d) => {
+      val e = emb(s, d)
+      val q = broadcast(e.filter(col("vec_id") < HN_NQ)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          asDouble(col("embedding")).as("qv")))
+      q.join(e, col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id").as("nid"), col("label").as("neg_label"),
+          floor(cosine(col("qv"), asDouble(col("embedding"))) * 1e6).as("s"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("s").desc, col("nid"))))
+        .filter(col("rn") <= HN_K)
+        .select(col("qid"), col("nid"), col("neg_label"), col("s"), col("rn"))
+    },
+    Some(s"""WITH q AS (
+        SELECT vec_id AS qid, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < $HN_NQ),
+      scored AS (
+        SELECT qid, vec_id AS nid, label AS neg_label,
+          CAST(FLOOR(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS s
+        FROM q, embeddings WHERE vec_id <> qid AND label <> qlabel),
+      ranked AS (
+        SELECT qid, nid, neg_label, s,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+        FROM scored)
+      SELECT qid, nid, neg_label, s, rn FROM ranked WHERE rn <= $HN_K"""))
+
   val all: Seq[QueryDef] =
     Seq(annBrute, annLsh, annIvf, dedupEmbedding, annIncremental,
-      dedupSemantic, dedupSemanticAdaptive, hybridRetrieval)
+      dedupSemantic, dedupSemanticAdaptive, hybridRetrieval, hardNegatives)
 }

@@ -627,4 +627,104 @@ class PipelineSpec extends SparkSpec {
       assert(bm(lex.toInt - 1) == id,
         s"doc $id claims lex_rank $lex but q_bm25_rank row $lex is ${bm(lex.toInt - 1)}")
   }
+
+  test("q_bpe_train matches an independent greedy brute force over the corpus") {
+    // Plain-Scala reimplementation from the paper's definition: word-freq
+    // table, per-round overlapping pair counts (cnt-weighted), argmax with
+    // the pinned (count desc, l, r) tie-break, greedy leftmost-first
+    // non-overlapping application. No Spark, no SQL — a third independent
+    // derivation alongside the DataFrame plan and the DuckDB oracle.
+    val words = scala.collection.mutable.Map[String, Long]()
+    Tables.t(spark, sfDir, "documents").select(col("text")).collect()
+      .foreach(_.getString(0).split(" ").iterator
+        .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+        .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L))
+    val got = SparkEntry.queries("q_bpe_train")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    var syms = words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val expect = (1 to got.length).map { step =>
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, ss) <- syms; i <- 0 until ss.length - 1)
+        pairs((ss(i), ss(i + 1))) = pairs.getOrElse((ss(i), ss(i + 1)), 0L) + words(w)
+      val ((l, r), c) = pairs.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      syms = syms.map { case (w, ss) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ss.length) {
+          if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) { out += (l + r); i += 2 }
+          else { out += ss(i); i += 1 }
+        }
+        w -> out.result()
+      }
+      (step.toLong, l, r, c)
+    }
+    assert(got.length >= 8, s"expected >= 8 merge rounds, got ${got.length}")
+    assert(got == expect, s"merge tables diverged:\n got    $got\n expect $expect")
+    // The corpus must actually exercise the interesting regime: at least
+    // one learned merge has a multi-char side (a second-order merge) —
+    // otherwise the application step's correctness is never load-bearing.
+    assert(expect.exists(m => m._2.length > 1 || m._3.length > 1),
+      s"corpus too trivial: no second-order merge in ${got.length} rounds")
+  }
+
+  test("q_dsir_select matches a brute-force importance-score recompute") {
+    val B = 1024
+    def bucket(tok: String): Long = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(("graft-dsir-1:" + tok).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hx.substring(0, 8), 16) % B
+    }
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).map(bucket)))
+    val cr = scala.collection.mutable.Map[Long, Long]()
+    val ct = scala.collection.mutable.Map[Long, Long]()
+    for ((_, lang, bs) <- docs; b <- bs) {
+      cr(b) = cr.getOrElse(b, 0L) + 1
+      if (lang == "en") ct(b) = ct.getOrElse(b, 0L) + 1
+    }
+    val (nr, nt) = (cr.values.sum, ct.values.sum)
+    val w = cr.keys.map { b =>
+      b -> math.floor((math.log((ct.getOrElse(b, 0L) + 1).toDouble / (nt + B)) -
+        math.log((cr(b) + 1).toDouble / (nr + B))) * 1e6).toLong
+    }.toMap
+    val expect = docs.map { case (id, _, bs) => (id, bs.map(w).sum) }
+      .sortBy { case (id, s) => (-s, id) }.take(100).toSeq
+    val got = SparkEntry.queries("q_dsir_select")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got == expect, s"selection diverged: got ${got.take(5)}... want ${expect.take(5)}...")
+    // Selection contract: the selected slice is enriched in the target
+    // language relative to the corpus (that is DSIR's whole point).
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    val selEn = got.count { case (id, _) => langOf(id) == "en" }.toDouble / got.size
+    val corpusEn = docs.count(_._2 == "en").toDouble / docs.length
+    assert(selEn > corpusEn,
+      f"no target enrichment: selected en-frac $selEn%.2f vs corpus $corpusEn%.2f")
+  }
+
+  test("q_hard_negatives: top-k cross-label cosine, never self, never same label") {
+    val vecs = Tables.t(spark, sfDir, "embeddings").collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")), r.getInt(r.fieldIndex("label")),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = (for ((qid, ql, qv) <- vecs if qid < 6) yield {
+      vecs.filter { case (nid, nl, _) => nid != qid && nl != ql }
+        .map { case (nid, nl, nv) => (qid, nid, nl, math.floor(cos(qv, nv) * 1e6).toLong) }
+        .sortBy { case (_, nid, _, s) => (-s, nid) }.take(8)
+        .zipWithIndex.map { case ((q, n, l, s), i) => (q, n, l, s, (i + 1).toLong) }
+    }).flatten.toSet
+    val got = SparkEntry.queries("q_hard_negatives")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getAs[Number](4).longValue)).toSet
+    assert(got == expect,
+      s"hard negatives diverged: got ${got.size} rows, want ${expect.size}")
+  }
 }
