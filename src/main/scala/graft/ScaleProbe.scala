@@ -116,6 +116,16 @@ object ScaleProbe {
   private val lateQueries = Seq("q_dedup_cross_source", "q_split_leakage_safe",
     "q_audio_fingerprint")
 
+  /** Round-11 additions: all compute-from-scratch (no persisted store to
+    * amortize), so they ride the plain family protocol. Expected laws:
+    * gopher/dsir/bpe are corpus-scan-bound (linear wall, doc- or
+    * token-keyed shuffles only); bpe's merge rounds are vocab-bound, so
+    * its wall should grow SLOWER than the corpus (the scan dominates);
+    * hybrid/hard-negatives are one broadcast-scalar pass over vectors
+    * plus LIMIT-bounded rank windows (linear, near-zero shuffle). */
+  private val r11Queries = Seq("q_quality_gopher", "q_hybrid_retrieval",
+    "q_bpe_train", "q_dsir_select", "q_hard_negatives")
+
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -235,6 +245,7 @@ object ScaleProbe {
     run(s"$workDir/g1x", "warm1x", simQueries)
     run(s"$workDir/g1x", "warm1x", textQueries)
     run(s"$workDir/g1x", "warm1x", eventQueries)
+    run(s"$workDir/g1x", "warm1x", r11Queries)
     // Targeted g10x warm for the train-once / build-once operators only:
     // their steady-state claim is "the timed query serves from the
     // persisted/cached artifact" (IVF centroids per (corpus, k); the
@@ -249,7 +260,8 @@ object ScaleProbe {
       val fams = run(s"$workDir/g1x", "g1x") ++
         run(s"$workDir/g1x", "g1x", simQueries) ++
         run(s"$workDir/g1x", "g1x", textQueries) ++
-        run(s"$workDir/g1x", "g1x", eventQueries)
+        run(s"$workDir/g1x", "g1x", eventQueries) ++
+        run(s"$workDir/g1x", "g1x", r11Queries)
       run(s"$workDir/g1x", "warmlate1x", lateQueries)
       fams ++ run(s"$workDir/g1x", "g1x", lateQueries)
     }
@@ -257,7 +269,8 @@ object ScaleProbe {
       val fams = run(s"$workDir/g10x", "g10x") ++
         run(s"$workDir/g10x", "g10x", simQueries) ++
         run(s"$workDir/g10x", "g10x", textQueries) ++
-        run(s"$workDir/g10x", "g10x", eventQueries)
+        run(s"$workDir/g10x", "g10x", eventQueries) ++
+        run(s"$workDir/g10x", "g10x", r11Queries)
       run(s"$workDir/g10x", "warmlate10x", lateQueries)
       fams ++ run(s"$workDir/g10x", "g10x", lateQueries)
     }
@@ -272,9 +285,10 @@ object ScaleProbe {
     // metric; maxTask is the straggler witness.
     if (sys.env.get("SPARK_GRAFT_PROBE_100X").contains("1")) {
       val decaDocs = Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_clusters",
-        "q_phash_dedup", "q_tfidf_keywords", "q_bm25_rank", "q_decontaminate")
+        "q_phash_dedup", "q_tfidf_keywords", "q_bm25_rank", "q_decontaminate",
+        "q_quality_gopher", "q_dsir_select", "q_bpe_train")
       val decaSim = Seq("q_dedup_embedding", "q_dedup_semantic_adaptive_k",
-        "q_ann_ivf")
+        "q_ann_ivf", "q_hybrid_retrieval", "q_hard_negatives")
       // asof + funnel carry the event family's scale claims; 100x = 2M
       // users (~133M events), generated distributed (the generator is
       // pure Spark expressions, so the third decade costs no driver
@@ -283,7 +297,8 @@ object ScaleProbe {
         "q_sessionize", "q_sessionize_chunked")
       // Generate only the corpora a kept query will read — a narrowed
       // PROBE_QUERIES run must not pay the 500k-doc driver-side build.
-      if (keep(decaDocs ++ lateQueries).nonEmpty)
+      // hybrid lives in decaSim (vector-side law) but reads documents too
+      if (keep(decaDocs ++ lateQueries ++ Seq("q_hybrid_retrieval")).nonEmpty)
         generate(n1 * 100, s"$workDir/g100x")
       if (keep(decaSim).nonEmpty) {
         generateEmbeddings(e1 * 100, s"$workDir/g100x")

@@ -704,101 +704,188 @@ object TextAnalysis {
     * round moves ≤ vocab×len pair rows through one exchange. Nothing is
     * ever all-pairs, and the driver holds M rows total. */
   private val BPE_MERGES = 8
+
+  /** The shared learner: one corpus scan into the word-frequency table,
+    * then [[BPE_MERGES]] merge rounds (see [[bpeTrain]]'s scaladoc for
+    * the full protocol). Returns the learned merge table AND the final
+    * (w, cnt, syms) word table with ALL merges applied — [[bpeTrain]]
+    * gates the former, [[bpeEncode]] the latter, from one code path so
+    * the two gates cannot drift. localCheckpoint per round is
+    * load-bearing twice over: it caps the otherwise exponentially
+    * nesting fold expression (the fold references `syms` ~6 times, so
+    * projection collapse nests round r-1's expression 6x inside round r —
+    * 52 MiB task binaries by round 8 when chained), and it truncates
+    * lineage so round r never replays rounds 1..r-1. */
+  private def bpeLearn(s: SparkSession, d: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    def applyMerge(wdf: DataFrame, l: String, r: String): DataFrame = {
+      require((l + r).forall(c => c >= 'a' && c <= 'z'), s"non-[a-z] symbol: $l|$r")
+      wdf.withColumn("syms", expr(
+        s"""CASE WHEN size(syms) < 2 THEN syms ELSE
+              aggregate(slice(syms, 2, size(syms) - 1), slice(syms, 1, 1),
+                (acc, x) -> IF(element_at(acc, -1) = '$l' AND x = '$r',
+                  concat(slice(acc, 1, size(acc) - 1), array('${l + r}')),
+                  concat(acc, array(x))))
+            END"""))
+    }
+    var cur = docs(s, d)
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+      .filter(expr("length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) = 0"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (step <- 1 to BPE_MERGES) {
+      val best = cur.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(0, size(syms) - 2),
+               i -> struct(element_at(syms, i + 1) AS l,
+                           element_at(syms, i + 2) AS r))""")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+        .collect()(0)
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((step.toLong, l, r, c))
+      cur = applyMerge(cur, l, r).localCheckpoint()
+    }
+    (merges.result(), cur)
+  }
+
+  /** The shared SQL prefix (w0 .. w{M}): the word-frequency base plus one
+    * unrolled block per merge round. MATERIALIZED is load-bearing: each
+    * round references the previous word table twice (pair count +
+    * application), so inlined CTEs re-evaluate the whole chain 2^M
+    * times. Greedy-leftmost application is expressed as island parity —
+    * among each run of consecutive candidate positions, every second one
+    * merges — the same function as the Spark-side fold (proven by the
+    * PipelineSpec brute force). */
+  private def bpeCtes: String = {
+    def round(r: Int): String = {
+      val p = r - 1
+      s"""p$r AS MATERIALIZED (
+           SELECT w.syms[CAST(t.i + 1 AS BIGINT)] AS l,
+             w.syms[CAST(t.i + 2 AS BIGINT)] AS r,
+             CAST(SUM(w.cnt) AS BIGINT) AS c
+           FROM w$p w, unnest(range(0, len(w.syms) - 1)) AS t(i) GROUP BY 1, 2),
+         m$r AS MATERIALIZED (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+         e$r AS MATERIALIZED (
+           SELECT w.w, w.cnt, t.i AS i, w.syms[CAST(t.i + 1 AS BIGINT)] AS s,
+             m.l || m.r AS merged,
+             (w.syms[CAST(t.i + 1 AS BIGINT)] = m.l AND t.i + 1 < len(w.syms)
+               AND w.syms[CAST(t.i + 2 AS BIGINT)] = m.r) AS cand
+           FROM w$p w, unnest(range(0, len(w.syms))) AS t(i), m$r m),
+         k$r AS MATERIALIZED (SELECT w, i FROM (
+             SELECT w, i, (i - MIN(i) OVER (PARTITION BY w, isl)) % 2 AS par
+             FROM (SELECT w, i,
+                     i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS isl
+                   FROM e$r WHERE cand) a) b WHERE par = 0),
+         w$r AS MATERIALIZED (
+           SELECT e.w, e.cnt,
+             list(CASE WHEN k1.i IS NOT NULL THEN e.merged ELSE e.s END
+                  ORDER BY e.i) AS syms
+           FROM e$r e
+           LEFT JOIN k$r k1 ON e.w = k1.w AND e.i = k1.i
+           LEFT JOIN k$r k0 ON e.w = k0.w AND e.i - 1 = k0.i
+           WHERE k0.i IS NULL
+           GROUP BY e.w, e.cnt, e.merged)"""
+    }
+    s"""w0 AS MATERIALIZED (
+         SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
+         FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+               FROM documents) t
+         WHERE length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) = 0
+         GROUP BY w),
+       ${(1 to BPE_MERGES).map(round).mkString(",\n")}"""
+  }
+
+  /** Distributed BPE tokenizer training (Sennrich/Haddow/Birch 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units" —
+    * public): learn the first [[BPE_MERGES]] merge rules from the corpus.
+    * Classic BPE trains on the WORD-FREQUENCY table, not the corpus: the
+    * corpus is scanned exactly once (token-keyed count with map-side
+    * combines — the q_vocab_topk shape) into a vocab-bound (word, cnt,
+    * symbols) table, then every merge round touches only that table.
+    * Per round: (a) adjacent symbol pairs explode from the word table
+    * (rows ≤ vocab × avg word length) and aggregate on the pair key,
+    * cnt-weighted; (b) the argmax pair — tie-break pinned to (count desc,
+    * left asc, right asc) so both engines learn the identical table — is
+    * a ONE-ROW driver pull (the k-means centroid-pull precedent: the
+    * merge decision shapes the next round's PLAN, so it cannot stay a
+    * column); (c) the merge applies as a map-only left-to-right greedy
+    * fold (`aggregate` HOF) over each word's symbol list — leftmost-first
+    * non-overlapping, the classic semantics ("aaa" + (a,a) → [aa, a]).
+    *
+    * Words are restricted to pure-ASCII-lowercase via `translate` (NOT a
+    * regex: Java's `$` matches before a final newline where RE2's does
+    * not, so anchors are not engine-portable), which also guarantees the
+    * learned symbols are `[a-z]+` and safe to interpolate into the next
+    * round's expression.
+    *
+    * 100 TB shape: one corpus scan; everything after is vocab-bound (real
+    * corpora: ~10⁷ distinct words — a few executor partitions), and each
+    * round moves ≤ vocab×len pair rows through one exchange. Nothing is
+    * ever all-pairs, and the driver holds M rows total. */
   private val bpeTrain = QueryDef(
     "q_bpe_train",
     (s, d) => {
-      def applyMerge(wdf: DataFrame, l: String, r: String): DataFrame = {
-        require((l + r).forall(c => c >= 'a' && c <= 'z'), s"non-[a-z] symbol: $l|$r")
-        wdf.withColumn("syms", expr(
-          s"""CASE WHEN size(syms) < 2 THEN syms ELSE
-                aggregate(slice(syms, 2, size(syms) - 1), slice(syms, 1, 1),
-                  (acc, x) -> IF(element_at(acc, -1) = '$l' AND x = '$r',
-                    concat(slice(acc, 1, size(acc) - 1), array('${l + r}')),
-                    concat(acc, array(x))))
-              END"""))
-      }
-      val words = docs(s, d)
-        .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
-        .filter(expr("length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) = 0"))
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .select(col("cnt"), split(col("w"), "").as("syms"))
-        .persist()
-      try {
-        var cur = words
-        val merges = Seq.newBuilder[(Long, String, String, Long)]
-        for (step <- 1 to BPE_MERGES) {
-          val best = cur.filter(size(col("syms")) >= 2)
-            .select(col("cnt"), explode(expr(
-              """transform(sequence(0, size(syms) - 2),
-                   i -> struct(element_at(syms, i + 1) AS l,
-                               element_at(syms, i + 2) AS r))""")).as("p"))
-            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-            .agg(sum(col("cnt")).as("c"))
-            .orderBy(col("c").desc, col("l"), col("r")).limit(1)
-            .collect()(0)
-          val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-          merges += ((step.toLong, l, r, c))
-          // localCheckpoint is load-bearing: the fold expression references
-          // `syms` ~6 times, so projection collapse would nest round r-1's
-          // expression 6× inside round r — an exponentially growing plan
-          // (52 MiB task binaries by round 8 when chained). Materializing
-          // the vocab-bound table each round caps the plan at one fold.
-          if (step < BPE_MERGES) cur = applyMerge(cur, l, r).localCheckpoint()
-        }
-        val sess = s
-        import sess.implicits._
-        merges.result().toDF("step", "sym_l", "sym_r", "pair_cnt")
-      } finally words.unpersist()
+      val sess = s
+      import sess.implicits._
+      bpeLearn(s, d)._1.toDF("step", "sym_l", "sym_r", "pair_cnt")
     },
     Some {
-      // MATERIALIZED is load-bearing: each round references the previous
-      // word table twice (pair count + application), so inlined CTEs
-      // re-evaluate the whole chain 2^M times.
-      def round(r: Int): String = {
-        val p = r - 1
-        s"""p$r AS MATERIALIZED (
-             SELECT w.syms[CAST(t.i + 1 AS BIGINT)] AS l,
-               w.syms[CAST(t.i + 2 AS BIGINT)] AS r,
-               CAST(SUM(w.cnt) AS BIGINT) AS c
-             FROM w$p w, unnest(range(0, len(w.syms) - 1)) AS t(i) GROUP BY 1, 2),
-           m$r AS MATERIALIZED (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
-           e$r AS MATERIALIZED (
-             SELECT w.w, w.cnt, t.i AS i, w.syms[CAST(t.i + 1 AS BIGINT)] AS s,
-               m.l || m.r AS merged,
-               (w.syms[CAST(t.i + 1 AS BIGINT)] = m.l AND t.i + 1 < len(w.syms)
-                 AND w.syms[CAST(t.i + 2 AS BIGINT)] = m.r) AS cand
-             FROM w$p w, unnest(range(0, len(w.syms))) AS t(i), m$r m),
-           k$r AS MATERIALIZED (SELECT w, i FROM (
-               SELECT w, i, (i - MIN(i) OVER (PARTITION BY w, isl)) % 2 AS par
-               FROM (SELECT w, i,
-                       i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS isl
-                     FROM e$r WHERE cand) a) b WHERE par = 0),
-           w$r AS MATERIALIZED (
-             SELECT e.w, e.cnt,
-               list(CASE WHEN k1.i IS NOT NULL THEN e.merged ELSE e.s END
-                    ORDER BY e.i) AS syms
-             FROM e$r e
-             LEFT JOIN k$r k1 ON e.w = k1.w AND e.i = k1.i
-             LEFT JOIN k$r k0 ON e.w = k0.w AND e.i - 1 = k0.i
-             WHERE k0.i IS NULL
-             GROUP BY e.w, e.cnt, e.merged)"""
-      }
-      val rounds = (1 to BPE_MERGES).map(round).mkString(",\n")
       val unions = (1 to BPE_MERGES).map(r =>
         s"SELECT CAST($r AS BIGINT) AS step, l AS sym_l, r AS sym_r, c AS pair_cnt FROM m$r")
         .mkString("\n UNION ALL ")
-      s"""WITH w0 AS MATERIALIZED (
-           SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
-           FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-                 FROM documents) t
-           WHERE length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) = 0
-           GROUP BY w),
-         $rounds
+      s"""WITH $bpeCtes
          $unions"""
     })
+
+  /** The ENCODE path of the learned tokenizer — what a release actually
+    * ships: retokenize the corpus with the merge table and report each
+    * document's subword count and fanout vs its whitespace word count
+    * (the number a token-budgeted packing/pricing stage consumes). This
+    * also gates the final vocabulary STATE (w$M) — the merge-table gate
+    * checks what was learned, this one checks what the learned rules DO.
+    *
+    * Scale shape: merge application stays vocab-bound ([[bpeLearn]]'s
+    * final word table); the corpus is touched by one scan that joins
+    * token instances to the broadcast (word → subword-count) dictionary —
+    * the q_oov_rate shape — then one doc-keyed combine. A 100 TB corpus
+    * with a ~10⁷-word vocab broadcasts a few hundred MB of dictionary,
+    * the standard map-side-dictionary trade; nothing corpus-grain ever
+    * shuffles except the doc-keyed partial aggregate. */
+  private val bpeEncode = QueryDef(
+    "q_bpe_encode",
+    (s, d) => {
+      val vocab = bpeLearn(s, d)._2
+        .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+      docs(s, d)
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+        .filter(expr("length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) = 0"))
+        .join(broadcast(vocab), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+        .select(col("doc_id"), col("n_words"), col("n_subwords"),
+          expr("(n_subwords * CAST(1000000 AS BIGINT)) div n_words").as("fanout_e6"))
+    },
+    Some(s"""WITH $bpeCtes,
+        sub AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM w$BPE_MERGES),
+        inst AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM documents) t
+          WHERE length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) = 0)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+          (CAST(SUM(n_sub) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT)
+            AS fanout_e6
+        FROM inst JOIN sub USING (w) GROUP BY 1"""))
 
   val all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab,
       fingerprintRolling, tfidfKeywords, outlierFilter, boilerplate, bm25,
-      bigramLm, decontaminate, perplexityLm, oovRate, repetition, bpeTrain)
+      bigramLm, decontaminate, perplexityLm, oovRate, repetition, bpeTrain, bpeEncode)
 }

@@ -666,6 +666,26 @@ class PipelineSpec extends SparkSpec {
     // otherwise the application step's correctness is never load-bearing.
     assert(expect.exists(m => m._2.length > 1 || m._3.length > 1),
       s"corpus too trivial: no second-order merge in ${got.length} rounds")
+    // Encode cross-check: per-doc subword totals must match re-encoding
+    // every document with the brute force's FINAL segmentation (`syms`
+    // after all rounds applied — the same vocabulary state w_M the
+    // DuckDB gate checks via q_bpe_encode).
+    val segLen = syms.map { case (w, ss) => w -> ss.length.toLong }
+    val expectEnc = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ")
+          .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+        (r.getLong(0), ws.length.toLong, ws.map(segLen).sum)
+      }.filter(_._2 > 0).toSet
+    val gotEnc = SparkEntry.queries("q_bpe_encode")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotEnc == expectEnc,
+      s"encode diverged: got ${gotEnc.size} docs, want ${expectEnc.size}")
+    // The merges must actually compress: corpus-wide subwords < chars.
+    val subTotal = expectEnc.toSeq.map(_._3).sum
+    val charTotal = segLen.keys.map(w => w.length.toLong * words(w)).sum
+    assert(subTotal < charTotal, "no compression vs character tokenization")
   }
 
   test("q_dsir_select matches a brute-force importance-score recompute") {
