@@ -59,9 +59,14 @@ object CorpusGen {
       (id.toLong, text, sampleLang(), s"src${id % 10}", text.length.toLong)
     }
     import spark.implicits._
-    // ~20k docs per partition at every tier (the files.maxPartitionBytes
-    // shape a real cluster would see).
-    val parts = math.max(8, n / 20000)
+    // ~2k docs per file (the r10 media-store rule): text operators are
+    // CPU-bound PER ROW (n-gram folds, shingling, hashing), so byte-sized
+    // splits underparallelize them — 8 files for 50k docs capped every
+    // map stage at 8 of 32 cores and masqueraded as a super-linear decade
+    // (q_quality_gopher read 5.6x at 10x with maxTask ≈ wall; r11 probe).
+    // A 100 TB corpus arrives in thousands of splits; the probe corpus
+    // must too, or the instrument measures layout, not the scaling law.
+    val parts = math.max(16, n / 2000)
     rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(parts).write.mode("overwrite").parquet(s"$out/documents.parquet")
   }
@@ -88,7 +93,10 @@ object CorpusGen {
       .toDF("vec_id", "embedding", "label")
       .select(col("vec_id"), col("embedding").cast("array<float>"),
         col("label").cast("int"))
-      .repartition(math.max(8, n / 25000))
+      // ~5k vectors per file — same CPU-bound-per-row rule as documents
+      // (cosine scoring, LSH signatures): splits must outnumber cores at
+      // every probe tier or decade ratios measure layout.
+      .repartition(math.max(16, n / 5000))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 

@@ -287,17 +287,16 @@ object Sampling {
     * selection is the top-[[DSIR_SEL]] by (score desc, doc_id) — a total
     * order, so both engines pick the identical set.
     *
-    * Scale shape: ONE token-keyed structure — the per-(doc, bucket) count
-    * table g, built with map-side combines (tokens hash to ≤ B buckets per
-    * doc, so g is ≤ docs × B and in practice ≈ docs × distinct-tokens).
-    * Bucket stats (≤ B = 1024 rows) aggregate from g with partial combines
-    * and BROADCAST back, so token instances never shuffle on the
-    * low-cardinality bucket key (B keys would be a skew trap at corpus
-    * grain); totals derive from the 1024-row stats, not the corpus. Final
-    * selection is TakeOrderedAndProject (per-partition top-k, k-row driver
-    * merge); the rank window runs on the LIMIT-bounded 100-row relation,
-    * never the corpus. g is recomputed for its two consumers at gate scale
-    * (two parquet scans); a 100 TB run would checkpoint g once. */
+    * Scale shape: token instances are consumed twice (two parquet scans)
+    * and BOTH consumers collapse them map-side before any exchange —
+    * bucket stats partial-aggregate to ≤ B = 1024 rows per partition
+    * (so token instances never shuffle on the low-cardinality bucket key,
+    * a skew trap at corpus grain), and doc scores partial-aggregate to one
+    * row per partition-local doc, so the scoring exchange carries
+    * docs-grain rows only. Totals derive from the 1024-row stats; the
+    * weight table broadcasts. Final selection is TakeOrderedAndProject
+    * (per-partition top-k, k-row driver merge); the rank window runs on
+    * the LIMIT-bounded 100-row relation, never the corpus. */
   private val DSIR_B = 1024
   private val DSIR_SEL = 100
   private val dsirSelect = QueryDef(
@@ -305,16 +304,21 @@ object Sampling {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DoubleType
-      val g = Tables.t(s, d, "documents")
+      // Token instances stay un-materialized: both consumers aggregate
+      // them map-side (bucket stats collapse to <= B rows per partition,
+      // doc scores to one row per partition-local doc), so no corpus-
+      // grain exchange exists anywhere — an intermediate per-(doc, b)
+      // groupBy would add one and, unpersisted, be recomputed per
+      // consumer anyway.
+      val toks = Tables.t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
         .withColumn("hx", md5(concat(lit("graft-dsir-1:"), col("tok"))))
-        .withColumn("b", expr(s"(${hexFold("hx")}) % $DSIR_B"))
-        .groupBy(col("doc_id"), col("lang"), col("b"))
-        .agg(count(lit(1)).as("n"))
-      val bs = g.groupBy(col("b")).agg(
-        sum(col("n")).as("cr"),
-        sum(when(col("lang") === "en", col("n")).otherwise(lit(0L))).as("ct"))
+        .select(col("doc_id"), col("lang"),
+          expr(s"(${hexFold("hx")}) % $DSIR_B").as("b"))
+      val bs = toks.groupBy(col("b")).agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
       val tot = bs.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
       val w = bs.crossJoin(broadcast(tot)).select(col("b"),
         floor((log((col("ct") + 1L).cast(DoubleType) /
@@ -322,9 +326,9 @@ object Sampling {
           log((col("cr") + 1L).cast(DoubleType) /
             (col("nr") + lit(DSIR_B.toLong)).cast(DoubleType))) * 1e6)
           .cast("long").as("w_e6"))
-      g.join(broadcast(w), Seq("b"))
+      toks.join(broadcast(w), Seq("b"))
         .groupBy(col("doc_id"))
-        .agg(sum(col("n")).as("n_toks"), sum(col("n") * col("w_e6")).as("score_e6"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("w_e6")).as("score_e6"))
         .orderBy(col("score_e6").desc, col("doc_id")).limit(DSIR_SEL)
         .withColumn("rn", row_number().over(
           Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -575,57 +575,72 @@ object TextAnalysis {
     *    occurrences of n-grams appearing more than once, / len(text).
     *
     * `keep` applies the paper's thresholds (top: 0.20/0.18/0.16; dup:
-    * 0.15 at n=5, 0.10 at n=10). Scale shape: one explode per n (a map
-    * stage over each doc), ONE (doc, n, gram)-keyed count with map-side
-    * partials, a per-doc-per-n rank window (bounded by a single doc's
-    * gram vocabulary, never corpus-grain), then a doc-keyed fold — no
-    * shuffle wider than the doc-keyed combine at any corpus size. */
+    * 0.15 at n=5, 0.10 at n=10). Scale shape: every gram of a document is
+    * derivable from the document's own row, so the whole query is ONE
+    * map-side pass — per doc and per n, sort the gram array and run-length
+    * fold it for (most-frequent gram with the pinned tie-break, duplicated
+    * char mass). ZERO shuffle, zero joins at any corpus size (the first
+    * explode → (doc, n, gram)-keyed-count formulation moved ~1 GB per 50k
+    * docs through an exchange whose keys never crossed a partition —
+    * replaced after the r11 stage probe; the unchanged SQL oracle and the
+    * PipelineSpec brute force pin the rewrite's equivalence). */
   private val NS_TOP = Seq(2, 3, 4)
   private val NS_DUP = Seq(5, 10)
   private val repetition = QueryDef(
     "q_quality_gopher",
     (s, d) => {
-      def gramsFor(n: Int) =
-        when(size(col("toks")) >= n,
-          expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
-            s"i -> concat_ws(' ', slice(toks, i, $n)))"))
-          .otherwise(expr("CAST(array() AS array<string>)"))
+      // Every gram of a document lives in the document's own row, so the
+      // per-(doc, n, gram) counts are PARTITION-LOCAL facts: the original
+      // explode → groupBy plan shuffled ~1 GB of gram rows per 50k docs
+      // through an exchange whose keys never crossed a partition (stage
+      // probe, r11). This form computes each doc's statistics map-side —
+      // sort the doc's gram array, then one run-length fold carrying
+      // (best run, tie-broken gram; duplicated char mass) — ZERO shuffle,
+      // no join, at any corpus size. Tie-break and char accounting are
+      // bit-identical to the old plan (the unchanged oracle + brute-force
+      // spec pin that).
+      def statsFor(n: Int): Column = expr(
+        s"""CASE WHEN size(toks) >= $n THEN
+              aggregate(
+                array_sort(transform(sequence(1, size(toks) - ${n - 1}),
+                  i -> concat_ws(' ', slice(toks, i, $n)))),
+                named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+                  'bestc', 0L, 'bestg', '', 'dup', 0L),
+                (st, x) -> named_struct(
+                  'prev', x,
+                  'run', IF(x = st.prev, st.run + 1L, 1L),
+                  'bestc', IF(IF(x = st.prev, st.run + 1L, 1L) > st.bestc
+                      OR (IF(x = st.prev, st.run + 1L, 1L) = st.bestc
+                          AND (length(x) > length(st.bestg)
+                            OR (length(x) = length(st.bestg) AND x < st.bestg))),
+                    IF(x = st.prev, st.run + 1L, 1L), st.bestc),
+                  'bestg', IF(IF(x = st.prev, st.run + 1L, 1L) > st.bestc
+                      OR (IF(x = st.prev, st.run + 1L, 1L) = st.bestc
+                          AND (length(x) > length(st.bestg)
+                            OR (length(x) = length(st.bestg) AND x < st.bestg))),
+                    x, st.bestg),
+                  'dup', st.dup + IF(NOT (x = st.prev) AND st.run >= 2L,
+                    st.run * length(st.prev), 0L)),
+                st -> named_struct(
+                  'topchars', st.bestc * length(st.bestg),
+                  'dupchars', st.dup + IF(st.run >= 2L,
+                    st.run * length(st.prev), 0L)))
+            ELSE named_struct('topchars', 0L, 'dupchars', 0L) END""")
       val base = docs(s, d).select(col("doc_id"),
         length(col("text")).as("total"), split(col("text"), " ").as("toks"))
-      val g = (NS_TOP ++ NS_DUP).map { n =>
-        base.select(col("doc_id"), col("total"), lit(n).as("n"),
-          explode(gramsFor(n)).as("g"))
-      }.reduce(_.unionAll(_))
-      val cnt = g.groupBy(col("doc_id"), col("total"), col("n"), col("g"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("chars", col("cnt") * length(col("g")))
-      val topAggs = NS_TOP.map(n =>
-        max(when(col("n") === n, col("frac"))).as(s"top${n}_e6"))
-      val dupAggs = NS_DUP.map(n =>
-        max(when(col("n") === n, col("frac"))).as(s"dup${n}_e6"))
-      val top = cnt.filter(col("n").isin(NS_TOP.map(Int.box): _*))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id"), col("n"))
-            .orderBy(col("cnt").desc, length(col("g")).desc, col("g"))))
-        .filter(col("rn") === 1)
-        .withColumn("frac", floor(col("chars") * lit(1e6) / col("total")))
-        .groupBy(col("doc_id"))
-        .agg(topAggs.head, topAggs.tail: _*)
-      val dup = cnt
-        .filter(col("n").isin(NS_DUP.map(Int.box): _*) && col("cnt") >= 2)
-        .groupBy(col("doc_id"), col("n"), col("total"))
-        .agg(sum(col("chars")).as("chars"))
-        .withColumn("frac", floor(col("chars") * lit(1e6) / col("total")))
-        .groupBy(col("doc_id"))
-        .agg(dupAggs.head, dupAggs.tail: _*)
-      val cols = NS_TOP.map(n => s"top${n}_e6") ++ NS_DUP.map(n => s"dup${n}_e6")
-      val filled = docs(s, d).select(col("doc_id"))
-        .join(top, Seq("doc_id"), "left").join(dup, Seq("doc_id"), "left")
-        .select(col("doc_id") +: cols.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
-      filled.withColumn("keep",
-        col("top2_e6") <= 200000 && col("top3_e6") <= 180000 &&
-          col("top4_e6") <= 160000 && col("dup5_e6") <= 150000 &&
-          col("dup10_e6") <= 100000)
+      val withStats = (NS_TOP ++ NS_DUP).foldLeft(base) { (df, n) =>
+        df.withColumn(s"st$n", statsFor(n))
+      }
+      val outCols =
+        NS_TOP.map(n =>
+          floor(col(s"st$n.topchars") * lit(1e6) / col("total")).as(s"top${n}_e6")) ++
+        NS_DUP.map(n =>
+          floor(col(s"st$n.dupchars") * lit(1e6) / col("total")).as(s"dup${n}_e6"))
+      withStats.select(col("doc_id") +: outCols: _*)
+        .withColumn("keep",
+          col("top2_e6") <= 200000 && col("top3_e6") <= 180000 &&
+            col("top4_e6") <= 160000 && col("dup5_e6") <= 150000 &&
+            col("dup10_e6") <= 100000)
     },
     Some("""WITH base AS (
         SELECT doc_id, len(text) AS total, string_split(text, ' ') AS toks

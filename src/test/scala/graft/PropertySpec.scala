@@ -147,6 +147,53 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(covered > 1000, s"generator should produce mostly in-radius pairs: $covered")
   }
+
+  test("BPE application: greedy-leftmost fold == island parity (the two engines' forms)") {
+    // The Spark side applies a merge as a left-to-right fold
+    // (TextAnalysis.bpeLearn); the DuckDB oracle expresses the same
+    // function as island parity (every second candidate position within
+    // each run of consecutive candidates merges). Both must equal the
+    // definitional greedy scan for ALL inputs, including the chained
+    // equal-symbol case ("aaaa" + (a,a) -> [aa, aa]) and symbols that
+    // collide with merged output (alphabet containing "ab" while merging
+    // (a, b)).
+    def greedy(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def fold(syms: Vector[String], l: String, r: String): Vector[String] =
+      if (syms.length < 2) syms
+      else syms.tail.foldLeft(Vector(syms.head)) { (acc, x) =>
+        if (acc.last == l && x == r) acc.init :+ (l + r) else acc :+ x
+      }
+    def islandParity(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val cand = (0 until syms.length - 1)
+        .filter(i => syms(i) == l && syms(i + 1) == r)
+      val keep = cand.zipWithIndex
+        .groupBy { case (i, rank) => i - rank } // consecutive runs
+        .values.flatMap { isl =>
+          val start = isl.map(_._1).min
+          isl.collect { case (i, _) if (i - start) % 2 == 0 => i }
+        }.toSet
+      (0 until syms.length).collect {
+        case i if !keep(i - 1) => if (keep(i)) l + r else syms(i)
+      }.toVector
+    }
+    val alphabet = Vector("a", "b", "c", "ab", "ba", "aa")
+    for (_ <- 0 until 20000) {
+      val syms = Vector.fill(rng.nextInt(12))(alphabet(rng.nextInt(alphabet.length)))
+      val l = alphabet(rng.nextInt(alphabet.length))
+      val r = alphabet(rng.nextInt(alphabet.length))
+      val g = greedy(syms, l, r)
+      assert(fold(syms, l, r) == g, s"fold diverged on $syms + ($l,$r)")
+      assert(islandParity(syms, l, r) == g, s"parity diverged on $syms + ($l,$r)")
+    }
+  }
 }
 
 /** Spark-backed equivalence check for the salting utilities. */
@@ -566,4 +613,5 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(salted == plain)
   }
+
 }
