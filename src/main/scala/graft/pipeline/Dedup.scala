@@ -1139,8 +1139,100 @@ object Dedup {
         WHERE a.doc_id < b.doc_id AND levenshtein(a.k, b.k) <= $TAU"""))
   }
 
+  /** Content-defined chunking + chunk-level cross-document duplication
+    * (the rsync/LBFS/FastCDC idea, made relational — public): cut each
+    * document where a rolling content hash of the trailing [[CDC_W]]
+    * chars hits 0 mod [[CDC_D]] (boundaries move WITH the content, so an
+    * insertion early in a copied document re-synchronizes after ~one
+    * chunk, where fixed-span shingles — q_substring_dedup's 8-token
+    * grid — would mis-align for the whole tail). Per doc: chunk count,
+    * chunks whose content hash appears in ≥ 2 distinct docs, and the
+    * duplicated char mass — the span-level excision signal at
+    * variable-width grain.
+    *
+    * The window hash is md5 of the trailing-W substring (portable;
+    * hash-of-window ≡ rolling hash by definition — a production run
+    * would swap in a gear/Rabin O(1)-slide hash, same boundaries
+    * CONTRACT, not the same constants). No min/max chunk clamp: the
+    * boundary decision stays per-POSITION (embarrassingly parallel);
+    * clamping would make it sequential.
+    *
+    * Scale shape: boundary detection and chunk extraction are map-only
+    * array expressions (every chunk of a doc derives from the doc's own
+    * row); the only corpus-grain exchanges key on the chunk-content
+    * hash — uniform by construction — for the distinct-doc count and
+    * the join back (same key, exchange reused). The doc-keyed rollup is
+    * a partial-agg combine. Text never shuffles; chunk hashes do. */
+  private val CDC_W = 16
+  private val CDC_D = 64
+  private val cdcDedup = QueryDef(
+    "q_cdc_dedup",
+    (s, d) => {
+      val fold = Sampling.hexFold("h")
+      val base = docs(s, d).select(col("doc_id"), col("text"),
+        length(col("text")).as("len"))
+      val ch = base
+        .withColumn("bounds", expr(
+          s"""IF(len < $CDC_W, CAST(array() AS array<bigint>),
+               filter(
+                 transform(
+                   transform(sequence($CDC_W, len),
+                     i -> md5(substring(text, i - ${CDC_W - 1}, $CDC_W))),
+                   (h, j) -> IF(($fold) % $CDC_D = 0,
+                     CAST(j + $CDC_W AS BIGINT), CAST(0 AS BIGINT))),
+                 x -> x > 0))"""))
+        .withColumn("cuts", expr(
+          "array_distinct(concat(array(CAST(0 AS BIGINT)), bounds, array(len)))"))
+        .withColumn("chunk", explode(expr(
+          """IF(size(cuts) < 2, CAST(array() AS array<string>),
+               transform(sequence(1, size(cuts) - 1),
+                 k -> substring(text, CAST(element_at(cuts, k) + 1 AS INT),
+                   CAST(element_at(cuts, k + 1) - element_at(cuts, k) AS INT))))""")))
+        .select(col("doc_id"), md5(col("chunk")).as("h"),
+          length(col("chunk")).cast("long").as("clen"))
+      val dup = ch.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      ch.join(dup, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("nd") >= 2, col("clen")).otherwise(0L)).as("dup_chars"))
+    },
+    Some {
+      val fold = Sampling.hexFold("md5(substring(b.text, CAST(t.i AS BIGINT) - 15, 16))")
+      s"""WITH base AS (
+          SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents),
+        pos AS (
+          SELECT b.doc_id, CAST(t.i AS BIGINT) AS i
+          FROM base b, unnest(range($CDC_W, len + 1)) AS t(i)
+          WHERE ($fold) % $CDC_D = 0),
+        cuts AS (
+          SELECT DISTINCT doc_id, c FROM (
+            SELECT doc_id, CAST(0 AS BIGINT) AS c FROM base
+            UNION ALL SELECT doc_id, len FROM base
+            UNION ALL SELECT doc_id, i FROM pos) u),
+        spans AS (
+          SELECT doc_id, c AS lo,
+            LEAD(c) OVER (PARTITION BY doc_id ORDER BY c) AS hi
+          FROM cuts),
+        chunks AS (
+          SELECT s.doc_id,
+            md5(substring(b.text, CAST(s.lo + 1 AS INT), CAST(s.hi - s.lo AS INT))) AS h,
+            s.hi - s.lo AS clen
+          FROM spans s JOIN base b USING (doc_id)
+          WHERE s.hi IS NOT NULL AND s.hi > s.lo),
+        dup AS (
+          SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+          FROM chunks GROUP BY 1)
+        SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+          CAST(SUM(CASE WHEN d.nd >= 2 THEN c.clen ELSE 0 END) AS BIGINT) AS dup_chars
+        FROM chunks c JOIN dup d USING (h)
+        GROUP BY 1"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash,
       dedupRecallCert, dedupSimhash, dedupClusters, dedupReport, fuzzyJoin,
-      dedupKeepBest, dedupCrossSource, dedupAuto)
+      dedupKeepBest, dedupCrossSource, dedupAuto, cdcDedup)
 }

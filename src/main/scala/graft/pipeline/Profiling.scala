@@ -278,6 +278,92 @@ object Profiling {
       FROM (VALUES ('l_extendedprice'), ('l_quantity')) c(colname),
            (VALUES (CAST(50 AS BIGINT)), (90), (99)) q(q_pct)"""))
 
+  /** Classifier-calibration metric: the exact tie-adjusted ROC-AUC of the
+    * CHEAP linear quality score (q_quality_classifier) predicting the
+    * EXPENSIVE Gopher repetition-gate outcome (q_quality_gopher's keep) —
+    * the standard "can the cheap score pre-filter for the costly gate"
+    * question a pipeline answers before reordering its filter cascade.
+    * Both inputs are reused from the REGISTERED QueryDefs (build + oracle
+    * embedded verbatim), so this gate can never drift from the gated
+    * definitions of its own inputs.
+    *
+    * Exact AUC with ties (Mann-Whitney): over distinct score values s with
+    * (pos_s, neg_s) counts, AUC·P·N = Σ_s neg_below(s)·pos_s + pos_s·neg_s/2.
+    * Everything is kept in integers (×2 to absorb the half), so the result
+    * is an exact rational rendered at e6.
+    *
+    * Scale shape: inputs are map-only scans; the join keys on doc_id; the
+    * score-grain aggregate collapses to distinct scores with map-side
+    * partials. The cumulative runs TWO-PHASE — a per-bucket subtotal
+    * (score div 10⁴ → a few hundred buckets at any corpus size, one
+    * driver-scale ordered window) plus an in-bucket ordered window
+    * PARTITIONED by bucket — the repo's bucketed-window discipline, so no
+    * corpus-cardinality relation ever passes through a single-partition
+    * sort even if every document carried a distinct score. */
+  private val AUC_BKT = 10000L
+  private val qualityAuc = QueryDef(
+    "q_quality_auc",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def defOf(mod: Seq[QueryDef], n: String) = mod.find(_.name == n).get
+      val cls = defOf(Curation.all, "q_quality_classifier")
+      val gop = defOf(TextAnalysis.all, "q_quality_gopher")
+      val j = cls.build(s, d).select(col("doc_id"), col("score_e6"))
+        .join(gop.build(s, d).select(col("doc_id"),
+          when(col("keep"), 1L).otherwise(0L).as("lab")), Seq("doc_id"))
+      val g = j.groupBy(col("score_e6"))
+        .agg(sum(col("lab")).as("pos"), sum(lit(1L) - col("lab")).as("neg"))
+        .withColumn("bkt", expr(s"score_e6 div $AUC_BKT"))
+      val bktBelow = g.groupBy(col("bkt")).agg(sum(col("neg")).as("bneg"))
+        .withColumn("below_bkt", coalesce(sum(col("bneg")).over(
+          Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("bkt"), col("below_bkt"))
+      val c = g.join(bktBelow, Seq("bkt"))
+        .withColumn("below_in", coalesce(sum(col("neg")).over(
+          Window.partitionBy(col("bkt")).orderBy(col("score_e6"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("neg_below", col("below_bkt") + col("below_in"))
+      c.agg(
+        sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(lit(2L) * col("neg_below") * col("pos") + col("pos") * col("neg"))
+          .as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            expr("(u2 * CAST(1000000 AS BIGINT)) div (2 * n_pos * n_neg)"))
+            .as("auc_e6"))
+    },
+    Some {
+      def defOf(mod: Seq[QueryDef], n: String) = mod.find(_.name == n).get
+      val clsSql = defOf(Curation.all, "q_quality_classifier").oracle.get
+      val gopSql = defOf(TextAnalysis.all, "q_quality_gopher").oracle.get
+      s"""WITH cls AS ($clsSql),
+        gop AS ($gopSql),
+        j AS (
+          SELECT c.doc_id, c.score_e6,
+            CASE WHEN g.keep THEN CAST(1 AS BIGINT) ELSE 0 END AS lab
+          FROM cls c JOIN gop g USING (doc_id)),
+        g2 AS (
+          SELECT score_e6, CAST(SUM(lab) AS BIGINT) AS pos,
+            CAST(COUNT(*) - SUM(lab) AS BIGINT) AS neg
+          FROM j GROUP BY 1),
+        c2 AS (
+          SELECT pos, neg,
+            CAST(COALESCE(SUM(neg) OVER (ORDER BY score_e6
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS neg_below
+          FROM g2),
+        t AS (
+          SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+            CAST(SUM(neg) AS BIGINT) AS n_neg,
+            CAST(SUM(2 * neg_below * pos + pos * neg) AS BIGINT) AS u2
+          FROM c2)
+        SELECT n_pos, n_neg, u2,
+          CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN (u2 * 1000000) // (2 * n_pos * n_neg) END AS auc_e6
+        FROM t"""
+    })
+
   val all: Seq[QueryDef] =
-    Seq(profileTable, sketchCms, sketchCmsCert, profileQuantiles)
+    Seq(profileTable, sketchCms, sketchCmsCert, profileQuantiles, qualityAuc)
 }

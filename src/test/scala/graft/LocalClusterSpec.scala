@@ -56,7 +56,10 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_multimodal_features",   // PNG decode inside executor mapPartitions
     "q_substring_dedup",       // co-partitioned fingerprint semi join
     "q_sample_weighted",       // seeded priority sampling, global bottom-k
-    "q_sketch_hll")            // profiling sketch family
+    "q_sketch_hll",            // profiling sketch family
+    "q_bpe_train",             // localCheckpoint blocks held in REMOTE JVMs
+                               // across 8 data-dependent replans (r11)
+    "q_dsir_select")           // portable md5 hexFold + broadcast weights (r11)
 
   /** Engine-order-free canonical form: every output in the slice is a
     * deterministic (oracle-hashed) result, so sorted Row renderings are an

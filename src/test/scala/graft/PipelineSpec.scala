@@ -747,4 +747,41 @@ class PipelineSpec extends SparkSpec {
     assert(got == expect,
       s"hard negatives diverged: got ${got.size} rows, want ${expect.size}")
   }
+
+  test("q_cdc_dedup matches an independent plain-Scala CDC chunker") {
+    // Third derivation (no Spark expressions, no SQL): boundary after
+    // position i iff the 8-hex fold of md5(trailing-16-char window) is
+    // 0 mod 64; chunks are the spans between cuts {0, bounds..., len};
+    // a chunk is duplicated iff its md5 appears in >= 2 distinct docs.
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def chunksOf(text: String): Seq[String] = {
+      val len = text.length
+      val bounds = (16 to len).filter { i =>
+        java.lang.Long.parseLong(md5hex(text.substring(i - 16, i)).take(8), 16) % 64 == 0
+      }
+      val cuts = (0L +: bounds.map(_.toLong) :+ len.toLong).distinct
+      cuts.zip(cuts.tail).collect { case (lo, hi) if hi > lo =>
+        text.substring(lo.toInt, hi.toInt)
+      }
+    }
+    val corpus = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> chunksOf(r.getString(1)))
+    val docsPerHash = corpus.flatMap { case (id, cs) => cs.map(c => (md5hex(c), id)) }
+      .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).distinct.size }
+    val expect = corpus.collect { case (id, cs) if cs.nonEmpty =>
+      val dup = cs.filter(c => docsPerHash(md5hex(c)) >= 2)
+      (id, cs.size.toLong, dup.size.toLong, dup.map(_.length.toLong).sum)
+    }.toSet
+    val got = SparkEntry.queries("q_cdc_dedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect,
+      s"CDC diverged: got ${got.size} docs, want ${expect.size}")
+    // The corpus must exercise the duplication signal (planted near-dups
+    // share synchronized chunks) — otherwise the dup columns are never
+    // load-bearing.
+    assert(expect.exists(_._3 > 0), "no duplicated chunks found in corpus")
+  }
 }

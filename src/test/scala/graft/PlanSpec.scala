@@ -134,11 +134,18 @@ class PlanSpec extends SparkSpec {
     // row against the corpus scan (the q22 scalar-broadcast shape) and
     // inherits q_bm25_rank's broadcast corpus-stats row on the lexical
     // side.
+    // q_dsir_select's cross is <= 1024 bucket rows x ONE totals row (the
+    // q22 scalar-broadcast shape; the corpus side only ever equi-joins
+    // the broadcast weight table).
+    // q_hard_negatives is the q_ann_brute shape: a 6-row broadcast anchor
+    // set against the corpus scan under inequality predicates (<> id,
+    // <> label) — O(n) map-side compares by construction, never data x
+    // data.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
       "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank",
       "q_tfidf_keywords", "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report",
       "q_snapshot_drift", "q_profile_quantiles", "q_sketch_cms_cert",
-      "q_hybrid_retrieval")
+      "q_hybrid_retrieval", "q_dsir_select", "q_hard_negatives")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -129,4 +129,30 @@ class ProfilingSpec extends SparkSpec {
     val weightRatio = hi.getAs[Long]("weight_e6").toDouble / lo.getAs[Long]("weight_e6")
     assert(weightRatio < countRatio, "sqrt temperature must flatten the skew")
   }
+
+  test("q_quality_auc equals the brute-force pairwise Mann-Whitney AUC") {
+    // Independent derivation: collect (score, label) and count ordered
+    // pairs directly — every (pos, neg) pair contributes 2 if the
+    // positive outscores the negative, 1 on a tie (the x2 integer form
+    // the query uses to keep the half exact).
+    val score = SparkEntry.queries("q_quality_classifier")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val label = SparkEntry.queries("q_quality_gopher")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    val pos = label.collect { case (id, true) => score(id) }.toSeq
+    val neg = label.collect { case (id, false) => score(id) }.toSeq
+    val u2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    val row = SparkEntry.queries("q_quality_auc")(spark, sfDir).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      (pos.size.toLong, neg.size.toLong, u2),
+      s"AUC components diverged: got $row, want (${pos.size}, ${neg.size}, $u2)")
+    assert(row.getLong(3) ==
+      u2 * 1000000L / (2L * pos.size * neg.size), "auc_e6 arithmetic")
+    // The metric must be informative on this corpus: the cheap score
+    // should rank gate-passing docs above failing ones better than chance.
+    assert(row.getLong(3) > 550000L,
+      s"quality score uninformative for the gopher gate: auc_e6 = ${row.getLong(3)}")
+  }
 }
