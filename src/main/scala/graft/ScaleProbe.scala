@@ -124,7 +124,8 @@ object ScaleProbe {
     * hybrid/hard-negatives are one broadcast-scalar pass over vectors
     * plus LIMIT-bounded rank windows (linear, near-zero shuffle). */
   private val r11Queries = Seq("q_quality_gopher", "q_hybrid_retrieval",
-    "q_bpe_train", "q_bpe_encode", "q_dsir_select", "q_hard_negatives")
+    "q_bpe_train", "q_bpe_encode", "q_dsir_select", "q_hard_negatives",
+    "q_quality_auc", "q_cdc_dedup")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))
