@@ -43,6 +43,23 @@ object Tables {
     }
   }
 
+  /** Layout-adaptive spread for row-CPU-dense scan stages (per-position
+    * hashing, per-doc n-gram folds): when the scan yields FEWER splits
+    * than the session's parallelism — the single-file / single-row-group
+    * corpus case, where parquet cannot be split further — redistribute
+    * once so the compute stage uses every core; when splits already meet
+    * parallelism (any real multi-file corpus, and certainly 100 TB), this
+    * is the IDENTITY — no exchange is added. The trade is explicit: these
+    * operators spend ~1000x more CPU per byte than one text shuffle
+    * costs, so when the branch fires the exchange is negligible against
+    * the compute it unlocks; when it doesn't fire it costs nothing.
+    * (Partition count comes from the physical scan plan; computing it
+    * runs no job.) */
+  def spreadForRowCpu(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Register exactly the named tables as temp views (SQL-form queries).
     * Deliberately NOT all tables: an eager register-everything forces a read
     * of every file's footer per query — wasteful, and one bad table poisons

@@ -1169,8 +1169,8 @@ object Dedup {
     "q_cdc_dedup",
     (s, d) => {
       val fold = Sampling.hexFold("h")
-      val base = docs(s, d).select(col("doc_id"), col("text"),
-        length(col("text")).as("len"))
+      val base = graft.Tables.spreadForRowCpu(docs(s, d))
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       val ch = base
         .withColumn("bounds", expr(
           s"""IF(len < $CDC_W, CAST(array() AS array<bigint>),

@@ -310,7 +310,7 @@ object Sampling {
       // grain exchange exists anywhere — an intermediate per-(doc, b)
       // groupBy would add one and, unpersisted, be recomputed per
       // consumer anyway.
-      val toks = Tables.t(s, d, "documents")
+      val toks = Tables.spreadForRowCpu(Tables.t(s, d, "documents"))
         .select(col("doc_id"), col("lang"),
           explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
         .withColumn("hx", md5(concat(lit("graft-dsir-1:"), col("tok"))))

@@ -626,8 +626,9 @@ object TextAnalysis {
                   'dupchars', st.dup + IF(st.run >= 2L,
                     st.run * length(st.prev), 0L)))
             ELSE named_struct('topchars', 0L, 'dupchars', 0L) END""")
-      val base = docs(s, d).select(col("doc_id"),
-        length(col("text")).as("total"), split(col("text"), " ").as("toks"))
+      val base = Tables.spreadForRowCpu(docs(s, d))
+        .select(col("doc_id"),
+          length(col("text")).as("total"), split(col("text"), " ").as("toks"))
       val withStats = (NS_TOP ++ NS_DUP).foldLeft(base) { (df, n) =>
         df.withColumn(s"st$n", statsFor(n))
       }
