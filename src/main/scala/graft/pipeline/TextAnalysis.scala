@@ -900,8 +900,56 @@ object TextAnalysis {
             AS fanout_e6
         FROM inst JOIN sub USING (w) GROUP BY 1"""))
 
+  /** Tokenizer fertility per language: subwords emitted per whitespace
+    * word under the learned BPE table, and each language's premium over
+    * English — the multilingual-equity number (a language whose premium is
+    * 2x pays 2x the context budget per word) that decides whether a vocab
+    * needs rebalancing before a multilingual train run. Per-doc encode
+    * counts are reused VERBATIM from [[bpeEncode]] (build and oracle), so
+    * this certifies the encode path users actually run; on top of it only
+    * a lang-grain rollup (≤ #languages rows) and one broadcast English
+    * scalar move — corpus-grain data never reshuffles. The premium is
+    * computed fertility-over-fertility (each ~1e6-scale), so the integer
+    * arithmetic never leaves the safe range regardless of corpus size. */
+  private val tokenizerFertility = QueryDef(
+    "q_tokenizer_fertility",
+    (s, d) => {
+      val per = bpeEncode.build(s, d)
+        .select(col("doc_id"), col("n_words"), col("n_subwords"))
+        .join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"))
+        .withColumn("fertility_e6",
+          expr("n_subwords * CAST(1000000 AS BIGINT) div n_words"))
+      val en = per.filter(col("lang") === "en")
+        .select(col("fertility_e6").as("f_en"))
+      per.crossJoin(broadcast(en))
+        .select(col("lang"), col("n_words"), col("n_subwords"),
+          col("fertility_e6"),
+          expr("fertility_e6 * CAST(1000000 AS BIGINT) div f_en")
+            .as("premium_e6"))
+    },
+    Some {
+      val encSql = bpeEncode.oracle.get
+      s"""WITH enc AS ($encSql),
+        per AS (
+          SELECT lang, CAST(SUM(n_words) AS BIGINT) AS n_words,
+            CAST(SUM(n_subwords) AS BIGINT) AS n_subwords
+          FROM enc JOIN documents USING (doc_id) GROUP BY 1),
+        x AS (
+          SELECT lang, n_words, n_subwords,
+            n_subwords * 1000000 // n_words AS fertility_e6
+          FROM per)
+        SELECT lang, n_words, n_subwords, fertility_e6,
+          fertility_e6 * 1000000 //
+            (SELECT fertility_e6 FROM x WHERE lang = 'en') AS premium_e6
+        FROM x"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab,
       fingerprintRolling, tfidfKeywords, outlierFilter, boilerplate, bm25,
-      bigramLm, decontaminate, perplexityLm, oovRate, repetition, bpeTrain, bpeEncode)
+      bigramLm, decontaminate, perplexityLm, oovRate, repetition, bpeTrain,
+      bpeEncode, tokenizerFertility)
 }

@@ -102,6 +102,33 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.95, f"IVF recall below contract: $recall%.2f")
   }
 
+  test("q_retrieval_eval matches an independent metric recomputation") {
+    val got = SparkEntry.queries("q_retrieval_eval")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == Set("ivf", "lsh"))
+    // Independent lane for the LSH row: plain-Scala metrics over the
+    // registered defs' own results (the eval query must agree with what a
+    // user computes by hand from the system + brute-force answers).
+    val sys = SparkEntry.queries("q_ann_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val truth = SparkEntry.queries("q_ann_brute")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val hits = (sys.keySet intersect truth.keySet).size.toLong
+    val rrSum = truth.collect { case ((qid, nid), 1) =>
+      sys.get((qid, nid)).map(1000000L / _).getOrElse(0L)
+    }.sum
+    val (nq, k) = (pipeline.Similarity.NQ, pipeline.Similarity.K)
+    assert(got("lsh") ==
+      ((hits, hits * 1000000L / (nq * k), rrSum / nq)),
+      s"lsh metrics drifted from the hand recomputation: ${got("lsh")}")
+    // The IVF row carries the published tuning contract (recall >= 0.95
+    // at nprobe 12/16 — same floor the dedicated recall test asserts).
+    assert(got("ivf")._2 >= 950000L,
+      s"IVF recall_e6 below the published contract: ${got("ivf")._2}")
+  }
+
   test("image features come from really-decoded PNG pixels") {
     val ids = Tables.t(spark, sfDir, "documents")
       .select("doc_id").collect().map(_.getLong(0)).toSet
