@@ -358,7 +358,100 @@ object Sampling {
         CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rn
       FROM sc ORDER BY score_e6 DESC, doc_id LIMIT $DSIR_SEL"""))
 
+  /** Domain-mixture reweighting, the DoReMi shape (Xie et al., NeurIPS
+    * 2023): measure each domain's EXCESS loss over a reference and
+    * up-weight the domains the model finds hardest, so the training mix
+    * spends its budget where loss remains. Proxy loss here is the corpus
+    * add-one bigram LM (the q_perplexity_lm cost discipline — per-bigram
+    * units floored once at 1e-6, per-domain totals exact integer sums);
+    * the reference is the token-weighted global mean NLL. DoReMi's
+    * exponentiated-gradient update is replaced by a deterministic additive
+    * surrogate — weight ∝ 1e6 + excess_e6 — so the output is a pure
+    * integer function of the corpus (exact-oracle-able), while keeping
+    * the defining monotonicity: harder domain ⇒ larger weight.
+    *
+    * Scale shape: bigram instances collapse map-side to (source, prev,
+    * cur) grain — #domains × bigram-vocab rows, never corpus grain — and
+    * every later exchange is bigram-vocab- or domain-bound; the LM cost
+    * table joins at that same grain, the domain rollup is ≤ #domains
+    * rows, and the reference/normalizer scalars broadcast (the Q11/Q22
+    * pattern). Nothing is all-pairs, nothing collects. */
+  private val domainMix = QueryDef(
+    "q_domain_mix",
+    (s, d) => {
+      import org.apache.spark.sql.types.DoubleType
+      val base = Tables.spreadForRowCpu(Tables.t(s, d, "documents"))
+        .select(col("source"),
+          expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 2)
+      val inst = base.select(col("source"), explode(expr(
+        """transform(sequence(0, n - 2),
+             i -> struct(element_at(toks, i + 1) AS prev,
+                         element_at(toks, i + 2) AS cur))""")).as("bg"))
+        .select(col("source"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      val g = inst.groupBy(col("source"), col("prev"), col("cur"))
+        .agg(count(lit(1)).as("n"))
+      val c2 = g.groupBy(col("prev"), col("cur")).agg(sum(col("n")).as("c2"))
+      val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+      val v = c2.agg(countDistinct(col("cur")).as("v"))
+      val cost = c2.join(c1, "prev").crossJoin(broadcast(v))
+        .select(col("prev"), col("cur"),
+          floor(log((col("c1") + col("v")).cast(DoubleType) /
+            (col("c2") + lit(1L)).cast(DoubleType)) * 1e6)
+            .cast("long").as("cost_e6"))
+      val dom = g.join(cost, Seq("prev", "cur"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          sum(col("n") * col("cost_e6")).as("se"))
+      val glob = dom.agg(expr("sum(se) div sum(n_bigrams)").as("gnll"))
+      val x = dom.crossJoin(broadcast(glob))
+        .select(col("source"), col("n_bigrams"),
+          expr("se div n_bigrams").as("nll_e6"),
+          greatest(lit(0L), expr("se div n_bigrams") - col("gnll"))
+            .as("excess_e6"))
+      val tot = x.agg(sum(lit(1000000L) + col("excess_e6")).as("s"))
+      x.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_bigrams"), col("nll_e6"),
+          col("excess_e6"),
+          expr("(CAST(1000000 AS BIGINT) + excess_e6) * CAST(1000000 AS BIGINT) div s")
+            .as("weight_e6"))
+    },
+    Some("""WITH t AS (
+        SELECT source, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents),
+      f AS (SELECT source, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+      inst AS (
+        SELECT source, toks[CAST(i + 1 AS BIGINT)] AS prev,
+          toks[CAST(i + 2 AS BIGINT)] AS cur
+        FROM f, unnest(range(0, n - 1)) AS u(i)),
+      g AS (SELECT source, prev, cur, CAST(count(*) AS BIGINT) AS n
+            FROM inst GROUP BY 1, 2, 3),
+      c2 AS (SELECT prev, cur, CAST(sum(n) AS BIGINT) AS c2 FROM g GROUP BY 1, 2),
+      c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      v AS (SELECT CAST(count(DISTINCT cur) AS BIGINT) AS v FROM c2),
+      cost AS (
+        SELECT c2.prev, c2.cur,
+          CAST(FLOOR(ln(CAST(c1.c1 + v.v AS DOUBLE) / CAST(c2.c2 + 1 AS DOUBLE))
+            * 1e6) AS BIGINT) AS cost_e6
+        FROM c2 JOIN c1 ON c2.prev = c1.prev, v),
+      dom AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+          CAST(SUM(n * cost_e6) AS BIGINT) AS se
+        FROM g JOIN cost USING (prev, cur) GROUP BY 1),
+      gref AS (
+        SELECT CAST(SUM(se) AS BIGINT) // CAST(SUM(n_bigrams) AS BIGINT) AS gnll
+        FROM dom),
+      x AS (
+        SELECT source, n_bigrams, se // n_bigrams AS nll_e6,
+          GREATEST(0, se // n_bigrams - (SELECT gnll FROM gref)) AS excess_e6
+        FROM dom),
+      tot AS (SELECT CAST(SUM(1000000 + excess_e6) AS BIGINT) AS s FROM x)
+      SELECT source, n_bigrams, nll_e6, excess_e6,
+        (1000000 + excess_e6) * 1000000 // (SELECT s FROM tot) AS weight_e6
+      FROM x"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleSplit, sampleStratified, mixSources, langRebalance, shardShuffle,
-      sampleWeighted, splitLeakageSafe, dsirSelect)
+      sampleWeighted, splitLeakageSafe, dsirSelect, domainMix)
 }

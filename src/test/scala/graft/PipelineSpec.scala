@@ -129,6 +129,28 @@ class PipelineSpec extends SparkSpec {
       s"IVF recall_e6 below the published contract: ${got("ivf")._2}")
   }
 
+  test("q_domain_mix weights are a normalized, loss-monotone mixture") {
+    val rows = SparkEntry.queries("q_domain_mix")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = rows.length
+    assert(n >= 2, "fixture expectation: multiple sources")
+    // Normalization: integer-floor division loses < 1 unit per domain.
+    val wSum = rows.map(_._4).sum
+    assert(wSum <= 1000000L && wSum > 1000000L - n,
+      s"weights do not sum to ~1e6: $wSum over $n domains")
+    // DoReMi monotonicity: excess = clamp(nll - reference), and a domain
+    // with larger excess must never get a smaller weight (equality is
+    // possible when the excess gap is below the 1e6/Σ floor resolution).
+    rows.foreach { case (_, nll, ex, _) =>
+      assert(ex >= 0L && (ex == 0L || ex <= nll)) }
+    for (a <- rows; b <- rows if a._3 > b._3)
+      assert(a._4 >= b._4,
+        s"harder domain ${a._1} down-weighted vs ${b._1}")
+    assert(rows.map(_._3).distinct.length > 1,
+      "fixture expectation: domains should differ in excess loss")
+  }
+
   test("image features come from really-decoded PNG pixels") {
     val ids = Tables.t(spark, sfDir, "documents")
       .select("doc_id").collect().map(_.getLong(0)).toSet
