@@ -127,5 +127,102 @@ object Embeddings {
         CAST(count(*) AS BIGINT) AS n_vecs
       FROM ranked WHERE rk = 1 GROUP BY 1, 2"""))
 
-  val all: Seq[QueryDef] = Seq(quantize, centroidClassify)
+  /** Johnson–Lindenstrauss projection dims and quantization scale. A ±1
+    * (Rademacher) matrix R of shape K×D gives E‖Rx‖² = K·‖x‖², so the
+    * per-pair distortion statistic ‖R(u−v)‖²·1e6 / (K·‖u−v‖²)
+    * concentrates at 1e6 — the 4:1 dimensionality reduction every
+    * 100 TB embedding pipeline wants BEFORE paying for ANN indexing or
+    * pairwise scoring. Components quantize at 1e3 (|q| ≤ ~530 on this
+    * corpus), keeping every product chain within int64 by construction:
+    * d2p·1e6 ≤ 16·(2·64·530)²·1e6 ≈ 7e16. */
+  private val JL_K = 16
+  private val JL_D = 64
+  private val JL_NQ = 10
+
+  /** Seeded Rademacher rows — deterministic across runs and engines; the
+    * matrix ships as a literal on both sides (the LSH-hyperplane
+    * discipline). */
+  private[graft] def jlMatrix: Seq[Seq[Long]] = {
+    val rng = new scala.util.Random(1337)
+    Seq.fill(JL_K, JL_D)(if (rng.nextBoolean()) 1L else -1L)
+  }
+
+  /** JL random-projection certification: project the quantized corpus
+    * 64→16 dims with the seeded ±1 matrix and report, per query vector,
+    * the min/max/mean pairwise-distance distortion against every other
+    * vector. Everything after quantization is EXACT integer arithmetic —
+    * a dot product of int64s is summation-order independent, so both
+    * engines agree bit-for-bit with no IEEE ordering discipline needed
+    * (the reason a JL certificate can be exact where a float one can't).
+    *
+    * Scale shape: projection is a pure per-row map against the broadcast
+    * literal matrix (the shape that projects 100 TB map-side before
+    * indexing); only the NQ-row query side replicates; per-qid min/max/
+    * sum partial-aggregate map-side, so the only exchange carries NQ
+    * rows. Nothing is all-pairs on the corpus side. */
+  private val jlProject = QueryDef(
+    "q_jl_project",
+    (s, d) => {
+      val m = typedLit(jlMatrix)
+      val p = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
+        .withColumn("pv", transform(m, r =>
+          aggregate(zip_with(col("qv"), r, (x, c) => x * c),
+            lit(0L), (a, x) => a + x)))
+      val q = broadcast(p.filter(col("vec_id") < JL_NQ)
+        .select(col("vec_id").as("qid"), col("qv").as("qqv"),
+          col("pv").as("qpv")))
+      def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+      q.join(p, col("vec_id") =!= col("qid"))
+        .select(col("qid"), sq(col("qqv"), col("qv")).as("d2o"),
+          sq(col("qpv"), col("pv")).as("d2p"))
+        .filter(col("d2o") > 0L)
+        .select(col("qid"),
+          expr(s"d2p * CAST(1000000 AS BIGINT) div ($JL_K * d2o)").as("ratio_e6"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("ratio_e6")).as("min_ratio_e6"),
+          max(col("ratio_e6")).as("max_ratio_e6"),
+          expr("sum(ratio_e6) div count(1)").as("avg_ratio_e6"))
+    },
+    Some {
+      val rows = jlMatrix.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      s"""WITH r AS (SELECT CAST($rows AS BIGINT[][]) AS m),
+        e AS (
+          SELECT vec_id,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+          FROM embeddings),
+        p AS (
+          SELECT vec_id, qv,
+            list_transform(m, row -> CAST(list_sum(
+              list_transform(range(1, ${JL_D + 1}),
+                i -> qv[i] * row[i])) AS BIGINT)) AS pv
+          FROM e, r),
+        q AS (
+          SELECT vec_id AS qid, qv AS qqv, pv AS qpv
+          FROM p WHERE vec_id < $JL_NQ),
+        pr AS (
+          SELECT qid,
+            CAST(list_sum(list_transform(range(1, ${JL_D + 1}),
+              i -> (qqv[i] - qv[i]) * (qqv[i] - qv[i]))) AS BIGINT) AS d2o,
+            CAST(list_sum(list_transform(range(1, ${JL_K + 1}),
+              i -> (qpv[i] - pv[i]) * (qpv[i] - pv[i]))) AS BIGINT) AS d2p
+          FROM q, p WHERE vec_id <> qid),
+        x AS (
+          SELECT qid, d2p * 1000000 // ($JL_K * d2o) AS ratio_e6
+          FROM pr WHERE d2o > 0)
+        SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          MIN(ratio_e6) AS min_ratio_e6, MAX(ratio_e6) AS max_ratio_e6,
+          CAST(SUM(ratio_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+            AS avg_ratio_e6
+        FROM x GROUP BY 1"""
+    })
+
+  val all: Seq[QueryDef] = Seq(quantize, centroidClassify, jlProject)
 }

@@ -151,6 +151,22 @@ class PipelineSpec extends SparkSpec {
       "fixture expectation: domains should differ in excess loss")
   }
 
+  test("q_jl_project distortion concentrates where JL says it must") {
+    val rows = SparkEntry.queries("q_jl_project")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length == 10, s"expected one row per query vector: ${rows.length}")
+    rows.foreach { case (qid, n, mn, mx, avg) =>
+      assert(n > 0 && mn > 0L && mn <= avg && avg <= mx,
+        s"qid=$qid stats out of order: ($mn, $avg, $mx)")
+      // Mean pairwise distortion at K=16 over hundreds of pairs sits well
+      // inside [0.5, 2.0]x (single-pair std is sqrt(2/K) ~ 35%, the mean's
+      // far tighter); a seeded-matrix or projection bug lands far outside.
+      assert(avg >= 500000L && avg <= 2000000L,
+        s"qid=$qid mean distortion off the JL concentration: $avg")
+    }
+  }
+
   test("image features come from really-decoded PNG pixels") {
     val ids = Tables.t(spark, sfDir, "documents")
       .select("doc_id").collect().map(_.getLong(0)).toSet
