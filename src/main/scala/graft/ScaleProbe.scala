@@ -125,7 +125,14 @@ object ScaleProbe {
     * plus LIMIT-bounded rank windows (linear, near-zero shuffle). */
   private val r11Queries = Seq("q_quality_gopher", "q_hybrid_retrieval",
     "q_bpe_train", "q_bpe_encode", "q_dsir_select", "q_hard_negatives",
-    "q_quality_auc", "q_cdc_dedup")
+    "q_quality_auc", "q_cdc_dedup",
+    // Second r11 batch. Expected laws: domain_mix is bigram-mass-bound
+    // (linear wall, bigram-vocab-grain shuffles that grow SUB-linearly as
+    // the vocab saturates); fertility rides bpe_encode (linear scan +
+    // vocab-bound training rounds); jl_project and retrieval_eval are
+    // NQ×N map-side pair scans (linear, near-zero shuffle).
+    "q_domain_mix", "q_tokenizer_fertility", "q_jl_project",
+    "q_retrieval_eval")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))
