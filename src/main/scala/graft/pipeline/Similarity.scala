@@ -875,6 +875,259 @@ object Similarity {
         FROM scored)
       SELECT qid, nid, neg_label, s, rn FROM ranked WHERE rn <= $HN_K"""))
 
+  // ---------------------------------------------------------------- IVF-PQ
+  /** Product-quantization geometry (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011 — the standard 100 TB ANN
+    * memory layout): D=64 splits into M=8 subspaces of 8 dims, each with
+    * its own Ks=8-centroid codebook, so a vector compresses to M codes
+    * (8 × 3 bits here; 64 × 8 bytes → 3 bytes) and search scans codes
+    * with a per-query distance TABLE instead of touching raw vectors.
+    * Training/encoding/ADC all run on the [[semQuantized]] integer grid,
+    * so every distance is an exact integer and DuckDB reproduces the
+    * whole index bit-for-bit (PQ's k-means is plain L2 on subvectors —
+    * no sqrt, no IEEE-ordering discipline needed anywhere). */
+  private val PQ_M = 8
+  private val PQ_SD = 8
+  private val PQ_KS = 8
+  private[graft] val PQ_RERANK = 50
+
+  /** Exact integer L2² between a PQ_SD-dim window of `vec` (at element
+    * offset `off`) and codebook entry `base` of the flat literal tensor
+    * `pq_cb` — integer values carried in doubles (products ≤ ~1.1e8,
+    * subspace sums ≤ ~1.8e9: exact well under 2^53, the semCentroids
+    * double-sum argument). */
+  private def pqD2(vec: String, off: String, base: String): String =
+    s"""aggregate(sequence(0, ${PQ_SD - 1}), CAST(0 AS DOUBLE),
+        (pa, pi) -> pa +
+          (element_at($vec, $off + pi + 1) - element_at(pq_cb, ($base) * $PQ_SD + pi + 1)) *
+          (element_at($vec, $off + pi + 1) - element_at(pq_cb, ($base) * $PQ_SD + pi + 1)))"""
+
+  /** Argmin code against subspace `mm`'s codebook for the 16-dim window
+    * of `vec` starting at `off`: strict `<` keeps the LOWEST centroid id
+    * on ties — the same total order as the oracle's ROW_NUMBER (d2 ASC,
+    * cl ASC). */
+  private def pqArgmin(vec: String, off: String, mm: String): String =
+    s"""aggregate(sequence(0, ${PQ_KS - 1}),
+        named_struct('c', 0, 'bd', CAST(1e18 AS DOUBLE)),
+        (acc, cc) -> IF(${pqD2(vec, off, s"($mm) * $PQ_KS + cc")} < acc.bd,
+          named_struct('c', cc, 'bd', ${pqD2(vec, off, s"($mm) * $PQ_KS + cc")}),
+          acc)).c"""
+
+  private val pqCodebookCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Array[Array[Array[Long]]]]]()
+
+  /** Two-Lloyd-iteration L2 k-means per subspace, trained once per corpus
+    * (content-token cached — a production gateway trains the codebook
+    * once and encodes every ingest after). Protocol, mirrored exactly by
+    * the oracle CTEs: init = subvectors of vec_id < Ks; assignment =
+    * exact integer L2 argmin, ties to the lowest centroid; update =
+    * positive-shift floor-mean ((Σ + n·1e6) div n − 1e6, the
+    * centroidClassify discipline); a centroid that loses every member
+    * carries forward unchanged. Each iteration's stats collapse map-side
+    * to (M × Ks × 16) rows — the driver pull is 512 rows per round, the
+    * k-means-centroid-pull precedent. */
+  private def pqCodebooks(s: SparkSession, d: String): Array[Array[Array[Long]]] = {
+    val token = Tables.contentToken(s"$d/embeddings.parquet") + "#pq"
+    Tables.keyedOnce(pqCodebookCache, token)(Tables.staleSibling(token, _)) {
+      val sub = semQuantized(s, d)
+        .select(col("vec_id"), posexplode(expr(
+          s"transform(sequence(0, ${PQ_M - 1}), m -> slice(qv, m * $PQ_SD + 1, $PQ_SD))")))
+        .toDF("vec_id", "m", "sv")
+        .localCheckpoint()
+      var cb: Array[Array[Array[Long]]] = {
+        val arr = Array.ofDim[Array[Long]](PQ_M, PQ_KS)
+        sub.filter(col("vec_id") < PQ_KS).collect().foreach { r =>
+          arr(r.getInt(1))(r.getLong(0).toInt) =
+            r.getSeq[Double](2).map(_.toLong).toArray
+        }
+        arr
+      }
+      for (_ <- 1 to 2) {
+        val flat = cb.flatten.flatten.map(_.toDouble).toSeq
+        val stats = sub.withColumn("pq_cb", typedLit(flat))
+          .withColumn("cl", expr(pqArgmin("sv", "0", "m")))
+          .select(col("m"), col("cl"), posexplode(col("sv")))
+          .toDF("m", "cl", "pos", "x")
+          .groupBy("m", "cl", "pos")
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+          .collect()
+        val next = cb.map(_.map(_.clone))
+        stats.foreach { r =>
+          val (m, cl, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+          val (sm, cnt) = (r.getDouble(3).toLong, r.getLong(4))
+          next(m)(cl)(pos) = (sm + cnt * 1000000L) / cnt - 1000000L
+        }
+        cb = next
+      }
+      cb
+    }
+  }
+
+  /** ANN via IVF-PQ — the memory-bound 100 TB ANN stack: the IVF coarse
+    * quantizer (shared verbatim with [[annIvf]]: same deterministic
+    * spherical k-means, same NPROBE routing) prunes the scan to probed
+    * cells, and inside them candidates rank WITHOUT touching raw
+    * vectors — each vector's M=4 PQ codes index the query's per-subspace
+    * distance table (ADC, asymmetric distance computation), so the
+    * posting-list scan reads ~2 bytes/vector instead of 512. The ADC
+    * top-[[PQ_RERANK]] shortlist then refines with exact integer
+    * full-dim L2 (the IVFPQR refine step) and the top-K ships.
+    *
+    * Scale shape: codebooks are literals (M × Ks × 16 ints), encoding is
+    * a pure map fused into the one [[annIvf]]-shared assignment pass;
+    * the candidate rank shuffle carries (qid, nid, adc) triples ONLY —
+    * no vector moves after encoding — and the refine join broadcasts the
+    * NQ×RERANK shortlist back against the corpus map-side. DuckDB
+    * reproduces training, encoding, distance tables, ADC ranking, and
+    * refine bit-for-bit: everything is exact integer L2 on the shared
+    * quantization grid. */
+  private val annIvfPq = QueryDef(
+    "q_ann_ivfpq",
+    (s, d) => {
+      val cbFlat = pqCodebooks(s, d).flatten.flatten.map(_.toDouble).toSeq
+      val cents = semCentroids(s, d, IVF_K)
+      val assigned = semAssign(semQuantized(s, d), cents)
+        .withColumn("pq_cb", typedLit(cbFlat))
+        .select(col("vec_id"), col("cl").as("cell"), col("qv"),
+          expr(s"transform(sequence(0, ${PQ_M - 1}), mm -> " +
+            pqArgmin("qv", s"mm * $PQ_SD", "mm") + ")").as("codes"))
+        .localCheckpoint()
+      val centroids = s.createDataFrame(
+        cents.map { case (i, c) => (i, c.toSeq) })
+        .toDF("cell", "centroid")
+      // Query side: the flat 32-entry ADC distance table replaces the
+      // query vector for the in-cell scan.
+      val qside = assigned.filter(col("vec_id") < NQ)
+        .withColumn("pq_cb", typedLit(cbFlat))
+        .select(col("vec_id").as("qid"), col("qv").as("q_qv"),
+          expr(s"""flatten(transform(sequence(0, ${PQ_M - 1}), mm ->
+              transform(sequence(0, ${PQ_KS - 1}), cc ->
+                ${pqD2("qv", s"mm * $PQ_SD", s"mm * $PQ_KS + cc")})))""")
+            .as("dtf"))
+      val probes = broadcast(qside.crossJoin(broadcast(centroids))
+        .select(col("qid"), col("dtf"), col("cell"),
+          cosine(col("q_qv"), col("centroid")).as("cs"))
+        .withColumn("pr", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cell"))))
+        .filter(col("pr") <= NPROBE)
+        .select(col("qid"), col("dtf"), col("cell")))
+      // ADC scan: codes index the broadcast distance table; only
+      // (qid, nid, adc) reaches the shortlist rank.
+      val short = probes.join(assigned.filter(col("vec_id") >= NQ), Seq("cell"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          expr(s"""aggregate(sequence(0, ${PQ_M - 1}), CAST(0 AS DOUBLE),
+              (sa, sm) -> sa + element_at(dtf, sm * $PQ_KS + element_at(codes, sm + 1) + 1))""")
+            .as("adc"))
+        .withColumn("pr", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))))
+        .filter(col("pr") <= PQ_RERANK)
+        .select(col("qid"), col("nid"))
+      // Exact-refine: broadcast the NQ×RERANK shortlist back against the
+      // encoded corpus (map-side hash join), full-dim integer L2.
+      broadcast(short)
+        .join(assigned.select(col("vec_id").as("nid"), col("qv")), Seq("nid"))
+        .join(broadcast(qside.select(col("qid"), col("q_qv"))), Seq("qid"))
+        .select(col("qid"), col("nid"),
+          expr("""CAST(aggregate(zip_with(q_qv, qv, (x, y) -> (x - y) * (x - y)),
+              CAST(0 AS DOUBLE), (ra, rv) -> ra + rv) AS BIGINT)""").as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))))
+        .filter(col("rn") <= K)
+        .select(col("qid"), col("nid"), col("d2"), col("rn"))
+    },
+    Some(semKmeansCtes(IVF_K.toString) + s""",
+      probes AS (
+        SELECT vec_id AS qid, cl AS cell FROM (
+          SELECT vec_id, cl,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) pr
+          FROM p3 WHERE vec_id < $NQ) WHERE pr <= $NPROBE),
+      s0 AS (
+        SELECT q.vec_id, mm.m AS m,
+          list_transform(range(1, ${PQ_SD + 1}),
+            si -> q.qv[mm.m * $PQ_SD + si]) AS sv
+        FROM q, (SELECT unnest(range(0, $PQ_M)) AS m) mm),
+      pcb0 AS (SELECT m, CAST(vec_id AS INT) AS cl, sv AS cv
+               FROM s0 WHERE vec_id < $PQ_KS),
+      pd1 AS (
+        SELECT s.vec_id, s.m, c.cl,
+          CAST(list_sum(list_transform(range(1, ${PQ_SD + 1}),
+            di -> (s.sv[di] - c.cv[di]) * (s.sv[di] - c.cv[di]))) AS BIGINT) AS d2
+        FROM s0 s JOIN pcb0 c ON s.m = c.m),
+      pa1 AS (SELECT vec_id, m, cl FROM (
+          SELECT vec_id, m, cl,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cl) rn
+          FROM pd1) WHERE rn = 1),
+      pu1 AS (
+        SELECT a.m, a.cl, p.i AS pos,
+          CAST(SUM(s.sv[p.i + 1]) AS BIGINT) AS sm,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pa1 a JOIN s0 s ON s.vec_id = a.vec_id AND s.m = a.m,
+          range(0, $PQ_SD) p(i)
+        GROUP BY 1, 2, 3),
+      pcb1u AS (SELECT m, cl,
+          list((sm + cnt * 1000000) // cnt - 1000000 ORDER BY pos) AS cv
+        FROM pu1 GROUP BY 1, 2),
+      pcb1 AS (SELECT c.m, c.cl, COALESCE(u.cv, c.cv) AS cv
+        FROM pcb0 c LEFT JOIN pcb1u u ON u.m = c.m AND u.cl = c.cl),
+      pd2 AS (
+        SELECT s.vec_id, s.m, c.cl,
+          CAST(list_sum(list_transform(range(1, ${PQ_SD + 1}),
+            di -> (s.sv[di] - c.cv[di]) * (s.sv[di] - c.cv[di]))) AS BIGINT) AS d2
+        FROM s0 s JOIN pcb1 c ON s.m = c.m),
+      pa2 AS (SELECT vec_id, m, cl FROM (
+          SELECT vec_id, m, cl,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cl) rn
+          FROM pd2) WHERE rn = 1),
+      pu2 AS (
+        SELECT a.m, a.cl, p.i AS pos,
+          CAST(SUM(s.sv[p.i + 1]) AS BIGINT) AS sm,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pa2 a JOIN s0 s ON s.vec_id = a.vec_id AND s.m = a.m,
+          range(0, $PQ_SD) p(i)
+        GROUP BY 1, 2, 3),
+      pcb2u AS (SELECT m, cl,
+          list((sm + cnt * 1000000) // cnt - 1000000 ORDER BY pos) AS cv
+        FROM pu2 GROUP BY 1, 2),
+      pcb2 AS (SELECT c.m, c.cl, COALESCE(u.cv, c.cv) AS cv
+        FROM pcb1 c LEFT JOIN pcb2u u ON u.m = c.m AND u.cl = c.cl),
+      pd3 AS (
+        SELECT s.vec_id, s.m, c.cl,
+          CAST(list_sum(list_transform(range(1, ${PQ_SD + 1}),
+            di -> (s.sv[di] - c.cv[di]) * (s.sv[di] - c.cv[di]))) AS BIGINT) AS d2
+        FROM s0 s JOIN pcb2 c ON s.m = c.m),
+      pqcodes AS (SELECT vec_id, m, cl FROM (
+          SELECT vec_id, m, cl,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cl) rn
+          FROM pd3) WHERE rn = 1),
+      dtq AS (
+        SELECT vec_id AS qid, m, cl, d2 AS pd2
+        FROM pd3 WHERE vec_id < $NQ),
+      cand AS (
+        SELECT p.qid, f.vec_id AS nid
+        FROM probes p JOIN fin f ON f.cl = p.cell AND f.vec_id >= $NQ),
+      adc AS (
+        SELECT ca.qid, ca.nid, CAST(SUM(dtq.pd2) AS BIGINT) AS adc
+        FROM cand ca
+        JOIN pqcodes k ON k.vec_id = ca.nid
+        JOIN dtq ON dtq.qid = ca.qid AND dtq.m = k.m AND dtq.cl = k.cl
+        GROUP BY 1, 2),
+      shortl AS (SELECT qid, nid FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) pr
+          FROM adc) WHERE pr <= $PQ_RERANK),
+      refx AS (
+        SELECT sl.qid, sl.nid,
+          CAST(list_sum(list_transform(range(1, $DIM + 1),
+            ri -> (qa.qv[ri] - qb.qv[ri]) * (qa.qv[ri] - qb.qv[ri])))
+            AS BIGINT) AS d2
+        FROM shortl sl
+        JOIN q qa ON qa.vec_id = sl.qid
+        JOIN q qb ON qb.vec_id = sl.nid)
+      SELECT qid, nid, d2, rn FROM (
+        SELECT qid, nid, d2,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+        FROM refx) WHERE rn <= $K"""))
+
   /** Exact top-K ground truth with a candidate floor: [[annBrute]]'s plan
     * shape, parameterized so each ANN system is judged against the truth
     * over ITS candidate universe (LSH admits other query vectors as
@@ -975,5 +1228,5 @@ object Similarity {
   val all: Seq[QueryDef] =
     Seq(annBrute, annLsh, annIvf, dedupEmbedding, annIncremental,
       dedupSemantic, dedupSemanticAdaptive, hybridRetrieval, hardNegatives,
-      retrievalEval)
+      retrievalEval, annIvfPq)
 }

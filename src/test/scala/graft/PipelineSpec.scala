@@ -151,6 +151,37 @@ class PipelineSpec extends SparkSpec {
       "fixture expectation: domains should differ in excess loss")
   }
 
+  test("q_ann_ivfpq recall@5 vs exact quantized-L2 truth") {
+    // Independent plain-Scala ground truth: exact L2 top-5 per query over
+    // the same quantization grid the index uses (vec_id >= NQ candidates,
+    // ties to the lower nid — the index's own total order).
+    val vecs = Tables.t(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e4).toLong).toArray)
+      .toMap
+    val nq = pipeline.Similarity.NQ
+    val truth = (0L until nq.toLong).flatMap { qid =>
+      val qv = vecs(qid)
+      vecs.toSeq.filter(_._1 >= nq)
+        .map { case (nid, v) =>
+          (nid, qv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (nid, d2) => (d2, nid) }.take(5)
+        .map { case (nid, _) => (qid, nid) }
+    }.toSet
+    val got = SparkEntry.queries("q_ann_ivfpq")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect got).size.toDouble / truth.size
+    info(f"IVF-PQ recall@5 = $recall%.2f " +
+      f"(nprobe ${pipeline.Similarity.NPROBE}/${pipeline.Similarity.IVF_K}, " +
+      f"ADC shortlist ${pipeline.Similarity.PQ_RERANK})")
+    // Random uniform vectors are the worst case for BOTH stages (IVF cell
+    // recall ~0.96 here; 4x16-dim PQ distance distortion is largest when
+    // no subspace structure exists). The floor certifies the pipeline
+    // stays useful even there; clustered real embeddings sit far higher.
+    assert(recall >= 0.55, f"IVF-PQ recall collapsed: $recall%.2f")
+  }
+
   test("q_jl_project distortion concentrates where JL says it must") {
     val rows = SparkEntry.queries("q_jl_project")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
