@@ -35,7 +35,7 @@ object ScaleProbe {
     * volume. */
   private val simQueries = Seq("q_ann_brute", "q_ann_lsh", "q_dedup_embedding",
     "q_ann_incremental", "q_dedup_semantic", "q_dedup_semantic_adaptive_k",
-    "q_ann_ivf")
+    "q_ann_ivf", "q_ann_ivfpq")
 
   /** Probe-only builders beyond the SparkEntry registry. The adaptive-K
     * semantic dedup scales the cluster count as k = sqrt(N) — the point
@@ -263,7 +263,7 @@ object ScaleProbe {
     // dedup family's shingle index deliberately stays UNwarmed (its build
     // is declared part of the measured cost — see run()'s comment).
     run(s"$workDir/g10x", "warm10x",
-      Seq("q_ann_ivf", "q_snapshot_diff", "q_snapshot_drift"))
+      Seq("q_ann_ivf", "q_ann_ivfpq", "q_snapshot_diff", "q_snapshot_drift"))
     val r1 = {
       val fams = run(s"$workDir/g1x", "g1x") ++
         run(s"$workDir/g1x", "g1x", simQueries) ++
