@@ -451,7 +451,88 @@ object Sampling {
         (1000000 + excess_e6) * 1000000 // (SELECT s FROM tot) AS weight_e6
       FROM x"""))
 
+  /** Curriculum phases: split the corpus into 4 difficulty quartiles of
+    * the bigram-LM NLL (easy → hard, the classic curriculum-learning
+    * order; per-doc difficulty reused VERBATIM from q_perplexity_lm's
+    * build and oracle). The quartile boundaries are EXACT distributed
+    * quantiles with no corpus-cardinality sort: score-grain counts roll
+    * up to a bucketed two-phase cumulative (the q_quality_auc
+    * discipline — the only global window runs at bucket grain, ≤ a few
+    * hundred rows), boundary q = min score whose cumulative count
+    * satisfies 4·cum ≥ q·N (all-integer ceil), and phase assignment is
+    * a map-side CASE against the 1-row broadcast boundary set. Docs
+    * sharing a boundary score land in the lower phase (score-granular
+    * split — deterministic, engine-independent). */
+  private val CUR_BKT = 100000L
+  private val curriculum = QueryDef(
+    "q_curriculum",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def defOf(mod: Seq[QueryDef], n: String) = mod.find(_.name == n).get
+      val nll = defOf(TextAnalysis.all, "q_perplexity_lm").build(s, d)
+        .select(col("doc_id"), col("nll_e6"))
+      val g = nll.groupBy(col("nll_e6")).agg(count(lit(1)).as("c"))
+        .withColumn("bkt", expr(s"nll_e6 div $CUR_BKT"))
+      val bktBelow = g.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+        .withColumn("below_bkt", coalesce(sum(col("bc")).over(
+          Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("bkt"), col("below_bkt"))
+      val cum = g.join(bktBelow, Seq("bkt"))
+        .withColumn("below_in", coalesce(sum(col("c")).over(
+          Window.partitionBy(col("bkt")).orderBy(col("nll_e6"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("cum", col("below_bkt") + col("below_in") + col("c"))
+      val tot = nll.agg(count(lit(1)).as("n"))
+      val b = cum.crossJoin(broadcast(tot)).agg(
+        min(when(col("cum") * 4 >= col("n"), col("nll_e6"))).as("b1"),
+        min(when(col("cum") * 4 >= col("n") * 2, col("nll_e6"))).as("b2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("nll_e6"))).as("b3"))
+      nll.crossJoin(broadcast(b)).crossJoin(broadcast(tot))
+        .withColumn("phase",
+          when(col("nll_e6") <= col("b1"), 1L)
+            .when(col("nll_e6") <= col("b2"), 2L)
+            .when(col("nll_e6") <= col("b3"), 3L).otherwise(4L))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("nll_e6")).as("lo_nll_e6"),
+          max(col("nll_e6")).as("hi_nll_e6"),
+          expr("sum(nll_e6) div count(1)").as("mean_nll_e6"),
+          expr("count(1) * CAST(1000000 AS BIGINT) div first(n)")
+            .as("share_e6"))
+    },
+    Some {
+      def defOf(mod: Seq[QueryDef], n: String) = mod.find(_.name == n).get
+      val perpSql = defOf(TextAnalysis.all, "q_perplexity_lm").oracle.get
+      s"""WITH nllsrc AS ($perpSql),
+        nll AS (SELECT doc_id, nll_e6 FROM nllsrc),
+        g AS (SELECT nll_e6, CAST(COUNT(*) AS BIGINT) AS c
+              FROM nll GROUP BY 1),
+        cum AS (
+          SELECT nll_e6, c,
+            CAST(SUM(c) OVER (ORDER BY nll_e6) AS BIGINT) AS cum
+          FROM g),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+        b AS (SELECT
+            MIN(CASE WHEN cum * 4 >= (SELECT n FROM tot) THEN nll_e6 END) AS b1,
+            MIN(CASE WHEN cum * 4 >= (SELECT n FROM tot) * 2 THEN nll_e6 END) AS b2,
+            MIN(CASE WHEN cum * 4 >= (SELECT n FROM tot) * 3 THEN nll_e6 END) AS b3
+          FROM cum),
+        ph AS (
+          SELECT CAST(CASE WHEN nll_e6 <= b1 THEN 1
+            WHEN nll_e6 <= b2 THEN 2
+            WHEN nll_e6 <= b3 THEN 3 ELSE 4 END AS BIGINT) AS phase, nll_e6
+          FROM nll, b)
+        SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          MIN(nll_e6) AS lo_nll_e6, MAX(nll_e6) AS hi_nll_e6,
+          CAST(SUM(nll_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+            AS mean_nll_e6,
+          CAST(COUNT(*) AS BIGINT) * 1000000 // (SELECT n FROM tot)
+            AS share_e6
+        FROM ph GROUP BY 1"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(sampleSplit, sampleStratified, mixSources, langRebalance, shardShuffle,
-      sampleWeighted, splitLeakageSafe, dsirSelect, domainMix)
+      sampleWeighted, splitLeakageSafe, dsirSelect, domainMix, curriculum)
 }

@@ -59,7 +59,9 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_sketch_hll",            // profiling sketch family
     "q_bpe_train",             // localCheckpoint blocks held in REMOTE JVMs
                                // across 8 data-dependent replans (r11)
-    "q_dsir_select")           // portable md5 hexFold + broadcast weights (r11)
+    "q_dsir_select",           // portable md5 hexFold + broadcast weights (r11)
+    "q_ann_ivfpq")             // PQ codebook literals + ADC HOFs evaluated in
+                               // remote executor JVMs; broadcast refine (r11)
 
   /** Engine-order-free canonical form: every output in the slice is a
     * deterministic (oracle-hashed) result, so sorted Row renderings are an

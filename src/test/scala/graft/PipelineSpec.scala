@@ -151,6 +151,35 @@ class PipelineSpec extends SparkSpec {
       "fixture expectation: domains should differ in excess loss")
   }
 
+  test("q_curriculum phases match a plain-Scala exact-quantile recompute") {
+    // Independent ground truth: collect every doc's NLL, sort, and take
+    // the textbook order-statistic boundaries — b_q is the ceil(q*n/4)-th
+    // smallest score, which is exactly "min score s with 4*cum(s) >= q*n"
+    // (elements strictly below the t-th smallest number at most t-1).
+    val nll = SparkEntry.queries("q_perplexity_lm")(spark, sfDir)
+      .select("nll_e6").collect().map(_.getLong(0)).sorted
+    val n = nll.length
+    assert(n > 10, "fixture expectation: non-trivial corpus")
+    def bound(q: Int): Long = nll(((q.toLong * n + 3) / 4 - 1).toInt)
+    val (b1, b2, b3) = (bound(1), bound(2), bound(3))
+    def phase(x: Long): Long =
+      if (x <= b1) 1L else if (x <= b2) 2L else if (x <= b3) 3L else 4L
+    val expect = nll.groupBy(phase).map { case (p, xs) =>
+      p -> ((xs.length.toLong, xs.min, xs.max, xs.sum / xs.length,
+        xs.length.toLong * 1000000L / n))
+    }
+    val got = SparkEntry.queries("q_curriculum")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect, s"phase stats diverged:\n got $got\nwant $expect")
+    // Curriculum contract: four phases, ordered difficulty, full cover.
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"phases: ${got.keySet}")
+    assert(got.values.map(_._1).sum == n, "phases do not partition corpus")
+    for (p <- 1 to 3)
+      assert(got(p.toLong)._3 <= got(p + 1L)._2,
+        s"phase $p max NLL exceeds phase ${p + 1} min — order broken")
+  }
+
   test("q_ann_ivfpq recall@5 vs exact quantized-L2 truth") {
     // Independent plain-Scala ground truth: exact L2 top-5 per query over
     // the same quantization grid the index uses (vec_id >= NQ candidates,
