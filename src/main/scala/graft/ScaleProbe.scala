@@ -132,7 +132,11 @@ object ScaleProbe {
     // vocab-bound training rounds); jl_project and retrieval_eval are
     // NQ×N map-side pair scans (linear, near-zero shuffle).
     "q_domain_mix", "q_tokenizer_fertility", "q_jl_project",
-    "q_retrieval_eval")
+    "q_retrieval_eval",
+    // Curriculum rides q_perplexity_lm's scan law; its own machinery
+    // (score-grain agg -> bucket cumulative -> broadcast phase CASE)
+    // moves <= distinct-score rows, so the expected marginal is ~zero.
+    "q_curriculum")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))

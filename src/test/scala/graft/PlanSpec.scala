@@ -141,11 +141,28 @@ class PlanSpec extends SparkSpec {
     // set against the corpus scan under inequality predicates (<> id,
     // <> label) — O(n) map-side compares by construction, never data x
     // data.
+    // q_ann_ivfpq inherits q_ann_ivf's probe-routing cross: NQ query
+    // rows x K broadcast centroid METADATA rows (O(NQ*K), corpus-size-
+    // independent); the corpus side only ever equi-joins on cell.
+    // q_curriculum's crosses are the q22 scalar-broadcast shape twice:
+    // corpus x ONE boundary-set row and x ONE totals row.
+    // q_domain_mix's crosses are bigram types x ONE vocab-size row (the
+    // q_perplexity_lm shape it shares) plus two source-grain x ONE-row
+    // scalar combines; q_retrieval_eval's is a one-row x one-row metric
+    // combine (the q_dedup_report shape) over its q_ann_ivf inheritance.
+    // q_jl_project is the q_ann_brute shape: an NQ-row broadcast query
+    // set against the corpus scan under <> id — O(NQ*n) map-side
+    // compares by design (the certificate is deliberately exhaustive
+    // per query vector), never data x data.
+    // q_tokenizer_fertility's cross is per-lang rollup rows x ONE
+    // english-baseline row — the q22 scalar-broadcast shape.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
       "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank",
       "q_tfidf_keywords", "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report",
       "q_snapshot_drift", "q_profile_quantiles", "q_sketch_cms_cert",
-      "q_hybrid_retrieval", "q_dsir_select", "q_hard_negatives")
+      "q_hybrid_retrieval", "q_dsir_select", "q_hard_negatives",
+      "q_ann_ivfpq", "q_curriculum", "q_domain_mix", "q_retrieval_eval",
+      "q_jl_project", "q_tokenizer_fertility")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
