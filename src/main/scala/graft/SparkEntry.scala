@@ -17,7 +17,7 @@ object SparkEntry {
       gateway.GatewayQueries.all ++ pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++ pipeline.Similarity.all ++ pipeline.Multimodal.all ++
       pipeline.Sampling.all ++ pipeline.Embeddings.all ++ pipeline.Prep.all ++
-      pipeline.Curation.all ++ pipeline.Profiling.all
+      pipeline.Curation.all ++ pipeline.Profiling.all ++ pipeline.Unigram.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

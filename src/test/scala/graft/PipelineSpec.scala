@@ -909,4 +909,105 @@ class PipelineSpec extends SparkSpec {
     // load-bearing.
     assert(expect.exists(_._3 > 0), "no duplicated chunks found in corpus")
   }
+
+  test("q_unigram_train/encode match a plain-Scala hard-EM brute force") {
+    // Third independent derivation of the unigram-LM trainer (alongside
+    // the DataFrame folds and the DuckDB recursive-CTE oracle): seed
+    // substring counts, vocab pick with the pinned tie-break, quantized
+    // add-one log scores, Viterbi prefix/suffix DP with optimal-EDGE
+    // re-estimation, two EM rounds, then the composite min-pieces encode.
+    val WL = 12; val PL = 4; val SEED = 48; val MINF = -1000000000000000L
+    val words = scala.collection.mutable.Map[String, Long]()
+    Tables.t(spark, sfDir, "documents").select(col("text")).collect()
+      .foreach(_.getString(0).split(" ").iterator
+        .filter(w => w.nonEmpty && w.length <= WL &&
+          w.forall(c => c >= 'a' && c <= 'z'))
+        .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L))
+    val sub = scala.collection.mutable.Map[String, Long]()
+    for ((w, c) <- words; i <- 0 until w.length; k <- 1 to PL if i + k <= w.length) {
+      val p = w.substring(i, i + k)
+      sub(p) = sub.getOrElse(p, 0L) + c
+    }
+    val multi = sub.toSeq.filter(_._1.length >= 2)
+      .sortBy { case (p, c) => (-c, p) }.take(SEED)
+    val vocab: Seq[(String, Long)] =
+      ('a' to 'z').map(c => c.toString -> sub.getOrElse(c.toString, 0L)) ++ multi
+    val v = vocab.size
+    def scoresOf(cnts: Seq[(String, Long)]): Map[String, Long] = {
+      val tot = cnts.map(_._2).sum + v
+      cnts.map { case (p, c) =>
+        p -> math.floor(math.log((c + 1).toDouble / tot.toDouble) * 1e6).toLong
+      }.toMap
+    }
+    def viterbi(sc: Map[String, Long]): Map[String, Long] = {
+      val out = scala.collection.mutable.Map[String, Long]() ++
+        vocab.map(t => t._1 -> 0L)
+      for ((w, c) <- words) {
+        val L = w.length
+        val pre = Array.fill(L + 1)(MINF); pre(0) = 0L
+        for (j <- 1 to L; k <- 1 to math.min(PL, j))
+          pre(j) = math.max(pre(j), pre(j - k) + sc.getOrElse(w.substring(j - k, j), MINF))
+        val suf = Array.fill(L + 1)(MINF); suf(L) = 0L
+        for (j <- L - 1 to 0 by -1; k <- 1 to math.min(PL, L - j))
+          suf(j) = math.max(suf(j), sc.getOrElse(w.substring(j, j + k), MINF) + suf(j + k))
+        for (i <- 0 until L; k <- 1 to math.min(PL, L - i)) {
+          val p = w.substring(i, i + k)
+          sc.get(p).foreach(s => if (pre(i) + s + suf(i + k) == pre(L)) out(p) += c)
+        }
+      }
+      out.toMap
+    }
+    val em1 = viterbi(scoresOf(vocab))
+    val em2 = viterbi(scoresOf(vocab.map { case (p, _) => p -> em1(p) }))
+    val tot2 = em2.values.sum + v
+    val expect = vocab.map { case (p, cs) =>
+      (p, cs, em1(p), em2(p),
+        math.floor(math.log((em2(p) + 1).toDouble / tot2.toDouble) * 1e6).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_unigram_train")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expect,
+      s"train diverged:\n got-only    ${(got -- expect).take(5)}\n" +
+        s" expect-only ${(expect -- got).take(5)}")
+    // Regime guards: a multi-char piece must survive EM (else the DP is
+    // never load-bearing), and EM must actually move mass off the seed.
+    assert(vocab.exists { case (p, _) => p.length >= 2 && em2(p) > 0 },
+      "corpus too trivial: no multi-char piece on any optimal path")
+    assert(vocab.exists { case (p, c) => em2(p) != c },
+      "corpus too trivial: EM re-estimation is the identity")
+    // Encode: composite DP (score*1024 - 1 per edge) => min pieces among
+    // optimal-score segmentations.
+    val s2 = scoresOf(vocab.map { case (p, _) => p -> em2(p) })
+    def npieces(w: String): Long = {
+      val L = w.length
+      val plain = Array.fill(L + 1)(MINF); plain(0) = 0L
+      val comp = Array.fill(L + 1)(MINF); comp(0) = 0L
+      for (j <- 1 to L; k <- 1 to math.min(PL, j)) {
+        val s = s2.getOrElse(w.substring(j - k, j), MINF)
+        plain(j) = math.max(plain(j), plain(j - k) + s)
+        comp(j) = math.max(comp(j), comp(j - k) + s * 1024L - 1L)
+      }
+      plain(L) * 1024L - comp(L)
+    }
+    val np = words.keys.map(w => w -> npieces(w)).toMap
+    val expectEnc = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val ws = r.getString(1).split(" ").filter(w => w.nonEmpty &&
+          w.length <= WL && w.forall(c => c >= 'a' && c <= 'z'))
+        if (ws.isEmpty) None
+        else {
+          val ps = ws.map(np).sum
+          Some((r.getLong(0), ws.length.toLong, ps, ps * 1000000L / ws.length))
+        }
+      }.toSet
+    val gotEnc = SparkEntry.queries("q_unigram_encode")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotEnc == expectEnc,
+      s"encode diverged: got ${gotEnc.size} docs, want ${expectEnc.size}")
+    // The learned tokenizer must compress vs character segmentation.
+    assert(np.exists { case (w, n) => n < w.length },
+      "no word segments into fewer pieces than characters")
+  }
 }

@@ -156,13 +156,15 @@ class PlanSpec extends SparkSpec {
     // per query vector), never data x data.
     // q_tokenizer_fertility's cross is per-lang rollup rows x ONE
     // english-baseline row — the q22 scalar-broadcast shape.
+    // q_unigram_train's cross is vocab rows (≤74) x ONE count-total row
+    // (the same q22 scalar-broadcast shape); the corpus never crosses.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
       "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank",
       "q_tfidf_keywords", "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report",
       "q_snapshot_drift", "q_profile_quantiles", "q_sketch_cms_cert",
       "q_hybrid_retrieval", "q_dsir_select", "q_hard_negatives",
       "q_ann_ivfpq", "q_curriculum", "q_domain_mix", "q_retrieval_eval",
-      "q_jl_project", "q_tokenizer_fertility")
+      "q_jl_project", "q_tokenizer_fertility", "q_unigram_train")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
