@@ -532,7 +532,108 @@ object Sampling {
         FROM ph GROUP BY 1"""
     })
 
+  /** Repeat-epoch allocation under a fixed token budget (Muennighoff et
+    * al., NeurIPS 2023, "Scaling Data-Constrained Language Models" —
+    * public). When the training budget exceeds the unique corpus, decide
+    * how many EPOCHS of each source to take: repeated tokens are worth
+    * geometrically less (decay 0.6 per re-read, the paper's
+    * diminishing-returns law in e6 fixed point — the POW/SUMPOW tables
+    * below are its exact integer powers and partial sums, derivable as
+    * p(0)=1e6, p(e)=p(e-1)*600000 div 1e6). Every (source, epoch) pair
+    * carries marginal value n_tokens·decay^epoch; pairs are taken in
+    * (marginal desc, source, epoch) order until the FIRST pair that
+    * overflows the budget B = 2.5 × total tokens. Prefix-stop rather
+    * than skip-and-continue makes the greedy a pure cumulative-sum
+    * predicate over a totally-ordered 40-row relation — deterministic
+    * and oracle-exact — instead of a sequential knapsack; epochs are
+    * capped at [[EP_MAX]]. This completes the mixing quartet: WHAT data
+    * (q_dsir_select), at WHICH weight (q_domain_mix), in WHAT order
+    * (q_curriculum), and — here — HOW OFTEN.
+    *
+    * Scale shape: the corpus collapses map-side to #sources token
+    * counts (one partial-agg exchange of ≤ #sources keys); the
+    * allocation itself runs on #sources × EP_MAX rows — the one global
+    * window is over that ≤40-row relation (the hybrid-retrieval
+    * LIMIT-relation precedent), and the budget/total scalars broadcast
+    * (the Q22 shape). Nothing corpus-grain moves after the first
+    * aggregate. */
+  private val EP_MAX = 8
+  private val POW_E6 = Seq(1000000L, 600000L, 360000L, 216000L, 129600L,
+    77760L, 46656L, 27993L)
+  private val SUMPOW_E6 = POW_E6.scanLeft(0L)(_ + _) // index = epochs taken
+  private val repeatAllocation = QueryDef(
+    "q_repeat_allocation",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.t(s, d, "documents")
+        .select(col("source"),
+          size(expr("filter(split(text, ' '), x -> x != '')"))
+            .cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      val b = src.agg(expr("sum(n_tokens) * 2500000L div 1000000L").as("b"))
+      val powArr = POW_E6.map(p => s"${p}L").mkString("array(", ", ", ")")
+      val spArr = SUMPOW_E6.map(p => s"${p}L").mkString("array(", ", ", ")")
+      val taken = src
+        .select(col("source"), col("n_tokens"),
+          explode(expr(s"sequence(0, ${EP_MAX - 1})")).as("e"))
+        .withColumn("marg",
+          expr(s"n_tokens * element_at($powArr, e + 1) div 1000000L"))
+        .withColumn("cum", sum(col("n_tokens")).over(
+          Window.orderBy(col("marg").desc, col("source"), col("e"))))
+        .crossJoin(broadcast(b))
+        .filter(col("cum") <= col("b"))
+        .groupBy(col("source")).agg(count(lit(1)).as("epochs"))
+      val out = src.join(taken, Seq("source"), "left")
+        .na.fill(0L, Seq("epochs"))
+        .select(col("source"), col("n_tokens"), col("epochs"),
+          (col("n_tokens") * col("epochs")).as("alloc_tokens"),
+          expr(s"n_tokens * element_at($spArr, CAST(epochs AS INT) + 1)" +
+            " div 1000000L").as("eff_tokens"))
+      val tot = out.agg(sum(col("alloc_tokens")).as("ta"))
+      out.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"), col("epochs"),
+          col("alloc_tokens"), col("eff_tokens"),
+          expr("alloc_tokens * 1000000L div ta").as("share_e6"))
+    },
+    Some {
+      val powVals = POW_E6.zipWithIndex
+        .map { case (p, e) => s"($e, CAST($p AS BIGINT))" }.mkString(", ")
+      val spVals = SUMPOW_E6.zipWithIndex
+        .map { case (p, k) => s"($k, CAST($p AS BIGINT))" }.mkString(", ")
+      s"""WITH src AS (
+          SELECT source,
+            CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) * 2500000 // 1000000 AS b
+              FROM src),
+        pow AS (SELECT * FROM (VALUES $powVals) t(e, p)),
+        pairs AS (
+          SELECT s.source, s.n_tokens, p.e, s.n_tokens * p.p // 1000000 AS marg
+          FROM src s, pow p),
+        cum AS (
+          SELECT *, SUM(n_tokens) OVER (ORDER BY marg DESC, source, e) AS cum
+          FROM pairs),
+        take AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS epochs
+          FROM cum WHERE cum <= (SELECT b FROM b) GROUP BY 1),
+        sp AS (SELECT * FROM (VALUES $spVals) t(k, s)),
+        outt AS (
+          SELECT s.source, s.n_tokens, COALESCE(t.epochs, 0) AS epochs
+          FROM src s LEFT JOIN take t USING (source)),
+        o2 AS (
+          SELECT o.source, o.n_tokens, o.epochs,
+            o.n_tokens * o.epochs AS alloc_tokens,
+            o.n_tokens * sp.s // 1000000 AS eff_tokens
+          FROM outt o JOIN sp ON sp.k = o.epochs)
+        SELECT source, n_tokens, epochs, alloc_tokens, eff_tokens,
+          alloc_tokens * 1000000 //
+            (SELECT CAST(SUM(alloc_tokens) AS BIGINT) FROM o2) AS share_e6
+        FROM o2"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(sampleSplit, sampleStratified, mixSources, langRebalance, shardShuffle,
-      sampleWeighted, splitLeakageSafe, dsirSelect, domainMix, curriculum)
+      sampleWeighted, splitLeakageSafe, dsirSelect, domainMix, curriculum,
+      repeatAllocation)
 }

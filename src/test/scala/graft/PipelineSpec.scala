@@ -1010,4 +1010,51 @@ class PipelineSpec extends SparkSpec {
     assert(np.exists { case (w, n) => n < w.length },
       "no word segments into fewer pieces than characters")
   }
+
+  test("q_repeat_allocation matches the sequential greedy brute force") {
+    // The operator computes the allocation as a prefix of the globally
+    // sorted (marginal desc, source, epoch) pair list under a cumulative
+    // budget. This brute force re-derives it as the LITERAL sequential
+    // process — repeatedly take the highest-marginal next-epoch
+    // candidate, stop at the first that overflows — proving the
+    // cumulative formulation equals the sequential definition.
+    val POW = Seq(1000000L, 600000L, 360000L, 216000L, 129600L, 77760L,
+      46656L, 27993L)
+    val SP = POW.scanLeft(0L)(_ + _)
+    val src = Tables.t(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split(" ").count(_.nonEmpty).toLong))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val b = src.values.sum * 2500000L / 1000000L
+    val eps = scala.collection.mutable.Map[String, Int]() ++ src.keys.map(_ -> 0)
+    var spent = 0L
+    var done = false
+    while (!done) {
+      val cand = src.toSeq.filter { case (s, _) => eps(s) < POW.length }
+        .map { case (s, n) => (n * POW(eps(s)) / 1000000L, s, n) }
+        .sortBy { case (m, s, _) => (-m, s) }.headOption
+      cand match {
+        case Some((_, s, n)) if spent + n <= b => eps(s) += 1; spent += n
+        case _ => done = true
+      }
+    }
+    val ta = src.map { case (s, n) => n * eps(s) }.sum
+    val expect = src.map { case (s, n) =>
+      val e = eps(s)
+      (s, n, e.toLong, n * e, n * SP(e) / 1000000L, n * e * 1000000L / ta)
+    }.toSet
+    val got = SparkEntry.queries("q_repeat_allocation")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expect,
+      s"allocation diverged:\n got-only    ${(got -- expect).take(5)}\n" +
+        s" expect-only ${(expect -- got).take(5)}")
+    // Regime guards: the budget must BIND mid-epoch-block (differentiated
+    // epochs — otherwise the ordering and prefix stop are never
+    // load-bearing) and repetition must actually occur.
+    assert(eps.values.min < eps.values.max,
+      "degenerate corpus: every source got the same epoch count")
+    assert(eps.values.max >= 2, "degenerate corpus: no source is repeated")
+  }
 }

@@ -158,13 +158,17 @@ class PlanSpec extends SparkSpec {
     // english-baseline row — the q22 scalar-broadcast shape.
     // q_unigram_train's cross is vocab rows (≤74) x ONE count-total row
     // (the same q22 scalar-broadcast shape); the corpus never crosses.
+    // q_repeat_allocation's crosses are (source × epoch) rows (≤40) x ONE
+    // budget row and #sources rows x ONE total row — q22 shapes both; the
+    // corpus collapses to #sources counts before any cross.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
       "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank",
       "q_tfidf_keywords", "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report",
       "q_snapshot_drift", "q_profile_quantiles", "q_sketch_cms_cert",
       "q_hybrid_retrieval", "q_dsir_select", "q_hard_negatives",
       "q_ann_ivfpq", "q_curriculum", "q_domain_mix", "q_retrieval_eval",
-      "q_jl_project", "q_tokenizer_fertility", "q_unigram_train")
+      "q_jl_project", "q_tokenizer_fertility", "q_unigram_train",
+      "q_repeat_allocation")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
