@@ -136,7 +136,14 @@ object ScaleProbe {
     // Curriculum rides q_perplexity_lm's scan law; its own machinery
     // (score-grain agg -> bucket cumulative -> broadcast phase CASE)
     // moves <= distinct-score rows, so the expected marginal is ~zero.
-    "q_curriculum")
+    "q_curriculum",
+    // Third r11 batch. Expected laws: unigram train mirrors bpe_train
+    // (one corpus scan into the vocab-bound word table; all EM rounds are
+    // per-row DP folds + a <=V-key exchange, so SUB-linear wall); encode
+    // mirrors bpe_encode (linear scan + broadcast dictionary);
+    // repeat_allocation is scan-bound (corpus collapses map-side to
+    // #sources counts; the allocation runs on <=40 rows) — near-flat.
+    "q_unigram_train", "q_unigram_encode", "q_repeat_allocation")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))
