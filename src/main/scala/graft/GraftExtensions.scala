@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.functions.{ArgmaxCosine, CosineSimilarity, JaccardSimilarity, LshSignatures}
 
 /** Session extensions: graft's native functions, injected at session build
@@ -37,6 +38,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "graft_argmax_cos(v, tensor) takes two array<double> arguments")
         ArgmaxCosine(children.head, children(1))
+      }))
+    // Spark's own runtime-filter bloom expressions, surfaced as callable
+    // functions: InjectRuntimeFilter builds exactly this pair
+    // (BloomFilterAggregate over xxhash64 on the creation side,
+    // BloomFilterMightContain on the application side) when it semi-join-
+    // reduces a shuffle join. Registering them lets a query state the same
+    // prefilter EXPLICITLY where the optimizer's heuristics would not fire
+    // (our store side is a pre-bucketed catalog table with no selective
+    // creation-side filter, so InjectRuntimeFilter passes it over).
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_bloom_agg(xxhash64(x), est_items, n_bits) takes (bigint, bigint, bigint)")
+        new BloomFilterAggregate(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_bloom_contains(bloom, xxhash64(x)) takes (binary scalar-subquery/literal, bigint)")
+        BloomFilterMightContain(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_jaccard"),

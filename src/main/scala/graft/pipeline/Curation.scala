@@ -300,6 +300,79 @@ object Curation {
       FROM batch b LEFT JOIN store s ON b.fp = s.fp
       GROUP BY lang"""))
 
+  /** Bloom-prefiltered incremental dedup: q_dedup_incremental's exact
+    * batch-vs-store membership check with Spark's own runtime-filter bloom
+    * pair ([[graft.GraftExtensions]]: BloomFilterAggregate /
+    * BloomFilterMightContain, surfaced as graft_bloom_agg /
+    * graft_bloom_contains) stated EXPLICITLY as the semi-join reduction.
+    * The store's fingerprints fold into one ~100 KB bloom via a scalar
+    * subquery (built distributed by partial aggregation — no driver
+    * materialization; ReuseSubquery evaluates it once for both consumers);
+    * batch rows the bloom rejects are NEW BY CERTIFICATE (a bloom has no
+    * false negatives) and leave the stream in the scan's map stage —
+    * before any exchange; only the survivors (true dups + ~1% false
+    * positives at these m/n parameters) reach the exact store join, which
+    * removes the FPs. The OUTPUT is therefore exact — identical to
+    * q_dedup_incremental's, which is the point: a probabilistic prefilter
+    * whose result is still bit-for-bit the exact answer, gated by the same
+    * exact-join oracle (CurationSpec additionally pins equality to
+    * q_dedup_incremental and that the prefilter actually rejects rows).
+    *
+    * Why this matters at 100 TB: a daily crawl batch is mostly NEW
+    * documents, so the incremental join's cost is dominated by shuffling
+    * batch rows that match nothing. The bloom turns that shuffle into
+    * (n_dup + eps*n_batch) rows for one broadcast-sized sketch — the same
+    * reduction InjectRuntimeFilter performs for selective shuffle joins,
+    * which does not fire here on its own because the creation side is an
+    * unfiltered pre-bucketed store. Counts stay deterministic because
+    * routing (pass/reject) only decides WHERE a row is counted, never
+    * whether. */
+  private val dedupBloom = QueryDef(
+    "q_dedup_bloom",
+    (s, d) => {
+      val fp = docs(s, d).select(col("doc_id"), col("lang"),
+        md5(concat_ws(" ",
+          array_sort(array_distinct(split(lower(col("text")), " "))))).as("fp"))
+      val store = bucketedFpStore(s, d, fp)
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d/documents.parquet".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val (batchV, storeV) = (s"graft_bloom_batch_$sfx", s"graft_bloom_store_$sfx")
+      fp.filter(col("doc_id") % 2 === 1).createOrReplaceTempView(batchV)
+      store.createOrReplaceTempView(storeV)
+      s.sql(s"""WITH bb AS (
+          SELECT lang, fp,
+            graft_bloom_contains(
+              (SELECT graft_bloom_agg(xxhash64(store_fp), 100000L, 800000L)
+               FROM $storeV),
+              xxhash64(fp)) AS pass
+          FROM $batchV),
+        hit AS (
+          SELECT b.lang, COUNT(*) AS n_pass,
+            SUM(CASE WHEN s.store_fp IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+          FROM (SELECT lang, fp FROM bb WHERE pass) b
+          LEFT JOIN $storeV s ON b.fp = s.store_fp
+          GROUP BY b.lang),
+        miss AS (
+          SELECT lang, COUNT(*) AS n_reject FROM bb WHERE NOT pass GROUP BY lang)
+        SELECT lang,
+          COALESCE(n_pass, 0) + COALESCE(n_reject, 0) AS n_batch,
+          COALESCE(n_dup, 0) AS n_dup,
+          COALESCE(n_pass, 0) + COALESCE(n_reject, 0) - COALESCE(n_dup, 0) AS n_kept
+        FROM hit FULL OUTER JOIN miss USING (lang)""")
+    },
+    Some("""WITH fp AS (
+        SELECT doc_id, lang,
+          md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+        FROM documents),
+      store AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+      batch AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_batch,
+        CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        CAST(count(*) - SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM batch b LEFT JOIN store s ON b.fp = s.fp
+      GROUP BY lang"""))
+
   /** Context-window chunking: split each document's token stream into
     * windows of 64 tokens at stride 48 (16-token overlap), the reshape
     * that turns documents into fixed-length training examples. Emits one
@@ -587,6 +660,6 @@ object Curation {
 
   val all: Seq[QueryDef] =
     Seq(qualityRepetition, entropyFilter, piiScrub, invertedIndex,
-      sequencePack, dedupIncremental, chunkDocuments, qualityClassifier,
-      substringDedup, snapshotDiff, snapshotDrift)
+      sequencePack, dedupIncremental, dedupBloom, chunkDocuments,
+      qualityClassifier, substringDedup, snapshotDiff, snapshotDrift)
 }

@@ -947,9 +947,160 @@ object TextAnalysis {
         FROM x"""
     })
 
+  /** CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data" — public):
+    * split each LANGUAGE's documents into head/middle/tail terciles of the
+    * LM perplexity score and keep head+middle — the per-language quality
+    * gate that follows language ID in the CommonCrawl curation recipe.
+    * Differs from [[graft.pipeline.Sampling]]'s q_curriculum (global
+    * quartiles, ordering decision) in both grouping and consequence: here
+    * the order statistics are PER LANGUAGE and the output is a keep/drop
+    * gate, so a language's own fluency distribution sets its thresholds —
+    * the reason CCNet buckets per language at all (a global threshold
+    * would drop whole low-resource languages whose n-gram costs run high).
+    *
+    * The per-doc score is q_perplexity_lm's nll_e6 verbatim (shared
+    * builder, so the gate and the score can never drift); boundaries are
+    * EXACT distributed order statistics via the bucketed two-phase
+    * cumulative — coarse below-bucket counts windowed per (lang) over
+    * nll_e6 div 1e5 buckets, then a within-bucket cumulative per
+    * (lang, bkt) — so no sort ever exceeds a (lang, bucket) cell even when
+    * one language is the whole corpus (the q_curriculum machinery with
+    * lang added to every key). Boundary rule: b_k = min{v : 3·cum(v) >=
+    * k·n_lang}, docs at the boundary value go to the lower bucket on both
+    * engines (<=), so ties are deterministic.
+    *
+    * Scale shape: the nll relation joins documents only for the narrow
+    * (doc_id, lang) pair (text never moves); distinct-value grain after
+    * the first groupBy; the boundary set is ≤ n_langs rows and
+    * broadcasts; the final rollup is (lang, bucket)-keyed. */
+  private val CCNET_BKT = 100000L
+  private val ccnetBuckets = QueryDef(
+    "q_ccnet_buckets",
+    (s, d) => {
+      val nl = perplexityLm.build(s, d).select(col("doc_id"), col("nll_e6"))
+        .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      val g = nl.groupBy(col("lang"), col("nll_e6")).agg(count(lit(1)).as("c"))
+        .withColumn("bkt", expr(s"nll_e6 div $CCNET_BKT"))
+      val bktBelow = g.groupBy(col("lang"), col("bkt")).agg(sum(col("c")).as("bc"))
+        .withColumn("below_bkt", coalesce(sum(col("bc")).over(
+          Window.partitionBy(col("lang")).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("lang"), col("bkt"), col("below_bkt"))
+      val cum = g.join(bktBelow, Seq("lang", "bkt"))
+        .withColumn("below_in", coalesce(sum(col("c")).over(
+          Window.partitionBy(col("lang"), col("bkt")).orderBy(col("nll_e6"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("cum", col("below_bkt") + col("below_in") + col("c"))
+      val nlang = nl.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val b = cum.join(nlang, "lang").groupBy(col("lang")).agg(
+        min(when(col("cum") * 3 >= col("n"), col("nll_e6"))).as("b1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("nll_e6"))).as("b2"))
+      nl.join(broadcast(b), "lang")
+        .withColumn("bucket",
+          when(col("nll_e6") <= col("b1"), "head")
+            .when(col("nll_e6") <= col("b2"), "middle").otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("nll_e6")).as("lo_nll_e6"),
+          max(col("nll_e6")).as("hi_nll_e6"))
+        .join(broadcast(nlang), "lang")
+        .select(col("lang"), col("bucket"), col("n_docs"),
+          col("lo_nll_e6"), col("hi_nll_e6"),
+          expr("n_docs * CAST(1000000 AS BIGINT) div n").as("share_e6"),
+          (col("bucket") =!= "tail").as("keep"))
+    },
+    Some {
+      val perpSql = perplexityLm.oracle.get
+      s"""WITH nllsrc AS ($perpSql),
+        nl AS (
+          SELECT n.doc_id, n.nll_e6, d.lang
+          FROM nllsrc n JOIN documents d USING (doc_id)),
+        g AS (SELECT lang, nll_e6, CAST(COUNT(*) AS BIGINT) AS c
+              FROM nl GROUP BY 1, 2),
+        cum AS (
+          SELECT lang, nll_e6, c,
+            CAST(SUM(c) OVER (PARTITION BY lang ORDER BY nll_e6) AS BIGINT) AS cum
+          FROM g),
+        nlang AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY 1),
+        b AS (
+          SELECT c.lang,
+            MIN(CASE WHEN cum * 3 >= n THEN nll_e6 END) AS b1,
+            MIN(CASE WHEN cum * 3 >= n * 2 THEN nll_e6 END) AS b2
+          FROM cum c JOIN nlang USING (lang) GROUP BY 1),
+        ph AS (
+          SELECT nl.lang,
+            CASE WHEN nll_e6 <= b1 THEN 'head'
+              WHEN nll_e6 <= b2 THEN 'middle' ELSE 'tail' END AS bucket,
+            nll_e6
+          FROM nl JOIN b USING (lang))
+        SELECT p.lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          MIN(nll_e6) AS lo_nll_e6, MAX(nll_e6) AS hi_nll_e6,
+          CAST(COUNT(*) AS BIGINT) * 1000000 // n AS share_e6,
+          bucket <> 'tail' AS keep
+        FROM ph p JOIN nlang USING (lang) GROUP BY 1, 2, n"""
+    })
+
+  /** Distinct-n diversity (Li et al. 2016, "A Diversity-Promoting
+    * Objective Function for Neural Conversation Models" — public;
+    * distinct-1/distinct-2 are the standard corpus-diversity diagnostics):
+    * per source, the fraction of unigram and bigram INSTANCES that are
+    * distinct types. A source whose distinct-2 collapses is template spam
+    * (boilerplate farms, auto-generated listings) even when every
+    * individual document passes the per-doc repetition gates — this is the
+    * corpus-grain complement to q_quality_gopher's per-doc signals.
+    *
+    * Scale shape: gram instances shuffle once on (source, gram) — the
+    * vocab/tfidf key discipline, uniform hashed text keys, never documents
+    * — collapse to per-type counts, then rollup to ≤ n_sources rows.
+    * Ratios are floor-e6 over exact int64 counts. */
+  private val distinctNgrams = QueryDef(
+    "q_distinct_ngrams",
+    (s, d) => {
+      val base = docs(s, d)
+        .select(col("source"),
+          expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .withColumn("n", size(col("toks")))
+      val uni = base.filter(col("n") >= 1)
+        .select(col("source"), explode(col("toks")).as("g"))
+      val bi = base.filter(col("n") >= 2)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, n - 2),
+               i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""))
+          .as("g"))
+      def roll(inst: DataFrame, tot: String, dst: String, frac: String) =
+        inst.groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as(tot), count(lit(1)).as(dst))
+          .withColumn(frac, expr(s"$dst * CAST(1000000 AS BIGINT) div $tot"))
+      roll(uni, "n_unigrams", "d1", "distinct1_e6")
+        .join(roll(bi, "n_bigrams", "d2", "distinct2_e6"), Seq("source"), "left_outer")
+    },
+    Some("""WITH t AS (
+        SELECT source, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents),
+      f AS (SELECT source, toks, len(toks) AS n FROM t),
+      uni AS (SELECT source, unnest(toks) AS g FROM f WHERE n >= 1),
+      bi AS (
+        SELECT source, toks[CAST(i + 1 AS BIGINT)] || ' ' || toks[CAST(i + 2 AS BIGINT)] AS g
+        FROM f, unnest(range(0, n - 1)) AS u(i) WHERE n >= 2),
+      u AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_unigrams,
+          CAST(COUNT(*) AS BIGINT) AS d1
+        FROM (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1, 2)
+        GROUP BY 1),
+      b AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+          CAST(COUNT(*) AS BIGINT) AS d2
+        FROM (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1, 2)
+        GROUP BY 1)
+      SELECT u.source, n_unigrams, d1, d1 * 1000000 // n_unigrams AS distinct1_e6,
+        n_bigrams, d2, d2 * 1000000 // n_bigrams AS distinct2_e6
+      FROM u LEFT JOIN b ON u.source = b.source"""))
+
   val all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab,
       fingerprintRolling, tfidfKeywords, outlierFilter, boilerplate, bm25,
       bigramLm, decontaminate, perplexityLm, oovRate, repetition, bpeTrain,
-      bpeEncode, tokenizerFertility)
+      bpeEncode, tokenizerFertility, ccnetBuckets, distinctNgrams)
 }

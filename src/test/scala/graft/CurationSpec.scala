@@ -59,6 +59,36 @@ class CurationSpec extends SparkSpec {
     assert(totalNew == oddDocs, "every batch doc is counted exactly once")
   }
 
+  test("q_dedup_bloom equals the exact incremental answer and the prefilter bites") {
+    val d = sfDir
+    def keyed(name: String) = SparkEntry.queries(name)(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val bloom = keyed("q_dedup_bloom")
+    assert(bloom == keyed("q_dedup_incremental"),
+      "bloom-prefiltered result must be bit-identical to the exact join")
+    // Certificate side, asserted directly against the views the build
+    // registered: no store member is ever bloom-rejected (a bloom filter
+    // has no false negatives), and the prefilter rejects a nontrivial
+    // share of the batch before the store join.
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d/documents.parquet".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val bloomSql = "(SELECT graft_bloom_agg(xxhash64(store_fp), 100000L, 800000L) " +
+      s"FROM graft_bloom_store_$sfx)"
+    val fn = spark.sql(s"""SELECT COUNT(*) FROM graft_bloom_batch_$sfx b
+        JOIN graft_bloom_store_$sfx s ON b.fp = s.store_fp
+        WHERE NOT graft_bloom_contains($bloomSql, xxhash64(b.fp))""")
+      .head().getLong(0)
+    assert(fn == 0L, "bloom produced a false negative — impossible by contract")
+    val rejected = spark.sql(s"""SELECT COUNT(*) FROM graft_bloom_batch_$sfx
+        WHERE NOT graft_bloom_contains($bloomSql, xxhash64(fp))""")
+      .head().getLong(0)
+    val nBatch = bloom.values.map(_._1).sum
+    assert(rejected > 0, "prefilter never rejected a row — sketch misconfigured")
+    info(s"bloom prefilter rejected $rejected/$nBatch batch rows before the store join")
+  }
+
   test("q_inverted_index posting length equals df") {
     val bad = SparkEntry.queries("q_inverted_index")(spark, sfDir)
       .filter(size(split(col("posting"), ",")) =!= col("df"))

@@ -180,6 +180,61 @@ class PipelineSpec extends SparkSpec {
         s"phase $p max NLL exceeds phase ${p + 1} min — order broken")
   }
 
+  test("q_ccnet_buckets match a plain-Scala per-language tercile recompute") {
+    // Independent ground truth: per language, sort the doc NLLs and take
+    // the textbook order statistics — b_k is the ceil(k*n/3)-th smallest,
+    // which is exactly "min v with 3*cum(v) >= k*n" (the query's rule).
+    val nl = SparkEntry.queries("q_perplexity_lm")(spark, sfDir)
+      .select("doc_id", "nll_e6").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val langOf = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = nl.toSeq.groupBy { case (id, _) => langOf(id) }
+      .map { case (l, xs) => l -> xs.map(_._2).sorted }
+    assert(byLang.size > 1, "fixture expectation: multiple languages")
+    def bound(xs: Seq[Long], k: Int): Long =
+      xs(((k.toLong * xs.length + 2) / 3 - 1).toInt)
+    val expect = byLang.flatMap { case (l, xs) =>
+      val (b1, b2) = (bound(xs, 1), bound(xs, 2))
+      def bucket(x: Long) =
+        if (x <= b1) "head" else if (x <= b2) "middle" else "tail"
+      xs.groupBy(bucket).map { case (bk, ys) =>
+        (l, bk) -> ((ys.length.toLong, ys.min, ys.max,
+          ys.length.toLong * 1000000L / xs.length, bk != "tail")) }
+    }
+    val got = SparkEntry.queries("q_ccnet_buckets")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(got == expect, s"bucket stats diverged:\n got $got\nwant $expect")
+    // CCNet contract: buckets are ordered by difficulty within a language
+    // and only the tail is dropped.
+    for (l <- byLang.keys; (a, b) <- Seq("head" -> "middle", "middle" -> "tail"))
+      for (x <- got.get((l, a)); y <- got.get((l, b)))
+        assert(x._3 < y._2, s"$l: $a max NLL reaches into $b")
+  }
+
+  test("q_distinct_ngrams matches a plain-Scala recompute") {
+    val docs = Tables.t(spark, sfDir, "documents").select("source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val expect = docs.groupBy(_._1).map { case (src, xs) =>
+      val uni = xs.flatMap(_._2)
+      val bi = xs.flatMap { case (_, t) =>
+        t.sliding(2).filter(_.length == 2).map(_.mkString(" ")) }
+      assert(bi.nonEmpty, s"fixture expectation: $src has multi-token docs")
+      src -> ((uni.length.toLong, uni.distinct.length.toLong,
+        uni.distinct.length.toLong * 1000000L / uni.length,
+        bi.length.toLong, bi.distinct.length.toLong,
+        bi.distinct.length.toLong * 1000000L / bi.length))
+    }
+    val got = SparkEntry.queries("q_distinct_ngrams")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect, s"diversity stats diverged:\n got $got\nwant $expect")
+  }
+
   test("q_ann_ivfpq recall@5 vs exact quantized-L2 truth") {
     // Independent plain-Scala ground truth: exact L2 top-5 per query over
     // the same quantization grid the index uses (vec_id >= NQ candidates,
