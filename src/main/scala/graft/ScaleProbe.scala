@@ -143,7 +143,17 @@ object ScaleProbe {
     // mirrors bpe_encode (linear scan + broadcast dictionary);
     // repeat_allocation is scan-bound (corpus collapses map-side to
     // #sources counts; the allocation runs on <=40 rows) — near-flat.
-    "q_unigram_train", "q_unigram_encode", "q_repeat_allocation")
+    "q_unigram_train", "q_unigram_encode", "q_repeat_allocation",
+    // Fourth r11 batch. q_dedup_incremental/q_dedup_bloom run as an A/B:
+    // same exact answer over the same content-keyed fp store, so at the
+    // decade the pair MEASURES the bloom prefilter's shuffle reduction
+    // (batch rows shed before the store join) rather than asserting it.
+    // ccnet rides perplexity's scan law plus distinct-score-grain
+    // cumulative machinery (~zero marginal); distinct_ngrams is one
+    // (source, gram)-keyed exchange — linear in gram mass, the
+    // vocab/tfidf law.
+    "q_dedup_incremental", "q_dedup_bloom", "q_ccnet_buckets",
+    "q_distinct_ngrams")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))
@@ -274,7 +284,11 @@ object ScaleProbe {
     // dedup family's shingle index deliberately stays UNwarmed (its build
     // is declared part of the measured cost — see run()'s comment).
     run(s"$workDir/g10x", "warm10x",
-      Seq("q_ann_ivf", "q_ann_ivfpq", "q_snapshot_diff", "q_snapshot_drift"))
+      Seq("q_ann_ivf", "q_ann_ivfpq", "q_snapshot_diff", "q_snapshot_drift",
+        // builds the shared bucketed fp store once, so the timed
+        // incremental-vs-bloom A/B measures the JOIN plans, not the
+        // one-time store write (same train-once discipline as IVF)
+        "q_dedup_incremental"))
     val r1 = {
       val fams = run(s"$workDir/g1x", "g1x") ++
         run(s"$workDir/g1x", "g1x", simQueries) ++

@@ -469,8 +469,12 @@ object Sampling {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       def defOf(mod: Seq[QueryDef], n: String) = mod.find(_.name == n).get
+      // Score once (three consumers below re-run the whole perplexity
+      // model build otherwise — the q_ccnet_buckets probe finding; same
+      // fix, see its scaladoc).
       val nll = defOf(TextAnalysis.all, "q_perplexity_lm").build(s, d)
         .select(col("doc_id"), col("nll_e6"))
+        .localCheckpoint()
       val g = nll.groupBy(col("nll_e6")).agg(count(lit(1)).as("c"))
         .withColumn("bkt", expr(s"nll_e6 div $CUR_BKT"))
       val bktBelow = g.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))

@@ -978,8 +978,16 @@ object TextAnalysis {
   private val ccnetBuckets = QueryDef(
     "q_ccnet_buckets",
     (s, d) => {
+      // Score once, then bucket from the materialized scores: the nll
+      // relation has THREE consumers below (distinct-value counts, the
+      // per-language totals, the final bucket rollup), and without the
+      // checkpoint each consumer re-runs the whole perplexity model build
+      // (probe caught 13.9 s / 7.6 s-straggler at 10x ≈ 3x the perplexity
+      // wall; 4.9 s after). The checkpointed relation is 3 narrow columns
+      // per doc — the production shape is persisting the score table.
       val nl = perplexityLm.build(s, d).select(col("doc_id"), col("nll_e6"))
         .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        .localCheckpoint()
       val g = nl.groupBy(col("lang"), col("nll_e6")).agg(count(lit(1)).as("c"))
         .withColumn("bkt", expr(s"nll_e6 div $CCNET_BKT"))
       val bktBelow = g.groupBy(col("lang"), col("bkt")).agg(sum(col("c")).as("bc"))

@@ -62,10 +62,13 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_dsir_select",           // portable md5 hexFold + broadcast weights (r11)
     "q_ann_ivfpq",             // PQ codebook literals + ADC HOFs evaluated in
                                // remote executor JVMs; broadcast refine (r11)
-    "q_unigram_train")         // ~74-entry literal score maps inside Viterbi
+    "q_unigram_train",         // ~74-entry literal score maps inside Viterbi
                                // aggregate-HOF folds, codegen'd on remote
                                // JVMs; EM decision pulls from executor-held
                                // localCheckpoint blocks (r11)
+    "q_dedup_bloom")           // BloomFilterAggregate partials merged across
+                               // executor JVMs; the subquery's bloom binary
+                               // ships back out to remote filter tasks (r11)
 
   /** Engine-order-free canonical form: every output in the slice is a
     * deterministic (oracle-hashed) result, so sorted Row renderings are an
