@@ -153,7 +153,13 @@ object ScaleProbe {
     // (source, gram)-keyed exchange — linear in gram mass, the
     // vocab/tfidf law.
     "q_dedup_incremental", "q_dedup_bloom", "q_ccnet_buckets",
-    "q_distinct_ngrams")
+    "q_distinct_ngrams",
+    // Fifth r11 batch. wordpiece_train should reproduce bpe_train's
+    // sub-flat vocab-bound law (same loop; the likelihood pick adds one
+    // <=vocab-key aggregate per round); vocab_growth is one token-keyed
+    // min(doc_id) exchange + a map-side per-doc count — the vocab/oov
+    // law, with the 4-row window adding nothing.
+    "q_wordpiece_train", "q_vocab_growth")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))

@@ -732,33 +732,47 @@ object TextAnalysis {
     * projection collapse nests round r-1's expression 6x inside round r —
     * 52 MiB task binaries by round 8 when chained), and it truncates
     * lineage so round r never replays rounds 1..r-1. */
-  private def bpeLearn(s: SparkSession, d: String)
-      : (Seq[(Long, String, String, Long)], DataFrame) = {
-    def applyMerge(wdf: DataFrame, l: String, r: String): DataFrame = {
-      require((l + r).forall(c => c >= 'a' && c <= 'z'), s"non-[a-z] symbol: $l|$r")
-      wdf.withColumn("syms", expr(
-        s"""CASE WHEN size(syms) < 2 THEN syms ELSE
-              aggregate(slice(syms, 2, size(syms) - 1), slice(syms, 1, 1),
-                (acc, x) -> IF(element_at(acc, -1) = '$l' AND x = '$r',
-                  concat(slice(acc, 1, size(acc) - 1), array('${l + r}')),
-                  concat(acc, array(x))))
-            END"""))
-    }
-    var cur = docs(s, d)
+  /** Greedy-leftmost merge application as a map-only `aggregate` fold —
+    * shared by the BPE and WordPiece learners (only the merge-PICK rule
+    * differs between the two algorithms). */
+  private def applyMerge(wdf: DataFrame, l: String, r: String): DataFrame = {
+    require((l + r).forall(c => c >= 'a' && c <= 'z'), s"non-[a-z] symbol: $l|$r")
+    wdf.withColumn("syms", expr(
+      s"""CASE WHEN size(syms) < 2 THEN syms ELSE
+            aggregate(slice(syms, 2, size(syms) - 1), slice(syms, 1, 1),
+              (acc, x) -> IF(element_at(acc, -1) = '$l' AND x = '$r',
+                concat(slice(acc, 1, size(acc) - 1), array('${l + r}')),
+                concat(acc, array(x))))
+          END"""))
+  }
+
+  /** The (word, cnt, symbols) table both subword learners train on — the
+    * one corpus scan; everything after is vocab-bound. */
+  private def wordTable(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
       .filter(expr("length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) = 0"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
       .localCheckpoint()
+
+  /** Adjacent-pair counts of the current word table — the shared
+    * candidate relation both merge-pick rules rank. */
+  private def pairCounts(cur: DataFrame): DataFrame =
+    cur.filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(expr(
+        """transform(sequence(0, size(syms) - 2),
+             i -> struct(element_at(syms, i + 1) AS l,
+                         element_at(syms, i + 2) AS r))""")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+
+  private def bpeLearn(s: SparkSession, d: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    var cur = wordTable(s, d)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (step <- 1 to BPE_MERGES) {
-      val best = cur.filter(size(col("syms")) >= 2)
-        .select(col("cnt"), explode(expr(
-          """transform(sequence(0, size(syms) - 2),
-               i -> struct(element_at(syms, i + 1) AS l,
-                           element_at(syms, i + 2) AS r))""")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("c"))
+      val best = pairCounts(cur)
         .orderBy(col("c").desc, col("l"), col("r")).limit(1)
         .collect()(0)
       val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
@@ -776,15 +790,26 @@ object TextAnalysis {
     * among each run of consecutive candidate positions, every second one
     * merges — the same function as the Spark-side fold (proven by the
     * PipelineSpec brute force). */
-  private def bpeCtes: String = {
+  private def bpeCtes: String =
+    mergeCtes(BPE_MERGES, r => s"SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1")
+
+  /** The shared unrolled-round SQL skeleton (w0 .. w{rounds}) for both
+    * subword learners: only the merge-PICK rule (m$r's body) differs —
+    * BPE ranks raw pair counts, WordPiece likelihood scores. `pick(r)`
+    * must SELECT at least columns (l, r, c) from p$r (and may join s$r,
+    * the symbol counts, which every round materializes). */
+  private def mergeCtes(rounds: Int, pick: Int => String): String = {
     def round(r: Int): String = {
       val p = r - 1
-      s"""p$r AS MATERIALIZED (
+      s"""s$r AS MATERIALIZED (
+           SELECT t.s AS sym, CAST(SUM(w.cnt) AS BIGINT) AS sc
+           FROM w$p w, unnest(w.syms) AS t(s) GROUP BY 1),
+         p$r AS MATERIALIZED (
            SELECT w.syms[CAST(t.i + 1 AS BIGINT)] AS l,
              w.syms[CAST(t.i + 2 AS BIGINT)] AS r,
              CAST(SUM(w.cnt) AS BIGINT) AS c
            FROM w$p w, unnest(range(0, len(w.syms) - 1)) AS t(i) GROUP BY 1, 2),
-         m$r AS MATERIALIZED (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+         m$r AS MATERIALIZED (${pick(r)}),
          e$r AS MATERIALIZED (
            SELECT w.w, w.cnt, t.i AS i, w.syms[CAST(t.i + 1 AS BIGINT)] AS s,
              m.l || m.r AS merged,
@@ -812,7 +837,7 @@ object TextAnalysis {
                FROM documents) t
          WHERE length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) = 0
          GROUP BY w),
-       ${(1 to BPE_MERGES).map(round).mkString(",\n")}"""
+       ${(1 to rounds).map(round).mkString(",\n")}"""
   }
 
   /** Distributed BPE tokenizer training (Sennrich/Haddow/Birch 2016,
@@ -854,6 +879,82 @@ object TextAnalysis {
         s"SELECT CAST($r AS BIGINT) AS step, l AS sym_l, r AS sym_r, c AS pair_cnt FROM m$r")
         .mkString("\n UNION ALL ")
       s"""WITH $bpeCtes
+         $unions"""
+    })
+
+  /** Distributed WordPiece tokenizer training (Schuster & Nakajima 2012;
+    * the likelihood-scored merge objective as published in Wu et al. 2016,
+    * "Google's Neural Machine Translation System" §4.1 — public): the
+    * third canonical subword algorithm next to BPE (q_bpe_train) and
+    * unigram-LM (q_unigram_train). Identical training loop to BPE — same
+    * word-frequency table, same pair candidates, same greedy-leftmost
+    * application fold — differing ONLY in the merge-pick rule: WordPiece
+    * merges the pair that maximizes the corpus likelihood gain, i.e.
+    * score(l,r) = count(lr) / (count(l) · count(r)), where count(x) is the
+    * symbol's cnt-weighted occurrence count under the CURRENT
+    * tokenization. Frequent-but-expected pairs (two already-common
+    * symbols) lose to rarer-but-cohesive ones — the qualitative difference
+    * from BPE that PipelineSpec pins on the gate corpus (the two learned
+    * tables diverge from the first rounds).
+    *
+    * Oracle-exact ranking: the score is quantized to integer e9 fixed
+    * point (c·1e9 div (sc_l·sc_r) — nonneg `div`/`//` agree), with ties
+    * broken by (raw pair count desc, l, r) — a pinned total order both
+    * engines share. (The ## continuation-prefix convention is an encode-
+    * time surface concern; training on the word table does not need it,
+    * and symbols stay [a-z]+, safe to interpolate into the next round's
+    * fold expression. int64 headroom: c·1e9 needs c < 9.2e9 and
+    * sc_l·sc_r < 9.2e18 — fine to ~1e9-token corpora; past that drop the
+    * scale to e6 or split the compare.)
+    *
+    * 100 TB shape: identical to q_bpe_train (one corpus scan, vocab-bound
+    * rounds, ONE-row driver pull per round); the only addition is a
+    * symbol-grain aggregate per round — ≤ vocab keys, strictly smaller
+    * than the pair aggregate the round already pays. */
+  private val WP_MERGES = 8
+  private def wordpieceLearn(s: SparkSession, d: String)
+      : Seq[(Long, String, String, Long, Long)] = {
+    var cur = wordTable(s, d)
+    val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
+    for (step <- 1 to WP_MERGES) {
+      val symc = cur.select(col("cnt"), explode(col("syms")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("cnt")).as("sc"))
+      val best = pairCounts(cur)
+        .join(symc.select(col("sym").as("l"), col("sc").as("sl")), "l")
+        .join(symc.select(col("sym").as("r"), col("sc").as("sr")), "r")
+        .withColumn("score_e9",
+          expr("c * CAST(1000000000 AS BIGINT) div (sl * sr)"))
+        .orderBy(col("score_e9").desc, col("c").desc, col("l"), col("r"))
+        .limit(1).select("l", "r", "c", "score_e9")
+        .collect()(0)
+      val (l, r) = (best.getString(0), best.getString(1))
+      merges += ((step.toLong, l, r, best.getLong(2), best.getLong(3)))
+      cur = applyMerge(cur, l, r).localCheckpoint()
+    }
+    merges.result()
+  }
+
+  private val wordpieceTrain = QueryDef(
+    "q_wordpiece_train",
+    (s, d) => {
+      val sess = s
+      import sess.implicits._
+      wordpieceLearn(s, d)
+        .toDF("step", "sym_l", "sym_r", "pair_cnt", "score_e9")
+    },
+    Some {
+      val ctes = mergeCtes(WP_MERGES, r =>
+        s"""SELECT p.l, p.r, p.c,
+             (p.c * 1000000000) // (sl.sc * sr.sc) AS score_e9
+           FROM p$r p
+           JOIN s$r sl ON p.l = sl.sym
+           JOIN s$r sr ON p.r = sr.sym
+           ORDER BY score_e9 DESC, p.c DESC, p.l, p.r LIMIT 1""")
+      val unions = (1 to WP_MERGES).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS step, l AS sym_l, r AS sym_r,
+             c AS pair_cnt, score_e9 FROM m$r""")
+        .mkString("\n UNION ALL ")
+      s"""WITH $ctes
          $unions"""
     })
 
@@ -1106,9 +1207,85 @@ object TextAnalysis {
         n_bigrams, d2, d2 * 1000000 // n_bigrams AS distinct2_e6
       FROM u LEFT JOIN b ON u.source = b.source"""))
 
+  /** Vocabulary growth / Heaps' law fit (Heaps 1978, "Information
+    * Retrieval: Computational and Theoretical Aspects" — public): distinct
+    * vocabulary size V(n) at exponentially spaced corpus prefixes (n/8,
+    * n/4, n/2, n by doc_id order) and the local Heaps exponent
+    * β = Δln V / Δln N between consecutive prefixes. V(N) ≈ K·N^β with
+    * β < 1 is the law every tokenizer-vocab and dedup-dictionary sizing
+    * decision leans on — a source whose β approaches 1 is generating
+    * unbounded novel tokens (mint-ids, hashes, boilerplate noise), the
+    * corpus-grain signal that a fixed vocab or a broadcast dictionary
+    * will NOT hold at the next scale decade.
+    *
+    * The trick that makes four prefixes cost ONE pass: V(t) = #{tokens
+    * whose FIRST occurrence doc < t}, so one token-keyed min(doc_id)
+    * aggregate answers every prefix via a 4-row broadcast theta join —
+    * no per-prefix rescans, no distinct-per-prefix. Token totals ride a
+    * map-side per-doc count. The β window runs over exactly 4 rows (the
+    * repeat-allocation bounded-relation precedent); ln parity follows the
+    * floor(ln·1e6) convention, here on ratio-of-doubles inputs computed
+    * by the identical expression shape on both engines. */
+  private val vocabGrowth = QueryDef(
+    "q_vocab_growth",
+    (s, d) => {
+      val n = docs(s, d).agg((max(col("doc_id")) + lit(1L)).as("n_docs"))
+      val th = s.range(1, 5).toDF("k")
+        .crossJoin(broadcast(n))
+        .select(col("k"), expr(
+          "n_docs div CASE k WHEN 1 THEN 8 WHEN 2 THEN 4 WHEN 3 THEN 2 ELSE 1 END")
+          .as("t"))
+      val firstOcc = docs(s, d)
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      val docCnt = docs(s, d).select(col("doc_id"),
+        expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)").as("nt"))
+      val tokens = docCnt.join(broadcast(th), col("doc_id") < col("t"))
+        .groupBy(col("k"), col("t")).agg(sum(col("nt")).as("n_tokens"))
+      val vocabK = firstOcc.join(broadcast(th), col("fd") < col("t"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_vocab"))
+      val w = Window.orderBy(col("k")) // exactly 4 rows by construction
+      tokens.join(vocabK, "k")
+        .select(col("k"), col("t").as("n_prefix_docs"),
+          col("n_tokens"), col("n_vocab"))
+        .withColumn("beta_e6", floor(
+          log(col("n_vocab").cast(DoubleType) / lag(col("n_vocab"), 1).over(w)) /
+            log(col("n_tokens").cast(DoubleType) / lag(col("n_tokens"), 1).over(w))
+            * 1e6).cast("long"))
+    },
+    Some("""WITH n AS (SELECT MAX(doc_id) + 1 AS n_docs FROM documents),
+      th AS (
+        SELECT CAST(k AS BIGINT) AS k,
+          CAST(n_docs // CASE k WHEN 1 THEN 8 WHEN 2 THEN 4 WHEN 3 THEN 2
+            ELSE 1 END AS BIGINT) AS t
+        FROM (SELECT unnest([1, 2, 3, 4]) AS k), n),
+      toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents),
+      fo AS (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+      dc AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt
+        FROM documents),
+      tk AS (SELECT k, t, CAST(SUM(nt) AS BIGINT) AS n_tokens
+             FROM dc JOIN th ON dc.doc_id < th.t GROUP BY 1, 2),
+      vc AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vocab
+             FROM fo JOIN th ON fo.fd < th.t GROUP BY 1),
+      base AS (
+        SELECT tk.k AS k, t AS n_prefix_docs, n_tokens, n_vocab
+        FROM tk JOIN vc ON tk.k = vc.k)
+      SELECT k, n_prefix_docs, n_tokens, n_vocab,
+        CAST(FLOOR(
+          LN(CAST(n_vocab AS DOUBLE) / LAG(n_vocab) OVER (ORDER BY k)) /
+          LN(CAST(n_tokens AS DOUBLE) / LAG(n_tokens) OVER (ORDER BY k))
+          * 1e6) AS BIGINT) AS beta_e6
+      FROM base"""))
+
   val all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab,
       fingerprintRolling, tfidfKeywords, outlierFilter, boilerplate, bm25,
       bigramLm, decontaminate, perplexityLm, oovRate, repetition, bpeTrain,
-      bpeEncode, tokenizerFertility, ccnetBuckets, distinctNgrams)
+      wordpieceTrain, bpeEncode, tokenizerFertility, ccnetBuckets,
+      distinctNgrams, vocabGrowth)
 }

@@ -868,6 +868,82 @@ class PipelineSpec extends SparkSpec {
     assert(subTotal < charTotal, "no compression vs character tokenization")
   }
 
+  test("q_wordpiece_train matches a likelihood-scored brute force and diverges from BPE") {
+    // Plain-Scala third derivation: same word-freq table and greedy
+    // application as the BPE brute force, but the merge pick maximizes
+    // the quantized likelihood score c*1e9/(sc_l*sc_r) with the pinned
+    // (score desc, count desc, l, r) tie-break.
+    val words = scala.collection.mutable.Map[String, Long]()
+    Tables.t(spark, sfDir, "documents").select(col("text")).collect()
+      .foreach(_.getString(0).split(" ").iterator
+        .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+        .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L))
+    val got = SparkEntry.queries("q_wordpiece_train")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    var syms = words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val expect = (1 to got.length).map { step =>
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      val sc = scala.collection.mutable.Map[String, Long]()
+      for ((w, ss) <- syms) {
+        for (s0 <- ss) sc(s0) = sc.getOrElse(s0, 0L) + words(w)
+        for (i <- 0 until ss.length - 1)
+          pairs((ss(i), ss(i + 1))) = pairs.getOrElse((ss(i), ss(i + 1)), 0L) + words(w)
+      }
+      val (l, r, c, s9) = pairs.toSeq
+        .map { case ((l, r), c) => (l, r, c, c * 1000000000L / (sc(l) * sc(r))) }
+        .minBy { case (l, r, c, s9) => (-s9, -c, l, r) }
+      syms = syms.map { case (w, ss) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ss.length) {
+          if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) { out += (l + r); i += 2 }
+          else { out += ss(i); i += 1 }
+        }
+        w -> out.result()
+      }
+      (step.toLong, l, r, c, s9)
+    }
+    assert(got.length >= 8, s"expected >= 8 merge rounds, got ${got.length}")
+    assert(got == expect, s"merge tables diverged:\n got    $got\n expect $expect")
+    // The likelihood objective must actually pick differently than BPE's
+    // raw-count objective on this corpus — otherwise the scoring rule is
+    // never load-bearing.
+    val bpe = SparkEntry.queries("q_bpe_train")(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got.map(t => (t._2, t._3)) != bpe,
+      "fixture too trivial: wordpiece == bpe merge-for-merge")
+  }
+
+  test("q_vocab_growth matches a plain-Scala prefix recompute") {
+    val rows = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val n = rows.map(_._1).max + 1
+    val expect = Seq(1L, 2L, 3L, 4L).map { k =>
+      val t = n / Seq(8, 4, 2, 1)(k.toInt - 1)
+      val pre = rows.filter(_._1 < t)
+      (k, t, pre.map(_._2.length.toLong).sum,
+        pre.flatMap(_._2).distinct.length.toLong)
+    }
+    val got = SparkEntry.queries("q_vocab_growth")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) == expect,
+      s"prefix stats diverged:\n got $got\nwant $expect")
+    val betas = got.flatMap(_._5)
+    val eb = expect.sliding(2).map { case Seq((_, _, n0, v0), (_, _, n1, v1)) =>
+      math.floor(math.log(v1.toDouble / v0) / math.log(n1.toDouble / n0) * 1e6).toLong
+    }.toSeq
+    assert(betas == eb, s"beta diverged: got $betas want $eb")
+    // Heaps' law: sublinear vocabulary growth. The gate fixture's
+    // closed synthetic vocabulary saturates early (beta == 0 between
+    // later prefixes) — the benign end of the law; the pathology the
+    // operator watches for is beta -> 1e6.
+    betas.foreach(b => assert(b >= 0 && b < 1000000L, s"beta out of range: $b"))
+  }
+
   test("q_dsir_select matches a brute-force importance-score recompute") {
     val B = 1024
     def bucket(tok: String): Long = {
