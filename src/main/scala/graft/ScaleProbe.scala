@@ -159,7 +159,11 @@ object ScaleProbe {
     // <=vocab-key aggregate per round); vocab_growth is one token-keyed
     // min(doc_id) exchange + a map-side per-doc count — the vocab/oov
     // law, with the 4-row window adding nothing.
-    "q_wordpiece_train", "q_vocab_growth")
+    "q_wordpiece_train", "q_vocab_growth",
+    // span corruption is a pure map stage (the chunk_documents law):
+    // every output column derives from the row; expect linear wall in
+    // token mass, zero shuffle.
+    "q_span_corrupt")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))

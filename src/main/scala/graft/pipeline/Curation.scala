@@ -300,6 +300,104 @@ object Curation {
       FROM batch b LEFT JOIN store s ON b.fp = s.fp
       GROUP BY lang"""))
 
+  /** T5-style span corruption (Raffel et al. 2020, "Exploring the Limits
+    * of Transfer Learning with a Unified Text-to-Text Transformer" §3.1.4
+    * — public): the denoising-objective data-prep transform — mask
+    * contiguous token spans with sentinels, emit (corrupted input, target
+    * of sentinel-prefixed spans). The T5 recipe's knobs are kept (15%
+    * corruption, mean span 3) but span PLACEMENT is re-derived for a
+    * distributed, oracle-exact setting: the token stream partitions into
+    * fixed 20-token blocks and each FULL block masks one 3-token span at
+    * offset md5("graft-span-1:doc:block") mod 18 — seeded-hash placement
+    * (reproducible releases, the shard-shuffle discipline: never rand()),
+    * spans can never cross blocks (no sequential overlap resolution —
+    * that is what makes placement embarrassingly parallel), and the
+    * masked fraction is exactly 3/20 on full blocks. The partial tail
+    * block passes through unmasked. Targets follow the T5 sentinel
+    * convention: `<extra_id_b> span …` per block plus the closing
+    * `<extra_id_nb>`. The GATE hashes the actual transform output —
+    * input_fp/target_fp are md5 of the rendered sequences, so both
+    * engines must produce byte-identical corrupted text, not just
+    * matching counts.
+    *
+    * Scale shape: pure map stage — every column derives from the row
+    * (the q_chunk_documents law); no shuffle, no state, scales with scan
+    * bandwidth. The md5-fold offset reuses [[Sampling.hexFold]] so the
+    * Spark HOF and the oracle SQL cannot drift. */
+  private val spanCorrupt = QueryDef(
+    "q_span_corrupt",
+    (s, d) => {
+      val fold = Sampling.hexFold(
+        "md5(concat('graft-span-1:', CAST(doc_id AS STRING), ':', CAST(b AS STRING)))")
+      docs(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") >= 1)
+        .withColumn("nb", expr("n div 20"))
+        .withColumn("offs", expr(
+          s"""IF(nb < 1, CAST(array() AS ARRAY<INT>),
+                transform(sequence(0, CAST(nb AS INT) - 1),
+                  b -> CAST(($fold) % 18 AS INT)))"""))
+        .withColumn("input_arr", expr(
+          """concat(
+               IF(nb < 1, CAST(array() AS ARRAY<STRING>),
+                 flatten(transform(sequence(0, CAST(nb AS INT) - 1), b ->
+                   concat(
+                     slice(toks, 20 * b + 1, element_at(offs, b + 1)),
+                     array(concat('<extra_id_', CAST(b AS STRING), '>')),
+                     slice(toks, 20 * b + element_at(offs, b + 1) + 4,
+                       17 - element_at(offs, b + 1)))))),
+               IF(n > 20 * nb,
+                 slice(toks, CAST(20 * nb + 1 AS INT), CAST(n - 20 * nb AS INT)),
+                 CAST(array() AS ARRAY<STRING>)))"""))
+        .withColumn("target_arr", expr(
+          """concat(
+               IF(nb < 1, CAST(array() AS ARRAY<STRING>),
+                 flatten(transform(sequence(0, CAST(nb AS INT) - 1), b ->
+                   concat(
+                     array(concat('<extra_id_', CAST(b AS STRING), '>')),
+                     slice(toks, 20 * b + element_at(offs, b + 1) + 1, 3))))),
+               array(concat('<extra_id_', CAST(nb AS STRING), '>')))"""))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("nb").as("n_spans"),
+          expr("nb * 3").as("n_masked"),
+          expr("nb * 3 * CAST(1000000 AS BIGINT) div n").as("mask_frac_e6"),
+          md5(expr("array_join(input_arr, ' ')")).as("input_fp"),
+          md5(expr("array_join(target_arr, ' ')")).as("target_fp"))
+    },
+    Some {
+      val fold = Sampling.hexFold(
+        "md5('graft-span-1:' || CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))")
+      s"""WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        f AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+              FROM t WHERE len(toks) >= 1),
+        g AS (SELECT doc_id, toks, n, n // 20 AS nb FROM f),
+        o AS (SELECT doc_id, toks, n, nb,
+            list_transform(range(0, nb), b -> ($fold) % 18) AS offs
+          FROM g),
+        r AS (SELECT doc_id, n, nb,
+            flatten(list_transform(range(0, nb), b ->
+              list_concat(list_concat(
+                toks[(20 * b + 1):(20 * b + offs[b + 1])],
+                ['<extra_id_' || CAST(b AS VARCHAR) || '>']),
+                toks[(20 * b + offs[b + 1] + 4):(20 * b + 20)])))
+              || toks[(20 * nb + 1):n] AS input_arr,
+            flatten(list_transform(range(0, nb), b ->
+              list_concat(
+                ['<extra_id_' || CAST(b AS VARCHAR) || '>'],
+                toks[(20 * b + offs[b + 1] + 1):(20 * b + offs[b + 1] + 3)])))
+              || ['<extra_id_' || CAST(nb AS VARCHAR) || '>'] AS target_arr
+          FROM o)
+        SELECT doc_id, n AS n_tokens, nb AS n_spans,
+          CAST(nb * 3 AS BIGINT) AS n_masked,
+          nb * 3 * 1000000 // n AS mask_frac_e6,
+          md5(array_to_string(input_arr, ' ')) AS input_fp,
+          md5(array_to_string(target_arr, ' ')) AS target_fp
+        FROM r"""
+    })
+
   /** Bloom-prefiltered incremental dedup: q_dedup_incremental's exact
     * batch-vs-store membership check with Spark's own runtime-filter bloom
     * pair ([[graft.GraftExtensions]]: BloomFilterAggregate /
@@ -661,5 +759,6 @@ object Curation {
   val all: Seq[QueryDef] =
     Seq(qualityRepetition, entropyFilter, piiScrub, invertedIndex,
       sequencePack, dedupIncremental, dedupBloom, chunkDocuments,
-      qualityClassifier, substringDedup, snapshotDiff, snapshotDrift)
+      spanCorrupt, qualityClassifier, substringDedup, snapshotDiff,
+      snapshotDrift)
 }

@@ -89,6 +89,42 @@ class CurationSpec extends SparkSpec {
     info(s"bloom prefilter rejected $rejected/$nBatch batch rows before the store join")
   }
 
+  test("q_span_corrupt matches a plain-Scala rendering of the transform") {
+    // Independent third derivation: rebuild every doc's corrupted input
+    // and target strings in plain Scala (same seeded-md5 offsets) and
+    // compare the fingerprints the gate hashes.
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val (id, toks) = (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty))
+        if (toks.isEmpty) None
+        else {
+          val nb = toks.length / 20
+          val offs = (0 until nb).map(b =>
+            (java.lang.Long.parseLong(
+              md5hex(s"graft-span-1:$id:$b").substring(0, 8), 16) % 18).toInt)
+          val input = (0 until nb).flatMap { b =>
+            toks.slice(20 * b, 20 * b + offs(b)) ++ Seq(s"<extra_id_$b>") ++
+              toks.slice(20 * b + offs(b) + 3, 20 * (b + 1))
+          } ++ toks.drop(20 * nb)
+          val target = (0 until nb).flatMap { b =>
+            Seq(s"<extra_id_$b>") ++ toks.slice(20 * b + offs(b), 20 * b + offs(b) + 3)
+          } ++ Seq(s"<extra_id_$nb>")
+          Some(id -> ((toks.length.toLong, nb.toLong, 3L * nb,
+            md5hex(input.mkString(" ")), md5hex(target.mkString(" ")))))
+        }
+      }.toMap
+    val got = SparkEntry.queries("q_span_corrupt")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(5), r.getString(6)))).toMap
+    assert(got == expect, s"span corruption diverged (got ${got.size} docs, " +
+      s"want ${expect.size})")
+    assert(expect.values.exists(_._2 > 0), "fixture expectation: some doc has a full block")
+  }
+
   test("q_inverted_index posting length equals df") {
     val bad = SparkEntry.queries("q_inverted_index")(spark, sfDir)
       .filter(size(split(col("posting"), ",")) =!= col("df"))
