@@ -161,6 +161,9 @@ class PlanSpec extends SparkSpec {
     // q_repeat_allocation's crosses are (source × epoch) rows (≤40) x ONE
     // budget row and #sources rows x ONE total row — q22 shapes both; the
     // corpus collapses to #sources counts before any cross.
+    // q_vocab_growth's NLJ is the doc/vocab scan x FOUR broadcast
+    // threshold rows (fd < t / doc_id < t) — O(4n) map-side compares
+    // against metadata, the q22 class with four rows instead of one.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
       "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank",
       "q_tfidf_keywords", "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report",
@@ -168,7 +171,7 @@ class PlanSpec extends SparkSpec {
       "q_hybrid_retrieval", "q_dsir_select", "q_hard_negatives",
       "q_ann_ivfpq", "q_curriculum", "q_domain_mix", "q_retrieval_eval",
       "q_jl_project", "q_tokenizer_fertility", "q_unigram_train",
-      "q_repeat_allocation")
+      "q_repeat_allocation", "q_vocab_growth")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
