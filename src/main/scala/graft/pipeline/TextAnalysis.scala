@@ -557,6 +557,88 @@ object TextAnalysis {
         CAST(FLOOR(CAST(n_oov AS DOUBLE) / n_toks * 1e6) AS BIGINT) AS oov_frac_e6
       FROM j"""))
 
+  /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995; the
+    * smoothing KenLM — and therefore the CCNet pipeline — actually ships,
+    * where [[perplexityLm]] carries the simpler add-one form): absolute
+    * discount D = 0.75 off every seen bigram, with the reclaimed mass
+    * backing off to the CONTINUATION unigram — how many distinct contexts
+    * a word follows, not how often it occurs — so boilerplate tokens that
+    * are frequent-but-context-bound ("Francisco") stop inflating fluency:
+    *
+    *   p(cur|prev) = (c2 - D)/c1 + D·N1+(prev,·)/c1 · N1+(·,cur)/N1+(·,·)
+    *
+    * All counts are exact integers off one bigram-type table; the only
+    * floats are the final per-DISTINCT-bigram probability and its
+    * floor(-ln·1e6) quantization — the [[perplexityLm]] ln-parity
+    * convention, so per-doc totals and the `div` average stay exact.
+    *
+    * Scale shape is [[perplexityLm]]'s verbatim: bigram instances shuffle
+    * once on (prev, cur); c1 / N1+(prev,·) fold out of the type table on
+    * the same key; N1+(·,cur) is a vocab-grain rollup; the type count is a
+    * one-row broadcast (the Q11/Q22 scalar pattern). The discount adds
+    * zero exchanges over add-one — the argument for shipping the better
+    * smoother at 100 TB. */
+  private val knPerplexity = QueryDef(
+    "q_kneser_ney",
+    (s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 2)
+      val inst = base.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, n - 2),
+             i -> struct(element_at(toks, i + 1) AS prev,
+                         element_at(toks, i + 2) AS cur))""")).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      val c2 = inst.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      // One pass over the type table per side: c1 = token count of prev,
+      // n1fw = distinct continuations of prev; n1bw = distinct contexts of
+      // cur; t = total bigram types (the continuation-model denominator).
+      val left = c2.groupBy(col("prev"))
+        .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1fw"))
+      val right = c2.groupBy(col("cur")).agg(count(lit(1)).as("n1bw"))
+      val t = c2.agg(count(lit(1)).as("t"))
+      val cost = c2.join(left, "prev").join(right, "cur").crossJoin(broadcast(t))
+        .withColumn("p",
+          (col("c2").cast(DoubleType) - lit(0.75)) / col("c1").cast(DoubleType) +
+            lit(0.75) * col("n1fw").cast(DoubleType) / col("c1").cast(DoubleType) *
+              col("n1bw").cast(DoubleType) / col("t").cast(DoubleType))
+        .select(col("prev"), col("cur"),
+          floor(-log(col("p")) * 1e6).cast("long").as("cost_e6"))
+      inst.join(cost, Seq("prev", "cur"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("cost_e6")).as("sum_e6"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sum_e6 div n_bigrams").as("kn_nll_e6"))
+    },
+    Some("""WITH t0 AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents),
+      f AS (SELECT doc_id, toks, len(toks) AS n FROM t0 WHERE len(toks) >= 2),
+      inst AS (
+        SELECT doc_id, toks[CAST(i + 1 AS BIGINT)] AS prev,
+          toks[CAST(i + 2 AS BIGINT)] AS cur
+        FROM f, unnest(range(0, n - 1)) AS u(i)),
+      c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2 FROM inst GROUP BY 1, 2),
+      lft AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1,
+          CAST(count(*) AS BIGINT) AS n1fw FROM c2 GROUP BY 1),
+      rgt AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1bw FROM c2 GROUP BY 1),
+      tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c2),
+      prob AS (
+        SELECT c2.prev, c2.cur,
+          (CAST(c2.c2 AS DOUBLE) - 0.75) / CAST(lft.c1 AS DOUBLE) +
+            0.75 * CAST(lft.n1fw AS DOUBLE) / CAST(lft.c1 AS DOUBLE) *
+              CAST(rgt.n1bw AS DOUBLE) / CAST(tt.t AS DOUBLE) AS p
+        FROM c2 JOIN lft ON c2.prev = lft.prev
+          JOIN rgt ON c2.cur = rgt.cur, tt),
+      cost AS (
+        SELECT prev, cur, CAST(FLOOR(-ln(p) * 1e6) AS BIGINT) AS cost_e6
+        FROM prob)
+      SELECT i.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        CAST(sum(cost_e6) AS BIGINT) // CAST(count(*) AS BIGINT) AS kn_nll_e6
+      FROM inst i JOIN cost c ON i.prev = c.prev AND i.cur = c.cur
+      GROUP BY 1"""))
+
   /** The FULL Gopher repetition-filter family (Rae et al. 2021, "Scaling
     * Language Models", appendix A1.1 — public; q_quality_repetition in
     * [[Curation]] keeps its simpler two-signal form): documents dominated
@@ -1285,7 +1367,7 @@ object TextAnalysis {
   val all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab,
       fingerprintRolling, tfidfKeywords, outlierFilter, boilerplate, bm25,
-      bigramLm, decontaminate, perplexityLm, oovRate, repetition, bpeTrain,
+      bigramLm, decontaminate, perplexityLm, knPerplexity, oovRate, repetition, bpeTrain,
       wordpieceTrain, bpeEncode, tokenizerFertility, ccnetBuckets,
       distinctNgrams, vocabGrowth)
 }

@@ -92,6 +92,35 @@ class ProfilingSpec extends SparkSpec {
     assert(r.count() == expected, "every doc with >= 2 tokens gets a score")
   }
 
+  test("q_kneser_ney matches a plain-Scala brute force (third derivation)") {
+    val got = SparkEntry.queries("q_kneser_ney")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("kn_nll_e6"))).toMap
+    val texts = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(' ').filter(_.nonEmpty).toSeq)
+      .filter(_._2.length >= 2)
+    val inst = texts.flatMap { case (id, toks) =>
+      toks.sliding(2).map(w => (id, (w(0), w(1)))).toSeq }
+    val c2 = inst.groupBy(_._2).map { case (bg, xs) => bg -> xs.length.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val n1fw = c2.groupBy(_._1._1).map { case (p, m) => p -> m.size.toLong }
+    val n1bw = c2.groupBy(_._1._2).map { case (c, m) => c -> m.size.toLong }
+    val t = c2.size.toDouble
+    val cost = c2.map { case (bg @ (p, c), n) =>
+      val prob = (n - 0.75) / c1(p) + 0.75 * n1fw(p) / c1(p) * n1bw(c) / t
+      bg -> math.floor(-math.log(prob) * 1e6).toLong
+    }
+    val want = inst.groupBy(_._1).map { case (id, xs) =>
+      val s = xs.map(x => cost(x._2)).sum
+      id -> (xs.length.toLong, s / xs.length)
+    }
+    assert(got == want, "per-doc KN NLL must equal the definitional recompute")
+    assert(got.nonEmpty && got.values.forall(v => v._2 >= 0),
+      "discounted probabilities stay <= 1, so costs stay nonnegative")
+  }
+
   test("q_substring_dedup: verbatim copies have full span coverage") {
     val r = SparkEntry.queries("q_substring_dedup")(spark, sfDir)
     assert(r.filter(col("n_dup") > col("n_spans") ||
