@@ -1225,8 +1225,69 @@ object Similarity {
         FROM m"""
     })
 
+  /** Clustering-quality certification for the shared coarse quantizer: the
+    * SIMPLIFIED silhouette (Rousseeuw 1987's coefficient with centroid
+    * distances standing in for mean pairwise distances — the O(N·K) form
+    * clustering libraries ship for exactly the reason it matters here:
+    * the exact silhouette is O(N²) and dies at scale). Per vector, with
+    * cosine distance d = 1 - cos against the trained centroids:
+    * a = d(own centroid), b = d(best OTHER centroid),
+    * s = (b - a) / max(a, b) — in cosine terms (cs1 - cs2)/max(1-cs1,
+    * 1-cs2) ∈ [0, 1] since cs1 ≥ cs2 by assignment. Reported per cell
+    * with exact-integer sums, so the "is the index geometry any good"
+    * number every IVF/SemDeDup consumer depends on is itself a hash-gated
+    * contract (the q_retrieval_eval pattern applied to the quantizer);
+    * near-0 means cells barely separate (this corpus: random vectors —
+    * IVF's documented worst case), larger means real structure.
+    *
+    * Scale shape: both cosines come from ONE map-side pass per vector
+    * against the literal centroid tensor (array-of-fused-cosines, own =
+    * first-match argmax like [[semAssign]], runner-up by index exclusion)
+    * — no N×K exchange, no window; the only shuffle is the K-row rollup.
+    * DuckDB replays training (semKmeansCtes) and takes rn=1/rn=2 of the
+    * same p3 cosines, so assignment ties and the runner-up agree by the
+    * (cos DESC, cl) total order on both engines. */
+  private val silhouette = QueryDef(
+    "q_silhouette",
+    (s, d) => {
+      val cents = semCentroids(s, d, IVF_K)
+      val idArr = array(cents.map { case (id, _) => lit(id) }: _*)
+      val cosArr = array(cents.map { case (_, cv) => cosine(col("qv"), lit(cv)) }: _*)
+      semQuantized(s, d)
+        .withColumn("csa", cosArr)
+        .withColumn("cs1", array_max(col("csa")))
+        .withColumn("pos", array_position(col("csa"), col("cs1")))
+        .withColumn("cl", element_at(idArr, col("pos").cast("int")).cast("long"))
+        .withColumn("cs2", array_max(
+          filter(col("csa"), (_, i) => i.cast("long") =!= col("pos") - lit(1L))))
+        .withColumn("den", greatest(lit(1.0) - col("cs1"), lit(1.0) - col("cs2")))
+        .withColumn("s_e6", floor(when(col("den") === 0.0, lit(0.0))
+          .otherwise((col("cs1") - col("cs2")) / col("den")) * 1e6).cast("long"))
+        .groupBy(col("cl"))
+        .agg(count(lit(1)).as("n_members"), sum(col("s_e6")).as("sum_s_e6"))
+        .select(col("cl"), col("n_members"), col("sum_s_e6"),
+          expr("sum_s_e6 div n_members").as("mean_s_e6"))
+    },
+    Some(semKmeansCtes(IVF_K.toString) + """,
+      rnk AS (
+        SELECT vec_id, cl, cos,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) rn
+        FROM p3),
+      own AS (SELECT vec_id, cl, cos AS cs1 FROM rnk WHERE rn = 1),
+      oth AS (SELECT vec_id, cos AS cs2 FROM rnk WHERE rn = 2),
+      sil AS (
+        SELECT o.cl,
+          CAST(FLOOR((CASE WHEN GREATEST(1 - o.cs1, 1 - t.cs2) = 0 THEN 0
+            ELSE (o.cs1 - t.cs2) / GREATEST(1 - o.cs1, 1 - t.cs2) END)
+            * 1e6) AS BIGINT) AS s_e6
+        FROM own o JOIN oth t USING (vec_id))
+      SELECT cl, CAST(COUNT(*) AS BIGINT) AS n_members,
+        CAST(SUM(s_e6) AS BIGINT) AS sum_s_e6,
+        CAST(SUM(s_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_s_e6
+      FROM sil GROUP BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(annBrute, annLsh, annIvf, dedupEmbedding, annIncremental,
       dedupSemantic, dedupSemanticAdaptive, hybridRetrieval, hardNegatives,
-      retrievalEval, annIvfPq)
+      retrievalEval, annIvfPq, silhouette)
 }

@@ -1004,6 +1004,57 @@ class PipelineSpec extends SparkSpec {
       s"hard negatives diverged: got ${got.size} rows, want ${expect.size}")
   }
 
+  test("q_silhouette matches a plain-Scala quantized k-means recompute") {
+    // Third derivation: requantize, rerun the 2 Lloyd rounds from the K
+    // lowest vec_ids, then recompute the simplified silhouette per cell.
+    val vecs = Tables.t(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(x => math.floor(x.toDouble * 1e4)).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    var cents: Seq[(Int, Array[Double])] =
+      vecs.take(pipeline.Similarity.IVF_K).map { case (id, v) => (id.toInt, v) }.toSeq
+    def assign(v: Array[Double]): Int = {
+      var best = 0; var i = 1
+      val cs = cents.map(c => cos(v, c._2))
+      while (i < cs.length) { if (cs(i) > cs(best)) best = i; i += 1 }
+      best
+    }
+    for (_ <- 1 to 2) {
+      val sums = collection.mutable.Map[Int, Array[Double]]()
+      for ((_, v) <- vecs) {
+        val s = sums.getOrElseUpdate(cents(assign(v))._1, new Array[Double](v.length))
+        var i = 0; while (i < v.length) { s(i) += v(i); i += 1 }
+      }
+      cents = sums.toSeq.sortBy(_._1)
+    }
+    val per = vecs.map { case (_, v) =>
+      val cs = cents.map(c => cos(v, c._2))
+      val bi = assign(v)
+      val cs2 = cs.zipWithIndex.collect { case (x, i) if i != bi => x }.max
+      val den = math.max(1.0 - cs(bi), 1.0 - cs2)
+      val s = if (den == 0.0) 0.0 else (cs(bi) - cs2) / den
+      (cents(bi)._1.toLong, math.floor(s * 1e6).toLong)
+    }
+    val expect = per.groupBy(_._1).map { case (cl, xs) =>
+      (cl, xs.length.toLong, xs.map(_._2).sum, xs.map(_._2).sum / xs.length)
+    }.toSet
+    val got = SparkEntry.queries("q_silhouette")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect, s"silhouette diverged: got $got want $expect")
+    // Simplified silhouette under cosine with cs1 >= cs2 is a valid
+    // fraction; the corpus is random vectors, so separation is weak but
+    // the coefficient must stay in range on every vector.
+    assert(per.forall(p => p._2 >= 0 && p._2 <= 1000000L),
+      "per-vector coefficient out of [0, 1e6]")
+  }
+
   test("q_cdc_dedup matches an independent plain-Scala CDC chunker") {
     // Third derivation (no Spark expressions, no SQL): boundary after
     // position i iff the 8-hex fold of md5(trailing-16-char window) is
