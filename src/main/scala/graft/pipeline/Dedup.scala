@@ -1231,8 +1231,85 @@ object Dedup {
         GROUP BY 1"""
     })
 
+  /** PageRank over the verified near-dup graph (Brin & Page 1998) — the
+    * canonical fixed-point graph operator, run where a curation pipeline
+    * actually needs one: centrality inside duplication neighborhoods.
+    * High-rank nodes are the hubs of template/boilerplate families (the
+    * doc every variant is near), which is a better canonical-pick signal
+    * than [[dedupKeepBest]]'s local length rule when families chain
+    * A~B~C without A~C.
+    *
+    * Determinism across engines: the float recurrence is replaced by a
+    * PINNED integer one — pr₀ = 1e9 div n; per round, each node emits
+    * pr div deg along every edge and absorbs base + (85·inflow) div 100,
+    * base = (15·(1e9 div n)) div 100 — all int64 sums and divs, so the
+    * 8-round unroll is bit-identical in DuckDB (MATERIALIZED per round;
+    * an inlined round would re-evaluate the all-pairs edge CTE 8×).
+    *
+    * Scale shape: the classic Pregel loop. Edges (symmetrized pairs) are
+    * built once and localCheckpointed; every round is one edge⋈rank join
+    * co-partitioned on the node key plus a dst-keyed partial-agg shuffle
+    * of (node, long) pairs — contributions combine map-side, no vectors,
+    * no text, no growing lineage (per-round checkpoint, the BPE-round
+    * precedent). Rounds are fixed (8), not run-to-convergence: at 100 TB
+    * the iteration budget must be a plan constant, and 8 rounds on a
+    * damping-0.85 walk bounds the residual below the e9 quantum on
+    * near-dup-family graphs (diameter is small by construction — families
+    * are cliques-with-bridges, not paths). */
+  private val pagerank = QueryDef(
+    "q_pagerank",
+    (s, d) => {
+      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+      val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst").localCheckpoint()
+      val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "node")
+      val nn = nodes.agg(count(lit(1)).as("n"))
+      var ranks = nodes.crossJoin(broadcast(nn))
+        .select(col("node"), col("deg"),
+          expr("(15 * (1000000000 div n)) div 100").as("base"),
+          expr("1000000000 div n").as("pr"))
+        .localCheckpoint()
+      for (_ <- 1 to 8) {
+        val contrib = edges.join(ranks, edges("src") === ranks("node"))
+          .select(col("dst"), expr("pr div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        ranks = ranks.select(col("node"), col("deg"), col("base"))
+          .join(contrib, col("node") === col("dst"), "left_outer")
+          .select(col("node"), col("deg"), col("base"),
+            (col("base") + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
+          .localCheckpoint()
+      }
+      ranks.select(col("node").as("doc_id"), col("deg"), col("pr").as("pr_e9"))
+    },
+    Some {
+      val iters = (1 to 8).map { k =>
+        s"""r$k AS MATERIALIZED (
+          SELECT n.node, n.deg, n.base,
+            n.base + (85 * COALESCE(s.inflow, 0)) // 100 AS pr
+          FROM r0base n LEFT JOIN (
+            SELECT e.dst AS node, CAST(SUM(r.pr // r.deg) AS BIGINT) AS inflow
+            FROM e JOIN r${k - 1} r ON e.src = r.node GROUP BY 1) s
+          ON n.node = s.node)"""
+      }.mkString(",\n")
+      s"""WITH ${pairsCteSql("documents", 0.5)},
+        e AS MATERIALIZED (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+        nodes AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                  FROM e GROUP BY 1),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        r0base AS MATERIALIZED (
+          SELECT node, deg, (15 * (1000000000 // nn.n)) // 100 AS base
+          FROM nodes, nn),
+        r0 AS MATERIALIZED (
+          SELECT node, deg, base, 1000000000 // nn.n AS pr FROM r0base, nn),
+        $iters
+        SELECT node AS doc_id, deg, pr AS pr_e9 FROM r8"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash,
       dedupRecallCert, dedupSimhash, dedupClusters, dedupReport, fuzzyJoin,
-      dedupKeepBest, dedupCrossSource, dedupAuto, cdcDedup)
+      dedupKeepBest, dedupCrossSource, dedupAuto, cdcDedup, pagerank)
 }

@@ -1004,6 +1004,31 @@ class PipelineSpec extends SparkSpec {
       s"hard negatives diverged: got ${got.size} rows, want ${expect.size}")
   }
 
+  test("q_pagerank matches a plain-Scala integer power iteration") {
+    // Third derivation of the pinned integer recurrence; the edge list
+    // comes from the independently-gated q_dedup_ngram pair set.
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus plants near-dups; pair graph must exist")
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val n = deg.size.toLong
+    val base = (15L * (1000000000L / n)) / 100L
+    var pr: Map[Long, Long] = deg.keys.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to 8) {
+      val inflow = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / deg(u) }.sum }
+      pr = deg.keys.map(v => v -> (base + (85L * inflow.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    val expect = deg.keys.map(v => (v, deg(v), pr(v))).toSet
+    val got = SparkEntry.queries("q_pagerank")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"pagerank diverged: got ${got.size} want ${expect.size}")
+    // Every node holds at least the teleport mass; nobody exceeds the
+    // total initial mass (damped inflow can only redistribute it).
+    assert(got.forall { case (_, _, p) => p >= base && p <= 1000000000L })
+  }
+
   test("q_silhouette matches a plain-Scala quantized k-means recompute") {
     // Third derivation: requantize, rerun the 2 Lloyd rounds from the K
     // lowest vec_ids, then recompute the simplified silhouette per cell.
