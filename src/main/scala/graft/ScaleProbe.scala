@@ -163,7 +163,19 @@ object ScaleProbe {
     // span corruption is a pure map stage (the chunk_documents law):
     // every output column derives from the row; expect linear wall in
     // token mass, zero shuffle.
-    "q_span_corrupt")
+    "q_span_corrupt",
+    // Sixth r11 batch. kneser_ney rides the perplexity law exactly (same
+    // instance shuffle; the discount adds vocab-grain folds only);
+    // silhouette is a map-side pass against the literal centroid tensor
+    // (train-once shared with IVF — warmed below) plus a K-row rollup, so
+    // near-linear wall with ~zero shuffle; pagerank's verified-pair build
+    // dominates (the dedup_ngram law) and each of the 8 rounds moves only
+    // (node, long) pairs — edge-mass-bound, linear in planted pair volume.
+    "q_kneser_ney", "q_silhouette", "q_pagerank",
+    // winnowing is map-only fingerprint selection (~2/(W+1) of gram mass
+    // survives) + fingerprint-keyed exchanges — expect the cdc_dedup law:
+    // linear wall in token mass, shuffle linear in (sparse) fp mass.
+    "q_winnow_fingerprint")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))
@@ -298,7 +310,11 @@ object ScaleProbe {
         // builds the shared bucketed fp store once, so the timed
         // incremental-vs-bloom A/B measures the JOIN plans, not the
         // one-time store write (same train-once discipline as IVF)
-        "q_dedup_incremental"))
+        "q_dedup_incremental",
+        // trains the same k=16 coarse quantizer q_ann_ivf shares; listed
+        // separately so a PROBE_QUERIES-narrowed silhouette run still
+        // gets its centroids warmed at the decade
+        "q_silhouette"))
     val r1 = {
       val fams = run(s"$workDir/g1x", "g1x") ++
         run(s"$workDir/g1x", "g1x", simQueries) ++

@@ -1231,6 +1231,84 @@ object Dedup {
         GROUP BY 1"""
     })
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * algorithm): hash every K-token gram, slide a W-gram window, keep the
+    * window's MINIMUM hash (ties to the RIGHTMOST position, the paper's
+    * rule), dedup the (position, hash) selections. The paper's guarantee,
+    * which neither neighbor op has: any shared token run of length >=
+    * W + K - 1 (= 11 here) is caught by a shared fingerprint, and nothing
+    * shorter than K tokens ever matches — local, position-robust
+    * fingerprinting between [[Curation]]'s rigid 8-token grid (alignment-
+    * sensitive) and [[cdcDedup]]'s content-defined chunks (boundary-rule-
+    * sensitive). Reported per doc: fingerprints kept and how many are
+    * shared with another doc.
+    *
+    * Scale shape: gram hashing and window selection are map-only array
+    * expressions over each doc's own row (fingerprint DENSITY is the
+    * winnowing point — ~2/(W+1) of gram count, so the exploded relation
+    * is a fraction of token mass); the only corpus-grain exchanges key on
+    * the fingerprint hash ([[hexFold]]-uniform by construction) for the
+    * distinct-doc count and the join back. Text never shuffles. The
+    * per-window triple slice(gh, j, W) is an accepted interpreted-HOF
+    * constant factor (the gopher law), not a scaling term. */
+  private val WIN_K = 4
+  private val WIN_W = 8
+  private val winnow = QueryDef(
+    "q_winnow_fingerprint",
+    (s, d) => {
+      val fold = Sampling.hexFold("h")
+      val base = graft.Tables.spreadForRowCpu(docs(s, d))
+        .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .withColumn("m", (size(col("toks")) - lit(WIN_K - 1)).cast("long"))
+        .filter(col("m") >= WIN_W)
+      val fps = base
+        .withColumn("gh", expr(
+          s"""transform(
+                transform(sequence(1, m), i -> md5(concat_ws(' ', slice(toks, CAST(i AS INT), $WIN_K)))),
+                h -> $fold)"""))
+        .withColumn("sel", explode(expr(
+          s"""array_distinct(transform(sequence(1, m - ${WIN_W - 1}), j ->
+                struct(
+                  CAST(j + $WIN_W - array_position(
+                    reverse(slice(gh, CAST(j AS INT), $WIN_W)),
+                    array_min(slice(gh, CAST(j AS INT), $WIN_W))) AS BIGINT) AS pos,
+                  array_min(slice(gh, CAST(j AS INT), $WIN_W)) AS fph)))""")))
+        .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fph").as("fph"))
+      val dup = fps.groupBy(col("fph")).agg(countDistinct(col("doc_id")).as("nd"))
+      fps.join(dup, Seq("fph"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fps"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_fps"))
+    },
+    Some {
+      val fold = Sampling.hexFold(
+        "md5(array_to_string(toks[u.i:u.i + 3], ' '))")
+      s"""WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+          FROM documents),
+        t2 AS (SELECT doc_id, toks, CAST(len(toks) - ${WIN_K - 1} AS BIGINT) AS m
+               FROM t WHERE len(toks) - ${WIN_K - 1} >= $WIN_W),
+        grams AS (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS i, ($fold) AS gh
+          FROM t2, unnest(range(1, m + 1)) u(i)),
+        wins AS (
+          SELECT doc_id, CAST(u.j AS BIGINT) AS j
+          FROM t2, unnest(range(1, m - ${WIN_W - 1} + 1)) u(j)),
+        sel AS (
+          SELECT w.doc_id, w.j, g.i AS pos, g.gh,
+            ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.j
+              ORDER BY g.gh ASC, g.i DESC) AS rn
+          FROM wins w JOIN grams g
+            ON g.doc_id = w.doc_id AND g.i BETWEEN w.j AND w.j + ${WIN_W - 1}),
+        fps AS (SELECT DISTINCT doc_id, pos, gh FROM sel WHERE rn = 1),
+        dup AS (SELECT gh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+                FROM fps GROUP BY 1)
+        SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+          CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fps
+        FROM fps f JOIN dup d USING (gh)
+        GROUP BY 1"""
+    })
+
   /** PageRank over the verified near-dup graph (Brin & Page 1998) — the
     * canonical fixed-point graph operator, run where a curation pipeline
     * actually needs one: centrality inside duplication neighborhoods.
@@ -1259,7 +1337,12 @@ object Dedup {
   private val pagerank = QueryDef(
     "q_pagerank",
     (s, d) => {
+      // Checkpoint BEFORE symmetrizing: the self-union otherwise embeds
+      // the verified-pairs prefix-join subtree twice and pays the whole
+      // pair discovery double (measured: the first probe of this operator
+      // carried 2x the q_dedup_ngram shuffle before the loop even began).
       val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+        .localCheckpoint()
       val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
         .toDF("src", "dst").localCheckpoint()
       val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -1311,5 +1394,5 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash,
       dedupRecallCert, dedupSimhash, dedupClusters, dedupReport, fuzzyJoin,
-      dedupKeepBest, dedupCrossSource, dedupAuto, cdcDedup, pagerank)
+      dedupKeepBest, dedupCrossSource, dedupAuto, cdcDedup, winnow, pagerank)
 }

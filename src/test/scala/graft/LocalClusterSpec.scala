@@ -66,9 +66,16 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
                                // aggregate-HOF folds, codegen'd on remote
                                // JVMs; EM decision pulls from executor-held
                                // localCheckpoint blocks (r11)
-    "q_dedup_bloom")           // BloomFilterAggregate partials merged across
+    "q_dedup_bloom",           // BloomFilterAggregate partials merged across
                                // executor JVMs; the subquery's bloom binary
                                // ships back out to remote filter tasks (r11)
+    "q_pagerank",              // 8 Pregel rounds, each replanned against
+                               // localCheckpoint blocks held in REMOTE JVMs;
+                               // integer ranks must survive the round trips
+                               // bit-exactly (r11)
+    "q_winnow_fingerprint")    // deep interpreted-HOF window selection (slice/
+                               // reverse/array_position) evaluated on remote
+                               // executors; fp-keyed exchange between JVMs (r11)
 
   /** Engine-order-free canonical form: every output in the slice is a
     * deterministic (oracle-hashed) result, so sorted Row renderings are an

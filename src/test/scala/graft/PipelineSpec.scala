@@ -1004,6 +1004,52 @@ class PipelineSpec extends SparkSpec {
       s"hard negatives diverged: got ${got.size} rows, want ${expect.size}")
   }
 
+  test("q_winnow_fingerprint matches a plain-Scala winnower + guarantee") {
+    val K = 4; val W = 8
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def fold(h: String): Long = (0 until 8).map(i =>
+      "0123456789abcdef".indexOf(h(i)).toLong * (1L << (4 * (7 - i)))).sum
+    def winnow(toks: Seq[String]): Set[(Long, Long)] = {
+      val m = toks.length - (K - 1)
+      if (m < W) Set.empty
+      else {
+        val gh = (1 to m).map(i => fold(md5hex(toks.slice(i - 1, i - 1 + K).mkString(" "))))
+        (1 to m - W + 1).map { j =>
+          val win = gh.slice(j - 1, j - 1 + W)
+          val mn = win.min
+          ((j + win.lastIndexOf(mn)).toLong, mn) // rightmost-min MOSS rule
+        }.toSet
+      }
+    }
+    val corpus = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> winnow(r.getString(1).split(' ').filter(_.nonEmpty).toSeq))
+    val docsPerFp = corpus.flatMap { case (id, s) => s.map(f => (f._2, id)) }
+      .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).distinct.size }
+    val expect = corpus.collect { case (id, s) if s.nonEmpty =>
+      (id, s.size.toLong, s.count(f => docsPerFp(f._2) >= 2).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_winnow_fingerprint")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"winnowing diverged: got ${got.size} want ${expect.size}")
+    // The paper guarantee: two docs sharing a >= W+K-1 = 11-token run get
+    // a shared fingerprint regardless of where the run sits in each doc.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    val shared = (1 to 11).map(i => s"run$i").mkString(" ")
+    val a = (1 to 9).map(i => s"pre$i").mkString(" ") + " " + shared
+    val b = shared + " " + (1 to 9).map(i => s"post$i").mkString(" ")
+    Seq((1L, a, "en", "t", a.length.toLong), (2L, b, "en", "t", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val g = SparkEntry.queries("q_winnow_fingerprint")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(g(1L) >= 1 && g(2L) >= 1,
+      s"shared 11-token run must produce a shared fingerprint: $g")
+  }
+
   test("q_pagerank matches a plain-Scala integer power iteration") {
     // Third derivation of the pinned integer recurrence; the edge list
     // comes from the independently-gated q_dedup_ngram pair set.
