@@ -1391,8 +1391,74 @@ object Dedup {
         SELECT node AS doc_id, deg, pr AS pr_e9 FROM r8"""
     })
 
+  /** Triangle counting + local clustering coefficient on the verified
+    * near-dup graph (the "forward" node-iterator of Schank & Wagner 2005):
+    * orient every edge by id (a < b), join wedges on the middle node, and
+    * close them against the oriented edge list — each triangle is found
+    * exactly once as a < b < c. LCC(v) = 2·t(v)/(deg(v)·(deg(v)−1)),
+    * quantized e6 with exact integer arithmetic. The curation read: a dup
+    * FAMILY with LCC ≈ 1 is a clique (one template, safe to collapse to
+    * any canonical); LCC ≈ 0 with high degree is a hub/chain (drifted
+    * copies where A~B~C but A≁C — collapse needs [[pagerank]]'s
+    * centrality or [[dedupKeepBest]]'s rule, not an arbitrary pick).
+    * Completes the graph family: components ([[dedupClusters]]),
+    * centrality ([[pagerank]]), cohesion (this).
+    *
+    * Scale shape: pair discovery (checkpointed once) dominates, as
+    * measured for pagerank; the wedge join keys on the middle node and
+    * the close join on the (a, c) pair — both bounded by the oriented
+    * wedge mass Σ_b d⁺(b)·d⁻(b), the standard forward-algorithm bound
+    * (cliques of size k intrinsically cost C(k,3) — that's output, not
+    * plan waste). Only (id, id) pairs ever shuffle. */
+  private val triangles = QueryDef(
+    "q_triangle_count",
+    (s, d) => {
+      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+        .localCheckpoint()
+      val deg = pairs.union(pairs.select(col("b_id"), col("a_id")))
+        .toDF("node", "other")
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val p1 = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
+      val p2 = pairs.select(col("a_id").as("b2"), col("b_id").as("c"))
+      val p3 = pairs.select(col("a_id").as("a3"), col("b_id").as("c3"))
+      val tri = p1.join(p2, col("b") === col("b2"))
+        .join(p3, col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+      val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      deg.join(perNode, Seq("node"), "left_outer")
+        .select(col("node").as("doc_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .withColumn("lcc_e6", expr(
+          """CASE WHEN deg >= 2
+               THEN (2 * n_tri * 1000000) div (deg * (deg - 1))
+               ELSE 0 END"""))
+    },
+    Some(s"""WITH ${pairsCteSql("documents", 0.5)},
+      e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+      deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM e GROUP BY 1),
+      tri AS (
+        SELECT p1.a_id AS a, p1.b_id AS b, p2.b_id AS c
+        FROM pairs p1 JOIN pairs p2 ON p1.b_id = p2.a_id
+        JOIN pairs p3 ON p3.a_id = p1.a_id AND p3.b_id = p2.b_id),
+      pern AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b AS node FROM tri
+          UNION ALL SELECT c AS node FROM tri) u
+        GROUP BY 1)
+      SELECT d.node AS doc_id, d.deg,
+        COALESCE(p.n_tri, 0) AS n_tri,
+        CASE WHEN d.deg >= 2
+          THEN (2 * COALESCE(p.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+          ELSE 0 END AS lcc_e6
+      FROM deg d LEFT JOIN pern p ON d.node = p.node"""))
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash,
       dedupRecallCert, dedupSimhash, dedupClusters, dedupReport, fuzzyJoin,
-      dedupKeepBest, dedupCrossSource, dedupAuto, cdcDedup, winnow, pagerank)
+      dedupKeepBest, dedupCrossSource, dedupAuto, cdcDedup, winnow, pagerank,
+      triangles)
 }

@@ -639,6 +639,73 @@ object TextAnalysis {
       FROM inst i JOIN cost c ON i.prev = c.prev AND i.cur = c.cur
       GROUP BY 1"""))
 
+  /** PMI collocations (Church & Hanks 1990): the top adjacent token pairs
+    * by pointwise mutual information — ln(p(x,y)/(p(x)p(y))) over bigram
+    * instances, with the standard count floor (c2 >= 5) that keeps
+    * hapax-pair PMI (which is maximal by construction) from drowning the
+    * list. The canonical collocation/multi-word-expression miner — the
+    * vocabulary-building complement to frequency-ranked [[bigramLm]]:
+    * tokenizer seeders and phrase-aware indexes want "New York", not
+    * "of the". Margins come off the one bigram-type table (cl = instances
+    * as left, cr = instances as right, t = total instances), so
+    * pmi = ln(c2·t/(cl·cr)), floor-quantized e6 on the identical double
+    * expression both engines evaluate. c2·t stays within int64 to ~10^9
+    * token instances per corpus slice; past that, rescale counts before
+    * the ratio (PMI is shift-invariant under shared rescale — same
+    * ranking), the [[Similarity]] quantization-rescale convention.
+    *
+    * Scale shape: one (prev, cur) instance exchange (the perplexity law);
+    * margins fold off the type table on its own keys; the one-row total
+    * broadcasts (Q11/Q22 pattern); the top-50 is a total-ordered
+    * TakeOrderedAndProject (per-partition bottom-k, never a global
+    * sort). */
+  private val pmiCollocations = QueryDef(
+    "q_pmi_collocations",
+    (s, d) => {
+      val inst = docs(s, d)
+        .select(expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, n - 2),
+               i -> struct(element_at(toks, i + 1) AS prev,
+                           element_at(toks, i + 2) AS cur))""")).as("bg"))
+        .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      val c2 = inst.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      val cl = c2.groupBy(col("prev")).agg(sum(col("c2")).as("cl"))
+      val cr = c2.groupBy(col("cur")).agg(sum(col("c2")).as("cr"))
+      val t = c2.agg(sum(col("c2")).as("t"))
+      c2.filter(col("c2") >= 5)
+        .join(cl, "prev").join(cr, "cur").crossJoin(broadcast(t))
+        .select(col("prev"), col("cur"), col("c2").as("n"),
+          floor(log((col("c2") * col("t")).cast(DoubleType) /
+            (col("cl") * col("cr")).cast(DoubleType)) * 1e6).cast("long")
+            .as("pmi_e6"))
+        .orderBy(col("pmi_e6").desc, col("prev"), col("cur"))
+        .limit(50)
+    },
+    Some("""WITH t0 AS (
+        SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents),
+      f AS (SELECT toks, len(toks) AS n FROM t0 WHERE len(toks) >= 2),
+      inst AS (
+        SELECT toks[CAST(i + 1 AS BIGINT)] AS prev,
+          toks[CAST(i + 2 AS BIGINT)] AS cur
+        FROM f, unnest(range(0, n - 1)) AS u(i)),
+      c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+             FROM inst GROUP BY 1, 2),
+      cl AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS cl FROM c2 GROUP BY 1),
+      cr AS (SELECT cur, CAST(sum(c2) AS BIGINT) AS cr FROM c2 GROUP BY 1),
+      tt AS (SELECT CAST(sum(c2) AS BIGINT) AS t FROM c2)
+      SELECT c2.prev, c2.cur, c2.c2 AS n,
+        CAST(FLOOR(ln(CAST(c2.c2 * tt.t AS DOUBLE) /
+          CAST(cl.cl * cr.cr AS DOUBLE)) * 1e6) AS BIGINT) AS pmi_e6
+      FROM c2 JOIN cl ON c2.prev = cl.prev
+        JOIN cr ON c2.cur = cr.cur, tt
+      WHERE c2.c2 >= 5
+      ORDER BY pmi_e6 DESC, c2.prev, c2.cur
+      LIMIT 50"""))
+
   /** The FULL Gopher repetition-filter family (Rae et al. 2021, "Scaling
     * Language Models", appendix A1.1 — public; q_quality_repetition in
     * [[Curation]] keeps its simpler two-signal form): documents dominated
@@ -1367,7 +1434,8 @@ object TextAnalysis {
   val all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab,
       fingerprintRolling, tfidfKeywords, outlierFilter, boilerplate, bm25,
-      bigramLm, decontaminate, perplexityLm, knPerplexity, oovRate, repetition, bpeTrain,
+      bigramLm, decontaminate, perplexityLm, knPerplexity, pmiCollocations,
+      oovRate, repetition, bpeTrain,
       wordpieceTrain, bpeEncode, tokenizerFertility, ccnetBuckets,
       distinctNgrams, vocabGrowth)
 }

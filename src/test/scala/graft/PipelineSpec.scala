@@ -1004,6 +1004,30 @@ class PipelineSpec extends SparkSpec {
       s"hard negatives diverged: got ${got.size} rows, want ${expect.size}")
   }
 
+  test("q_triangle_count matches a plain-Scala forward algorithm") {
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty, "corpus plants near-dups; pair graph must exist")
+    val adj = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val tris = for {
+      (a, b) <- pairs.toSeq
+      c <- adj(b) if c > b && pairs.contains((a, c))
+    } yield (a, b, c)
+    val perNode = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val expect = adj.map { case (n, nbrs) =>
+      val deg = nbrs.size.toLong
+      val t = perNode.getOrElse(n, 0L)
+      (n, deg, t, if (deg >= 2) (2 * t * 1000000L) / (deg * (deg - 1)) else 0L)
+    }.toSet
+    val got = SparkEntry.queries("q_triangle_count")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect, s"triangles diverged: got ${got.size} want ${expect.size}")
+    assert(got.forall { case (_, _, _, l) => l >= 0 && l <= 1000000L },
+      "LCC must be a valid e6 fraction")
+  }
+
   test("q_winnow_fingerprint matches a plain-Scala winnower + guarantee") {
     val K = 4; val W = 8
     def md5hex(s: String): String = java.security.MessageDigest

@@ -121,6 +121,25 @@ class ProfilingSpec extends SparkSpec {
       "discounted probabilities stay <= 1, so costs stay nonnegative")
   }
 
+  test("q_pmi_collocations matches a plain-Scala brute force") {
+    val texts = Tables.t(spark, sfDir, "documents")
+      .select(col("text")).collect()
+      .map(_.getString(0).split(' ').filter(_.nonEmpty).toSeq)
+      .filter(_.length >= 2)
+    val inst = texts.flatMap(_.sliding(2).map(w => (w(0), w(1))).toSeq)
+    val c2 = inst.groupBy(identity).map { case (bg, xs) => bg -> xs.length.toLong }
+    val cl = c2.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val cr = c2.groupBy(_._1._2).map { case (c, m) => c -> m.values.sum }
+    val t = c2.values.sum
+    val want = c2.toSeq.collect { case ((p, c), n) if n >= 5 =>
+      (p, c, n, math.floor(math.log((n * t).toDouble / (cl(p) * cr(c)).toDouble) * 1e6).toLong)
+    }.sortBy { case (p, c, _, e) => (-e, p, c) }.take(50).toSet
+    val got = SparkEntry.queries("q_pmi_collocations")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"PMI diverged: got ${got.size} want ${want.size}")
+    assert(got.nonEmpty, "count floor must leave collocations on the gate corpus")
+  }
+
   test("q_substring_dedup: verbatim copies have full span coverage") {
     val r = SparkEntry.queries("q_substring_dedup")(spark, sfDir)
     assert(r.filter(col("n_dup") > col("n_spans") ||
