@@ -175,7 +175,12 @@ object ScaleProbe {
     // winnowing is map-only fingerprint selection (~2/(W+1) of gram mass
     // survives) + fingerprint-keyed exchanges — expect the cdc_dedup law:
     // linear wall in token mass, shuffle linear in (sparse) fp mass.
-    "q_winnow_fingerprint")
+    "q_winnow_fingerprint",
+    // triangle_count pays one pair discovery (the pagerank/ngram law) +
+    // wedge/close equi joins bounded by oriented wedge mass; pmi rides
+    // the perplexity instance exchange with vocab-grain margins and a
+    // bounded top-50 — expect kneser_ney's ratio.
+    "q_triangle_count", "q_pmi_collocations")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))
