@@ -402,7 +402,13 @@ class PipelineSpec extends SparkSpec {
       (6L, long2, "en", "t", long2.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    for (q <- Seq("q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash")) {
+    for (q <- Seq("q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
+        // r11 sixth batch: winnowing must drop docs under W+K-1 grams
+        // without calling slice on a descending sequence; the graph pair
+        // (pagerank/triangles) must return an empty/clean result off this
+        // corpus's tiny pair graph; the LM pair must survive 1-bigram docs.
+        "q_winnow_fingerprint", "q_pagerank", "q_triangle_count",
+        "q_kneser_ney", "q_pmi_collocations")) {
       val rows = SparkEntry.queries(q)(spark, dir).collect()
       assert(rows != null, s"$q crashed on short docs")
     }
