@@ -706,6 +706,62 @@ object TextAnalysis {
       ORDER BY pmi_e6 DESC, c2.prev, c2.cur
       LIMIT 50"""))
 
+  /** Zipf rank-frequency slope (Zipf 1949): the local exponent of the
+    * frequency law between rank anchors 1→10→100→1000, the corpus-shape
+    * diagnostic PAIRED with [[vocabGrowth]]'s Heaps exponent (the two laws
+    * are duals; together they say whether a corpus slice is natural text,
+    * template spam — slope collapses, or ID noise — slope ≈ 0 with Heaps
+    * β ≈ 1). slope = (ln f(lo) − ln f(hi)) / (ln hi − ln lo), floor e6,
+    * per consecutive anchor pair.
+    *
+    * Scale shape: one token-keyed count exchange, then a bounded
+    * TakeOrderedAndProject(1000) under the deterministic (count desc,
+    * token) total order; the rank window runs over those 1000 rows — the
+    * bounded-relation window precedent ([[vocabGrowth]]'s 4 rows,
+    * q_repeat_allocation's ≤40), never corpus grain; anchors join a
+    * 3-row literal. */
+  private val zipfSlope = QueryDef(
+    "q_zipf_slope",
+    (s, d) => {
+      val counts = docs(s, d)
+        .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(1000)
+      val anchors = counts
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok"))))
+        .filter(col("rk").isin(1, 10, 100, 1000))
+        .select(col("rk").cast("long").as("rk"), col("cnt"))
+      val spans = s.createDataFrame(Seq((1L, 10L), (10L, 100L), (100L, 1000L)))
+        .toDF("lo", "hi")
+      spans
+        .join(broadcast(anchors.select(col("rk").as("rlo"), col("cnt").as("f_lo"))),
+          col("lo") === col("rlo"))
+        .join(broadcast(anchors.select(col("rk").as("rhi"), col("cnt").as("f_hi"))),
+          col("hi") === col("rhi"))
+        .select(col("lo"), col("hi"), col("f_lo"), col("f_hi"),
+          floor((log(col("f_lo").cast(DoubleType)) - log(col("f_hi").cast(DoubleType))) /
+            (log(col("hi").cast(DoubleType)) - log(col("lo").cast(DoubleType))) * 1e6)
+            .cast("long").as("zipf_e6"))
+    },
+    Some("""WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        FROM documents),
+      counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+      ranked AS (
+        SELECT tok, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk
+        FROM counts ORDER BY cnt DESC, tok LIMIT 1000),
+      anchors AS (SELECT CAST(rk AS BIGINT) AS rk, cnt FROM ranked
+                  WHERE rk IN (1, 10, 100, 1000)),
+      spans(lo, hi) AS (VALUES (CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+        (10, 100), (100, 1000))
+      SELECT p.lo, p.hi, a.cnt AS f_lo, b.cnt AS f_hi,
+        CAST(FLOOR((ln(CAST(a.cnt AS DOUBLE)) - ln(CAST(b.cnt AS DOUBLE))) /
+          (ln(CAST(p.hi AS DOUBLE)) - ln(CAST(p.lo AS DOUBLE))) * 1e6) AS BIGINT)
+          AS zipf_e6
+      FROM spans p JOIN anchors a ON a.rk = p.lo
+        JOIN anchors b ON b.rk = p.hi"""))
+
   /** The FULL Gopher repetition-filter family (Rae et al. 2021, "Scaling
     * Language Models", appendix A1.1 — public; q_quality_repetition in
     * [[Curation]] keeps its simpler two-signal form): documents dominated
@@ -1437,5 +1493,5 @@ object TextAnalysis {
       bigramLm, decontaminate, perplexityLm, knPerplexity, pmiCollocations,
       oovRate, repetition, bpeTrain,
       wordpieceTrain, bpeEncode, tokenizerFertility, ccnetBuckets,
-      distinctNgrams, vocabGrowth)
+      distinctNgrams, vocabGrowth, zipfSlope)
 }

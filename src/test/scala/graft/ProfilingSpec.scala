@@ -140,6 +140,27 @@ class ProfilingSpec extends SparkSpec {
     assert(got.nonEmpty, "count floor must leave collocations on the gate corpus")
   }
 
+  test("q_zipf_slope matches a plain-Scala rank-anchor recompute") {
+    val counts = Tables.t(spark, sfDir, "documents")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(' ').filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(1000)
+    val byRank = ranked.zipWithIndex.map { case ((_, c), i) => (i + 1).toLong -> c }.toMap
+    val want = Seq((1L, 10L), (10L, 100L), (100L, 1000L)).collect {
+      case (lo, hi) if byRank.contains(lo) && byRank.contains(hi) =>
+        val e = math.floor((math.log(byRank(lo).toDouble) - math.log(byRank(hi).toDouble)) /
+          (math.log(hi.toDouble) - math.log(lo.toDouble)) * 1e6).toLong
+        (lo, hi, byRank(lo), byRank(hi), e)
+    }.toSet
+    val got = SparkEntry.queries("q_zipf_slope")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want, s"zipf diverged: got $got want $want")
+    // Natural-text contract: frequency decays with rank, so every local
+    // exponent is positive.
+    assert(got.nonEmpty && got.forall(_._5 > 0), "slope must be positive on text")
+  }
+
   test("q_substring_dedup: verbatim copies have full span coverage") {
     val r = SparkEntry.queries("q_substring_dedup")(spark, sfDir)
     assert(r.filter(col("n_dup") > col("n_spans") ||
