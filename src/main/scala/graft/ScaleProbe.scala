@@ -180,7 +180,14 @@ object ScaleProbe {
     // wedge/close equi joins bounded by oriented wedge mass; pmi rides
     // the perplexity instance exchange with vocab-grain margins and a
     // bounded top-50 — expect kneser_ney's ratio.
-    "q_triangle_count", "q_pmi_collocations")
+    "q_triangle_count", "q_pmi_collocations",
+    // zipf is one token-keyed count exchange + a bounded top-1000 — the
+    // vocab/oov law; expect near-flat (type table saturates).
+    "q_zipf_slope",
+    // textrank's graph is vocab-grain (bigram TYPES), so past the one
+    // instance exchange the 8 rounds are corpus-size-independent —
+    // expect the pmi law (near-flat).
+    "q_textrank")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))

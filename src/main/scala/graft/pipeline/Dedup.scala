@@ -1343,53 +1343,15 @@ object Dedup {
       // carried 2x the q_dedup_ngram shuffle before the loop even began).
       val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
         .localCheckpoint()
-      val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
-        .toDF("src", "dst").localCheckpoint()
-      val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .withColumnRenamed("src", "node")
-      val nn = nodes.agg(count(lit(1)).as("n"))
-      var ranks = nodes.crossJoin(broadcast(nn))
-        .select(col("node"), col("deg"),
-          expr("(15 * (1000000000 div n)) div 100").as("base"),
-          expr("1000000000 div n").as("pr"))
-        .localCheckpoint()
-      for (_ <- 1 to 8) {
-        val contrib = edges.join(ranks, edges("src") === ranks("node"))
-          .select(col("dst"), expr("pr div deg").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-        ranks = ranks.select(col("node"), col("deg"), col("base"))
-          .join(contrib, col("node") === col("dst"), "left_outer")
-          .select(col("node"), col("deg"), col("base"),
-            (col("base") + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
-          .localCheckpoint()
-      }
-      ranks.select(col("node").as("doc_id"), col("deg"), col("pr").as("pr_e9"))
+      GraphOps.integerPagerank(pairs.union(pairs.select(col("b_id"), col("a_id"))))
+        .select(col("node").as("doc_id"), col("deg"), col("pr").as("pr_e9"))
     },
-    Some {
-      val iters = (1 to 8).map { k =>
-        s"""r$k AS MATERIALIZED (
-          SELECT n.node, n.deg, n.base,
-            n.base + (85 * COALESCE(s.inflow, 0)) // 100 AS pr
-          FROM r0base n LEFT JOIN (
-            SELECT e.dst AS node, CAST(SUM(r.pr // r.deg) AS BIGINT) AS inflow
-            FROM e JOIN r${k - 1} r ON e.src = r.node GROUP BY 1) s
-          ON n.node = s.node)"""
-      }.mkString(",\n")
-      s"""WITH ${pairsCteSql("documents", 0.5)},
+    Some(s"""WITH ${pairsCteSql("documents", 0.5)},
         e AS MATERIALIZED (
           SELECT a_id AS src, b_id AS dst FROM pairs
           UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
-        nodes AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
-                  FROM e GROUP BY 1),
-        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-        r0base AS MATERIALIZED (
-          SELECT node, deg, (15 * (1000000000 // nn.n)) // 100 AS base
-          FROM nodes, nn),
-        r0 AS MATERIALIZED (
-          SELECT node, deg, base, 1000000000 // nn.n AS pr FROM r0base, nn),
-        $iters
-        SELECT node AS doc_id, deg, pr AS pr_e9 FROM r8"""
-    })
+        ${GraphOps.pagerankCtesSql}
+        SELECT node AS doc_id, deg, pr AS pr_e9 FROM r8"""))
 
   /** Triangle counting + local clustering coefficient on the verified
     * near-dup graph (the "forward" node-iterator of Schank & Wagner 2005):

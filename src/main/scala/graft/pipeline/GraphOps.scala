@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared pinned-integer PageRank machinery — the recurrence behind
+  * Dedup's q_pagerank (doc graph) and TextAnalysis's q_textrank (word
+  * graph). Lives in its own init-dependency-free object: both consumers
+  * reference it DURING their own object initialization (the oracle SQL
+  * strings interpolate [[pagerankCtesSql]]), and routing it through either
+  * module would re-create the TextAnalysis -> Dedup -> Sampling ->
+  * TextAnalysis init cycle that NPEs module access mid-init.
+  *
+  * Recurrence (identical on both engines, all int64): pr0 = 1e9 div n;
+  * each round every node emits pr div deg along every out-edge and
+  * absorbs base + (85·inflow) div 100, base = (15·(1e9 div n)) div 100.
+  * 8 rounds, a plan constant (see q_pagerank's scaladoc for why).
+  */
+object GraphOps {
+  /** Power iteration over a symmetrized (src, dst) edge relation. Each
+    * round is one node-keyed equi join plus a dst-keyed partial-agg
+    * shuffle of (node, long) pairs; per-round localCheckpoint caps
+    * lineage (the BPE-round precedent). Returns (node, deg, pr). */
+  def integerPagerank(edges0: DataFrame): DataFrame = {
+    val edges = edges0.toDF("src", "dst").localCheckpoint()
+    val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), col("deg"),
+        expr("(15 * (1000000000 div n)) div 100").as("base"),
+        expr("1000000000 div n").as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to 8) {
+      val contrib = edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = ranks.select(col("node"), col("deg"), col("base"))
+        .join(contrib, col("node") === col("dst"), "left_outer")
+        .select(col("node"), col("deg"), col("base"),
+          (col("base") + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("deg"), col("pr"))
+  }
+
+  /** The matching unrolled DuckDB rounds: expects a CTE `e(src, dst)` in
+    * scope, defines nodes/nn/r0..r8; consumers SELECT FROM r8. Rounds are
+    * MATERIALIZED — an inlined round would re-evaluate the (possibly
+    * all-pairs) edge CTE once per unrolled reference. */
+  def pagerankCtesSql: String = {
+    val iters = (1 to 8).map { k =>
+      s"""r$k AS MATERIALIZED (
+        SELECT n.node, n.deg, n.base,
+          n.base + (85 * COALESCE(s.inflow, 0)) // 100 AS pr
+        FROM r0base n LEFT JOIN (
+          SELECT e.dst AS node, CAST(SUM(r.pr // r.deg) AS BIGINT) AS inflow
+          FROM e JOIN r${k - 1} r ON e.src = r.node GROUP BY 1) s
+        ON n.node = s.node)"""
+    }.mkString(",\n")
+    s"""nodes AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM e GROUP BY 1),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      r0base AS MATERIALIZED (
+        SELECT node, deg, (15 * (1000000000 // nn.n)) // 100 AS base
+        FROM nodes, nn),
+      r0 AS MATERIALIZED (
+        SELECT node, deg, base, 1000000000 // nn.n AS pr FROM r0base, nn),
+      $iters"""
+  }
+}

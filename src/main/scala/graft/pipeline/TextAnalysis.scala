@@ -706,6 +706,66 @@ object TextAnalysis {
       ORDER BY pmi_e6 DESC, c2.prev, c2.cur
       LIMIT 50"""))
 
+  /** TextRank keywords (Mihalcea & Tarau 2004): PageRank over the word
+    * co-occurrence graph — undirected edges between adjacent tokens whose
+    * bigram count clears a noise floor (>= 3), ranks from the SAME pinned
+    * integer recurrence as [[Dedup]]'s q_pagerank (shared helper, so the
+    * two graph consumers cannot drift), top-20 words by rank. The
+    * graph-centrality complement to [[tfidfKeywords]]' frequency
+    * statistics: TextRank promotes words that BRIDGE many contexts, not
+    * words that merely repeat — the other classic unsupervised keyword
+    * family.
+    *
+    * Scale shape: the word graph is vocabulary-grain (bigram types, not
+    * instances — the corpus collapses map-side in the one instance
+    * exchange the perplexity family shares); all 8 rounds move (word,
+    * long) pairs on a vocab-bound node set; the top-20 is a bounded
+    * TakeOrderedAndProject. Edge canonicalization dedups (a,b)/(b,a)
+    * bigram types into ONE undirected edge before symmetrizing —
+    * parallel edges would double-count inflow. */
+  private val textrank = QueryDef(
+    "q_textrank",
+    (s, d) => {
+      val inst = docs(s, d)
+        .select(expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, n - 2),
+               i -> struct(element_at(toks, i + 1) AS prev,
+                           element_at(toks, i + 2) AS cur))""")).as("bg"))
+        .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      val und = inst.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= 3 && col("prev") =!= col("cur"))
+        .select(least(col("prev"), col("cur")).as("a"),
+          greatest(col("prev"), col("cur")).as("b"))
+        .distinct()
+      GraphOps.integerPagerank(
+          und.union(und.select(col("b"), col("a"))))
+        .orderBy(col("pr").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("word"), col("deg"), col("pr").as("pr_e9"))
+    },
+    Some(s"""WITH t0 AS (
+        SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents),
+      f AS (SELECT toks, len(toks) AS n FROM t0 WHERE len(toks) >= 2),
+      inst AS (
+        SELECT toks[CAST(i + 1 AS BIGINT)] AS prev,
+          toks[CAST(i + 2 AS BIGINT)] AS cur
+        FROM f, unnest(range(0, n - 1)) AS u(i)),
+      c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+             FROM inst GROUP BY 1, 2),
+      und AS (
+        SELECT DISTINCT LEAST(prev, cur) AS a, GREATEST(prev, cur) AS b
+        FROM c2 WHERE c2 >= 3 AND prev <> cur),
+      e AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM und
+        UNION ALL SELECT b AS src, a AS dst FROM und),
+      ${GraphOps.pagerankCtesSql}
+      SELECT node AS word, deg, pr AS pr_e9 FROM r8
+      ORDER BY pr DESC, node LIMIT 20"""))
+
   /** Zipf rank-frequency slope (Zipf 1949): the local exponent of the
     * frequency law between rank anchors 1→10→100→1000, the corpus-shape
     * diagnostic PAIRED with [[vocabGrowth]]'s Heaps exponent (the two laws
@@ -1493,5 +1553,5 @@ object TextAnalysis {
       bigramLm, decontaminate, perplexityLm, knPerplexity, pmiCollocations,
       oovRate, repetition, bpeTrain,
       wordpieceTrain, bpeEncode, tokenizerFertility, ccnetBuckets,
-      distinctNgrams, vocabGrowth, zipfSlope)
+      distinctNgrams, vocabGrowth, zipfSlope, textrank)
 }

@@ -1034,6 +1034,37 @@ class PipelineSpec extends SparkSpec {
       "LCC must be a valid e6 fraction")
   }
 
+  test("q_textrank matches a plain-Scala power iteration on the word graph") {
+    // Rebuild the graph AND the recurrence independently: adjacent-token
+    // bigram types with count >= 3 (prev != cur), canonicalized
+    // undirected, then the same pinned integer PageRank as q_pagerank.
+    val texts = Tables.t(spark, sfDir, "documents").select(col("text")).collect()
+      .map(_.getString(0).split(' ').filter(_.nonEmpty).toSeq).filter(_.length >= 2)
+    val c2 = texts.flatMap(_.sliding(2).map(w => (w(0), w(1))).toSeq)
+      .groupBy(identity).map { case (bg, xs) => bg -> xs.length }
+    // NB: .toSeq first — .collect on a Map producing pairs would rebuild a
+    // Map and silently collapse every canonical edge sharing a first token.
+    val und = c2.toSeq.collect { case ((p, c), n) if n >= 3 && p != c =>
+      (if (p < c) (p, c) else (c, p)) }.toSet
+    assert(und.nonEmpty, "gate corpus must have a word graph")
+    val edges = und.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val n = deg.size.toLong
+    val base = (15L * (1000000000L / n)) / 100L
+    var pr: Map[String, Long] = deg.keys.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to 8) {
+      val inflow = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / deg(u) }.sum }
+      pr = deg.keys.map(v => v -> (base + (85L * inflow.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    val want = pr.toSeq.map { case (w, p) => (w, deg(w), p) }
+      .sortBy { case (w, _, p) => (-p, w) }.take(20)
+    val got = SparkEntry.queries("q_textrank")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy { case (w, _, p) => (-p, w) }
+    assert(got == want, s"textrank diverged:\n got $got\nwant $want")
+  }
+
   test("q_winnow_fingerprint matches a plain-Scala winnower + guarantee") {
     val K = 4; val W = 8
     def md5hex(s: String): String = java.security.MessageDigest

@@ -168,7 +168,8 @@ class PlanSpec extends SparkSpec {
     // ONE total row — exactly q_perplexity_lm's shape, which they share.
     // q_pagerank's cross is the node table x ONE node-count row (the
     // teleport base), the q22 scalar-broadcast shape; every per-round
-    // join is an equi join on the node key.
+    // join is an equi join on the node key. q_textrank inherits the same
+    // shape through the shared integerPagerank helper (vocab-grain nodes).
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
       "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank",
       "q_tfidf_keywords", "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report",
@@ -177,7 +178,7 @@ class PlanSpec extends SparkSpec {
       "q_ann_ivfpq", "q_curriculum", "q_domain_mix", "q_retrieval_eval",
       "q_jl_project", "q_tokenizer_fertility", "q_unigram_train",
       "q_repeat_allocation", "q_vocab_growth", "q_kneser_ney",
-      "q_pmi_collocations", "q_pagerank")
+      "q_pmi_collocations", "q_pagerank", "q_textrank")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
