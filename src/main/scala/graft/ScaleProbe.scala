@@ -187,7 +187,10 @@ object ScaleProbe {
     // textrank's graph is vocab-grain (bigram TYPES), so past the one
     // instance exchange the 8 rounds are corpus-size-independent —
     // expect the pmi law (near-flat).
-    "q_textrank")
+    "q_textrank",
+    // kcore pays one pair discovery + 8 peels of (id, long) semi joins —
+    // expect the pagerank law (shuffle == pair discovery).
+    "q_kcore")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))

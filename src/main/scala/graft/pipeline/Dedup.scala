@@ -1418,9 +1418,80 @@ object Dedup {
           ELSE 0 END AS lcc_e6
       FROM deg d LEFT JOIN pern p ON d.node = p.node"""))
 
+  /** K-core peeling (Seidman 1983) on the verified near-dup graph:
+    * repeatedly drop nodes whose degree among SURVIVORS falls below K=2,
+    * eight unrolled rounds — the density member of the graph family
+    * (components → membership, [[pagerank]] → centrality, [[triangles]]
+    * → local cohesion, this → global density). The 2-core is the part of
+    * a dup family that stays connected after pendant copies peel away:
+    * chains and stars dissolve (every near-dup pair/star is pendant-
+    * reducible), so a non-empty core flags REDUNDANTLY-linked template
+    * clusters — the families where transitive collapse is safe without
+    * [[pagerank]] adjudication.
+    *
+    * The round count is a plan constant (the [[pagerank]] argument): 8
+    * peels stabilize these clique-with-bridges families (each peel
+    * removes a full pendant layer); the OUTPUT is pinned as "the peeling
+    * state after round 8" — in_core = alive, core_deg = the degree the
+    * round-8 test used — identical on both engines whether or not the
+    * fixpoint arrived. Scale shape: pair discovery dominates (measured:
+    * triangles/pagerank); each peel is two node-keyed semi joins + one
+    * dst-keyed count of (id, long) rows, checkpointed per round. */
+  private val KCORE_K = 2
+  private val kcore = QueryDef(
+    "q_kcore",
+    (s, d) => {
+      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+        .localCheckpoint()
+      val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst").localCheckpoint()
+      val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "node").localCheckpoint()
+      var alive = nodes.select(col("node"))
+      var lastDeg = nodes.select(col("node").as("dst"), col("deg").as("c"))
+      for (_ <- 1 to 8) {
+        lastDeg = edges
+          .join(alive.withColumnRenamed("node", "s_"), col("src") === col("s_"))
+          .join(alive.withColumnRenamed("node", "t_"), col("dst") === col("t_"))
+          .groupBy(col("dst")).agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        alive = lastDeg.filter(col("c") >= KCORE_K).select(col("dst").as("node"))
+          .localCheckpoint()
+      }
+      nodes
+        .join(lastDeg.select(col("dst").as("node"), col("c")), Seq("node"), "left_outer")
+        .join(alive.withColumn("ic", lit(1)), Seq("node"), "left_outer")
+        .select(col("node").as("doc_id"), col("deg"),
+          col("ic").isNotNull.as("in_core"),
+          when(col("ic").isNotNull, col("c")).otherwise(lit(0L)).as("core_deg"))
+    },
+    Some {
+      val rounds = (1 to 8).map { k =>
+        s"""d$k AS MATERIALIZED (
+          SELECT e.dst AS node, CAST(COUNT(*) AS BIGINT) AS c
+          FROM e JOIN a${k - 1} s ON e.src = s.node
+            JOIN a${k - 1} t ON e.dst = t.node
+          GROUP BY 1),
+        a$k AS MATERIALIZED (SELECT node FROM d$k WHERE c >= $KCORE_K)"""
+      }.mkString(",\n")
+      s"""WITH ${pairsCteSql("documents", 0.5)},
+        e AS MATERIALIZED (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+        nodes AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                  FROM e GROUP BY 1),
+        a0 AS (SELECT node FROM nodes),
+        $rounds
+        SELECT n.node AS doc_id, n.deg,
+          (a.node IS NOT NULL) AS in_core,
+          CASE WHEN a.node IS NOT NULL THEN d.c ELSE 0 END AS core_deg
+        FROM nodes n LEFT JOIN a8 a ON n.node = a.node
+          LEFT JOIN d8 d ON n.node = d.node"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash,
       dedupRecallCert, dedupSimhash, dedupClusters, dedupReport, fuzzyJoin,
       dedupKeepBest, dedupCrossSource, dedupAuto, cdcDedup, winnow, pagerank,
-      triangles)
+      triangles, kcore)
 }

@@ -408,7 +408,8 @@ class PipelineSpec extends SparkSpec {
         // (pagerank/triangles) must return an empty/clean result off this
         // corpus's tiny pair graph; the LM pair must survive 1-bigram docs.
         "q_winnow_fingerprint", "q_pagerank", "q_triangle_count",
-        "q_kneser_ney", "q_pmi_collocations")) {
+        "q_kneser_ney", "q_pmi_collocations", "q_kcore", "q_textrank",
+        "q_zipf_slope")) {
       val rows = SparkEntry.queries(q)(spark, dir).collect()
       assert(rows != null, s"$q crashed on short docs")
     }
@@ -1032,6 +1033,28 @@ class PipelineSpec extends SparkSpec {
     assert(got == expect, s"triangles diverged: got ${got.size} want ${expect.size}")
     assert(got.forall { case (_, _, _, l) => l >= 0 && l <= 1000000L },
       "LCC must be a valid e6 fraction")
+  }
+
+  test("q_kcore matches a plain-Scala peeling recompute") {
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edges = pairs.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg0 = edges.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    var alive = deg0.keySet
+    var lastDeg: Map[Long, Long] = deg0
+    for (_ <- 1 to 8) {
+      lastDeg = edges.filter { case (u, v) => alive(u) && alive(v) }
+        .groupBy(_._2).map { case (v, es) => v -> es.length.toLong }
+      alive = lastDeg.collect { case (v, c) if c >= 2 => v }.toSet
+    }
+    val expect = deg0.map { case (n, d) =>
+      (n, d, alive(n), if (alive(n)) lastDeg(n) else 0L)
+    }.toSet
+    val got = SparkEntry.queries("q_kcore")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3))).toSet
+    assert(got == expect, s"kcore diverged: got ${got.size} want ${expect.size}")
+    // Peeling can only shrink degrees, and the core test is the invariant.
+    assert(got.forall { case (_, d, ic, cd) => cd <= d && (!ic || cd >= 2) })
   }
 
   test("q_textrank matches a plain-Scala power iteration on the word graph") {
