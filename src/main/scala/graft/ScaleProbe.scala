@@ -190,7 +190,10 @@ object ScaleProbe {
     "q_textrank",
     // kcore pays one pair discovery + 8 peels of (id, long) semi joins —
     // expect the pagerank law (shuffle == pair discovery).
-    "q_kcore")
+    "q_kcore",
+    // k_anonymity is ONE QI-keyed aggregate with map-side combine and
+    // bounded output grain — expect linear scan wall, ~zero shuffle.
+    "q_k_anonymity")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))

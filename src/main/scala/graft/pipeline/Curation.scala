@@ -756,9 +756,36 @@ object Curation {
           * 1e6) AS BIGINT) AS psi_e6
       FROM hist, tot"""))
 
+  /** K-anonymity audit (Sweeney 2002) over the corpus's quasi-identifier
+    * tuple — the metadata-level privacy check that complements
+    * [[piiScrub]]'s content-level redaction: a doc whose (lang, source,
+    * length-band) combination is shared by fewer than K=5 docs is
+    * re-identifiable from metadata alone even after its text is scrubbed
+    * (the classic linkage-attack surface). Reported at equivalence-class
+    * grain with the at-risk flag; a release gate drops or generalizes the
+    * flagged classes.
+    *
+    * Scale shape: ONE aggregate keyed on the QI tuple with full map-side
+    * combine; output grain is bounded by QI cardinality (langs x sources
+    * x bands), corpus-size-independent. Nothing else moves. */
+  private val K_ANON = 5
+  private val kAnonymity = QueryDef(
+    "q_k_anonymity",
+    (s, d) =>
+      docs(s, d)
+        .select(col("lang"), col("source"),
+          expr("n_chars div 500").as("len_band"))
+        .groupBy(col("lang"), col("source"), col("len_band"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("at_risk", col("n_docs") < K_ANON),
+    Some(s"""SELECT lang, source, n_chars // 500 AS len_band,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) < $K_ANON AS at_risk
+      FROM documents GROUP BY 1, 2, 3"""))
+
   val all: Seq[QueryDef] =
     Seq(qualityRepetition, entropyFilter, piiScrub, invertedIndex,
       sequencePack, dedupIncremental, dedupBloom, chunkDocuments,
       spanCorrupt, qualityClassifier, substringDedup, snapshotDiff,
-      snapshotDrift)
+      snapshotDrift, kAnonymity)
 }

@@ -8,6 +8,24 @@ import org.apache.spark.sql.functions._
   * the oracle can't see — plan shape at scale and internal consistency. */
 class CurationSpec extends SparkSpec {
 
+  test("q_k_anonymity matches a plain-Scala equivalence-class recompute") {
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 500))
+    val expect = rows.groupBy(identity).map { case (qi, xs) =>
+      (qi._1, qi._2, qi._3, xs.length.toLong, xs.length < 5)
+    }.toSet
+    val got = SparkEntry.queries("q_k_anonymity")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got == expect, s"k-anonymity diverged: got ${got.size} want ${expect.size}")
+    // The audit must be load-bearing in both directions on the gate
+    // corpus: some classes safe, and the flag exactly thresholds n_docs.
+    assert(got.exists(_._5) || got.forall(_._4 >= 5))
+    assert(got.forall { case (_, _, _, n, risk) => risk == (n < 5) })
+  }
+
   // AQE wraps finished stages in leaf QueryStageExec nodes — flatten
   // through them (same traversal as PlanSpec).
   private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
