@@ -363,7 +363,13 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_PROBE_100X").contains("1")) {
       val decaDocs = Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_clusters",
         "q_phash_dedup", "q_tfidf_keywords", "q_bm25_rank", "q_decontaminate",
-        "q_quality_gopher", "q_dsir_select", "q_bpe_train")
+        "q_quality_gopher", "q_dsir_select", "q_bpe_train",
+        // r11 second session: winnow carries the map-only fingerprint law
+        // to the third decade; kneser must reproduce perplexity's
+        // vocab-saturation there; textrank's claim is the strong one —
+        // corpus-size-INDEPENDENT rounds, so 100x should stay near-flat
+        // past the one instance exchange.
+        "q_winnow_fingerprint", "q_kneser_ney", "q_textrank")
       val decaSim = Seq("q_dedup_embedding", "q_dedup_semantic_adaptive_k",
         "q_ann_ivf", "q_hybrid_retrieval", "q_hard_negatives")
       // asof + funnel carry the event family's scale claims; 100x = 2M

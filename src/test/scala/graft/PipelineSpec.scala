@@ -1035,6 +1035,26 @@ class PipelineSpec extends SparkSpec {
       "LCC must be a valid e6 fraction")
   }
 
+  test("GraphOps.integerPagerank: structural invariants on hand-built graphs") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      pipeline.GraphOps.integerPagerank(
+        edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // Triangle: full symmetry -> all three ranks identical.
+    val tri = run(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(tri.values.toSet.size == 1, s"triangle ranks must be equal: $tri")
+    // Star S4: the hub absorbs every leaf's full contribution each round
+    // and must dominate; leaves are symmetric.
+    val star = run(Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)))
+    assert(star(10L) > star(1L), s"hub must outrank leaves: $star")
+    assert(Set(1L, 2L, 3L, 4L).map(star).size == 1, s"leaves symmetric: $star")
+    // Mass bound: damped redistribution cannot mint rank above the
+    // initial total (1e9), and the teleport base is everyone's floor.
+    val total = star.values.sum
+    assert(total <= 1000000000L && star.values.forall(_ > 0), s"mass bound: $total")
+  }
+
   test("q_kcore matches a plain-Scala peeling recompute") {
     val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
