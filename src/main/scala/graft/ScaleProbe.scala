@@ -193,7 +193,11 @@ object ScaleProbe {
     "q_kcore",
     // k_anonymity is ONE QI-keyed aggregate with map-side combine and
     // bounded output grain — expect linear scan wall, ~zero shuffle.
-    "q_k_anonymity")
+    "q_k_anonymity",
+    // cluster_purity rides the shared-quantizer assignment (map-side
+    // tensor pass, warmed with silhouette/ivf) + (cell x label)-grain
+    // metadata — expect the silhouette law (near-flat, ~zero shuffle).
+    "q_cluster_purity")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))
@@ -329,10 +333,10 @@ object ScaleProbe {
         // incremental-vs-bloom A/B measures the JOIN plans, not the
         // one-time store write (same train-once discipline as IVF)
         "q_dedup_incremental",
-        // trains the same k=16 coarse quantizer q_ann_ivf shares; listed
-        // separately so a PROBE_QUERIES-narrowed silhouette run still
-        // gets its centroids warmed at the decade
-        "q_silhouette"))
+        // train the same k=16 coarse quantizer q_ann_ivf shares; listed
+        // separately so a PROBE_QUERIES-narrowed silhouette/purity run
+        // still gets its centroids warmed at the decade
+        "q_silhouette", "q_cluster_purity"))
     val r1 = {
       val fams = run(s"$workDir/g1x", "g1x") ++
         run(s"$workDir/g1x", "g1x", simQueries) ++

@@ -1274,6 +1274,13 @@ object Dedup {
                     array_min(slice(gh, CAST(j AS INT), $WIN_W))) AS BIGINT) AS pos,
                   array_min(slice(gh, CAST(j AS INT), $WIN_W)) AS fph)))""")))
         .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fph").as("fph"))
+        // Select once, consume twice: the dup count and the join-back are
+        // both fed by this narrow relation, and without the checkpoint
+        // each re-runs the interpreted-HOF window selection — the 100x
+        // stage drill measured the selection at ~33 s/task TWICE (65 s
+        // wall); materializing (doc_id, pos, fph) halves it (the ccnet/
+        // curriculum score-once precedent).
+        .localCheckpoint()
       val dup = fps.groupBy(col("fph")).agg(countDistinct(col("doc_id")).as("nd"))
       fps.join(dup, Seq("fph"))
         .groupBy(col("doc_id"))

@@ -1286,8 +1286,95 @@ object Similarity {
         CAST(SUM(s_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_s_e6
       FROM sil GROUP BY 1"""))
 
+  /** External clustering validation of the shared coarse quantizer:
+    * purity and NMI of the k-means cells against the corpus's ground-truth
+    * `label` column — the EXTERNAL complement to [[silhouette]]'s internal
+    * geometry score (together they answer "are the cells compact" AND "do
+    * they mean anything"). Purity = Σ_cells max_label n / N, exact
+    * integers; MI and the two entropies quantize each (cell, label) term
+    * at e9 BEFORE summing (the perplexity convention — integer sums are
+    * order-free, so engine-private aggregation order cannot drift the
+    * result), with ln always written as ln(big/small) rather than a unary
+    * negation (-ln(x) and ln(1/x) are NOT the same double). NMI =
+    * mi/sqrt(hc·hl) off the quantized sums, CASE-guarded for the
+    * degenerate single-cell/single-label corpora.
+    *
+    * Scale shape: assignment is the map-side literal-tensor pass every
+    * quantizer consumer shares; everything after lives at (cell × label)
+    * grain — bounded metadata, one-row scalar combines (the
+    * q_dedup_report shape). */
+  private val clusterPurity = QueryDef(
+    "q_cluster_purity",
+    (s, d) => {
+      val D = org.apache.spark.sql.types.DoubleType
+      val cents = semCentroids(s, d, IVF_K)
+      val lab = semAssign(semQuantized(s, d), cents).select(col("vec_id"), col("cl"))
+        .join(emb(s, d).select(col("vec_id"), col("label")), "vec_id")
+      val nij = lab.groupBy(col("cl"), col("label")).agg(count(lit(1)).as("nij"))
+        .localCheckpoint()
+      val ni = nij.groupBy(col("cl")).agg(sum(col("nij")).as("ni"))
+      val nj = nij.groupBy(col("label")).agg(sum(col("nij")).as("nj"))
+      val nn2 = nij.agg(sum(col("nij")).as("n"))
+      val mi = nij.join(ni, "cl").join(nj, "label").crossJoin(broadcast(nn2))
+        .select(floor((col("nij").cast(D) / col("n").cast(D)) *
+          log(col("n").cast(D) * col("nij").cast(D) /
+            (col("ni").cast(D) * col("nj").cast(D))) * 1e9)
+          .cast("long").as("t"))
+        .agg(sum(col("t")).as("mi_e9"))
+      val hc = ni.crossJoin(broadcast(nn2))
+        .select(floor((col("ni").cast(D) / col("n").cast(D)) *
+          log(col("n").cast(D) / col("ni").cast(D)) * 1e9).cast("long").as("t"))
+        .agg(sum(col("t")).as("hc_e9"))
+      val hl = nj.crossJoin(broadcast(nn2))
+        .select(floor((col("nj").cast(D) / col("n").cast(D)) *
+          log(col("n").cast(D) / col("nj").cast(D)) * 1e9).cast("long").as("t"))
+        .agg(sum(col("t")).as("hl_e9"))
+      val pur = nij.groupBy(col("cl")).agg(max(col("nij")).as("mx"))
+        .agg(sum(col("mx")).as("pm"))
+      nn2.crossJoin(mi).crossJoin(hc).crossJoin(hl).crossJoin(pur)
+        .select(col("n"), expr("(pm * 1000000) div n").as("purity_e6"),
+          col("mi_e9"), col("hc_e9"), col("hl_e9"),
+          when(col("hc_e9") * col("hl_e9") === 0L, lit(0L)).otherwise(
+            floor(col("mi_e9").cast(D) /
+              sqrt(col("hc_e9").cast(D) * col("hl_e9").cast(D)) * 1e6)
+              .cast("long")).as("nmi_e6"))
+    },
+    Some(semKmeansCtes(IVF_K.toString) + """,
+      lab AS (SELECT f.cl, e.label FROM fin f JOIN embeddings e
+              ON f.vec_id = e.vec_id),
+      nij AS (SELECT cl, label, CAST(COUNT(*) AS BIGINT) AS nij
+              FROM lab GROUP BY 1, 2),
+      ni AS (SELECT cl, CAST(SUM(nij) AS BIGINT) AS ni FROM nij GROUP BY 1),
+      nj AS (SELECT label, CAST(SUM(nij) AS BIGINT) AS nj FROM nij GROUP BY 1),
+      nn2 AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM nij),
+      mi AS (
+        SELECT CAST(SUM(CAST(FLOOR((CAST(nij.nij AS DOUBLE) / CAST(nn2.n AS DOUBLE)) *
+          ln(CAST(nn2.n AS DOUBLE) * CAST(nij.nij AS DOUBLE) /
+            (CAST(ni.ni AS DOUBLE) * CAST(nj.nj AS DOUBLE))) * 1e9) AS BIGINT))
+          AS BIGINT) AS mi_e9
+        FROM nij JOIN ni ON nij.cl = ni.cl JOIN nj ON nij.label = nj.label, nn2),
+      hc AS (
+        SELECT CAST(SUM(CAST(FLOOR((CAST(ni AS DOUBLE) / CAST(n AS DOUBLE)) *
+          ln(CAST(n AS DOUBLE) / CAST(ni AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT)
+          AS hc_e9
+        FROM ni, nn2),
+      hl AS (
+        SELECT CAST(SUM(CAST(FLOOR((CAST(nj AS DOUBLE) / CAST(n AS DOUBLE)) *
+          ln(CAST(n AS DOUBLE) / CAST(nj AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT)
+          AS hl_e9
+        FROM nj, nn2),
+      pur AS (SELECT CAST(SUM(mx) AS BIGINT) AS pm FROM (
+        SELECT cl, MAX(nij) AS mx FROM nij GROUP BY 1) m)
+      SELECT nn2.n, (pur.pm * 1000000) // nn2.n AS purity_e6,
+        mi.mi_e9, hc.hc_e9, hl.hl_e9,
+        CASE WHEN hc.hc_e9 * hl.hl_e9 = 0 THEN 0
+          ELSE CAST(FLOOR(CAST(mi.mi_e9 AS DOUBLE) /
+            sqrt(CAST(hc.hc_e9 AS DOUBLE) * CAST(hl.hl_e9 AS DOUBLE)) * 1e6)
+            AS BIGINT) END AS nmi_e6
+      FROM nn2, mi, hc, hl, pur"""))
+
   val all: Seq[QueryDef] =
     Seq(annBrute, annLsh, annIvf, dedupEmbedding, annIncremental,
       dedupSemantic, dedupSemanticAdaptive, hybridRetrieval, hardNegatives,
-      retrievalEval, annIvfPq, silhouette)
+      retrievalEval, annIvfPq, silhouette, clusterPurity)
 }

@@ -1230,6 +1230,61 @@ class PipelineSpec extends SparkSpec {
       "per-vector coefficient out of [0, 1e6]")
   }
 
+  test("q_cluster_purity matches a plain-Scala purity/NMI recompute") {
+    // Rebuild quantization + 2 Lloyd rounds + assignment independently
+    // (the silhouette-spec recipe), then purity / quantized-term MI / NMI.
+    val vecs = Tables.t(spark, sfDir, "embeddings").collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")), r.getInt(r.fieldIndex("label")),
+        r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(x => math.floor(x.toDouble * 1e4)).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    var cents: Seq[(Int, Array[Double])] =
+      vecs.take(pipeline.Similarity.IVF_K).map { case (id, _, v) => (id.toInt, v) }.toSeq
+    def assign(v: Array[Double]): Int = {
+      val cs = cents.map(c => cos(v, c._2))
+      var best = 0; var i = 1
+      while (i < cs.length) { if (cs(i) > cs(best)) best = i; i += 1 }
+      best
+    }
+    for (_ <- 1 to 2) {
+      val sums = collection.mutable.Map[Int, Array[Double]]()
+      for ((_, _, v) <- vecs) {
+        val s = sums.getOrElseUpdate(cents(assign(v))._1, new Array[Double](v.length))
+        var i = 0; while (i < v.length) { s(i) += v(i); i += 1 }
+      }
+      cents = sums.toSeq.sortBy(_._1)
+    }
+    val nij = vecs.map { case (_, l, v) => (cents(assign(v))._1, l) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val ni = nij.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val nj = nij.groupBy(_._1._2).map { case (l, m) => l -> m.values.sum }
+    val n = nij.values.sum.toDouble
+    val miE9 = nij.map { case ((c, l), x) =>
+      math.floor(x / n * math.log(n * x / (ni(c).toDouble * nj(l).toDouble)) * 1e9).toLong
+    }.sum
+    def hE9(m: Iterable[Long]): Long =
+      m.map(x => math.floor(x / n * math.log(n / x) * 1e9).toLong).sum
+    val (hcE9, hlE9) = (hE9(ni.values), hE9(nj.values))
+    val purE6 = nij.groupBy(_._1._1).map(_._2.values.max).sum * 1000000L / n.toLong
+    val nmiE6 = if (hcE9 * hlE9 == 0L) 0L
+      else math.floor(miE9.toDouble / math.sqrt(hcE9.toDouble * hlE9.toDouble) * 1e6).toLong
+    val r = SparkEntry.queries("q_cluster_purity")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val got = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getLong(4), r(0).getLong(5))
+    val want = (n.toLong, purE6, miE9, hcE9, hlE9, nmiE6)
+    assert(got == want, s"purity/NMI diverged: got $got want $want")
+    // Random labels on random vectors: purity near 1/n_labels' complement
+    // is possible, but NMI must stay a valid [0, 1e6] coefficient.
+    assert(got._6 >= 0 && got._6 <= 1000000L)
+  }
+
   test("q_cdc_dedup matches an independent plain-Scala CDC chunker") {
     // Third derivation (no Spark expressions, no SQL): boundary after
     // position i iff the 8-hex fold of md5(trailing-16-char window) is

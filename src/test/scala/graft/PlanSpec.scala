@@ -166,6 +166,9 @@ class PlanSpec extends SparkSpec {
     // against metadata, the q22 class with four rows instead of one.
     // q_kneser_ney's and q_pmi_collocations' crosses are bigram types x
     // ONE total row — exactly q_perplexity_lm's shape, which they share.
+    // q_cluster_purity's crosses are all (cell x label)-grain metadata x
+    // ONE totals row plus one-row x one-row metric combines — the
+    // q_dedup_report shape over the shared quantizer assignment.
     // q_pagerank's cross is the node table x ONE node-count row (the
     // teleport base), the q22 scalar-broadcast shape; every per-round
     // join is an equi join on the node key. q_textrank inherits the same
@@ -178,7 +181,7 @@ class PlanSpec extends SparkSpec {
       "q_ann_ivfpq", "q_curriculum", "q_domain_mix", "q_retrieval_eval",
       "q_jl_project", "q_tokenizer_fertility", "q_unigram_train",
       "q_repeat_allocation", "q_vocab_growth", "q_kneser_ney",
-      "q_pmi_collocations", "q_pagerank", "q_textrank")
+      "q_pmi_collocations", "q_pagerank", "q_textrank", "q_cluster_purity")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
