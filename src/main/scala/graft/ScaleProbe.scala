@@ -81,6 +81,26 @@ object ScaleProbe {
       // hot-user probe contrasts them with the 1-day default — narrower
       // chunks cut the monster user's per-window buffer further at the
       // cost of more seam rows.
+      // The graph family's 100 TB edge source: the SAME pinned PageRank
+      // over recall-certified MinHash-banded pairs instead of the exact
+      // prefix-join pairs. The exact path is the ORACLE-complete gate
+      // answer; at the third decade of the resampled saturated corpus its
+      // candidate stage exceeds single-node disk (measured — see SCALE.md),
+      // which is exactly the regime the banded discovery + grid routing
+      // exist for. Banding recall is certified once (q_dedup_recall_cert),
+      // so the edge swap is the documented production trade.
+      // minhashPairsSharded, not minhashPairs: the plain banding's first
+      // probe put a 168 s verify task on ONE saturated bucket at 10x
+      // (the resampled corpus's dense-vocab regime) — which is the exact
+      // signal the grid-decision registry routes on; the probe builder
+      // takes the routed strategy directly.
+      "q_pagerank_banded" -> ((s, dir) => {
+        val pairs = pipeline.Dedup.minhashPairsSharded(s, dir)
+          .select(col("a_id"), col("b_id")).localCheckpoint()
+        pipeline.GraphOps.integerPagerank(
+            pairs.union(pairs.select(col("b_id"), col("a_id"))))
+          .select(col("node").as("doc_id"), col("deg"), col("pr").as("pr_e9"))
+      }),
       "q_asof_chunked_6h" -> ((s, dir) =>
         operators.EventOps.asofChunkedPlan(s, dir, 6L * 3600 * 1000 * 1000 * 1000)),
       "q_sessionize_chunked_6h" -> ((s, dir) =>
@@ -197,7 +217,11 @@ object ScaleProbe {
     // cluster_purity rides the shared-quantizer assignment (map-side
     // tensor pass, warmed with silhouette/ivf) + (cell x label)-grain
     // metadata — expect the silhouette law (near-flat, ~zero shuffle).
-    "q_cluster_purity")
+    "q_cluster_purity",
+    // the banded-edge pagerank (probe-only builder): same rounds, edge
+    // discovery swapped to minhash banding — the 100 TB path; expect the
+    // minhash law instead of the ngram law.
+    "q_pagerank_banded")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))
@@ -373,7 +397,12 @@ object ScaleProbe {
         // vocab-saturation there; textrank's claim is the strong one —
         // corpus-size-INDEPENDENT rounds, so 100x should stay near-flat
         // past the one instance exchange.
-        "q_winnow_fingerprint", "q_kneser_ney", "q_textrank")
+        "q_winnow_fingerprint", "q_kneser_ney", "q_textrank",
+        // the graph trio at the third decade: all three are dominated by
+        // the one verified-pair discovery (the ngram 100x law); the
+        // marginal claims are (id, long)-only round traffic (pagerank,
+        // kcore) and wedge-bounded closes (triangles).
+        "q_pagerank_banded")
       val decaSim = Seq("q_dedup_embedding", "q_dedup_semantic_adaptive_k",
         "q_ann_ivf", "q_hybrid_retrieval", "q_hard_negatives")
       // asof + funnel carry the event family's scale claims; 100x = 2M
