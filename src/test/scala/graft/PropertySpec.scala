@@ -355,12 +355,23 @@ class SkewSpec extends SparkSpec {
     // truth on this corpus).
     Sessions.gridHistory.clear()
     Sessions.lastGridOccupancy.clear()
+    // Watermark, then scan the HISTORY for this run's decision rather than
+    // polling latest-wins: the hot-corpus test right before this one ends
+    // with a count() whose decision event is still in flight on the async
+    // listener bus, and under load it can land AFTER the clear — a
+    // latest-wins poll then reads absorbed@1100 (impossible for this
+    // corpus) and fails spuriously. The gate run is the only thing that
+    // can append a LINEAR observation past the watermark.
+    val w = Sessions.gridSeqNow
     SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     var d: Dedup.GridDecision = null
     while (d == null && System.nanoTime() < deadline) {
-      d = Sessions.latestGridDecision(Dedup.GRID_METRIC_PREFIX + "simhash").orNull
+      d = Option(Sessions.gridHistory.get(Dedup.GRID_METRIC_PREFIX + "simhash"))
+        .toSeq.flatten
+        .find(o => o.seq > w && o.decision.regime == "linear")
+        .map(_.decision).orNull
       if (d == null) Thread.sleep(50)
     }
     assert(d != null && d.regime == "linear" && d.recommendation.isEmpty,
@@ -390,8 +401,17 @@ class SkewSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(defPlan.contains("bit_count"),
       "default route should be the simhash path")
+    val w = Sessions.gridSeqNow
     val defRows = SparkEntry.queries("q_dedup_auto")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // That collect() ran the simhash path, whose own (linear) decision is
+    // still in flight on the async listener bus — let it LAND before
+    // seeding, or it would overwrite the seeded saturation (latest-wins)
+    // and the router would spuriously take the simhash path again.
+    val drainDl = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (!Option(Sessions.gridHistory.get(metric)).toSeq.flatten
+        .exists(_.seq > w) && System.nanoTime() < drainDl)
+      Thread.sleep(50)
     // Seed a saturated decision: the router must take the documented
     // escape (MinHash banding — no hamming filter in the plan)...
     Sessions.recordGridDecision(metric,
