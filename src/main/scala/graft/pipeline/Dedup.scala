@@ -1496,9 +1496,47 @@ object Dedup {
           LEFT JOIN d8 d ON n.node = d.node"""
     })
 
+  /** Community detection on the verified near-dup graph via synchronous
+    * pinned label propagation ([[GraphOps.labelPropagation]], Raghavan et
+    * al. 2007). Where [[dedupClusters]]' connected components answer "what
+    * is TRANSITIVELY linked" (one bridge edge merges two template families
+    * into one component), LPA's mode rule keeps densely-linked families
+    * separate — a bridge contributes one vote against a clique's many —
+    * so the community grain is the per-template family a curation pass
+    * dedups WITHIN, not the chain a single spurious pair created. Output:
+    * each node's round-4 community plus that community's size (the
+    * collapse-candidate count a canonical-pick stage would rank by).
+    *
+    * Scale shape: pair discovery (checkpointed once) dominates, as
+    * measured for the rest of the graph family; each LPA round moves only
+    * (id, id, count) triples keyed by node, and the argmax window is
+    * PARTITIONED by node — never a global window. The community-size agg
+    * keys on the label. */
+  private val labelProp = QueryDef(
+    "q_label_propagation",
+    (s, d) => {
+      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+        .localCheckpoint()
+      val labels = GraphOps.labelPropagation(
+        pairs.union(pairs.select(col("b_id"), col("a_id"))))
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+      labels.join(sizes, Seq("label"))
+        .select(col("node").as("doc_id"), col("label").as("community"),
+          col("csize"))
+    },
+    Some(s"""WITH ${pairsCteSql("documents", 0.5)},
+        e AS MATERIALIZED (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+        ${GraphOps.lpaCtesSql},
+        sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
+                  FROM l${GraphOps.LPA_ROUNDS} GROUP BY 1)
+        SELECT l.node AS doc_id, l.label AS community, s.csize
+        FROM l${GraphOps.LPA_ROUNDS} l JOIN sizes s USING (label)"""))
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash,
       dedupRecallCert, dedupSimhash, dedupClusters, dedupReport, fuzzyJoin,
       dedupKeepBest, dedupCrossSource, dedupAuto, cdcDedup, winnow, pagerank,
-      triangles, kcore)
+      triangles, kcore, labelProp)
 }

@@ -68,4 +68,59 @@ object GraphOps {
         SELECT node, deg, base, 1000000000 // nn.n AS pr FROM r0base, nn),
       $iters"""
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007), determinized:
+    * l0(v) = v; each round every node adopts the MODE of its neighbors'
+    * previous-round labels under the pinned (count desc, label asc) total
+    * order. The async/randomized variants of LPA are irreproducible by
+    * design; the synchronous pinned form is bit-stable on both engines,
+    * and — like [[integerPagerank]]'s fixed 8 rounds — the iteration
+    * budget is a plan constant ([[LPA_ROUNDS]]): the OUTPUT is defined as
+    * the round-k state whether or not the fixpoint arrived (the k-core
+    * precedent).
+    *
+    * Scale shape: per round one node-keyed equi join, a (node, label)
+    * partial-agg shuffle, and a per-node window argmax PARTITIONED by the
+    * node key (never a global window); per-round localCheckpoint caps
+    * lineage. Labels are node ids — longs — so nothing wider than an
+    * (id, id, count) triple ever moves. */
+  val LPA_ROUNDS = 4
+
+  /** Labels after [[LPA_ROUNDS]] synchronous rounds over a symmetrized
+    * (src, dst) edge relation. Returns (node, label). */
+  def labelPropagation(edges0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = edges0.toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to LPA_ROUNDS) {
+      labels = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dst")).orderBy(col("c").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** The matching unrolled DuckDB rounds: expects `e(src, dst)` in scope,
+    * defines l0..l{LPA_ROUNDS}; consumers SELECT FROM l{LPA_ROUNDS}.
+    * MATERIALIZED for the same re-evaluation reason as [[pagerankCtesSql]]. */
+  def lpaCtesSql: String = {
+    val iters = (1 to LPA_ROUNDS).map { k =>
+      s"""lc$k AS (
+        SELECT e.dst AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e JOIN l${k - 1} l ON e.src = l.node GROUP BY 1, 2),
+      l$k AS MATERIALIZED (
+        SELECT node, label FROM (
+          SELECT node, label,
+            ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+          FROM lc$k) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
+      $iters"""
+  }
 }

@@ -1077,6 +1077,45 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall { case (_, d, ic, cd) => cd <= d && (!ic || cd >= 2) })
   }
 
+  test("q_label_propagation matches a plain-Scala synchronous LPA recompute") {
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edges = pairs.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val adj = edges.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+    var lab: Map[Long, Long] = adj.keys.map(k => k -> k).toMap
+    for (_ <- 1 to pipeline.GraphOps.LPA_ROUNDS) {
+      lab = adj.map { case (v, nbrs) =>
+        // Pinned mode: neighbor-label counts under (count desc, label asc).
+        val pick = nbrs.map(lab).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }.toSeq
+          .maxBy { case (l, c) => (c, -l) }._1
+        v -> pick
+      }
+    }
+    val sizes = lab.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    val expect = lab.map { case (v, l) => (v, l, sizes(l)) }.toSet
+    val got = SparkEntry.queries("q_label_propagation")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"LPA diverged: got ${got.size} want ${expect.size}")
+  }
+
+  test("GraphOps.labelPropagation: bridged cliques keep distinct communities") {
+    import spark.implicits._
+    // Two 4-cliques {1..4} and {11..14} joined by ONE bridge (4, 11): the
+    // mode rule must keep them in separate communities — the exact failure
+    // mode connected components have (one spurious pair merges families).
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) ++
+      Seq((4L, 11L))).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val got = pipeline.GraphOps.labelPropagation(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val left = Set(1L, 2L, 3L, 4L).map(got)
+    val right = Set(11L, 12L, 13L, 14L).map(got)
+    assert(left.size == 1 && right.size == 1, s"cliques must be uniform: $got")
+    assert(left != right, s"bridge must not merge the cliques: $got")
+  }
+
   test("q_textrank matches a plain-Scala power iteration on the word graph") {
     // Rebuild the graph AND the recurrence independently: adjacent-token
     // bigram types with count >= 3 (prev != cur), canonicalized
