@@ -364,6 +364,80 @@ object Profiling {
         FROM t"""
     })
 
+  /** Calibration reliability table + ECE (Guo et al. 2017 / Naeini et al.
+    * 2015) for the same (cheap score → expensive Gopher gate) pairing
+    * [[qualityAuc]] ranks: AUC says the score ORDERS the gate well; this
+    * says whether its normalized magnitude can be TRUSTED as a
+    * probability — the question a pipeline asks before replacing the
+    * costly gate with a score threshold at some target precision.
+    * Min-max-normalized score → 10 equal-width bins; per bin the mean
+    * normalized score (confidence), empirical positive rate (accuracy),
+    * and |gap|; ECE = Σ n_b·gap_b / N. Every value is exact int64 —
+    * nonnegative operands throughout, so Spark `div` and DuckDB `//`
+    * agree (the possibly-negative raw score is shifted by the global min
+    * BEFORE any division).
+    *
+    * Scale shape: inputs are the registered map-only builders (reused
+    * verbatim, the AUC discipline); the narrow (doc_id, score, label)
+    * relation is checkpointed once for its two consumers (the ccnet
+    * lesson); min/max and the ECE total are 1-row broadcast crosses; the
+    * only exchange is the 10-row bin aggregate with map-side partials. */
+  private val calibrationEce = QueryDef(
+    "q_calibration_ece",
+    (s, d) => {
+      def defOf(mod: Seq[QueryDef], n: String) = mod.find(_.name == n).get
+      val cls = defOf(Curation.all, "q_quality_classifier")
+      val gop = defOf(TextAnalysis.all, "q_quality_gopher")
+      val j = cls.build(s, d).select(col("doc_id"), col("score_e6"))
+        .join(gop.build(s, d).select(col("doc_id"),
+          when(col("keep"), 1L).otherwise(0L).as("lab")), Seq("doc_id"))
+        .localCheckpoint()
+      val mm = j.agg(min(col("score_e6")).as("mn"),
+        greatest(max(col("score_e6")) - min(col("score_e6")), lit(1L)).as("rng"))
+      val bins = j.crossJoin(broadcast(mm))
+        .withColumn("p_e6", expr("((score_e6 - mn) * 1000000) div rng"))
+        .withColumn("bin", least(lit(9L), expr("p_e6 div 100000")))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("p_e6")).as("psum"),
+          sum(col("lab")).as("n_pos"))
+        .withColumn("conf_e6", expr("psum div n"))
+        .withColumn("acc_e6", expr("(n_pos * 1000000) div n"))
+        .withColumn("gap_e6", abs(col("conf_e6") - col("acc_e6")))
+      val ece = bins.agg(
+        expr("sum(n * gap_e6) div sum(n)").as("ece_e6"))
+      bins.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n"), col("conf_e6"), col("acc_e6"),
+          col("gap_e6"), col("ece_e6"))
+    },
+    Some {
+      def defOf(mod: Seq[QueryDef], n: String) = mod.find(_.name == n).get
+      val clsSql = defOf(Curation.all, "q_quality_classifier").oracle.get
+      val gopSql = defOf(TextAnalysis.all, "q_quality_gopher").oracle.get
+      s"""WITH cls AS ($clsSql),
+        gop AS ($gopSql),
+        j AS MATERIALIZED (
+          SELECT c.doc_id, c.score_e6,
+            CASE WHEN g.keep THEN CAST(1 AS BIGINT) ELSE 0 END AS lab
+          FROM cls c JOIN gop g USING (doc_id)),
+        mm AS (SELECT MIN(score_e6) AS mn,
+                 GREATEST(MAX(score_e6) - MIN(score_e6), 1) AS rng FROM j),
+        p AS (
+          SELECT LEAST(9, (((score_e6 - mn) * 1000000) // rng) // 100000) AS bin,
+            ((score_e6 - mn) * 1000000) // rng AS p_e6, lab
+          FROM j, mm),
+        bins AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(p_e6) AS BIGINT) // COUNT(*) AS conf_e6,
+            (CAST(SUM(lab) AS BIGINT) * 1000000) // COUNT(*) AS acc_e6
+          FROM p GROUP BY 1),
+        g2 AS (SELECT bin, n, conf_e6, acc_e6,
+                 ABS(conf_e6 - acc_e6) AS gap_e6 FROM bins),
+        e2 AS (SELECT CAST(SUM(n * gap_e6) AS BIGINT) // CAST(SUM(n) AS BIGINT)
+                 AS ece_e6 FROM g2)
+        SELECT bin, n, conf_e6, acc_e6, gap_e6, e2.ece_e6 FROM g2, e2"""
+    })
+
   val all: Seq[QueryDef] =
-    Seq(profileTable, sketchCms, sketchCmsCert, profileQuantiles, qualityAuc)
+    Seq(profileTable, sketchCms, sketchCmsCert, profileQuantiles, qualityAuc,
+      calibrationEce)
 }

@@ -224,4 +224,33 @@ class ProfilingSpec extends SparkSpec {
     assert(row.getLong(3) > 550000L,
       s"quality score uninformative for the gopher gate: auc_e6 = ${row.getLong(3)}")
   }
+
+  test("q_calibration_ece matches a plain-Scala reliability recompute") {
+    // Independent derivation off the same registered inputs: normalize,
+    // bin, and average in plain Scala integer arithmetic.
+    val score = SparkEntry.queries("q_quality_classifier")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val label = SparkEntry.queries("q_quality_gopher")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    val ids = score.keySet.intersect(label.keySet).toSeq
+    val mn = ids.map(score).min
+    val rng = math.max(ids.map(score).max - mn, 1L)
+    val binned = ids.groupBy { id =>
+      math.min(9L, ((score(id) - mn) * 1000000L / rng) / 100000L)
+    }
+    val expect = binned.map { case (b, xs) =>
+      val n = xs.size.toLong
+      val conf = xs.map(id => (score(id) - mn) * 1000000L / rng).sum / n
+      val acc = xs.count(label) * 1000000L / n
+      (b, n, conf, acc, math.abs(conf - acc))
+    }.toSet
+    val eceExpect = expect.toSeq.map { case (_, n, _, _, g) => n * g }.sum /
+      expect.toSeq.map(_._2).sum
+    val got = SparkEntry.queries("q_calibration_ece")(spark, sfDir).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSet == expect, "reliability table diverged")
+    assert(got.forall(_.getLong(5) == eceExpect), s"ece diverged: want $eceExpect")
+    // Gap bound: conf and acc are both e6 fractions, so is every gap.
+    assert(got.forall(r => r.getLong(4) >= 0 && r.getLong(4) <= 1000000L))
+  }
 }
