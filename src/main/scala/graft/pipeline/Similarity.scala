@@ -1373,8 +1373,101 @@ object Similarity {
             AS BIGINT) END AS nmi_e6
       FROM nn2, mi, hc, hl, pur"""))
 
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998): the
+    * diversity-aware selection pass between retrieval and consumption —
+    * from the exact top-[[MMR_POOL]] cosine candidates for the fixed
+    * query, greedily pick [[MMR_OUT]] maximizing λ·rel − (1−λ)·max-sim-to-
+    * selected with λ = 0.7. Near-duplicate candidates (the exact thing
+    * this corpus is full of) collapse to one representative; a plain
+    * top-k would return the whole duplicate family. Kept in integers:
+    * mmr_e7 = 7·rel_e6 − 3·maxsim_e6 (the λ split as integer weights; no
+    * division, so no sign-semantics trap), ties broken by vec_id.
+    *
+    * Scale shape: the DISTRIBUTED work is candidate generation — one
+    * broadcast-scalar cosine scan + TakeOrdered top-50, exactly
+    * [[annBrute]]'s discipline (at 100 TB swap in the LSH/IVF path; the
+    * rerank is path-agnostic). Everything after operates on the BOUNDED
+    * 50-row checkpointed pool: the 50×50 sim matrix and ten
+    * argmax-join-limit rounds are constant-size regardless of corpus
+    * scale — the bounded-relation-rounds precedent (hybrid retrieval's
+    * rank fusion, repeat_allocation's ≤40-row greedy). */
+  private val MMR_POOL = 50
+  private val MMR_OUT = 10
+  private val mmrRerank = QueryDef(
+    "q_mmr_rerank",
+    (s, d) => {
+      val e = emb(s, d)
+      val qv = broadcast(e.filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding")).as("qv")))
+      val cands = e.filter(col("vec_id") =!= 0).crossJoin(qv)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+          floor(cosine(col("qv"), asDouble(col("embedding"))) * 1e6).as("rel_e6"))
+        .orderBy(col("rel_e6").desc, col("vec_id")).limit(MMR_POOL)
+        .localCheckpoint()
+      val sims = cands.select(col("vec_id").as("a"), col("v").as("va"))
+        .join(cands.select(col("vec_id").as("b"), col("v").as("vb")),
+          col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          floor(cosine(col("va"), col("vb")) * 1e6).as("s_e6"))
+        .localCheckpoint()
+      val base = cands.select(col("vec_id"), col("rel_e6"))
+      var picked = base.orderBy(col("rel_e6").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(1L).as("rnk"), col("rel_e6"),
+          (lit(7L) * col("rel_e6")).as("mmr_e7"))
+        .localCheckpoint()
+      for (k <- 2 to MMR_OUT) {
+        val next = base
+          .join(picked.select(col("vec_id").as("p")),
+            col("vec_id") === col("p"), "left_anti")
+          .join(sims, col("vec_id") === col("a"))
+          .join(picked.select(col("vec_id").as("pb")), col("b") === col("pb"))
+          .groupBy(col("vec_id"), col("rel_e6"))
+          .agg(max(col("s_e6")).as("ms"))
+          .select(col("vec_id"), lit(k.toLong).as("rnk"), col("rel_e6"),
+            (lit(7L) * col("rel_e6") - lit(3L) * col("ms")).as("mmr_e7"))
+          .orderBy(col("mmr_e7").desc, col("vec_id")).limit(1)
+        picked = picked.union(next).localCheckpoint()
+      }
+      picked
+    },
+    Some {
+      val rounds = (2 to MMR_OUT).map { k =>
+        s"""n$k AS MATERIALIZED (
+          SELECT c.vec_id, CAST($k AS BIGINT) AS rnk, c.rel_e6,
+            7 * c.rel_e6 - 3 * MAX(s.s_e6) AS mmr_e7
+          FROM cands c JOIN sims s ON s.a = c.vec_id
+            JOIN pk${k - 1} p ON s.b = p.vec_id
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM pk${k - 1})
+          GROUP BY 1, 3
+          ORDER BY mmr_e7 DESC, c.vec_id LIMIT 1),
+        pk$k AS MATERIALIZED (
+          SELECT * FROM pk${k - 1} UNION ALL SELECT * FROM n$k)"""
+      }.mkString(",\n")
+      s"""WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0),
+        sc AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            CAST(FLOOR(list_cosine_similarity(qv,
+              CAST(embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS rel_e6
+          FROM embeddings, q WHERE vec_id <> 0),
+        cands AS MATERIALIZED (
+          SELECT vec_id, v, rel_e6 FROM sc
+          ORDER BY rel_e6 DESC, vec_id LIMIT $MMR_POOL),
+        sims AS MATERIALIZED (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+            CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1e6) AS BIGINT) AS s_e6
+          FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+        pk1 AS MATERIALIZED (
+          SELECT vec_id, CAST(1 AS BIGINT) AS rnk, rel_e6,
+            7 * rel_e6 AS mmr_e7
+          FROM cands ORDER BY rel_e6 DESC, vec_id LIMIT 1),
+        $rounds
+        SELECT vec_id, rnk, rel_e6, mmr_e7 FROM pk$MMR_OUT"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(annBrute, annLsh, annIvf, dedupEmbedding, annIncremental,
       dedupSemantic, dedupSemanticAdaptive, hybridRetrieval, hardNegatives,
-      retrievalEval, annIvfPq, silhouette, clusterPurity)
+      retrievalEval, annIvfPq, silhouette, clusterPurity, mmrRerank)
 }

@@ -1011,6 +1011,44 @@ class PipelineSpec extends SparkSpec {
       s"hard negatives diverged: got ${got.size} rows, want ${expect.size}")
   }
 
+  test("q_mmr_rerank matches a plain-Scala greedy MMR recompute") {
+    val vecs = Tables.t(spark, sfDir, "embeddings").collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qv = vecs.find(_._1 == 0L).get._2
+    val cands = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, math.floor(cos(qv, v) * 1e6).toLong) }
+      .sortBy { case (id, _, s) => (-s, id) }.take(50)
+    var picked = Vector.empty[(Long, Long, Long, Long)] // (id, rnk, rel, mmr)
+    for (k <- 1 to 10) {
+      val chosen = picked.map(_._1).toSet
+      val next = cands.filter(c => !chosen(c._1)).map { case (id, v, rel) =>
+        val ms = if (picked.isEmpty) 0L
+          else picked.map { p =>
+            val pv = cands.find(_._1 == p._1).get._2
+            math.floor(cos(v, pv) * 1e6).toLong
+          }.max
+        val mmr = if (picked.isEmpty) 7L * rel else 7L * rel - 3L * ms
+        (id, k.toLong, rel, mmr)
+      }.minBy { case (id, _, _, mmr) => (-mmr, id) }
+      picked :+= next
+    }
+    val got = SparkEntry.queries("q_mmr_rerank")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == picked.toSet,
+      s"MMR diverged: got ${got.sortBy(_._2).mkString(",")} want ${picked.mkString(",")}")
+    // Greedy MMR is non-increasing in rank: each later pick was available
+    // earlier with an mmr no higher, and the penalty only grows.
+    val byRank = got.sortBy(_._2).map(_._4)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+      s"mmr must be non-increasing: ${byRank.mkString(",")}")
+  }
+
   test("q_triangle_count matches a plain-Scala forward algorithm") {
     val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
