@@ -221,7 +221,18 @@ object ScaleProbe {
     // the banded-edge pagerank (probe-only builder): same rounds, edge
     // discovery swapped to minhash banding — the 100 TB path; expect the
     // minhash law instead of the ngram law.
-    "q_pagerank_banded")
+    "q_pagerank_banded",
+    // Seventh r11 batch. label_propagation pays the pagerank pair
+    // discovery + 4 mode rounds of (id, id, count) triples — expect the
+    // pagerank law (shuffle == pair discovery); calibration_ece rides the
+    // gopher HOF CPU law (its label input) with one 10-row bin exchange;
+    // mmr_rerank is one broadcast-scalar cosine scan + constant 50-row
+    // rounds — expect the ann_brute law (linear scan wall, ~zero
+    // shuffle); pca_power is 16 map passes over the checkpointed
+    // quantized matrix + 64-row dim aggregates — linear scan wall, ~zero
+    // shuffle, corpus-size-independent round structure.
+    "q_label_propagation", "q_calibration_ece", "q_mmr_rerank",
+    "q_pca_power")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))

@@ -173,6 +173,16 @@ class PlanSpec extends SparkSpec {
     // teleport base), the q22 scalar-broadcast shape; every per-round
     // join is an equi join on the node key. q_textrank inherits the same
     // shape through the shared integerPagerank helper (vocab-grain nodes).
+    // q_calibration_ece's crosses are the corpus-narrow score relation x
+    // ONE min/range row plus 10 bin rows x ONE ece row — q22 shapes both.
+    // q_mmr_rerank's crosses live entirely on BOUNDED relations: the
+    // corpus side is one broadcast-scalar cosine scan (the q_ann_brute
+    // shape), then the 50-row checkpointed pool self-pairs under <> (50x50
+    // constant) and each greedy round joins ≤50 rows — corpus-size-
+    // independent by construction.
+    // q_pca_power's cross is the 64-row direction relation x ONE
+    // normalization-max row (the q22 scalar-broadcast shape); the corpus
+    // passes are map-side folds against literal vectors, never joined.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
       "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank",
       "q_tfidf_keywords", "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report",
@@ -181,7 +191,8 @@ class PlanSpec extends SparkSpec {
       "q_ann_ivfpq", "q_curriculum", "q_domain_mix", "q_retrieval_eval",
       "q_jl_project", "q_tokenizer_fertility", "q_unigram_train",
       "q_repeat_allocation", "q_vocab_growth", "q_kneser_ney",
-      "q_pmi_collocations", "q_pagerank", "q_textrank", "q_cluster_purity")
+      "q_pmi_collocations", "q_pagerank", "q_textrank", "q_cluster_purity",
+      "q_calibration_ece", "q_mmr_rerank", "q_pca_power")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
