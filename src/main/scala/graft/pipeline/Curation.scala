@@ -783,9 +783,121 @@ object Curation {
         CAST(COUNT(*) AS BIGINT) < $K_ANON AS at_risk
       FROM documents GROUP BY 1, 2, 3"""))
 
+  /** Self-BLEU diversity (Zhu et al. 2018 / Papineni et al. 2002): each
+    * sampled document scored as a BLEU candidate against the other
+    * sampled documents as references — the corpus-level mode-collapse
+    * signal next to [[graft.pipeline.TextAnalysis]]'s distinct-n
+    * ratios (distinct-n asks "how much repeats WITHIN a source";
+    * Self-BLEU asks "how interchangeable are documents with each
+    * other"). Emits the EXACT INTEGER components — clipped modified
+    * 1/2-gram precision numerators/denominators and the brevity-penalty
+    * inputs (candidate length, closest-reference length with pinned
+    * ties) — rather than the final float score: the geometric-mean/exp
+    * step is where engines would diverge, and any consumer can finish
+    * the arithmetic from the gated rationals (the AUC-components
+    * precedent; the spec computes the float score).
+    *
+    * Scale shape: the corpus contributes ONE seeded-fold
+    * TakeOrderedAndProject ([[Sampling]]'s determinized-sample
+    * discipline — re-runs select the identical set); everything after
+    * operates on the bounded [[SB_N]]-doc checkpointed sample: gram
+    * counts, the (n, gram)-keyed clip join, and the 16×15 length pairs
+    * are constant-size at any corpus scale (the MMR precedent). */
+  private val SB_N = 16
+  private val selfBleu = QueryDef(
+    "q_self_bleu",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val samp = docs(s, d)
+        .withColumn("hx",
+          md5(concat(lit("graft-selfbleu-1:"), col("doc_id").cast("string"))))
+        .withColumn("pri", expr(s"${Sampling.hexFold("hx")}"))
+        .orderBy(col("pri"), col("doc_id")).limit(SB_N)
+        .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .localCheckpoint()
+      val lens = samp.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
+      val cnt = samp.select(col("doc_id"), explode(expr(
+          """array(
+               struct(CAST(1 AS BIGINT) AS n, toks AS gs),
+               struct(CAST(2 AS BIGINT) AS n,
+                 transform(sequence(0, size(toks) - 2),
+                   i -> concat_ws(' ', slice(toks, i + 1, 2))) AS gs))""")).as("x"))
+        .select(col("doc_id"), col("x.n").as("n"), explode(col("x.gs")).as("gram"))
+        .groupBy(col("doc_id"), col("n"), col("gram")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val refs = cnt.select(col("doc_id").as("rid"), col("n").as("rn"),
+        col("gram").as("rg"), col("c").as("rc"))
+      val clip = cnt
+        .join(refs, col("n") === col("rn") && col("gram") === col("rg") &&
+          col("doc_id") =!= col("rid"), "left_outer")
+        .groupBy(col("doc_id"), col("n"), col("gram"), col("c"))
+        .agg(coalesce(max(col("rc")), lit(0L)).as("mr"))
+      val prec = clip.groupBy(col("doc_id")).agg(
+        sum(when(col("n") === 1, least(col("c"), col("mr"))).otherwise(0L)).as("p1_num"),
+        sum(when(col("n") === 1, col("c")).otherwise(0L)).as("p1_den"),
+        sum(when(col("n") === 2, least(col("c"), col("mr"))).otherwise(0L)).as("p2_num"),
+        sum(when(col("n") === 2, col("c")).otherwise(0L)).as("p2_den"))
+      val rlen = lens.select(col("doc_id").as("cid"), col("len").as("c_len"))
+        .join(lens.select(col("doc_id").as("rid"), col("len").as("rl")),
+          col("cid") =!= col("rid"))
+        .withColumn("rn2", row_number().over(Window.partitionBy(col("cid"))
+          .orderBy(abs(col("rl") - col("c_len")), col("rl"), col("rid"))))
+        .filter(col("rn2") === 1)
+        .select(col("cid").as("doc_id"), col("c_len"), col("rl").as("r_len"))
+      prec.join(rlen, Seq("doc_id"))
+        .select(col("doc_id"), col("c_len"), col("r_len"),
+          col("p1_num"), col("p1_den"), col("p2_num"), col("p2_den"))
+    },
+    Some(s"""WITH samp0 AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+            md5('graft-selfbleu-1:' || CAST(doc_id AS VARCHAR)) AS hx
+          FROM documents)
+        ORDER BY (${Sampling.hexFold("hx")}), doc_id LIMIT $SB_N),
+      samp AS MATERIALIZED (
+        SELECT doc_id, toks FROM (
+          SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM samp0)
+        WHERE len(toks) >= 2),
+      lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM samp),
+      uni AS (SELECT doc_id, CAST(1 AS BIGINT) AS n, unnest(toks) AS gram
+              FROM samp),
+      bi AS (
+        SELECT doc_id, CAST(2 AS BIGINT) AS n,
+          toks[CAST(u.i AS BIGINT) + 1] || ' ' ||
+            toks[CAST(u.i AS BIGINT) + 2] AS gram
+        FROM samp, unnest(range(0, len(toks) - 1)) u(i)),
+      cnt AS MATERIALIZED (
+        SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) GROUP BY 1, 2, 3),
+      clip AS (
+        SELECT c.doc_id, c.n, c.gram, c.c,
+          CAST(COALESCE(MAX(r.c), 0) AS BIGINT) AS mr
+        FROM cnt c LEFT JOIN cnt r
+          ON r.n = c.n AND r.gram = c.gram AND r.doc_id <> c.doc_id
+        GROUP BY 1, 2, 3, 4),
+      prec AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN n = 1 THEN LEAST(c, mr) ELSE 0 END) AS BIGINT) AS p1_num,
+          CAST(SUM(CASE WHEN n = 1 THEN c ELSE 0 END) AS BIGINT) AS p1_den,
+          CAST(SUM(CASE WHEN n = 2 THEN LEAST(c, mr) ELSE 0 END) AS BIGINT) AS p2_num,
+          CAST(SUM(CASE WHEN n = 2 THEN c ELSE 0 END) AS BIGINT) AS p2_den
+        FROM clip GROUP BY 1),
+      rl AS (
+        SELECT doc_id, c_len, r_len FROM (
+          SELECT a.doc_id, a.len AS c_len, b.len AS r_len,
+            ROW_NUMBER() OVER (PARTITION BY a.doc_id
+              ORDER BY ABS(b.len - a.len), b.len, b.doc_id) AS rn2
+          FROM lens a JOIN lens b ON a.doc_id <> b.doc_id)
+        WHERE rn2 = 1)
+      SELECT p.doc_id, r.c_len, r.r_len, p1_num, p1_den, p2_num, p2_den
+      FROM prec p JOIN rl r USING (doc_id)"""))
+
   val all: Seq[QueryDef] =
     Seq(qualityRepetition, entropyFilter, piiScrub, invertedIndex,
       sequencePack, dedupIncremental, dedupBloom, chunkDocuments,
       spanCorrupt, qualityClassifier, substringDedup, snapshotDiff,
-      snapshotDrift, kAnonymity)
+      snapshotDrift, kAnonymity, selfBleu)
 }

@@ -219,4 +219,51 @@ class CurationSpec extends SparkSpec {
     // so total PSI must be strictly positive.
     assert(rows.map(_._4).sum > 0, "derived snapshot should show drift")
   }
+
+  test("q_self_bleu matches a plain-Scala clipped-precision recompute") {
+    // Third derivation: rebuild the seeded sample, gram counts, clipping,
+    // and closest-reference lengths from the raw corpus.
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        md5(concat(lit("graft-selfbleu-1:"), col("doc_id").cast("string"))).as("hx"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def fold(hx: String): Long = (0 until 8).map { i =>
+      ("0123456789abcdef".indexOf(hx(i)).toLong) * (1L << (4 * (7 - i)))
+    }.sum
+    val samp = docs.sortBy { case (id, _, hx) => (fold(hx), id) }.take(16)
+      .map { case (id, t, _) => id -> t.split(' ').filter(_.nonEmpty).toSeq }
+      .filter(_._2.length >= 2)
+    def counts(toks: Seq[String], n: Int): Map[String, Long] =
+      toks.sliding(n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    val expect = samp.map { case (cid, ctoks) =>
+      val refs = samp.filter(_._1 != cid)
+      def pr(n: Int): (Long, Long) = {
+        val cc = counts(ctoks, n)
+        val rcs = refs.map(r => counts(r._2, n))
+        val num = cc.map { case (g, c) =>
+          math.min(c, rcs.map(_.getOrElse(g, 0L)).max) }.sum
+        (num, cc.values.sum)
+      }
+      val clen = ctoks.length.toLong
+      val (_, rlen) = refs
+        .map(r => (r._1, r._2.length.toLong))
+        .minBy { case (rid, rl) => (math.abs(rl - clen), rl, rid) }
+      val (p1n, p1d) = pr(1); val (p2n, p2d) = pr(2)
+      (cid, clen, rlen, p1n, p1d, p2n, p2d)
+    }.toSet
+    val got = SparkEntry.queries("q_self_bleu")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expect, s"self-bleu diverged: got ${got.size} want ${expect.size}")
+    // The components finish to a well-formed BLEU-2 in [0, 1]: clipped
+    // numerators never exceed denominators, and the brevity inputs are
+    // positive — the float score is the consumer's one exp away.
+    got.foreach { case (_, cl, rl, p1n, p1d, p2n, p2d) =>
+      assert(p1n <= p1d && p2n <= p2d && cl >= 2 && rl >= 2)
+      val bleu = math.exp(math.min(0.0, 1.0 - rl.toDouble / cl)) *
+        math.sqrt((p1n.toDouble / p1d) * (p2n.toDouble / p2d))
+      assert(bleu >= 0.0 && bleu <= 1.0)
+    }
+  }
 }

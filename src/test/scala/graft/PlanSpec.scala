@@ -183,6 +183,9 @@ class PlanSpec extends SparkSpec {
     // q_pca_power's cross is the 64-row direction relation x ONE
     // normalization-max row (the q22 scalar-broadcast shape); the corpus
     // passes are map-side folds against literal vectors, never joined.
+    // q_self_bleu's non-equi joins live on the BOUNDED 16-doc seeded
+    // sample (16x15 length pairs; the gram clip join is equi on
+    // (n, gram)) — the corpus contributes one TakeOrdered sample only.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
       "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank",
       "q_tfidf_keywords", "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report",
@@ -192,7 +195,7 @@ class PlanSpec extends SparkSpec {
       "q_jl_project", "q_tokenizer_fertility", "q_unigram_train",
       "q_repeat_allocation", "q_vocab_growth", "q_kneser_ney",
       "q_pmi_collocations", "q_pagerank", "q_textrank", "q_cluster_purity",
-      "q_calibration_ece", "q_mmr_rerank", "q_pca_power")
+      "q_calibration_ece", "q_mmr_rerank", "q_pca_power", "q_self_bleu")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
