@@ -1534,9 +1534,128 @@ object Dedup {
         SELECT l.node AS doc_id, l.label AS community, s.csize
         FROM l${GraphOps.LPA_ROUNDS} l JOIN sizes s USING (label)"""))
 
+  /** Banding-parameter tuner for the [[NUM_HASHES]]-hash MinHash family:
+    * for every power-of-two (bands, rows) split of the signature —
+    * including the production (8, 4) — estimate, from the OBSERVED
+    * pairwise Jaccard spectrum of a seeded bounded doc sample, the
+    * expected recall over true pairs (J ≥ 0.5, the family threshold) and
+    * the expected candidate mass (the verify-stage cost driver). The
+    * S-curve p = 1 − (1 − J^r)^b is evaluated by REPEATED SQUARING only
+    * (both r and b are powers of two), so the double arithmetic is a
+    * pinned multiply chain both engines execute identically (pow()'s
+    * ulp behavior is never invoked), then floor-e9 quantized per pair so
+    * the sums are exact integers. The design-time complement to
+    * [[dedupRecallCert]]: the cert certifies the CHOSEN banding's recall
+    * against exhaustive truth; this ranks the ALTERNATIVES a retune
+    * would consider, priced in expected candidates.
+    *
+    * Scale shape: one seeded-fold TakeOrderedAndProject over the corpus
+    * (the determinized-sample discipline), then all work lives on the
+    * bounded [[LSHT_N]]-doc sample: ~2k exact-Jaccard pairs × 4 combo
+    * relations — constant at any corpus scale. Sampling the spectrum is
+    * exactly how a 100 TB retune would estimate it. */
+  private val LSHT_N = 64
+  private val LSHT_COMBOS = Seq((2, 16), (4, 8), (8, 4), (16, 2))
+  private def sqChain(e: String, times: Int): String =
+    (1 to times).foldLeft(e)((acc, _) => s"(($acc) * ($acc))")
+  private def catchProbExpr(r: Int, b: Int): String = {
+    def log2(x: Int) = Integer.numberOfTrailingZeros(x)
+    val jr = sqChain("j", log2(r))
+    val qb = sqChain(s"(1.0 - $jr)", log2(b))
+    s"CAST(FLOOR((1.0 - $qb) * 1e9) AS BIGINT)"
+  }
+  private val lshTune = QueryDef(
+    "q_lsh_tune",
+    (s, d) => {
+      // Recall side: the EXACT true-pair spectrum (J >= 0.5 from the
+      // verified prefix-join discovery — the same certification-grain
+      // dependency q_dedup_recall_cert carries). j is floor-e6 quantized
+      // before re-widening so both engines feed the multiply chain the
+      // identical double.
+      val truth = verifiedPairs(s, d, 0.5)
+        .select((floor(col("j") * 1e6).cast("long").cast("double") / 1e6).as("j"))
+        .localCheckpoint()
+      // Candidate-cost side: the BACKGROUND spectrum of a seeded uniform
+      // doc sample — over the SAME similarity the banding hashes (the
+      // family's word-trigram shingle sets; unigram token-set Jaccard
+      // saturates on a small shared vocabulary and would price the wrong
+      // curve).
+      val samp = docs(s, d)
+        .withColumn("hx",
+          md5(concat(lit("graft-lshtune-1:"), col("doc_id").cast("string"))))
+        .withColumn("pri", expr(s"${Sampling.hexFold("hx")}"))
+        .orderBy(col("pri"), col("doc_id")).limit(LSHT_N)
+        .transform(withShingles)
+        .select(col("doc_id"), col("shingles").as("ts"))
+        .filter(size(col("ts")) >= 1)
+        .localCheckpoint()
+      val bg = samp.select(col("doc_id").as("a_id"), col("ts").as("ta"))
+        .join(samp.select(col("doc_id").as("b_id"), col("ts").as("tb")),
+          col("a_id") < col("b_id"))
+        .select(size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+          (size(col("ta")) + size(col("tb"))).cast("long").as("szsum"))
+        .select((col("inter").cast("double") /
+          (col("szsum") - col("inter")).cast("double")).as("j"))
+        .localCheckpoint()
+      def perCombo(src: DataFrame): DataFrame =
+        LSHT_COMBOS.map { case (b, r) =>
+          src.select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+            expr(catchProbExpr(r, b)).as("p_e9"))
+        }.reduce(_ union _)
+      val tagg = perCombo(truth).groupBy(col("bands"), col("rows_per_band"))
+        .agg(count(lit(1)).as("n_true"), sum(col("p_e9")).as("exp_caught_e9"))
+        .withColumn("recall_e6",
+          expr("(exp_caught_e9 div greatest(n_true, 1)) div 1000"))
+      val sagg = perCombo(bg).groupBy(col("bands"), col("rows_per_band"))
+        .agg(sum(col("p_e9")).as("bg_cands_e9"))
+      tagg.join(sagg, Seq("bands", "rows_per_band"))
+        .select(col("bands"), col("rows_per_band"), col("n_true"),
+          col("exp_caught_e9"), col("recall_e6"), col("bg_cands_e9"))
+    },
+    Some {
+      def per(src: String) = LSHT_COMBOS.map { case (b, r) =>
+        s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+          ${catchProbExpr(r, b)} AS p_e9 FROM $src"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${pairsCteSql("documents", 0.5)},
+        tj AS MATERIALIZED (
+          SELECT CAST(j_e6 AS DOUBLE) / 1e6 AS j FROM pairs),
+        samp0 AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+              md5('graft-lshtune-1:' || CAST(doc_id AS VARCHAR)) AS hx
+            FROM documents)
+          ORDER BY (${Sampling.hexFold("hx")}), doc_id LIMIT $LSHT_N),
+        samp AS MATERIALIZED (
+          SELECT doc_id, ts FROM (
+            SELECT doc_id,
+              list_distinct([array_to_string(toks[i:i+2], ' ')
+                for i in range(1, len(toks) - 1)]) AS ts
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM samp0))
+          WHERE len(ts) >= 1),
+        bg AS MATERIALIZED (
+          SELECT CAST(CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS DOUBLE) /
+            CAST(CAST(len(a.ts) + len(b.ts) AS BIGINT)
+              - CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS DOUBLE) AS j
+          FROM samp a JOIN samp b ON a.doc_id < b.doc_id),
+        pert AS (${per("tj")}),
+        persm AS (${per("bg")}),
+        tagg AS (
+          SELECT bands, rows_per_band, CAST(COUNT(*) AS BIGINT) AS n_true,
+            CAST(SUM(p_e9) AS BIGINT) AS exp_caught_e9,
+            (CAST(SUM(p_e9) AS BIGINT)
+              // GREATEST(CAST(COUNT(*) AS BIGINT), 1)) // 1000 AS recall_e6
+          FROM pert GROUP BY 1, 2),
+        sagg AS (
+          SELECT bands, rows_per_band, CAST(SUM(p_e9) AS BIGINT) AS bg_cands_e9
+          FROM persm GROUP BY 1, 2)
+        SELECT bands, rows_per_band, n_true, exp_caught_e9, recall_e6, bg_cands_e9
+        FROM tagg JOIN sagg USING (bands, rows_per_band)"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash,
       dedupRecallCert, dedupSimhash, dedupClusters, dedupReport, fuzzyJoin,
       dedupKeepBest, dedupCrossSource, dedupAuto, cdcDedup, winnow, pagerank,
-      triangles, kcore, labelProp)
+      triangles, kcore, labelProp, lshTune)
 }

@@ -1168,6 +1168,58 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall { case (_, d, ic, cd) => cd <= d && (!ic || cd >= 2) })
   }
 
+  test("q_lsh_tune matches a plain-Scala S-curve recompute and prices the tradeoff") {
+    // Recall side off the gated true-pair spectrum; candidate side off an
+    // independently rebuilt seeded shingle sample.
+    val js = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).collect()
+      .map(_.getLong(2).toDouble / 1e6)
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        md5(concat(lit("graft-lshtune-1:"), col("doc_id").cast("string"))).as("hx"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def fold(hx: String): Long = (0 until 8).map { i =>
+      ("0123456789abcdef".indexOf(hx(i)).toLong) * (1L << (4 * (7 - i)))
+    }.sum
+    val samp = docs.sortBy { case (id, _, hx) => (fold(hx), id) }.take(64)
+      .map { case (id, t, _) =>
+        val toks = t.split(' ')
+        id -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+    val bgJs = (for {
+      (a, ta) <- samp; (b, tb) <- samp if a < b
+    } yield {
+      val inter = ta.intersect(tb).size.toDouble
+      inter / (ta.size + tb.size - inter)
+    }).toSeq
+    // The same repeated-squaring chain, in plain Scala.
+    def p(j: Double, r: Int, b: Int): Long = {
+      def sq(x: Double, times: Int): Double = (1 to times).foldLeft(x)((a, _) => a * a)
+      val jr = sq(j, Integer.numberOfTrailingZeros(r))
+      val qb = sq(1.0 - jr, Integer.numberOfTrailingZeros(b))
+      math.floor((1.0 - qb) * 1e9).toLong
+    }
+    val expect = Seq((2, 16), (4, 8), (8, 4), (16, 2)).map { case (b, r) =>
+      val caught = js.map(p(_, r, b)).sum
+      (b.toLong, r.toLong, js.length.toLong, caught,
+        caught / math.max(js.length.toLong, 1L) / 1000L,
+        bgJs.map(p(_, r, b)).sum)
+    }.toSet
+    val got = SparkEntry.queries("q_lsh_tune")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expect, s"tuner diverged:\n got $got\nwant $expect")
+    // The S-curve tradeoff must be monotone at fixed signature length:
+    // more bands = higher expected recall AND higher background candidate
+    // mass — the tuner exists to price exactly this.
+    val byBands = got.toSeq.sortBy(_._1)
+    assert(byBands.zip(byBands.tail).forall { case (lo, hi) =>
+      lo._4 <= hi._4 && lo._6 <= hi._6 }, s"S-curve monotonicity violated: $byBands")
+    // The production banding (8, 4) must clear the family's certified
+    // recall floor on the observed spectrum.
+    assert(got.find(x => x._1 == 8 && x._2 == 4).get._5 >= 950000L,
+      "production banding under the recall contract on the observed spectrum")
+  }
+
   test("q_label_propagation matches a plain-Scala synchronous LPA recompute") {
     val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -186,6 +186,9 @@ class PlanSpec extends SparkSpec {
     // q_self_bleu's non-equi joins live on the BOUNDED 16-doc seeded
     // sample (16x15 length pairs; the gram clip join is equi on
     // (n, gram)) — the corpus contributes one TakeOrdered sample only.
+    // q_lsh_tune's non-equi self-join lives on the BOUNDED 64-doc seeded
+    // sample (~2k pairs, constant at any corpus scale); the true-pair
+    // side reuses the equi-keyed verified-pairs discovery.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
       "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank",
       "q_tfidf_keywords", "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report",
@@ -195,7 +198,8 @@ class PlanSpec extends SparkSpec {
       "q_jl_project", "q_tokenizer_fertility", "q_unigram_train",
       "q_repeat_allocation", "q_vocab_growth", "q_kneser_ney",
       "q_pmi_collocations", "q_pagerank", "q_textrank", "q_cluster_purity",
-      "q_calibration_ece", "q_mmr_rerank", "q_pca_power", "q_self_bleu")
+      "q_calibration_ece", "q_mmr_rerank", "q_pca_power", "q_self_bleu",
+      "q_lsh_tune")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
