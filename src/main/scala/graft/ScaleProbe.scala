@@ -232,7 +232,12 @@ object ScaleProbe {
     // quantized matrix + 64-row dim aggregates — linear scan wall, ~zero
     // shuffle, corpus-size-independent round structure.
     "q_label_propagation", "q_calibration_ece", "q_mmr_rerank",
-    "q_pca_power")
+    "q_pca_power",
+    // self_bleu: one seeded TakeOrdered over the corpus, then a constant
+    // 16-doc metric — expect the mmr law (near-flat); lsh_tune: the
+    // verified-pairs discovery dominates its recall side (the
+    // pagerank/ngram law), the sampled background side is constant.
+    "q_self_bleu", "q_lsh_tune")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))

@@ -1564,6 +1564,76 @@ object Dedup {
     val qb = sqChain(s"(1.0 - $jr)", log2(b))
     s"CAST(FLOOR((1.0 - $qb) * 1e9) AS BIGINT)"
   }
+  /** Sorted-neighborhood dedup (Hernández & Stolfo 1995): the THIRD
+    * classic blocking family next to the prefix-filter join
+    * ([[verifiedPairs]]) and MinHash banding ([[minhashPairs]]) — sort
+    * the corpus by a cheap collocating key (here document length, the
+    * original paper's shape) and verify exact Jaccard only within a
+    * sliding window of [[SN_W]] neighbors in that order. Candidate mass
+    * is EXACTLY N·W by construction — the only blocking strategy whose
+    * cost is corpus-linear independent of content skew (banding's dense
+    * buckets, prefix-filtering's hot shingles), at the price of
+    * key-quality-dependent recall: only pairs the sort key collocates are
+    * visible. The registry's routing story gains a third regime escape:
+    * when even sharded banding saturates, SN gives a hard O(N·W) floor.
+    *
+    * Scale shape: the global order is computed WITHOUT a global sort —
+    * the repo's two-phase bucketed rank (bucket = n_chars div 64: a
+    * driver-scale cumulative over bucket counts + an in-bucket
+    * row_number PARTITIONED by bucket), then the W neighbor candidates
+    * come from an explode + rank-keyed EQUI join, and verification
+    * fetches shingle sets by doc id. Nothing ever passes through a
+    * single-partition corpus-grain window. */
+  private val SN_W = 8
+  private val sortedNeighborhood = QueryDef(
+    "q_dedup_sorted_neighborhood",
+    (s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("n_chars"))
+        .withColumn("bkt", expr("n_chars div 64"))
+      val off = base.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("bkt"), col("off"))
+      val ranked = base.join(broadcast(off), Seq("bkt"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("bkt"))
+          .orderBy(col("n_chars"), col("doc_id"))))
+        .select(col("doc_id"), (col("off") + col("rn")).cast("long").as("rk"))
+      val cands = ranked
+        .select(col("doc_id").as("a_id"), col("rk"),
+          explode(expr(s"sequence(1, $SN_W)")).as("k"))
+        .withColumn("rk2", col("rk") + col("k"))
+        .join(ranked.select(col("doc_id").as("b_id"), col("rk").as("rkb")),
+          col("rk2") === col("rkb"))
+        .select(col("a_id"), col("b_id"))
+      val sh = materializedShingles(s, d)
+      cands
+        .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), Seq("a_id"))
+        .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), Seq("b_id"))
+        .withColumn("j", call_function("graft_jaccard", col("sa"), col("sb")))
+        .filter(col("j") >= 0.5)
+        .select(least(col("a_id"), col("b_id")).as("a_id"),
+          greatest(col("a_id"), col("b_id")).as("b_id"),
+          floor(col("j") * 1e6).as("j_e6"))
+    },
+    Some(s"""WITH ${shingleCteSql("documents")},
+      rk AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk
+        FROM documents),
+      cand AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM rk a JOIN rk b ON b.rk - a.rk BETWEEN 1 AND $SN_W),
+      jv AS (
+        SELECT c.a_id, c.b_id,
+          len(list_intersect(x.shingles, y.shingles))::DOUBLE /
+            nullif(x.n + y.n - len(list_intersect(x.shingles, y.shingles)), 0)
+            AS jf
+        FROM cand c JOIN sized x ON x.doc_id = c.a_id
+          JOIN sized y ON y.doc_id = c.b_id)
+      SELECT LEAST(a_id, b_id) AS a_id, GREATEST(a_id, b_id) AS b_id,
+        CAST(FLOOR(jf * 1e6) AS BIGINT) AS j_e6
+      FROM jv WHERE jf >= 0.5"""))
+
   private val lshTune = QueryDef(
     "q_lsh_tune",
     (s, d) => {
@@ -1657,5 +1727,5 @@ object Dedup {
     Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash,
       dedupRecallCert, dedupSimhash, dedupClusters, dedupReport, fuzzyJoin,
       dedupKeepBest, dedupCrossSource, dedupAuto, cdcDedup, winnow, pagerank,
-      triangles, kcore, labelProp, lshTune)
+      triangles, kcore, labelProp, lshTune, sortedNeighborhood)
 }

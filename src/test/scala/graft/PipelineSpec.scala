@@ -1168,6 +1168,37 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall { case (_, d, ic, cd) => cd <= d && (!ic || cd >= 2) })
   }
 
+  test("q_dedup_sorted_neighborhood matches plain Scala and stays inside truth") {
+    // Third derivation: sort by (n_chars, doc_id), window W=8, exact
+    // Jaccard on trigram shingle sets.
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val sh = docs.map { case (id, t, _) =>
+      id -> t.split(' ').sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val order = docs.sortBy { case (id, _, n) => (n, id) }.map(_._1)
+    val expect = (for {
+      i <- order.indices; k <- 1 to 8 if i + k < order.length
+      (a, b) = (order(i), order(i + k))
+      (sa, sb) = (sh(a), sh(b)) if sa.nonEmpty && sb.nonEmpty
+      inter = sa.intersect(sb).size.toDouble
+      j = inter / (sa.size + sb.size - inter) if j >= 0.5
+    } yield (math.min(a, b), math.max(a, b), math.floor(j * 1e6).toLong)).toSet
+    val got = SparkEntry.queries("q_dedup_sorted_neighborhood")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"SN diverged: got ${got.size} want ${expect.size}")
+    // Exact verification means SN can never emit a pair outside the
+    // exhaustive truth — its recall is key-limited, its precision is not.
+    val truth = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(p => (p._1, p._2)).subsetOf(truth),
+      "sorted-neighborhood produced a pair the exhaustive truth lacks")
+    // The candidate bound the strategy exists for: at most N*W pairs were
+    // ever eligible, so output cannot exceed it either.
+    assert(got.size <= docs.length * 8)
+  }
+
   test("q_lsh_tune matches a plain-Scala S-curve recompute and prices the tradeoff") {
     // Recall side off the gated true-pair spectrum; candidate side off an
     // independently rebuilt seeded shingle sample.
