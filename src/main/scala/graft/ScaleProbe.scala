@@ -237,7 +237,11 @@ object ScaleProbe {
     // 16-doc metric — expect the mmr law (near-flat); lsh_tune: the
     // verified-pairs discovery dominates its recall side (the
     // pagerank/ngram law), the sampled background side is constant.
-    "q_self_bleu", "q_lsh_tune")
+    "q_self_bleu", "q_lsh_tune",
+    // sorted-neighborhood: candidate mass is N*W by construction — expect
+    // linear wall, shuffle linear in N (rank pairs + shingle fetch),
+    // immune to the dense-bucket regimes banding hits.
+    "q_dedup_sorted_neighborhood")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))

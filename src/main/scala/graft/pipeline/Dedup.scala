@@ -1564,6 +1564,87 @@ object Dedup {
     val qb = sqChain(s"(1.0 - $jr)", log2(b))
     s"CAST(FLOOR((1.0 - $qb) * 1e9) AS BIGINT)"
   }
+  /** Connected components by alternating large-star/small-star (Kiveris
+    * et al. 2014 "Connected Components in MapReduce and Beyond") — the
+    * at-scale ALTERNATIVE to [[clusterLabels]]' hash-to-min propagation.
+    * Hash-to-min converges fast but its per-round shuffle carries every
+    * node's full current neighbor set (growing with component size);
+    * LS/SS moves exactly one (node, long) pair per adjacency entry per
+    * round and provably converges in O(log n) alternations with
+    * monotonically SHRINKING edge mass — the variant a 100 TB dup graph
+    * with large components wants. Both steps are pinned deterministically
+    * here: LS connects every strictly-larger neighbor of v to
+    * m = min(Γ(v) ∪ {v}); SS orients each edge (hi, lo) and connects
+    * every lo (≠ m) plus hi itself to m = min(lo's). The OUTPUT is the
+    * edge set after [[CC_CYCLES]] (LS, SS) alternations — implementation-
+    * pinned like the k-core round-8 state, oracle-replayed round by
+    * round — which at the gate corpus's component diameters has provably
+    * converged to (member, root) stars: the spec derives labels from it
+    * and asserts equality with q_dedup_clusters' components, plus
+    * fixpoint stability under one more alternation.
+    *
+    * Scale shape: pair discovery (checkpointed once) dominates, as for
+    * the whole graph family; each LS/SS step is one node-keyed min
+    * aggregate plus one equi join, all on (long, long) rows, per-step
+    * localCheckpoint. */
+  private val CC_CYCLES = 3
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("a").as("v"), col("b").as("u"))
+      .union(e.select(col("b").as("v"), col("a").as("u")))
+    val m = sym.groupBy(col("v")).agg(min(col("u")).as("mu"))
+      .select(col("v"), least(col("mu"), col("v")).as("m"))
+    sym.join(m, Seq("v")).filter(col("u") > col("v"))
+      .select(col("u").as("a"), col("m").as("b")).distinct()
+  }
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("a"), col("b")).as("hi"),
+      least(col("a"), col("b")).as("lo"))
+    val m = or.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+    or.join(m, Seq("hi")).filter(col("lo") =!= col("m"))
+      .select(col("lo").as("a"), col("m").as("b"))
+      .union(m.select(col("hi").as("a"), col("m").as("b")))
+      .distinct()
+  }
+  /** The (LS, SS)-alternated edge set, exposed for the spec layer. */
+  private[graft] def ccStarsEdges(s: SparkSession, d: String): DataFrame = {
+    var e = verifiedPairs(s, d, 0.5)
+      .select(col("a_id").as("a"), col("b_id").as("b")).localCheckpoint()
+    for (_ <- 1 to CC_CYCLES) {
+      e = largeStar(e).localCheckpoint()
+      e = smallStar(e).localCheckpoint()
+    }
+    e
+  }
+  private val ccStars = QueryDef(
+    "q_cc_stars",
+    (s, d) => ccStarsEdges(s, d)
+      .select(least(col("a"), col("b")).as("a_id"),
+        greatest(col("a"), col("b")).as("b_id"))
+      .distinct(),
+    Some {
+      val rounds = (1 to CC_CYCLES).map { k =>
+        val prev = if (k == 1) "e0" else s"e${k - 1}"
+        s"""s${k}a AS (SELECT a AS v, b AS u FROM $prev
+             UNION ALL SELECT b AS v, a AS u FROM $prev),
+        m${k}a AS (SELECT v, LEAST(MIN(u), v) AS m FROM s${k}a GROUP BY v),
+        e${k}ls AS MATERIALIZED (
+          SELECT DISTINCT s.u AS a, m.m AS b
+          FROM s${k}a s JOIN m${k}a m USING (v) WHERE s.u > s.v),
+        s${k}b AS (SELECT GREATEST(a, b) AS hi, LEAST(a, b) AS lo FROM e${k}ls),
+        m${k}b AS (SELECT hi, MIN(lo) AS m FROM s${k}b GROUP BY hi),
+        e$k AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT s.lo AS a, m.m AS b FROM s${k}b s JOIN m${k}b m USING (hi)
+            WHERE s.lo <> m.m
+            UNION ALL SELECT hi AS a, m AS b FROM m${k}b))"""
+      }.mkString(",\n")
+      s"""WITH ${pairsCteSql("documents", 0.5)},
+        e0 AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM pairs),
+        $rounds
+        SELECT DISTINCT LEAST(a, b) AS a_id, GREATEST(a, b) AS b_id
+        FROM e$CC_CYCLES"""
+    })
+
   /** Sorted-neighborhood dedup (Hernández & Stolfo 1995): the THIRD
     * classic blocking family next to the prefix-filter join
     * ([[verifiedPairs]]) and MinHash banding ([[minhashPairs]]) — sort
@@ -1727,5 +1808,5 @@ object Dedup {
     Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash,
       dedupRecallCert, dedupSimhash, dedupClusters, dedupReport, fuzzyJoin,
       dedupKeepBest, dedupCrossSource, dedupAuto, cdcDedup, winnow, pagerank,
-      triangles, kcore, labelProp, lshTune, sortedNeighborhood)
+      triangles, kcore, labelProp, lshTune, sortedNeighborhood, ccStars)
 }

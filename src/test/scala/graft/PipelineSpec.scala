@@ -1168,6 +1168,42 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall { case (_, d, ic, cd) => cd <= d && (!ic || cd >= 2) })
   }
 
+  test("q_cc_stars replays in plain Scala, converges, and equals components") {
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Plain-Scala LS/SS replay with the same pinned rules.
+    def largeStar(e: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val sym = e.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val m = sym.groupBy(_._1).map { case (v, xs) =>
+        v -> math.min(xs.map(_._2).min, v) }
+      sym.collect { case (v, u) if u > v => (u, m(v)) }.toSet
+    }
+    def smallStar(e: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val or = e.toSeq.map { case (a, b) => (math.max(a, b), math.min(a, b)) }
+      val m = or.groupBy(_._1).map { case (hi, xs) => hi -> xs.map(_._2).min }
+      (or.collect { case (hi, lo) if lo != m(hi) => (lo, m(hi)) } ++
+        m.toSeq.map { case (hi, mm) => (hi, mm) }).toSet
+    }
+    var e: Set[(Long, Long)] = pairs
+    for (_ <- 1 to 3) { e = smallStar(largeStar(e)) }
+    val expect = e.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val got = SparkEntry.queries("q_cc_stars")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"LS/SS diverged: got ${got.size} want ${expect.size}")
+    // Fixpoint on this corpus: one more alternation changes nothing.
+    assert(smallStar(largeStar(e)).map(p =>
+      (math.min(p._1, p._2), math.max(p._1, p._2))) == expect,
+      "gate corpus did not converge in 3 cycles")
+    // Converged stars ARE the components: member -> root plus root -> root
+    // must equal the gated hash-to-min labels.
+    val labels = got.map { case (root, member) => (member, root) } ++
+      got.map(_._1).map(r => (r, r))
+    val clusters = SparkEntry.queries("q_dedup_clusters")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels == clusters,
+      s"LS/SS labels diverge from components: ${labels.size} vs ${clusters.size}")
+  }
+
   test("q_dedup_sorted_neighborhood matches plain Scala and stays inside truth") {
     // Third derivation: sort by (n_chars, doc_id), window W=8, exact
     // Jaccard on trigram shingle sets.
