@@ -241,7 +241,12 @@ object ScaleProbe {
     // sorted-neighborhood: candidate mass is N*W by construction — expect
     // linear wall, shuffle linear in N (rank pairs + shingle fetch),
     // immune to the dense-bucket regimes banding hits.
-    "q_dedup_sorted_neighborhood")
+    "q_dedup_sorted_neighborhood",
+    // LS/SS components vs hash-to-min (q_dedup_clusters probes the
+    // uncached propagation above): both pay the same pair discovery;
+    // the A/B isolates the round structure — LS/SS rounds move one
+    // (long, long) row per adjacency entry with shrinking edge mass.
+    "q_cc_stars")
 
   def main(args: Array[String]): Unit = {
     val (srcDir, workDir) = (args(0), args(1))
