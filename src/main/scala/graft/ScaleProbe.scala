@@ -427,9 +427,17 @@ object ScaleProbe {
         // the one verified-pair discovery (the ngram 100x law); the
         // marginal claims are (id, long)-only round traffic (pagerank,
         // kcore) and wedge-bounded closes (triangles).
-        "q_pagerank_banded")
+        "q_pagerank_banded",
+        // r11 third session: sorted-neighborhood's claim is the strong one
+        // at the third decade — its N*W candidate bound must survive the
+        // 500k-doc corpus where the exact prefix-join discovery dies
+        // (the measured wall in item 43) and banding needs shard routing.
+        "q_dedup_sorted_neighborhood")
       val decaSim = Seq("q_dedup_embedding", "q_dedup_semantic_adaptive_k",
-        "q_ann_ivf", "q_hybrid_retrieval", "q_hard_negatives")
+        "q_ann_ivf", "q_hybrid_retrieval", "q_hard_negatives",
+        // pca_power at 200k vecs: the 16 map passes leave probe-overhead
+        // grain and must show the linear scan law with flat shuffle.
+        "q_pca_power")
       // asof + funnel carry the event family's scale claims; 100x = 2M
       // users (~133M events), generated distributed (the generator is
       // pure Spark expressions, so the third decade costs no driver
