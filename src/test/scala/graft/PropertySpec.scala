@@ -391,6 +391,36 @@ class SkewSpec extends SparkSpec {
       s"saturated semantic must recommend adaptive-k: $sem")
   }
 
+  test("sorted-neighborhood candidates stay N*W on the fully saturated corpus") {
+    // The corpus where every content-keyed blocking strategy degenerates:
+    // n identical docs put ALL pairs in one bucket (exhaustive/banded
+    // candidate mass = C(n,2) ~ n²/2). Sorted-neighborhood's candidate
+    // set is rank-adjacency — exactly min(W, n-1-i) pairs per rank i,
+    // content-independent — so its output here must be exactly that
+    // bounded set, every pair at J = 1.0. This is the third regime
+    // escape the grid registry's story names: a hard O(N*W) floor no
+    // content regime can inflate.
+    val dir = java.nio.file.Files.createTempDirectory("graft-snsat").toFile
+    dir.deleteOnExit()
+    val n = 300
+    val text = "the quick brown fox jumps over the lazy dog"
+    spark.range(1, n + 1)
+      .select(col("id").as("doc_id"), lit(text).as("text"), lit("en").as("lang"),
+        lit("hot").as("source"), lit(text.length.toLong).as("n_chars"))
+      .coalesce(1)
+      .write.parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val rows = SparkEntry.queries("q_dedup_sorted_neighborhood")(
+      spark, dir.getAbsolutePath).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Identical lengths: rank order == doc_id order; window W=8.
+    val expect = (for {
+      i <- 1 to n; k <- 1 to 8 if i + k <= n
+    } yield (i.toLong, (i + k).toLong, 1000000L)).toSet
+    assert(rows.toSet == expect,
+      s"saturated-corpus SN diverged: got ${rows.length}, want ${expect.size}")
+    assert(rows.length <= n * 8, "candidate bound violated")
+  }
+
   test("q_dedup_auto routes on the saturated decision and keeps the answer") {
     import graft.pipeline.Dedup
     val metric = Dedup.GRID_METRIC_PREFIX + "simhash"
