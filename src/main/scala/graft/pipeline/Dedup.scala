@@ -1669,8 +1669,14 @@ object Dedup {
   private val sortedNeighborhood = QueryDef(
     "q_dedup_sorted_neighborhood",
     (s, d) => {
+      // Bucket at EXACT length: the offsets relation is #distinct lengths
+      // (driver-scale at any corpus size) and the in-bucket window's hot
+      // partition shrinks from a 64-char length band to identical-length
+      // mass — the first 100x probe's 21.5 s straggler was one hot band's
+      // sort. Checkpointed: the rank relation feeds both sides of the
+      // window join and would otherwise recompute its exchange twice.
       val base = docs(s, d).select(col("doc_id"), col("n_chars"))
-        .withColumn("bkt", expr("n_chars div 64"))
+        .withColumn("bkt", col("n_chars"))
       val off = base.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
         .withColumn("off", coalesce(sum(col("cnt")).over(
           Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
@@ -1680,6 +1686,7 @@ object Dedup {
         .withColumn("rn", row_number().over(Window.partitionBy(col("bkt"))
           .orderBy(col("n_chars"), col("doc_id"))))
         .select(col("doc_id"), (col("off") + col("rn")).cast("long").as("rk"))
+        .localCheckpoint()
       val cands = ranked
         .select(col("doc_id").as("a_id"), col("rk"),
           explode(expr(s"sequence(1, $SN_W)")).as("k"))
