@@ -101,6 +101,16 @@ object ScaleProbe {
             pairs.union(pairs.select(col("b_id"), col("a_id"))))
           .select(col("node").as("doc_id"), col("deg"), col("pr").as("pr_e9"))
       }),
+      // The same routed edge source under the COMMUNITY grain: LPA's mode
+      // rounds over recall-certified banded pairs — the 100 TB path for
+      // q_label_propagation, as q_pagerank_banded is for q_pagerank.
+      "q_lpa_banded" -> ((s, dir) => {
+        val pairs = pipeline.Dedup.minhashPairsSharded(s, dir)
+          .select(col("a_id"), col("b_id")).localCheckpoint()
+        pipeline.GraphOps.labelPropagation(
+            pairs.union(pairs.select(col("b_id"), col("a_id"))))
+          .select(col("node").as("doc_id"), col("label").as("community"))
+      }),
       "q_asof_chunked_6h" -> ((s, dir) =>
         operators.EventOps.asofChunkedPlan(s, dir, 6L * 3600 * 1000 * 1000 * 1000)),
       "q_sessionize_chunked_6h" -> ((s, dir) =>
@@ -221,7 +231,7 @@ object ScaleProbe {
     // the banded-edge pagerank (probe-only builder): same rounds, edge
     // discovery swapped to minhash banding — the 100 TB path; expect the
     // minhash law instead of the ngram law.
-    "q_pagerank_banded",
+    "q_pagerank_banded", "q_lpa_banded",
     // Seventh r11 batch. label_propagation pays the pagerank pair
     // discovery + 4 mode rounds of (id, id, count) triples — expect the
     // pagerank law (shuffle == pair discovery); calibration_ece rides the

@@ -1286,6 +1286,45 @@ object Similarity {
         CAST(SUM(s_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_s_e6
       FROM sil GROUP BY 1"""))
 
+  /** Embedding anomaly detection off the shared coarse quantizer: the
+    * [[SEM_OUT_K]] vectors LEAST explained by any cell — lowest cosine to
+    * their own (assigned) centroid — which in a curation pass are the
+    * corrupt / out-of-domain / mislabeled embedding candidates a human
+    * reviews before they poison ANN neighborhoods and SemDeDup cells.
+    * The per-POINT complement to [[silhouette]]'s per-cell geometry and
+    * [[clusterPurity]]'s per-cell semantics.
+    *
+    * Scale shape: the same ONE map-side pass against the literal centroid
+    * tensor every quantizer consumer shares (train-once, content-keyed),
+    * then a bounded TakeOrderedAndProject under the pinned
+    * (cos_e6 ASC, vec_id) total order — no N×K exchange, no window, no
+    * corpus-grain shuffle at any size. */
+  private val SEM_OUT_K = 20
+  private val semanticOutliers = QueryDef(
+    "q_semantic_outliers",
+    (s, d) => {
+      val cents = semCentroids(s, d, IVF_K)
+      val idArr = array(cents.map { case (id, _) => lit(id) }: _*)
+      val cosArr = array(cents.map { case (_, cv) => cosine(col("qv"), lit(cv)) }: _*)
+      semQuantized(s, d)
+        .withColumn("csa", cosArr)
+        .withColumn("cs1", array_max(col("csa")))
+        .withColumn("pos", array_position(col("csa"), col("cs1")))
+        .withColumn("cl", element_at(idArr, col("pos").cast("int")).cast("long"))
+        .select(col("vec_id"), col("cl"),
+          floor(col("cs1") * 1e6).cast("long").as("cos_e6"))
+        .orderBy(col("cos_e6").asc, col("vec_id")).limit(SEM_OUT_K)
+    },
+    Some(semKmeansCtes(IVF_K.toString) + s""",
+      rnk AS (
+        SELECT vec_id, cl, cos,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) rn
+        FROM p3)
+      SELECT vec_id, CAST(cl AS BIGINT) AS cl,
+        CAST(FLOOR(cos * 1e6) AS BIGINT) AS cos_e6
+      FROM rnk WHERE rn = 1
+      ORDER BY cos_e6, vec_id LIMIT $SEM_OUT_K"""))
+
   /** External clustering validation of the shared coarse quantizer:
     * purity and NMI of the k-means cells against the corpus's ground-truth
     * `label` column — the EXTERNAL complement to [[silhouette]]'s internal
@@ -1469,5 +1508,6 @@ object Similarity {
   val all: Seq[QueryDef] =
     Seq(annBrute, annLsh, annIvf, dedupEmbedding, annIncremental,
       dedupSemantic, dedupSemanticAdaptive, hybridRetrieval, hardNegatives,
-      retrievalEval, annIvfPq, silhouette, clusterPurity, mmrRerank)
+      retrievalEval, annIvfPq, silhouette, clusterPurity, mmrRerank,
+      semanticOutliers)
 }

@@ -1428,6 +1428,46 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall { case (_, _, p) => p >= base && p <= 1000000000L })
   }
 
+  test("q_semantic_outliers is the exact bottom-k of own-centroid cosine") {
+    // Reuse the silhouette recompute discipline: requantize, rerun the 2
+    // Lloyd rounds, then take the bottom-20 by (floor-e6 cosine, vec_id).
+    val vecs = Tables.t(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(x => math.floor(x.toDouble * 1e4)).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    var cents: Seq[(Int, Array[Double])] =
+      vecs.take(pipeline.Similarity.IVF_K).map { case (id, v) => (id.toInt, v) }.toSeq
+    def assign(v: Array[Double]): Int = {
+      var best = 0; var i = 1
+      val cs = cents.map(c => cos(v, c._2))
+      while (i < cs.length) { if (cs(i) > cs(best)) best = i; i += 1 }
+      best
+    }
+    for (_ <- 1 to 2) {
+      val sums = collection.mutable.Map[Int, Array[Double]]()
+      for ((_, v) <- vecs) {
+        val s = sums.getOrElseUpdate(cents(assign(v))._1, new Array[Double](v.length))
+        var i = 0; while (i < v.length) { s(i) += v(i); i += 1 }
+      }
+      cents = sums.toSeq.sortBy(_._1)
+    }
+    val expect = vecs.map { case (id, v) =>
+      val bi = assign(v)
+      (id, cents(bi)._1.toLong, math.floor(cos(v, cents(bi)._2) * 1e6).toLong)
+    }.sortBy { case (id, _, c) => (c, id) }.take(20)
+    val got = SparkEntry.queries("q_semantic_outliers")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(x => (x._3, x._1)).toSeq == expect.toSeq,
+      s"outliers diverged:\n got ${got.mkString(",")}\nwant ${expect.mkString(",")}")
+  }
+
   test("q_silhouette matches a plain-Scala quantized k-means recompute") {
     // Third derivation: requantize, rerun the 2 Lloyd rounds from the K
     // lowest vec_ids, then recompute the simplified silhouette per cell.
