@@ -248,6 +248,10 @@ object ScaleProbe {
     // verified-pairs discovery dominates its recall side (the
     // pagerank/ngram law), the sampled background side is constant.
     "q_self_bleu", "q_lsh_tune",
+    // semantic_outliers rides the shared quantizer's map-side tensor pass
+    // (train-once, warmed with ivf) + a bounded TakeOrdered — expect the
+    // silhouette law (near-flat, ~zero shuffle).
+    "q_semantic_outliers",
     // sorted-neighborhood: candidate mass is N*W by construction — expect
     // linear wall, shuffle linear in N (rank pairs + shingle fetch),
     // immune to the dense-bucket regimes banding hits.
