@@ -76,10 +76,14 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_winnow_fingerprint",    // deep interpreted-HOF window selection (slice/
                                // reverse/array_position) evaluated on remote
                                // executors; fp-keyed exchange between JVMs (r11)
-    "q_pca_power")             // 16 literal-vector fold passes over a
+    "q_pca_power",             // 16 literal-vector fold passes over a
                                // checkpointed matrix held in REMOTE JVMs; 8
                                // data-dependent replans from 65-value pulls
                                // must stay bit-exact across executors (r11)
+    "q_cc_stars")              // 6 LS/SS alternations, each replanned
+                               // against the previous round's checkpoint
+                               // blocks in REMOTE JVMs; min-aggregates and
+                               // DISTINCT must agree across executors (r11)
 
   /** Engine-order-free canonical form: every output in the slice is a
     * deterministic (oracle-hashed) result, so sorted Row renderings are an
