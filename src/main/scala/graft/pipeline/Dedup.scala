@@ -1564,6 +1564,38 @@ object Dedup {
     val qb = sqChain(s"(1.0 - $jr)", log2(b))
     s"CAST(FLOOR((1.0 - $qb) * 1e9) AS BIGINT)"
   }
+  /** Convergence certificate for [[pagerank]]'s plan-constant 8-round
+    * budget: the ∞-norm residual between rounds 7 and 8 and the count of
+    * nodes still moving, as HASH-GATED numbers (the sketch-certification
+    * pattern applied to the fixed-point claim "8 rounds bound the
+    * residual below the e9 quantum on near-dup-family graphs" — which
+    * q_pagerank's scaladoc asserts and this query measures). Same
+    * recurrence, same edge source; output is one row of exact integers.
+    *
+    * Scale shape: identical to q_pagerank plus one co-partitioned
+    * node-keyed join of the last two round states and a 1-row rollup. */
+  private val pagerankResidual = QueryDef(
+    "q_pagerank_residual",
+    (s, d) => {
+      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+        .localCheckpoint()
+      GraphOps.integerPagerankResidual(
+          pairs.union(pairs.select(col("b_id"), col("a_id"))))
+        .agg(count(lit(1)).as("n_nodes"),
+          max(abs(col("pr8") - col("pr7"))).as("max_resid"),
+          sum(when(col("pr8") =!= col("pr7"), 1L).otherwise(0L)).as("n_moving"))
+    },
+    Some(s"""WITH ${pairsCteSql("documents", 0.5)},
+        e AS MATERIALIZED (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+        ${GraphOps.pagerankCtesSql}
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          CAST(MAX(ABS(a.pr - b.pr)) AS BIGINT) AS max_resid,
+          CAST(SUM(CASE WHEN a.pr <> b.pr THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_moving
+        FROM r8 a JOIN r7 b USING (node)"""))
+
   /** Connected components by alternating large-star/small-star (Kiveris
     * et al. 2014 "Connected Components in MapReduce and Beyond") — the
     * at-scale ALTERNATIVE to [[clusterLabels]]' hash-to-min propagation.
@@ -1815,5 +1847,6 @@ object Dedup {
     Seq(dedupExact, dedupNgram, dedupContainment, dedupMinhash,
       dedupRecallCert, dedupSimhash, dedupClusters, dedupReport, fuzzyJoin,
       dedupKeepBest, dedupCrossSource, dedupAuto, cdcDedup, winnow, pagerank,
-      triangles, kcore, labelProp, lshTune, sortedNeighborhood, ccStars)
+      triangles, kcore, labelProp, lshTune, sortedNeighborhood, ccStars,
+      pagerankResidual)
 }

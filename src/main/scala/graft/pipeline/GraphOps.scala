@@ -69,6 +69,36 @@ object GraphOps {
       $iters"""
   }
 
+  /** [[integerPagerank]]'s last two rounds side by side — the convergence
+    * witness: consumers certify that the plan-constant 8-round budget has
+    * actually quieted the walk (max |pr8 − pr7| and how many nodes still
+    * moved). Same recurrence, same per-round checkpoints. */
+  def integerPagerankResidual(edges0: DataFrame): DataFrame = {
+    val edges = edges0.toDF("src", "dst").localCheckpoint()
+    val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), col("deg"),
+        expr("(15 * (1000000000 div n)) div 100").as("base"),
+        expr("1000000000 div n").as("pr"))
+      .localCheckpoint()
+    var prev = ranks
+    for (_ <- 1 to 8) {
+      prev = ranks
+      val contrib = edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = ranks.select(col("node"), col("deg"), col("base"))
+        .join(contrib, col("node") === col("dst"), "left_outer")
+        .select(col("node"), col("deg"), col("base"),
+          (col("base") + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("pr").as("pr8"))
+      .join(prev.select(col("node"), col("pr").as("pr7")), Seq("node"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007), determinized:
     * l0(v) = v; each round every node adopts the MODE of its neighbors'
     * previous-round labels under the pinned (count desc, label asc) total

@@ -1168,6 +1168,33 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall { case (_, d, ic, cd) => cd <= d && (!ic || cd >= 2) })
   }
 
+  test("q_pagerank_residual matches plain Scala and certifies convergence") {
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edges = pairs.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val n = deg.size.toLong
+    val base = (15L * (1000000000L / n)) / 100L
+    var pr: Map[Long, Long] = deg.keys.map(_ -> 1000000000L / n).toMap
+    var prev = pr
+    for (_ <- 1 to 8) {
+      prev = pr
+      val inflow = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / deg(u) }.sum }
+      pr = deg.keys.map(k =>
+        k -> (base + 85L * inflow.getOrElse(k, 0L) / 100L)).toMap
+    }
+    val maxResid = deg.keys.map(k => math.abs(pr(k) - prev(k))).max
+    val nMoving = deg.keys.count(k => pr(k) != prev(k)).toLong
+    val row = SparkEntry.queries("q_pagerank_residual")(spark, sfDir).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      (n, maxResid, nMoving), s"residual diverged: $row vs ($n, $maxResid, $nMoving)")
+    // The q_pagerank scaladoc's claim, now measured: on near-dup-family
+    // graphs the 8-round budget quiets the walk to the e9 quantum.
+    assert(row.getLong(1) == 0L && row.getLong(2) == 0L,
+      s"8 rounds did not converge on the gate corpus: $row")
+  }
+
   test("q_cc_stars replays in plain Scala, converges, and equals components") {
     val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
