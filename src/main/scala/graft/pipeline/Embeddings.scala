@@ -263,80 +263,196 @@ object Embeddings {
   private val PCA_WSCALE = 100000L
   private val PCA_VSCALE = 1000000L
   private val PCA_ROUNDS = 8
+
+  /** The e4-quantized row matrix, checkpointed once per query. */
+  private def pcaX(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "embeddings")
+      .filter(!exists(col("embedding"), x => isnan(x)))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $PCA_Q) AS BIGINT))")
+        .as("xq"))
+      .localCheckpoint()
+
+  /** One y = Xᵀ(Xv) pass against a literal direction (two map stages +
+    * a 64-row dim aggregate; the wp normalization max is the one driver
+    * pull inside). */
+  private def pcaYOf(X: DataFrame, vec: Array[Long]): DataFrame = {
+    val dotLit = expr(
+      s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+          (acc, i) -> acc + element_at(xq, i + 1) *
+            element_at(array(${vec.mkString(",")}), i + 1))""")
+    val w = X.withColumn("w", dotLit)
+    val wm = math.max(Option(w.agg(max(abs(col("w")))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L), 1L)
+    val ws = math.max(wm / PCA_WSCALE, 1L)
+    w.withColumn("wp",
+        expr(s"CASE WHEN w < 0 THEN -((-w) div $ws) ELSE w div $ws END"))
+      .select(col("wp"), posexplode(col("xq")).as(Seq("dim", "xv")))
+      .groupBy(col("dim")).agg(sum(col("xv") * col("wp")).as("y"))
+  }
+
+  private def idivL(a: Long, b: Long): Long = if (a < 0) -((-a) / b) else a / b
+
+  /** Driver-side round: pull y, normalize under the pinned rule. */
+  private def pcaRound(X: DataFrame, v: Array[Long]): Array[Long] = {
+    val yRows = pcaYOf(X, v).collect().map(r => r.getInt(0) -> r.getLong(1))
+    val ym = math.max(yRows.map(p => math.abs(p._2)).max, 1L)
+    val ys = math.max(ym / PCA_VSCALE, 1L)
+    val nv = Array.fill(64)(0L)
+    yRows.foreach { case (j, y) => nv(j) = idivL(y, ys) }
+    nv
+  }
+
+  /** Pinned deflation against a fixed direction: v − round(⟨v,u⟩/⟨u,u⟩)·u
+    * in e6 fixed point, every division sign-magnitude. Bound: the
+    * projection coefficient of a normalized v on a normalized u is ≤ 16
+    * (√(64·(2e6)²)/√(1e6²)), so |deflated| ≤ 3.4e7 and the w-pass bound
+    * 64·1e4·3.4e7·1e5 ≈ 2.2e18 stays int64-safe. */
+  private def pcaDeflate(v: Array[Long], u: Array[Long]): Array[Long] = {
+    val n1 = u.map(x => x * x).sum
+    val sp = (0 until 64).map(j => v(j) * u(j)).sum
+    val c = idivL(sp, math.max(n1 / PCA_VSCALE, 1L))
+    (0 until 64).map(j => v(j) - idivL(c * u(j), PCA_VSCALE)).toArray
+  }
+
+  /** Chain-1 direction (the q_pca_power recurrence), fully driver-side —
+    * bit-identical to the gated q_pca_power output by construction. */
+  private def pcaTopDirection(X: DataFrame): Array[Long] = {
+    var v = Array.fill(64)(PCA_VSCALE)
+    for (_ <- 1 to PCA_ROUNDS) v = pcaRound(X, v)
+    v
+  }
+
+  /** The unrolled SQL rounds with a CTE-name prefix and a per-round
+    * source-relation function (chain 2 reads the DEFLATED previous
+    * round). Prefix "" with src k ⇒ v{k-1} reproduces q_pca_power's
+    * oracle text exactly. */
+  private def pcaRoundsSql(p: String, src: Int => String): String =
+    (1 to PCA_ROUNDS).map { k =>
+      s"""${p}w$k AS MATERIALIZED (
+        SELECT x.vec_id, CAST(SUM(x.xv * v.v) AS BIGINT) AS w
+        FROM xl x JOIN ${src(k)} v USING (dim) GROUP BY 1),
+      ${p}ws$k AS (SELECT GREATEST(GREATEST(MAX(ABS(w)), 1) // $PCA_WSCALE, 1)
+                 AS ws FROM ${p}w$k),
+      ${p}wp$k AS MATERIALIZED (
+        SELECT w.vec_id,
+          CASE WHEN w.w < 0 THEN -((-w.w) // s.ws) ELSE w.w // s.ws END AS wp
+        FROM ${p}w$k w, ${p}ws$k s),
+      ${p}y$k AS MATERIALIZED (
+        SELECT x.dim, CAST(SUM(x.xv * p.wp) AS BIGINT) AS y
+        FROM xl x JOIN ${p}wp$k p USING (vec_id) GROUP BY 1),
+      ${p}ys$k AS (SELECT GREATEST(GREATEST(MAX(ABS(y)), 1) // $PCA_VSCALE, 1)
+                 AS ys FROM ${p}y$k),
+      ${p}v$k AS MATERIALIZED (
+        SELECT dim,
+          CASE WHEN y < 0 THEN -((-y) // s.ys) ELSE y // s.ys END AS v
+        FROM ${p}y$k, ${p}ys$k s)"""
+    }.mkString(",\n")
+
+  private def pcaBaseSql: String =
+    s"""x AS MATERIALIZED (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+          e -> CAST(FLOOR(e * $PCA_Q) AS BIGINT)) AS xq
+        FROM embeddings
+        WHERE len(list_filter(embedding, e -> isnan(e))) = 0),
+      xl AS MATERIALIZED (
+        SELECT vec_id, CAST(generate_subscripts(xq, 1) - 1 AS BIGINT) AS dim,
+          unnest(xq) AS xv
+        FROM x)"""
+
   private val pcaPower = QueryDef(
     "q_pca_power",
     (s, d) => {
-      val X = Tables.t(s, d, "embeddings")
-        .filter(!exists(col("embedding"), x => isnan(x)))
-        .select(col("vec_id"), expr(
-          s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $PCA_Q) AS BIGINT))")
-          .as("xq"))
-        .localCheckpoint()
-      def dotLit(vec: Array[Long]): Column = expr(
-        s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-            (acc, i) -> acc + element_at(xq, i + 1) *
-              element_at(array(${vec.mkString(",")}), i + 1))""")
-      def yOf(vec: Array[Long]): DataFrame = {
-        val w = X.withColumn("w", dotLit(vec))
-        val wm = math.max(Option(w.agg(max(abs(col("w")))).head.get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(1L), 1L)
-        val ws = math.max(wm / PCA_WSCALE, 1L)
-        w.withColumn("wp",
-            expr(s"CASE WHEN w < 0 THEN -((-w) div $ws) ELSE w div $ws END"))
-          .select(col("wp"), posexplode(col("xq")).as(Seq("dim", "xv")))
-          .groupBy(col("dim")).agg(sum(col("xv") * col("wp")).as("y"))
-      }
+      val X = pcaX(s, d)
       var v = Array.fill(64)(PCA_VSCALE)
-      for (_ <- 1 until PCA_ROUNDS) {
-        val yRows = yOf(v).collect().map(r => r.getInt(0) -> r.getLong(1))
-        val ym = math.max(yRows.map(p => math.abs(p._2)).max, 1L)
-        val ys = math.max(ym / PCA_VSCALE, 1L)
-        val nv = Array.fill(64)(0L)
-        yRows.foreach { case (j, y) => nv(j) = if (y < 0) -((-y) / ys) else y / ys }
-        v = nv
-      }
-      val yFinal = yOf(v).localCheckpoint()
+      for (_ <- 1 until PCA_ROUNDS) v = pcaRound(X, v)
+      val yFinal = pcaYOf(X, v).localCheckpoint()
       val ym = yFinal.agg(greatest(max(abs(col("y"))), lit(1L)).as("ym"))
       yFinal.crossJoin(broadcast(ym))
         .withColumn("ys", greatest(expr(s"ym div $PCA_VSCALE"), lit(1L)))
         .select(col("dim").cast("long").as("dim"),
           expr("CASE WHEN y < 0 THEN -((-y) div ys) ELSE y div ys END").as("v_e6"))
     },
-    Some {
-      val rounds = (1 to PCA_ROUNDS).map { k =>
-        s"""w$k AS MATERIALIZED (
-          SELECT x.vec_id, CAST(SUM(x.xv * v.v) AS BIGINT) AS w
-          FROM xl x JOIN v${k - 1} v USING (dim) GROUP BY 1),
-        ws$k AS (SELECT GREATEST(GREATEST(MAX(ABS(w)), 1) // $PCA_WSCALE, 1)
-                   AS ws FROM w$k),
-        wp$k AS MATERIALIZED (
-          SELECT w.vec_id,
-            CASE WHEN w.w < 0 THEN -((-w.w) // s.ws) ELSE w.w // s.ws END AS wp
-          FROM w$k w, ws$k s),
-        y$k AS MATERIALIZED (
-          SELECT x.dim, CAST(SUM(x.xv * p.wp) AS BIGINT) AS y
-          FROM xl x JOIN wp$k p USING (vec_id) GROUP BY 1),
-        ys$k AS (SELECT GREATEST(GREATEST(MAX(ABS(y)), 1) // $PCA_VSCALE, 1)
-                   AS ys FROM y$k),
-        v$k AS MATERIALIZED (
-          SELECT dim,
-            CASE WHEN y < 0 THEN -((-y) // s.ys) ELSE y // s.ys END AS v
-          FROM y$k, ys$k s)"""
-      }.mkString(",\n")
-      s"""WITH x AS MATERIALIZED (
-          SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-            e -> CAST(FLOOR(e * $PCA_Q) AS BIGINT)) AS xq
-          FROM embeddings
-          WHERE len(list_filter(embedding, e -> isnan(e))) = 0),
-        xl AS MATERIALIZED (
-          SELECT vec_id, CAST(generate_subscripts(xq, 1) - 1 AS BIGINT) AS dim,
-            unnest(xq) AS xv
-          FROM x),
+    Some(s"""WITH $pcaBaseSql,
         v0 AS (SELECT CAST(r.range AS BIGINT) AS dim,
                  CAST($PCA_VSCALE AS BIGINT) AS v FROM range(0, 64) r),
-        $rounds
-        SELECT dim, v AS v_e6 FROM v$PCA_ROUNDS"""
+        ${pcaRoundsSql("", k => s"v${k - 1}")}
+        SELECT dim, v AS v_e6 FROM v$PCA_ROUNDS"""))
+
+  /** Second principal component by deflation (Hotelling 1933's iterated
+    * form): rerun the power iteration while projecting out the learned
+    * top direction after EVERY normalization — v ← deflate(normalize(
+    * Xᵀ(Xv))) — so the walk converges toward the second invariant
+    * subspace instead of collapsing back onto the first. All arithmetic
+    * stays in the pinned integer recurrence; the deflation adds one
+    * sign-magnitude projection per round ([[pcaDeflate]]). Output:
+    * (dim, v1_e6, v2_e6) — chain 1 rides the gated q_pca_power
+    * recurrence verbatim (shared helpers, shared SQL builder), chain 2's
+    * FINAL normalize+deflate run in-plan (broadcast 1-row aggs + the
+    * 64-row literal v1 relation), the q_pca_power discipline.
+    *
+    * Scale shape: 2× q_pca_power — 32 map passes over the one
+    * checkpointed matrix, 65 pulled values per round, no row-keyed
+    * shuffle ever; the deflation itself is 64-row metadata arithmetic. */
+  private val pcaDeflateQ = QueryDef(
+    "q_pca_deflate",
+    (s, d) => {
+      val X = pcaX(s, d)
+      val v1 = pcaTopDirection(X)
+      var v = pcaDeflate(Array.fill(64)(PCA_VSCALE), v1)
+      for (_ <- 1 until PCA_ROUNDS) v = pcaDeflate(pcaRound(X, v), v1)
+      // Final round in-plan: normalize, then deflate against the literal
+      // v1 relation.
+      val n1 = v1.map(x => x * x).sum
+      val ns = math.max(n1 / PCA_VSCALE, 1L)
+      import s.implicits._
+      val v1df = v1.zipWithIndex.map { case (x, j) => (j.toLong, x) }.toSeq
+        .toDF("dim", "v1_e6")
+      val yFinal = pcaYOf(X, v).localCheckpoint()
+      val ym = yFinal.agg(greatest(max(abs(col("y"))), lit(1L)).as("ym"))
+      val v8 = yFinal.crossJoin(broadcast(ym))
+        .withColumn("ys", greatest(expr(s"ym div $PCA_VSCALE"), lit(1L)))
+        .select(col("dim").cast("long").as("dim"),
+          expr("CASE WHEN y < 0 THEN -((-y) div ys) ELSE y div ys END").as("vn"))
+        .join(v1df, Seq("dim"))
+      val sp = v8.agg(sum(col("vn") * col("v1_e6")).as("s"))
+      v8.crossJoin(broadcast(sp))
+        .withColumn("c", expr(s"CASE WHEN s < 0 THEN -((-s) div $ns) ELSE s div $ns END"))
+        .select(col("dim"), col("v1_e6"),
+          (col("vn") - expr(s"""CASE WHEN c * v1_e6 < 0
+               THEN -((-(c * v1_e6)) div $PCA_VSCALE)
+               ELSE (c * v1_e6) div $PCA_VSCALE END""")).as("v2_e6"))
+    },
+    Some {
+      val deflations = (0 to PCA_ROUNDS).map { k =>
+        val vin = if (k == 0) "bv0" else s"bv$k"
+        s"""bs$k AS (SELECT CAST(SUM(b.v * a.v) AS BIGINT) AS s
+             FROM $vin b JOIN a$PCA_ROUNDS a ON b.dim = a.dim),
+        bc$k AS (SELECT CASE WHEN s < 0
+             THEN -((-s) // GREATEST(n1.n1 // $PCA_VSCALE, 1))
+             ELSE s // GREATEST(n1.n1 // $PCA_VSCALE, 1) END AS c
+           FROM bs$k, n1),
+        bd$k AS MATERIALIZED (
+          SELECT b.dim,
+            b.v - (CASE WHEN bc.c * a.v < 0
+              THEN -((-(bc.c * a.v)) // $PCA_VSCALE)
+              ELSE (bc.c * a.v) // $PCA_VSCALE END) AS v
+          FROM $vin b JOIN a$PCA_ROUNDS a ON b.dim = a.dim, bc$k bc)"""
+      }.mkString(",\n")
+      s"""WITH $pcaBaseSql,
+        av0 AS (SELECT CAST(r.range AS BIGINT) AS dim,
+                  CAST($PCA_VSCALE AS BIGINT) AS v FROM range(0, 64) r),
+        ${pcaRoundsSql("a", k => s"av${k - 1}")},
+        a$PCA_ROUNDS AS (SELECT dim, v FROM av$PCA_ROUNDS),
+        n1 AS (SELECT CAST(SUM(v * v) AS BIGINT) AS n1 FROM a$PCA_ROUNDS),
+        bv0 AS (SELECT CAST(r.range AS BIGINT) AS dim,
+                  CAST($PCA_VSCALE AS BIGINT) AS v FROM range(0, 64) r),
+        ${pcaRoundsSql("b", k => s"bd${k - 1}")},
+        $deflations
+        SELECT b.dim, a.v AS v1_e6, b.v AS v2_e6
+        FROM bd$PCA_ROUNDS b JOIN a$PCA_ROUNDS a ON b.dim = a.dim"""
     })
 
-  val all: Seq[QueryDef] = Seq(quantize, centroidClassify, jlProject, pcaPower)
+  val all: Seq[QueryDef] =
+    Seq(quantize, centroidClassify, jlProject, pcaPower, pcaDeflateQ)
 }

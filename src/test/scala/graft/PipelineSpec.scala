@@ -319,6 +319,44 @@ class PipelineSpec extends SparkSpec {
     assert(r8 >= r0, s"Rayleigh quotient regressed: $r8 < $r0")
   }
 
+  test("q_pca_deflate matches plain Scala and yields a near-orthogonal axis") {
+    val xs = Tables.t(spark, sfDir, "embeddings").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .filter(v => !v.exists(_.isNaN))
+      .map(_.map(x => math.floor(x * 10000.0).toLong))
+    def idiv(a: Long, b: Long): Long = if (a < 0) -((-a) / b) else a / b
+    def round(v: Array[Long]): Array[Long] = {
+      val w = xs.map(row => (0 until 64).map(j => row(j) * v(j)).sum)
+      val ws = math.max(math.max(w.map(math.abs).max, 1L) / 100000L, 1L)
+      val wp = w.map(idiv(_, ws))
+      val y = (0 until 64).map(j =>
+        xs.indices.map(i => xs(i)(j) * wp(i)).sum).toArray
+      val ys = math.max(math.max(y.map(math.abs).max, 1L) / 1000000L, 1L)
+      y.map(idiv(_, ys))
+    }
+    var v1 = Array.fill(64)(1000000L)
+    for (_ <- 1 to 8) v1 = round(v1)
+    val n1 = v1.map(x => x * x).sum
+    def deflate(v: Array[Long]): Array[Long] = {
+      val sp = (0 until 64).map(j => v(j) * v1(j)).sum
+      val c = idiv(sp, math.max(n1 / 1000000L, 1L))
+      (0 until 64).map(j => v(j) - idiv(c * v1(j), 1000000L)).toArray
+    }
+    var v2 = deflate(Array.fill(64)(1000000L))
+    for (_ <- 1 to 8) v2 = deflate(round(v2))
+    val got = SparkEntry.queries("q_pca_deflate")(spark, sfDir).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq == v1.toSeq, "chain-1 direction diverged")
+    assert(got.map(_._3).toSeq == v2.toSeq, "deflated direction diverged")
+    // Orthogonality certificate: one sign-magnitude projection per round
+    // leaves at most integer-truncation residue along v1.
+    def nrm(a: Array[Long]) = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val cosv = (0 until 64).map(j => v1(j).toDouble * v2(j)).sum / (nrm(v1) * nrm(v2))
+    assert(math.abs(cosv) < 1e-3, s"axes not orthogonal: |cos| = ${math.abs(cosv)}")
+    assert(v2.exists(_ != 0L), "deflated axis degenerate")
+  }
+
   test("q_jl_project distortion concentrates where JL says it must") {
     val rows = SparkEntry.queries("q_jl_project")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

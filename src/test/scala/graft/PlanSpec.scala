@@ -189,6 +189,9 @@ class PlanSpec extends SparkSpec {
     // q_lsh_tune's non-equi self-join lives on the BOUNDED 64-doc seeded
     // sample (~2k pairs, constant at any corpus scale); the true-pair
     // side reuses the equi-keyed verified-pairs discovery.
+    // q_pca_deflate inherits q_pca_power's crosses (64-row relation x
+    // ONE normalization/projection row — q22 shapes); the corpus passes
+    // are map-side folds, never joined.
     val allowed = Set("q_join_cross", "q_join_theta", "q_ann_brute", "q_ann_ivf",
       "q_tpch_q22", "q_tpch_q11", "q_gap_fill", "q_outlier_filter", "q_bm25_rank",
       "q_tfidf_keywords", "q_lang_rebalance", "q_perplexity_lm", "q_dedup_report",
@@ -199,7 +202,7 @@ class PlanSpec extends SparkSpec {
       "q_repeat_allocation", "q_vocab_growth", "q_kneser_ney",
       "q_pmi_collocations", "q_pagerank", "q_textrank", "q_cluster_purity",
       "q_calibration_ece", "q_mmr_rerank", "q_pca_power", "q_self_bleu",
-      "q_lsh_tune")
+      "q_lsh_tune", "q_pca_deflate")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
