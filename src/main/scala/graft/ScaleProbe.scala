@@ -252,6 +252,10 @@ object ScaleProbe {
     // (train-once, warmed with ivf) + a bounded TakeOrdered — expect the
     // silhouette law (near-flat, ~zero shuffle).
     "q_semantic_outliers",
+    // pagerank_residual = pagerank + one co-partitioned join (its law);
+    // pca_deflate = 2x pca_power's round structure — expect ~2x its
+    // flat wall with the same ~zero shuffle.
+    "q_pagerank_residual", "q_pca_deflate",
     // sorted-neighborhood: candidate mass is N*W by construction — expect
     // linear wall, shuffle linear in N (rank pairs + shingle fetch),
     // immune to the dense-bucket regimes banding hits.
