@@ -31,6 +31,52 @@ class CountProcessor extends StatefulProcessor[Long, EventRow, UserCount] {
   }
 }
 
+final case class SessionAlert(user_id: Long, n_events: Long, last_ts_ms: Long,
+    expired_at_ms: Long)
+
+/** Event-time-TIMER sessionization: a per-user inactivity alert emitted by
+  * the state store itself when the WATERMARK passes last-event + gap — the
+  * transformWithState face [[CountProcessor]] doesn't exercise (timers),
+  * and the shape that replaces "scan everything and look for quiet users"
+  * with state-store-driven expiry: no input row for an idle user is ever
+  * needed to close them out. The timer is re-armed on every batch
+  * (delete-then-register keeps exactly one per key); expiry emits the
+  * session summary and clears the key's state, so state size stays
+  * |active users| at any ingest scale. */
+class InactivityAlertProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, EventRow, SessionAlert] {
+  @transient private var count: ValueState[Long] = _
+  @transient private var lastTs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    lastTs = getHandle.getValueState[Long]("last_ts",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[EventRow],
+      timers: TimerValues): Iterator[SessionAlert] = {
+    var n = if (count.exists()) count.get() else 0L
+    var last = if (lastTs.exists()) lastTs.get() else Long.MinValue
+    rows.foreach { r => n += 1; last = math.max(last, r.ts.getTime) }
+    if (lastTs.exists()) getHandle.deleteTimer(lastTs.get() + gapMs)
+    count.update(n)
+    lastTs.update(last)
+    getHandle.registerTimer(last + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[SessionAlert] = {
+    val out = SessionAlert(key, count.get(), lastTs.get(),
+      expired.getExpiryTimeInMs)
+    count.clear(); lastTs.clear()
+    Iterator.single(out)
+  }
+}
+
 /** Structured Streaming transforms over the `events` shape.
   *
   * The reference's "streaming" is pull-based *execution* streaming, which
@@ -195,6 +241,17 @@ object EventStream {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new CountProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[InactivityAlertProcessor]] wired in event-time mode: the input must
+    * carry a watermark (it drives timer expiry). */
+  def inactivityAlerts(events: Dataset[EventRow], gapMs: Long)
+      : Dataset[SessionAlert] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new InactivityAlertProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Update())
   }
 
   /** Exactly-once dedup ingest into a parquet corpus store via foreachBatch —

@@ -270,6 +270,56 @@ class StreamingSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
   }
 
+  test("event-time timers close inactive sessions without new input for the key") {
+    // The timer face of transformWithState: user 1 goes quiet, user 2's
+    // later events advance the watermark past user 1's last+gap, and the
+    // STATE STORE emits the alert — no user-1 row in the closing batch.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.SessionAlert
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventRow]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_timer_ckpt").toString
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[SessionAlert]()
+      def runBatch(): Unit = {
+        val q = EventStream.inactivityAlerts(input.toDS(), gapMs = 120000L)
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (ds: org.apache.spark.sql.Dataset[SessionAlert], _: Long) =>
+            ds.collect().foreach(out.add)
+          }
+          .start()
+        assert(q.awaitTermination(60000), "micro-batch did not finish in 60 s")
+        q.stop()
+      }
+      input.addData(EventRow(1, ts(0), 1, "click", 1.0),
+        EventRow(2, ts(0, 30), 1, "view", 2.0),
+        EventRow(3, ts(1), 2, "click", 3.0))
+      runBatch()
+      assert(out.isEmpty, s"no timer should fire before the watermark moves: $out")
+      // Only user 2 speaks; the watermark jumps to t0+10m, past user 1's
+      // last(t0+30s) + 2m — the timer must close user 1.
+      input.addData(EventRow(4, ts(10), 2, "view", 4.0))
+      runBatch()
+      import scala.jdk.CollectionConverters._
+      val alerts = out.asScala.toSeq
+      val u1 = alerts.filter(_.user_id == 1L)
+      assert(u1.length == 1, s"exactly one alert for the quiet user: $alerts")
+      assert(u1.head.n_events == 2L, s"alert must carry the session count: $u1")
+      assert(u1.head.expired_at_ms == u1.head.last_ts_ms + 120000L,
+        s"expiry must be last+gap: $u1")
+      // A re-armed user whose timer has not expired stays open.
+      assert(!alerts.exists(_.user_id == 2L), s"user 2 is still active: $alerts")
+    } finally prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+  }
+
   test("streaming parquet file sink emits only watermark-finalized windows") {
     // Append-mode file sink: a window's row lands exactly once, only after
     // the watermark passes its end — the transactional (_spark_metadata)
