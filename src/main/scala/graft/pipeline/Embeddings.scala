@@ -453,6 +453,105 @@ object Embeddings {
         FROM bd$PCA_ROUNDS b JOIN a$PCA_ROUNDS a ON b.dim = a.dim"""
     })
 
+  /** Chain-2 direction (the q_pca_deflate recurrence), fully driver-side. */
+  private def pcaSecondDirection(X: DataFrame, v1: Array[Long]): Array[Long] = {
+    var v = pcaDeflate(Array.fill(64)(PCA_VSCALE), v1)
+    for (_ <- 1 to PCA_ROUNDS) v = pcaDeflate(pcaRound(X, v), v1)
+    v
+  }
+
+  /** Explained-variance certificates for the two learned axes: per axis
+    * the quantized Rayleigh mass Σ(x·v div 1e7)², the axis norm ‖v‖², the
+    * matrix trace Σ‖x‖², and explained_e6 ≈ Σ(x·v)²·1e6/(‖v‖²·trace) —
+    * the number a PCA consumer actually quotes ("the top axis carries
+    * f% of the variance"). All divisions are nonneg-by-positive after the
+    * pinned e7 down-scaling, whose worst-case bounds (wq² ≤ 5e9 per row,
+    * vn·tr scaled product ≤ 2.6e18) stay int64-safe to N ≈ 4·10⁹ rows —
+    * the main recurrence's documented range. On the near-isotropic gate
+    * corpus both axes sit near 1/64 ≈ 15625 e6·µ — the spec pins the
+    * expectation band and v1 ≥ v2.
+    *
+    * Scale shape: the two directions ride the shared driver-pull chains;
+    * the certificate itself is two map-side scans (wq per row per axis)
+    * + 1-row aggregates — no shuffle beyond the 1-row combines. */
+  private val PCA_WQ_DIV = 10000000L
+  private val pcaVariance = QueryDef(
+    "q_pca_variance",
+    (s, d) => {
+      val X = pcaX(s, d)
+      val v1 = pcaTopDirection(X)
+      val v2 = pcaSecondDirection(X, v1)
+      val trace = X.agg(coalesce(sum(expr(
+        """aggregate(xq, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)""")),
+        lit(1L)).as("trace"))
+      def axisRow(axis: Int, v: Array[Long]): DataFrame = {
+        val vn = v.map(x => x * x).sum
+        val vnM = math.max(vn / PCA_WQ_DIV, 1L)
+        val dotLit = expr(
+          s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+              (acc, i) -> acc + element_at(xq, i + 1) *
+                element_at(array(${v.mkString(",")}), i + 1))""")
+        X.withColumn("w", dotLit)
+          .withColumn("wq", expr(
+            s"CASE WHEN w < 0 THEN -((-w) div $PCA_WQ_DIV) ELSE w div $PCA_WQ_DIV END"))
+          .agg(coalesce(sum(col("wq") * col("wq")), lit(0L)).as("sum_wq2"))
+          .crossJoin(broadcast(trace))
+          .select(lit(axis.toLong).as("axis"), col("sum_wq2"),
+            lit(vn).as("vnorm"), col("trace"),
+            expr(s"""sum_wq2 div greatest(
+                ($vnM * greatest(trace div $PCA_WQ_DIV, 1)) div 1000000, 1)""")
+              .as("explained_e6"))
+      }
+      axisRow(1, v1).union(axisRow(2, v2))
+    },
+    Some {
+      val deflations = (0 to PCA_ROUNDS).map { k =>
+        val vin = if (k == 0) "bv0" else s"bv$k"
+        s"""bs$k AS (SELECT CAST(SUM(b.v * a.v) AS BIGINT) AS s
+             FROM $vin b JOIN a$PCA_ROUNDS a ON b.dim = a.dim),
+        bc$k AS (SELECT CASE WHEN s < 0
+             THEN -((-s) // GREATEST(n1.n1 // $PCA_VSCALE, 1))
+             ELSE s // GREATEST(n1.n1 // $PCA_VSCALE, 1) END AS c
+           FROM bs$k, n1),
+        bd$k AS MATERIALIZED (
+          SELECT b.dim,
+            b.v - (CASE WHEN bc.c * a.v < 0
+              THEN -((-(bc.c * a.v)) // $PCA_VSCALE)
+              ELSE (bc.c * a.v) // $PCA_VSCALE END) AS v
+          FROM $vin b JOIN a$PCA_ROUNDS a ON b.dim = a.dim, bc$k bc)"""
+      }.mkString(",\n")
+      def axisSql(axis: Int, rel: String, vnormRel: String) =
+        s"""SELECT CAST($axis AS BIGINT) AS axis, s.s AS sum_wq2,
+          vn.vn AS vnorm, tr.trace,
+          s.s // GREATEST(
+            ((GREATEST(vn.vn // $PCA_WQ_DIV, 1))
+              * GREATEST(tr.trace // $PCA_WQ_DIV, 1)) // 1000000, 1)
+            AS explained_e6
+        FROM (
+          SELECT CAST(COALESCE(SUM(wq * wq), 0) AS BIGINT) AS s FROM (
+            SELECT CASE WHEN w < 0 THEN -((-w) // $PCA_WQ_DIV)
+              ELSE w // $PCA_WQ_DIV END AS wq
+            FROM (
+              SELECT x.vec_id, CAST(SUM(x.xv * v.v) AS BIGINT) AS w
+              FROM xl x JOIN $rel v USING (dim) GROUP BY 1))) s,
+          (SELECT CAST(SUM(v * v) AS BIGINT) AS vn FROM $vnormRel) vn, tr"""
+      s"""WITH $pcaBaseSql,
+        av0 AS (SELECT CAST(r.range AS BIGINT) AS dim,
+                  CAST($PCA_VSCALE AS BIGINT) AS v FROM range(0, 64) r),
+        ${pcaRoundsSql("a", k => s"av${k - 1}")},
+        a$PCA_ROUNDS AS MATERIALIZED (SELECT dim, v FROM av$PCA_ROUNDS),
+        n1 AS (SELECT CAST(SUM(v * v) AS BIGINT) AS n1 FROM a$PCA_ROUNDS),
+        bv0 AS (SELECT CAST(r.range AS BIGINT) AS dim,
+                  CAST($PCA_VSCALE AS BIGINT) AS v FROM range(0, 64) r),
+        ${pcaRoundsSql("b", k => s"bd${k - 1}")},
+        $deflations,
+        tr AS (SELECT COALESCE(CAST(SUM(xv * xv) AS BIGINT), 1) AS trace FROM xl)
+        ${axisSql(1, s"a$PCA_ROUNDS", s"a$PCA_ROUNDS")}
+        UNION ALL
+        ${axisSql(2, s"bd$PCA_ROUNDS", s"bd$PCA_ROUNDS")}"""
+    })
+
   val all: Seq[QueryDef] =
-    Seq(quantize, centroidClassify, jlProject, pcaPower, pcaDeflateQ)
+    Seq(quantize, centroidClassify, jlProject, pcaPower, pcaDeflateQ,
+      pcaVariance)
 }

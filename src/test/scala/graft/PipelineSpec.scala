@@ -357,6 +357,58 @@ class PipelineSpec extends SparkSpec {
     assert(v2.exists(_ != 0L), "deflated axis degenerate")
   }
 
+  test("q_pca_variance matches plain Scala inside the isotropic band") {
+    val xs = Tables.t(spark, sfDir, "embeddings").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .filter(v => !v.exists(_.isNaN))
+      .map(_.map(x => math.floor(x * 10000.0).toLong))
+    def idiv(a: Long, b: Long): Long = if (a < 0) -((-a) / b) else a / b
+    def round(v: Array[Long]): Array[Long] = {
+      val w = xs.map(row => (0 until 64).map(j => row(j) * v(j)).sum)
+      val ws = math.max(math.max(w.map(math.abs).max, 1L) / 100000L, 1L)
+      val wp = w.map(idiv(_, ws))
+      val y = (0 until 64).map(j =>
+        xs.indices.map(i => xs(i)(j) * wp(i)).sum).toArray
+      val ys = math.max(math.max(y.map(math.abs).max, 1L) / 1000000L, 1L)
+      y.map(idiv(_, ys))
+    }
+    var v1 = Array.fill(64)(1000000L)
+    for (_ <- 1 to 8) v1 = round(v1)
+    val n1 = v1.map(x => x * x).sum
+    def deflate(v: Array[Long]): Array[Long] = {
+      val sp = (0 until 64).map(j => v(j) * v1(j)).sum
+      val c = idiv(sp, math.max(n1 / 1000000L, 1L))
+      (0 until 64).map(j => v(j) - idiv(c * v1(j), 1000000L)).toArray
+    }
+    var v2 = deflate(Array.fill(64)(1000000L))
+    for (_ <- 1 to 8) v2 = deflate(round(v2))
+    val trace = xs.map(_.map(x => x * x).sum).sum
+    def cert(v: Array[Long]): (Long, Long, Long) = {
+      val sw = xs.map { row =>
+        val wq = idiv((0 until 64).map(j => row(j) * v(j)).sum, 10000000L)
+        wq * wq
+      }.sum
+      val vn = v.map(x => x * x).sum
+      val denom = math.max(
+        math.max(vn / 10000000L, 1L) * math.max(trace / 10000000L, 1L) / 1000000L, 1L)
+      (sw, vn, sw / denom)
+    }
+    val (s1, vn1, e1) = cert(v1); val (s2, vn2, e2) = cert(v2)
+    val got = SparkEntry.queries("q_pca_variance")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, s1, vn1, trace, e1), (2L, s2, vn2, trace, e2)),
+      s"variance cert diverged: got ${got.mkString(",")}")
+    // NO order assertion between e1 and e2: R(v2) ≤ R(v1) holds only when
+    // v1 IS the top eigenvector, and on this near-isotropic corpus
+    // (λ1/λ2 ≈ 1.017) 8 rounds leave v1 a mixture — the deflated axis can
+    // legitimately edge past it (observed both ways across SFs). What IS
+    // invariant: both fractions sit in the near-isotropic band above the
+    // uniform 1/64 floor (~15625 e6µ) and far below dominance.
+    for (e <- Seq(e1, e2))
+      assert(e > 15000L && e < 100000L, s"explained fraction implausible: $e")
+  }
+
   test("q_jl_project distortion concentrates where JL says it must") {
     val rows = SparkEntry.queries("q_jl_project")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -202,7 +202,7 @@ class PlanSpec extends SparkSpec {
       "q_repeat_allocation", "q_vocab_growth", "q_kneser_ney",
       "q_pmi_collocations", "q_pagerank", "q_textrank", "q_cluster_purity",
       "q_calibration_ece", "q_mmr_rerank", "q_pca_power", "q_self_bleu",
-      "q_lsh_tune", "q_pca_deflate")
+      "q_lsh_tune", "q_pca_deflate", "q_pca_variance")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowed(name) && name != "q_running_jobs" && name != "q_cluster_nodes") {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
