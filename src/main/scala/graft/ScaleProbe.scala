@@ -256,6 +256,9 @@ object ScaleProbe {
     // pca_deflate = 2x pca_power's round structure — expect ~2x its
     // flat wall with the same ~zero shuffle.
     "q_pagerank_residual", "q_pca_deflate",
+    // pca_variance adds two wq scans over the checkpointed matrix to the
+    // shared driver-pull chains — expect the pca_deflate law (~flat).
+    "q_pca_variance",
     // sorted-neighborhood: candidate mass is N*W by construction — expect
     // linear wall, shuffle linear in N (rank pairs + shingle fetch),
     // immune to the dense-bucket regimes banding hits.
