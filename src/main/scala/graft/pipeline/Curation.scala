@@ -783,6 +783,48 @@ object Curation {
         CAST(COUNT(*) AS BIGINT) < $K_ANON AS at_risk
       FROM documents GROUP BY 1, 2, 3"""))
 
+  /** L-diversity audit (Machanavajjhala et al. 2007) — the successor
+    * check to [[kAnonymity]]: k-anonymity bounds how FEW records share a
+    * quasi-identifier tuple, but a class can be large and still leak if
+    * every member shares the SENSITIVE value. Here QI = (source,
+    * length-band) and the sensitive attribute is `lang`: per equivalence
+    * class, the distinct-language count (distinct l-diversity, threshold
+    * [[L_DIV]]) and the top language's share (the dominant-value
+    * ingredient of recursive (c,l)-diversity) — "can an observer infer a
+    * document's language from its source and size alone?". Exact
+    * integers throughout.
+    *
+    * Scale shape: two aggregates on the (QI, lang) then QI grain, both
+    * map-side-combined with bounded output (classes × languages), like
+    * the k-anonymity audit it extends. */
+  private val L_DIV = 2
+  private val lDiversity = QueryDef(
+    "q_l_diversity",
+    (s, d) => {
+      val cells = docs(s, d)
+        .select(col("source"), expr("n_chars div 500").as("len_band"), col("lang"))
+        .groupBy(col("source"), col("len_band"), col("lang"))
+        .agg(count(lit(1)).as("nl"))
+      cells.groupBy(col("source"), col("len_band"))
+        .agg(sum(col("nl")).as("n_docs"),
+          count(lit(1)).as("l_distinct"),
+          max(col("nl")).as("top_n"))
+        .select(col("source"), col("len_band"), col("n_docs"), col("l_distinct"),
+          expr("(top_n * 1000000) div n_docs").as("top_share_e6"),
+          (col("l_distinct") >= L_DIV).as("diverse"))
+    },
+    Some(s"""WITH cells AS (
+        SELECT source, n_chars // 500 AS len_band, lang,
+          CAST(COUNT(*) AS BIGINT) AS nl
+        FROM documents GROUP BY 1, 2, 3)
+      SELECT source, len_band,
+        CAST(SUM(nl) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS l_distinct,
+        (CAST(MAX(nl) AS BIGINT) * 1000000) // CAST(SUM(nl) AS BIGINT)
+          AS top_share_e6,
+        CAST(COUNT(*) AS BIGINT) >= $L_DIV AS diverse
+      FROM cells GROUP BY 1, 2"""))
+
   /** Self-BLEU diversity (Zhu et al. 2018 / Papineni et al. 2002): each
     * sampled document scored as a BLEU candidate against the other
     * sampled documents as references — the corpus-level mode-collapse
@@ -899,5 +941,5 @@ object Curation {
     Seq(qualityRepetition, entropyFilter, piiScrub, invertedIndex,
       sequencePack, dedupIncremental, dedupBloom, chunkDocuments,
       spanCorrupt, qualityClassifier, substringDedup, snapshotDiff,
-      snapshotDrift, kAnonymity, selfBleu)
+      snapshotDrift, kAnonymity, lDiversity, selfBleu)
 }

@@ -26,6 +26,29 @@ class CurationSpec extends SparkSpec {
     assert(got.forall { case (_, _, _, n, risk) => risk == (n < 5) })
   }
 
+  test("q_l_diversity matches a plain-Scala recompute and flags leaky classes") {
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.t(spark, sfDir, "documents")
+      .select(col("source"), col("n_chars"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 500, r.getString(2)))
+    val expect = rows.groupBy(x => (x._1, x._2)).map { case ((src, band), xs) =>
+      val byLang = xs.groupBy(_._3).view.mapValues(_.size.toLong)
+      val n = xs.length.toLong
+      (src, band, n, byLang.size.toLong, byLang.values.max * 1000000L / n,
+        byLang.size >= 2)
+    }.toSet
+    val got = SparkEntry.queries("q_l_diversity")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    assert(got == expect, s"l-diversity diverged: got ${got.size} want ${expect.size}")
+    // Internal consistency: the dominant share bounds 1/l from below and
+    // 1 from above, and the flag matches the distinct count exactly.
+    got.foreach { case (_, _, n, l, share, div) =>
+      assert(l >= 1 && l <= n && share <= 1000000L && share * l >= 1000000L - l)
+      assert(div == (l >= 2))
+    }
+  }
+
   // AQE wraps finished stages in leaf QueryStageExec nodes — flatten
   // through them (same traversal as PlanSpec).
   private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
