@@ -259,6 +259,9 @@ object ScaleProbe {
     // pca_variance adds two wq scans over the checkpointed matrix to the
     // shared driver-pull chains — expect the pca_deflate law (~flat).
     "q_pca_variance",
+    // l_diversity is two map-side-combined aggregates on bounded grains —
+    // expect the k_anonymity law (linear scan, ~zero shuffle).
+    "q_l_diversity",
     // sorted-neighborhood: candidate mass is N*W by construction — expect
     // linear wall, shuffle linear in N (rank pairs + shingle fetch),
     // immune to the dense-bucket regimes banding hits.
