@@ -109,12 +109,16 @@ object Tables {
     * build, the rest wait for it rather than racing duplicate Spark
     * jobs); distinct corpus paths rarely share a bin in a map this small.
     * A shutdown hook reclaims live copies. */
+  /** `variant` distinguishes parameterized builds over the SAME input path
+    * (e.g. a pair store at threshold t) — it extends the cache key only;
+    * the freshness token always comes from the real `path` contents, so a
+    * regenerated corpus evicts every variant's store. */
   private[graft] def contentKeyedTempParquet(
       cache: java.util.concurrent.ConcurrentHashMap[String, (String, String)],
-      s: SparkSession, path: String, prefix: String)
+      s: SparkSession, path: String, prefix: String, variant: String = "")
       (build: => DataFrame): DataFrame = {
     val token = contentToken(path)
-    val dir = cache.compute(path, (_, old) => {
+    val dir = cache.compute(path + variant, (_, old) => {
       if (old != null && old._1 == token) old
       else {
         val out = java.nio.file.Files.createTempDirectory(prefix).toString

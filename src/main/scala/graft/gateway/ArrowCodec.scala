@@ -56,23 +56,47 @@ object ArrowCodec {
     new ArrowSchema(fields.toSeq.asJava)
   }
 
-  /** Arrow schema → Spark schema (for client-side decode + tests). */
+  /** Arrow schema → Spark schema (for client-side decode + tests), with
+    * the SURVEY §1 widening rules for wire types Spark lacks:
+    *   - unsigned ints widen to the next signed width that holds the full
+    *     range — u8 → Short, u16 → Int, u32 → Long, u64 → Decimal(20,0)
+    *     (2⁶⁴−1 has 20 digits);
+    *   - float16 widens to Float (every half value is exactly
+    *     representable in single precision);
+    *   - date64 (millisecond unit) casts to DateType (floor-div to days,
+    *     matching Arrow's own date64→date32 cast);
+    *   - decimal precision > 38 (decimal256's upper range) is
+    *     DOCUMENTED-UNSUPPORTED: it cannot round-trip through Spark's
+    *     38-digit maximum, so ingest throws rather than mis-rounding. */
   def toSparkSchema(schema: ArrowSchema): StructType =
     StructType(schema.getFields.asScala.toSeq.map { f =>
       val dt = f.getType match {
         case _: ArrowType.Bool => BooleanType
-        case i: ArrowType.Int => i.getBitWidth match {
+        case i: ArrowType.Int if i.getIsSigned => i.getBitWidth match {
           case 8 => ByteType
           case 16 => ShortType
           case 32 => IntegerType
           case _ => LongType
         }
+        case i: ArrowType.Int => i.getBitWidth match { // unsigned: widen
+          case 8 => ShortType
+          case 16 => IntegerType
+          case 32 => LongType
+          case _ => DecimalType(20, 0)
+        }
         case fp: ArrowType.FloatingPoint =>
-          if (fp.getPrecision == FloatingPointPrecision.SINGLE) FloatType else DoubleType
-        case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
+          if (fp.getPrecision == FloatingPointPrecision.DOUBLE) DoubleType
+          else FloatType // SINGLE natively; HALF widens
+        case d: ArrowType.Decimal =>
+          if (d.getPrecision > DecimalType.MAX_PRECISION)
+            throw new UnsupportedOperationException(
+              s"decimal(${d.getPrecision},${d.getScale}) exceeds Spark's " +
+                s"maximum precision ${DecimalType.MAX_PRECISION} — " +
+                "unsupported by design (SURVEY §1), not silently rounded")
+          else DecimalType(d.getPrecision, d.getScale)
         case _: ArrowType.Utf8 => StringType
         case _: ArrowType.Binary => BinaryType
-        case _: ArrowType.Date => DateType
+        case _: ArrowType.Date => DateType // DAY native; MILLISECOND casts
         case _: ArrowType.Timestamp => TimestampType
         case other => throw new UnsupportedOperationException(s"arrow type $other")
       }
@@ -109,12 +133,23 @@ object ArrowCodec {
     case s: SmallIntVector => s.get(i)
     case n: IntVector => n.get(i)
     case l: BigIntVector => l.get(i)
+    // Unsigned ingest (the widening half of [[toSparkSchema]]'s rules):
+    // reinterpret the raw two's-complement payload as the unsigned value
+    // in the widened type — order- and value-preserving by construction.
+    case u: UInt1Vector => (u.get(i) & 0xFF).toShort
+    case u: UInt2Vector => u.get(i).toInt // char IS the unsigned 16-bit value
+    case u: UInt4Vector => u.get(i).toLong & 0xFFFFFFFFL
+    case u: UInt8Vector =>
+      new java.math.BigDecimal(java.lang.Long.toUnsignedString(u.get(i)))
+    case h: Float2Vector => h.getValueAsFloat(i) // fp16 widens losslessly
     case f: Float4Vector => f.get(i)
     case d: Float8Vector => d.get(i)
     case d: DecimalVector => d.getObject(i)
     case s: VarCharVector => new String(s.get(i), java.nio.charset.StandardCharsets.UTF_8)
     case b: VarBinaryVector => b.get(i)
     case d: DateDayVector => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.get(i).toLong))
+    case d: DateMilliVector => java.sql.Date.valueOf( // date64 → date32 cast
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(d.get(i), 86400000L)))
     case t: TimeStampMicroTZVector =>
       val micros = t.get(i)
       val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)

@@ -81,6 +81,40 @@ object Dedup {
     Tables.contentKeyedTempParquet(shingleIndexCache, s,
       s"$d/documents.parquet", "graft-shingle-idx")(hashedShingles(docs(s, d)))
 
+  /** The verified near-dup pair relation as a content-keyed persisted
+    * store — the shingle-index discipline one derivation deeper. Seven
+    * graph-family queries (pagerank ×2, triangles, k-core, LPA, CC,
+    * clusters/report) each consume the SAME (a_id, b_id, J ≥ t) edge set;
+    * r11 rebuilt the prefix-filter discovery per query (~2.5-3.5 s apiece
+    * at sf0.1, VERDICT r11 #4). One persisted copy per (corpus, t) per JVM
+    * amortizes it across the family — exactly the production shape: at
+    * 100 TB the dup graph is discovered once and every downstream graph
+    * pass reads the stored edges. Freshness rides [[Tables.contentToken]]
+    * of the input parquet (the `variant` suffix keys the threshold), so an
+    * in-place corpus regen rebuilds instead of serving stale edges. */
+  private val pairsStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  Tables.registerTempCacheCleanup(pairsStoreCache)
+
+  private[graft] def materializedPairs(
+      s: SparkSession, d: String, t: Double): DataFrame =
+    Tables.contentKeyedTempParquet(pairsStoreCache, s,
+      s"$d/documents.parquet", "graft-pairs-idx", s"#t=$t")(
+      verifiedPairs(s, d, t))
+
+  /** Test hook: drop every shared store (files AND cache entries) so the
+    * next consumer rebuilds from scratch — the cluster lane uses it to
+    * force the DISCOVERY shuffles (not just the graph rounds) across real
+    * executor-JVM boundaries at sf0.1. */
+  private[graft] def evictSharedStores(): Unit =
+    Seq(shingleIndexCache, pairsStoreCache, clusterLabelsCache).foreach { c =>
+      c.values.forEach { case (_, dir) =>
+        scala.reflect.io.Path(new java.io.File(dir)).deleteRecursively()
+        ()
+      }
+      c.clear()
+    }
+
   /** Exact dedup: sha256 over normalized text; keep the smallest doc_id per
     * digest. One shuffle keyed by digest — uniform by construction, so no
     * skew at any scale. */
@@ -146,7 +180,7 @@ object Dedup {
   /** The complete verified near-dup pair set (a_id, b_id, j) at threshold
     * `t`, via the prefix-filtered join — shared by [[dedupNgram]] (which
     * emits it) and [[dedupClusters]] (which builds components on it). */
-  private[pipeline] def verifiedPairs(s: SparkSession, d: String, t: Double): DataFrame = {
+  private[graft] def verifiedPairs(s: SparkSession, d: String, t: Double): DataFrame = {
       val sh = materializedShingles(s, d)
       val exploded = sh.select(col("doc_id"), col("n"),
         explode(col("shingles")).as("shingle"))
@@ -189,7 +223,7 @@ object Dedup {
   private val dedupNgram = QueryDef(
     "q_dedup_ngram",
     (s, d) =>
-      verifiedPairs(s, d, 0.5)
+      materializedPairs(s, d, 0.5)
         .select(col("a_id"), col("b_id"), floor(col("j") * 1e6).as("j_e6")),
     Some(allPairsJaccardSql(0.5)))
 
@@ -543,7 +577,7 @@ object Dedup {
   private val dedupRecallCert = QueryDef(
     "q_dedup_recall_cert",
     (s, d) => {
-      val truth = verifiedPairs(s, d, 0.5)
+      val truth = materializedPairs(s, d, 0.5)
         .select(col("a_id"), col("b_id"), col("j")).withColumn("in_t", lit(1))
       val found = minhashPairs(s, d)
         .select(col("a_id"), col("b_id")).withColumn("in_f", lit(1))
@@ -748,7 +782,7 @@ object Dedup {
     * strictly-decreasing label sum — one scalar per round, no
     * plan-growing comparisons. */
   private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame = {
-      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+      val pairs = materializedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
       val edges = pairs
         .union(pairs.select(col("b_id"), col("a_id")))
         .toDF("u", "v")
@@ -819,7 +853,7 @@ object Dedup {
   private val dedupReport = QueryDef(
     "q_dedup_report",
     (s, d) => {
-      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+      val pairs = materializedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
       val inDup = pairs.select(col("a_id").as("id"))
         .union(pairs.select(col("b_id").as("id")))
         .agg(countDistinct(col("id")).as("n_docs_in_dup"))
@@ -1348,7 +1382,7 @@ object Dedup {
       // the verified-pairs prefix-join subtree twice and pays the whole
       // pair discovery double (measured: the first probe of this operator
       // carried 2x the q_dedup_ngram shuffle before the loop even began).
-      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+      val pairs = materializedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
         .localCheckpoint()
       GraphOps.integerPagerank(pairs.union(pairs.select(col("b_id"), col("a_id"))))
         .select(col("node").as("doc_id"), col("deg"), col("pr").as("pr_e9"))
@@ -1382,7 +1416,7 @@ object Dedup {
   private val triangles = QueryDef(
     "q_triangle_count",
     (s, d) => {
-      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+      val pairs = materializedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
         .localCheckpoint()
       val deg = pairs.union(pairs.select(col("b_id"), col("a_id")))
         .toDF("node", "other")
@@ -1448,7 +1482,7 @@ object Dedup {
   private val kcore = QueryDef(
     "q_kcore",
     (s, d) => {
-      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+      val pairs = materializedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
         .localCheckpoint()
       val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
         .toDF("src", "dst").localCheckpoint()
@@ -1515,7 +1549,7 @@ object Dedup {
   private val labelProp = QueryDef(
     "q_label_propagation",
     (s, d) => {
-      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+      val pairs = materializedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
         .localCheckpoint()
       val labels = GraphOps.labelPropagation(
         pairs.union(pairs.select(col("b_id"), col("a_id"))))
@@ -1577,7 +1611,7 @@ object Dedup {
   private val pagerankResidual = QueryDef(
     "q_pagerank_residual",
     (s, d) => {
-      val pairs = verifiedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
+      val pairs = materializedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
         .localCheckpoint()
       GraphOps.integerPagerankResidual(
           pairs.union(pairs.select(col("b_id"), col("a_id"))))
@@ -1619,7 +1653,7 @@ object Dedup {
     * the whole graph family; each LS/SS step is one node-keyed min
     * aggregate plus one equi join, all on (long, long) rows, per-step
     * localCheckpoint. */
-  private val CC_CYCLES = 3
+  private[graft] val CC_CYCLES = 3
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("a").as("v"), col("b").as("u"))
       .union(e.select(col("b").as("v"), col("a").as("u")))
@@ -1639,7 +1673,7 @@ object Dedup {
   }
   /** The (LS, SS)-alternated edge set, exposed for the spec layer. */
   private[graft] def ccStarsEdges(s: SparkSession, d: String): DataFrame = {
-    var e = verifiedPairs(s, d, 0.5)
+    var e = materializedPairs(s, d, 0.5)
       .select(col("a_id").as("a"), col("b_id").as("b")).localCheckpoint()
     for (_ <- 1 to CC_CYCLES) {
       e = largeStar(e).localCheckpoint()
@@ -1675,6 +1709,74 @@ object Dedup {
         $rounds
         SELECT DISTINCT LEAST(a, b) AS a_id, GREATEST(a, b) AS b_id
         FROM e$CC_CYCLES"""
+    })
+
+  /** A/B certification of the two connected-components algorithms as a
+    * GATED row (VERDICT r11 stretch item): per node, the LS/SS star root
+    * ([[ccStars]], Kiveris et al. 2014) next to the hash-to-min component
+    * label ([[clusterLabels]]), with an integer `agree` flag. Both engines
+    * compute both algorithms, so the oracle certifies not just each
+    * algorithm's output but their INTERCHANGEABILITY on the gate corpus —
+    * the claim behind routing either at 100 TB (LS/SS measured 2.5×
+    * faster at 10×; hash-to-min converges in fewer rounds on
+    * small-diameter graphs). A FULL join surfaces node-set mismatches as
+    * rows with a NULL side and agree = 0 instead of silently dropping
+    * them.
+    *
+    * Scale shape: both label relations ride the shared persisted stores
+    * ([[materializedPairs]], [[clusterLabelsCached]]); the comparison
+    * itself is one node-keyed join of two (long, long) relations. */
+  private val ccAb = QueryDef(
+    "q_cc_ab",
+    (s, d) => {
+      val stars = ccStarsEdges(s, d)
+        .select(least(col("a"), col("b")).as("root"),
+          greatest(col("a"), col("b")).as("member"))
+        .distinct()
+      val lsss = stars.select(col("member").as("doc_id"), col("root").as("cc_root"))
+        .union(stars.select(col("root").as("doc_id"), col("root").as("cc_root"))
+          .distinct())
+      val htm = clusterLabelsCached(s, d)
+        .select(col("doc_id"), col("cluster_id").as("htm_root"))
+      lsss.join(htm, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("cc_root"), col("htm_root"),
+          when(col("cc_root") === col("htm_root"), 1L).otherwise(0L).as("agree"))
+    },
+    Some {
+      val rounds = (1 to CC_CYCLES).map { k =>
+        val prev = if (k == 1) "e0" else s"e${k - 1}"
+        s"""s${k}a AS (SELECT a AS v, b AS u FROM $prev
+             UNION ALL SELECT b AS v, a AS u FROM $prev),
+        m${k}a AS (SELECT v, LEAST(MIN(u), v) AS m FROM s${k}a GROUP BY v),
+        e${k}ls AS MATERIALIZED (
+          SELECT DISTINCT s.u AS a, m.m AS b
+          FROM s${k}a s JOIN m${k}a m USING (v) WHERE s.u > s.v),
+        s${k}b AS (SELECT GREATEST(a, b) AS hi, LEAST(a, b) AS lo FROM e${k}ls),
+        m${k}b AS (SELECT hi, MIN(lo) AS m FROM s${k}b GROUP BY hi),
+        e$k AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT s.lo AS a, m.m AS b FROM s${k}b s JOIN m${k}b m USING (hi)
+            WHERE s.lo <> m.m
+            UNION ALL SELECT hi AS a, m AS b FROM m${k}b))"""
+      }.mkString(",\n")
+      s"""WITH RECURSIVE ${pairsCteSql("documents", 0.5)},
+        e0 AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM pairs),
+        $rounds,
+        stars AS (SELECT DISTINCT LEAST(a, b) AS root, GREATEST(a, b) AS member
+                  FROM e$CC_CYCLES),
+        lsss AS (SELECT member AS doc_id, root AS cc_root FROM stars
+                 UNION ALL SELECT DISTINCT root, root FROM stars),
+        edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach(src, dst) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+        htm AS (SELECT src AS doc_id, MIN(dst) AS htm_root FROM reach GROUP BY src)
+        SELECT doc_id, l.cc_root, h.htm_root,
+          CAST(CASE WHEN l.cc_root = h.htm_root THEN 1 ELSE 0 END AS BIGINT)
+            AS agree
+        FROM lsss l FULL JOIN htm h USING (doc_id)"""
     })
 
   /** Sorted-neighborhood dedup (Hernández & Stolfo 1995): the THIRD
@@ -1762,7 +1864,7 @@ object Dedup {
       // dependency q_dedup_recall_cert carries). j is floor-e6 quantized
       // before re-widening so both engines feed the multiply chain the
       // identical double.
-      val truth = verifiedPairs(s, d, 0.5)
+      val truth = materializedPairs(s, d, 0.5)
         .select((floor(col("j") * 1e6).cast("long").cast("double") / 1e6).as("j"))
         .localCheckpoint()
       // Candidate-cost side: the BACKGROUND spectrum of a seeded uniform
@@ -1798,9 +1900,14 @@ object Dedup {
           expr("(exp_caught_e9 div greatest(n_true, 1)) div 1000"))
       val sagg = perCombo(bg).groupBy(col("bands"), col("rows_per_band"))
         .agg(sum(col("p_e9")).as("bg_cands_e9"))
-      tagg.join(sagg, Seq("bands", "rows_per_band"))
+      // LEFT join from the truth side (ADVICE r11): a tiny corpus whose
+      // seeded sample yields <2 shingled docs has an EMPTY background
+      // spectrum — the tuner must still rank the combos (bg cost 0 =
+      // "no tuning data on the cost axis"), not silently return nothing.
+      tagg.join(sagg, Seq("bands", "rows_per_band"), "left_outer")
         .select(col("bands"), col("rows_per_band"), col("n_true"),
-          col("exp_caught_e9"), col("recall_e6"), col("bg_cands_e9"))
+          col("exp_caught_e9"), col("recall_e6"),
+          coalesce(col("bg_cands_e9"), lit(0L)).as("bg_cands_e9"))
     },
     Some {
       def per(src: String) = LSHT_COMBOS.map { case (b, r) =>
@@ -1839,8 +1946,9 @@ object Dedup {
         sagg AS (
           SELECT bands, rows_per_band, CAST(SUM(p_e9) AS BIGINT) AS bg_cands_e9
           FROM persm GROUP BY 1, 2)
-        SELECT bands, rows_per_band, n_true, exp_caught_e9, recall_e6, bg_cands_e9
-        FROM tagg JOIN sagg USING (bands, rows_per_band)"""
+        SELECT bands, rows_per_band, n_true, exp_caught_e9, recall_e6,
+          COALESCE(bg_cands_e9, 0) AS bg_cands_e9
+        FROM tagg LEFT JOIN sagg USING (bands, rows_per_band)"""
     })
 
   val all: Seq[QueryDef] =
@@ -1848,5 +1956,5 @@ object Dedup {
       dedupRecallCert, dedupSimhash, dedupClusters, dedupReport, fuzzyJoin,
       dedupKeepBest, dedupCrossSource, dedupAuto, cdcDedup, winnow, pagerank,
       triangles, kcore, labelProp, lshTune, sortedNeighborhood, ccStars,
-      pagerankResidual)
+      pagerankResidual, ccAb)
 }

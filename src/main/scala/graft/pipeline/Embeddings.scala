@@ -274,29 +274,38 @@ object Embeddings {
       .localCheckpoint()
 
   /** One y = Xᵀ(Xv) pass against a literal direction (two map stages +
-    * a 64-row dim aggregate; the wp normalization max is the one driver
-    * pull inside). */
+    * a 64-row dim aggregate). The wp normalization max stays IN-PLAN as a
+    * broadcast 1-row aggregate (the q_pca_power final-round discipline) —
+    * r11 pulled it to the driver per round, doubling the Spark-job count
+    * of every power-iteration round for no data reason. `greatest(max, 1)`
+    * also absorbs the empty/all-NaN matrix (max over zero rows is NULL and
+    * greatest skips NULLs), so the degenerate corpus yields an empty y
+    * relation instead of a driver exception. */
   private def pcaYOf(X: DataFrame, vec: Array[Long]): DataFrame = {
     val dotLit = expr(
       s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
           (acc, i) -> acc + element_at(xq, i + 1) *
             element_at(array(${vec.mkString(",")}), i + 1))""")
     val w = X.withColumn("w", dotLit)
-    val wm = math.max(Option(w.agg(max(abs(col("w")))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(1L), 1L)
-    val ws = math.max(wm / PCA_WSCALE, 1L)
-    w.withColumn("wp",
-        expr(s"CASE WHEN w < 0 THEN -((-w) div $ws) ELSE w div $ws END"))
+    val wmAgg = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("wm"))
+    w.crossJoin(broadcast(wmAgg))
+      .withColumn("ws", greatest(expr(s"wm div $PCA_WSCALE"), lit(1L)))
+      .withColumn("wp",
+        expr("CASE WHEN w < 0 THEN -((-w) div ws) ELSE w div ws END"))
       .select(col("wp"), posexplode(col("xq")).as(Seq("dim", "xv")))
       .groupBy(col("dim")).agg(sum(col("xv") * col("wp")).as("y"))
   }
 
   private def idivL(a: Long, b: Long): Long = if (a < 0) -((-a) / b) else a / b
 
-  /** Driver-side round: pull y, normalize under the pinned rule. */
+  /** Driver-side round: pull y (the round's ONE driver round-trip),
+    * normalize under the pinned rule. An empty/all-NaN matrix yields zero
+    * y rows → ym defaults to 1 and the direction degenerates to the zero
+    * vector (mirroring the NULL-skipping greatest in [[pcaYOf]]) instead
+    * of crashing plan-build (ADVICE r11). */
   private def pcaRound(X: DataFrame, v: Array[Long]): Array[Long] = {
     val yRows = pcaYOf(X, v).collect().map(r => r.getInt(0) -> r.getLong(1))
-    val ym = math.max(yRows.map(p => math.abs(p._2)).max, 1L)
+    val ym = math.max(yRows.foldLeft(0L)((m, p) => math.max(m, math.abs(p._2))), 1L)
     val ys = math.max(ym / PCA_VSCALE, 1L)
     val nv = Array.fill(64)(0L)
     yRows.foreach { case (j, y) => nv(j) = idivL(y, ys) }

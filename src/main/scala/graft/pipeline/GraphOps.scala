@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   * 8 rounds, a plan constant (see q_pagerank's scaladoc for why).
   */
 object GraphOps {
-  /** Power iteration over a symmetrized (src, dst) edge relation. Each
-    * round is one node-keyed equi join plus a dst-keyed partial-agg
-    * shuffle of (node, long) pairs; per-round localCheckpoint caps
-    * lineage (the BPE-round precedent). Returns (node, deg, pr). */
-  def integerPagerank(edges0: DataFrame): DataFrame = {
+  /** THE round loop — the single source of the recurrence for both
+    * [[integerPagerank]] and [[integerPagerankResidual]] (ADVICE r11: two
+    * copy-pasted loops let a future edit silently diverge the certified
+    * recurrence from the one q_pagerank runs). Returns (round-8 state,
+    * round-7 state), each (node, deg, base, pr). */
+  private def pagerankRounds(edges0: DataFrame): (DataFrame, DataFrame) = {
     val edges = edges0.toDF("src", "dst").localCheckpoint()
     val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node")
@@ -31,7 +32,9 @@ object GraphOps {
         expr("(15 * (1000000000 div n)) div 100").as("base"),
         expr("1000000000 div n").as("pr"))
       .localCheckpoint()
+    var prev = ranks
     for (_ <- 1 to 8) {
+      prev = ranks
       val contrib = edges.join(ranks, edges("src") === ranks("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
@@ -41,8 +44,15 @@ object GraphOps {
           (col("base") + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
         .localCheckpoint()
     }
-    ranks.select(col("node"), col("deg"), col("pr"))
+    (ranks, prev)
   }
+
+  /** Power iteration over a symmetrized (src, dst) edge relation. Each
+    * round is one node-keyed equi join plus a dst-keyed partial-agg
+    * shuffle of (node, long) pairs; per-round localCheckpoint caps
+    * lineage (the BPE-round precedent). Returns (node, deg, pr). */
+  def integerPagerank(edges0: DataFrame): DataFrame =
+    pagerankRounds(edges0)._1.select(col("node"), col("deg"), col("pr"))
 
   /** The matching unrolled DuckDB rounds: expects a CTE `e(src, dst)` in
     * scope, defines nodes/nn/r0..r8; consumers SELECT FROM r8. Rounds are
@@ -74,29 +84,9 @@ object GraphOps {
     * actually quieted the walk (max |pr8 − pr7| and how many nodes still
     * moved). Same recurrence, same per-round checkpoints. */
   def integerPagerankResidual(edges0: DataFrame): DataFrame = {
-    val edges = edges0.toDF("src", "dst").localCheckpoint()
-    val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .withColumnRenamed("src", "node")
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    var ranks = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), col("deg"),
-        expr("(15 * (1000000000 div n)) div 100").as("base"),
-        expr("1000000000 div n").as("pr"))
-      .localCheckpoint()
-    var prev = ranks
-    for (_ <- 1 to 8) {
-      prev = ranks
-      val contrib = edges.join(ranks, edges("src") === ranks("node"))
-        .select(col("dst"), expr("pr div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-      ranks = ranks.select(col("node"), col("deg"), col("base"))
-        .join(contrib, col("node") === col("dst"), "left_outer")
-        .select(col("node"), col("deg"), col("base"),
-          (col("base") + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
-        .localCheckpoint()
-    }
-    ranks.select(col("node"), col("pr").as("pr8"))
-      .join(prev.select(col("node"), col("pr").as("pr7")), Seq("node"))
+    val (r8, r7) = pagerankRounds(edges0)
+    r8.select(col("node"), col("pr").as("pr8"))
+      .join(r7.select(col("node"), col("pr").as("pr7")), Seq("node"))
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007), determinized:

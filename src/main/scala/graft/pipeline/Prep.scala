@@ -51,7 +51,7 @@ object Prep {
       // smaller endpoint to survivors equals recomputing pairs on the
       // survivor subset. Anti join drops the larger endpoint.
       val survIds = exact.select(col("doc_id").as("a_id"))
-      val drops = Dedup.verifiedPairs(s, d, t)
+      val drops = Dedup.materializedPairs(s, d, t)
         .join(survIds, "a_id")
         .select(col("b_id").as("doc_id")).distinct()
       val deduped = exact.join(drops, Seq("doc_id"), "left_anti")

@@ -1302,7 +1302,9 @@ class PipelineSpec extends SparkSpec {
         m.toSeq.map { case (hi, mm) => (hi, mm) }).toSet
     }
     var e: Set[(Long, Long)] = pairs
-    for (_ <- 1 to 3) { e = smallStar(largeStar(e)) }
+    // The query's own round budget, not a hardcoded copy (ADVICE r11):
+    // a CC_CYCLES change must change this replay in lockstep.
+    for (_ <- 1 to pipeline.Dedup.CC_CYCLES) { e = smallStar(largeStar(e)) }
     val expect = e.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
     val got = SparkEntry.queries("q_cc_stars")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1874,5 +1876,46 @@ class PipelineSpec extends SparkSpec {
     assert(eps.values.min < eps.values.max,
       "degenerate corpus: every source got the same epoch count")
     assert(eps.values.max >= 2, "degenerate corpus: no source is repeated")
+  }
+
+  test("materializedPairs store: reused while fresh, rebuilt on corpus regen") {
+    // The graph family's shared edge store (VERDICT r11 #4): the
+    // freshness contract is (a) same corpus content => the SAME persisted
+    // copy backs every consumer (one discovery, seven readers), (b) an
+    // in-place regen at the same path => a REBUILT store whose content
+    // matches a fresh discovery — never stale edges.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pairstest").toString
+    def plant(n: Int): Unit =
+      Tables.t(spark, sfDir, "documents").orderBy(col("doc_id")).limit(n)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      plant(40)
+      val p1 = pipeline.Dedup.materializedPairs(spark, tmp, 0.5)
+      val files1 = p1.inputFiles.toSet
+      val set1 = pairSet(p1.select(col("a_id"), col("b_id")))
+      // Fresh content => cache hit: the second call reads the same copy.
+      val p2 = pipeline.Dedup.materializedPairs(spark, tmp, 0.5)
+      assert(p2.inputFiles.toSet == files1,
+        "same corpus content must be served from the one persisted copy")
+      assert(set1 == pairSet(
+        pipeline.Dedup.verifiedPairs(spark, tmp, 0.5)
+          .select(col("a_id"), col("b_id"))),
+        "store content diverged from a fresh discovery")
+      // Regen in place (different content, same path) => token changes,
+      // store rebuilds, and the content tracks the NEW corpus.
+      plant(60)
+      val p3 = pipeline.Dedup.materializedPairs(spark, tmp, 0.5)
+      assert(p3.inputFiles.toSet != files1,
+        "content change at the same path must evict the superseded copy")
+      assert(pairSet(p3.select(col("a_id"), col("b_id"))) == pairSet(
+        pipeline.Dedup.verifiedPairs(spark, tmp, 0.5)
+          .select(col("a_id"), col("b_id"))),
+        "rebuilt store diverged from a fresh discovery on the new corpus")
+    } finally {
+      scala.reflect.io.Path(new java.io.File(tmp)).deleteRecursively()
+      ()
+    }
   }
 }

@@ -671,4 +671,18 @@ class PlanSpec extends SparkSpec {
     assert(distincts.exists(_.output.map(_.name).toSet == Set("ka", "kb")),
       s"fuzzy pair-dedup not over collapsed keys:\n$fuzzyPlan")
   }
+
+  test("q_domain_mix's bigram aggregate is computed once (exchange reused)") {
+    // VERDICT r11 "what's wrong" #3: the (source, prev, cur) aggregate `g`
+    // feeds BOTH the LM cost table (c2 chain) and the per-domain rollup
+    // (dom). If ReuseExchange does not fire, the corpus-grain bigram
+    // explode — the query's only expensive stage — runs twice. Pin the
+    // invariant: after execution, the final adaptive plan must carry at
+    // least one ReusedExchange/ReusedQueryStage over the bigram exchange.
+    val df = SparkEntry.queries("q_domain_mix")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"bigram explode not shared between cost and rollup consumers:\n$plan")
+  }
 }
