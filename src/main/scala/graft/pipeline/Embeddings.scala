@@ -274,24 +274,25 @@ object Embeddings {
       .localCheckpoint()
 
   /** One y = Xᵀ(Xv) pass against a literal direction (two map stages +
-    * a 64-row dim aggregate). The wp normalization max stays IN-PLAN as a
-    * broadcast 1-row aggregate (the q_pca_power final-round discipline) —
-    * r11 pulled it to the driver per round, doubling the Spark-job count
-    * of every power-iteration round for no data reason. `greatest(max, 1)`
-    * also absorbs the empty/all-NaN matrix (max over zero rows is NULL and
-    * greatest skips NULLs), so the degenerate corpus yields an empty y
-    * relation instead of a driver exception. */
+    * a 64-row dim aggregate; the wp normalization max is the one driver
+    * pull inside). Both in-plan-broadcast and driver-pull shapes run TWO
+    * jobs per round with the dot computed twice (a broadcast exchange is
+    * its own job under AQE) — measured r12: the broadcast form is ~30%
+    * SLOWER (q_pca_power 1.58 vs 1.17 s quiet sf0.1; per-round adaptive
+    * broadcast-stage scheduling costs more than a 1-row collect), so the
+    * collect stays. The `getOrElse(1)` guards the empty/all-NaN matrix
+    * (max over zero rows is NULL), mirroring [[pcaRound]]'s guard. */
   private def pcaYOf(X: DataFrame, vec: Array[Long]): DataFrame = {
     val dotLit = expr(
       s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
           (acc, i) -> acc + element_at(xq, i + 1) *
             element_at(array(${vec.mkString(",")}), i + 1))""")
     val w = X.withColumn("w", dotLit)
-    val wmAgg = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("wm"))
-    w.crossJoin(broadcast(wmAgg))
-      .withColumn("ws", greatest(expr(s"wm div $PCA_WSCALE"), lit(1L)))
-      .withColumn("wp",
-        expr("CASE WHEN w < 0 THEN -((-w) div ws) ELSE w div ws END"))
+    val wm = math.max(Option(w.agg(max(abs(col("w")))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L), 1L)
+    val ws = math.max(wm / PCA_WSCALE, 1L)
+    w.withColumn("wp",
+        expr(s"CASE WHEN w < 0 THEN -((-w) div $ws) ELSE w div $ws END"))
       .select(col("wp"), posexplode(col("xq")).as(Seq("dim", "xv")))
       .groupBy(col("dim")).agg(sum(col("xv") * col("wp")).as("y"))
   }

@@ -300,17 +300,35 @@ object Profiling {
     * PARTITIONED by bucket — the repo's bucketed-window discipline, so no
     * corpus-cardinality relation ever passes through a single-partition
     * sort even if every document carried a distinct score. */
+  /** The (doc_id, score_e6, lab) relation both calibration gates consume —
+    * a content-keyed persisted store (the materializedPairs discipline):
+    * q_quality_auc and q_calibration_ece each re-ran the EXPENSIVE Gopher
+    * repetition gate (the interpreted-HOF CPU family, the suite's worst
+    * decade law) plus the cheap classifier per query. One build per corpus
+    * per JVM; both builders come from the REGISTERED QueryDefs, so the
+    * store can never drift from the gated definitions of its inputs. */
+  private val scoreLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  Tables.registerTempCacheCleanup(scoreLabelCache)
+
+  private def scoreLabelStore(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.contentKeyedTempParquet(scoreLabelCache, s,
+      s"$d/documents.parquet", "graft-scorelab-store") {
+      def defOf(mod: Seq[QueryDef], n: String) = mod.find(_.name == n).get
+      defOf(Curation.all, "q_quality_classifier").build(s, d)
+        .select(col("doc_id"), col("score_e6"))
+        .join(defOf(TextAnalysis.all, "q_quality_gopher").build(s, d)
+          .select(col("doc_id"),
+            when(col("keep"), 1L).otherwise(0L).as("lab")), Seq("doc_id"))
+    }
+
   private val AUC_BKT = 10000L
   private val qualityAuc = QueryDef(
     "q_quality_auc",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      def defOf(mod: Seq[QueryDef], n: String) = mod.find(_.name == n).get
-      val cls = defOf(Curation.all, "q_quality_classifier")
-      val gop = defOf(TextAnalysis.all, "q_quality_gopher")
-      val j = cls.build(s, d).select(col("doc_id"), col("score_e6"))
-        .join(gop.build(s, d).select(col("doc_id"),
-          when(col("keep"), 1L).otherwise(0L).as("lab")), Seq("doc_id"))
+      val j = scoreLabelStore(s, d)
       val g = j.groupBy(col("score_e6"))
         .agg(sum(col("lab")).as("pos"), sum(lit(1L) - col("lab")).as("neg"))
         .withColumn("bkt", expr(s"score_e6 div $AUC_BKT"))
@@ -385,13 +403,7 @@ object Profiling {
   private val calibrationEce = QueryDef(
     "q_calibration_ece",
     (s, d) => {
-      def defOf(mod: Seq[QueryDef], n: String) = mod.find(_.name == n).get
-      val cls = defOf(Curation.all, "q_quality_classifier")
-      val gop = defOf(TextAnalysis.all, "q_quality_gopher")
-      val j = cls.build(s, d).select(col("doc_id"), col("score_e6"))
-        .join(gop.build(s, d).select(col("doc_id"),
-          when(col("keep"), 1L).otherwise(0L).as("lab")), Seq("doc_id"))
-        .localCheckpoint()
+      val j = scoreLabelStore(s, d).localCheckpoint()
       val mm = j.agg(min(col("score_e6")).as("mn"),
         greatest(max(col("score_e6")) - min(col("score_e6")), lit(1L)).as("rng"))
       val bins = j.crossJoin(broadcast(mm))

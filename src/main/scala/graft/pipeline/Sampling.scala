@@ -471,8 +471,9 @@ object Sampling {
       def defOf(mod: Seq[QueryDef], n: String) = mod.find(_.name == n).get
       // Score once (three consumers below re-run the whole perplexity
       // model build otherwise — the q_ccnet_buckets probe finding; same
-      // fix, see its scaladoc).
-      val nll = defOf(TextAnalysis.all, "q_perplexity_lm").build(s, d)
+      // fix, see its scaladoc). Scores come from the persisted
+      // TextAnalysis.nllStore — one model build per corpus per JVM.
+      val nll = TextAnalysis.nllStore(s, d)
         .select(col("doc_id"), col("nll_e6"))
         .localCheckpoint()
       val g = nll.groupBy(col("nll_e6")).agg(count(lit(1)).as("c"))

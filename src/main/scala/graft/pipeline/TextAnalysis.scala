@@ -467,9 +467,24 @@ object TextAnalysis {
     * count and cost aggregates co-partition with that join; the vocabulary
     * size is a one-row broadcast (the Q11/Q22 scalar pattern); the final
     * aggregate keys on doc_id. Nothing is all-pairs, nothing collects. */
-  private val perplexityLm = QueryDef(
-    "q_perplexity_lm",
-    (s, d) => {
+  /** The (doc_id, n_bigrams, nll_e6, keep) score table as a content-keyed
+    * persisted store — the [[graft.pipeline.Dedup.materializedPairs]]
+    * discipline applied to the LM-score family: THREE gated consumers
+    * (q_perplexity_lm, q_ccnet_buckets, q_curriculum) each re-ran the
+    * full bigram-model build per query. Production persists the score
+    * table once per corpus snapshot (CCNet's own pipeline shape) and
+    * every gate reads it; freshness rides the corpus content token. */
+  private val nllStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  Tables.registerTempCacheCleanup(nllStoreCache)
+
+  private[pipeline] def nllStore(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.contentKeyedTempParquet(nllStoreCache, s,
+      s"$d/documents.parquet", "graft-nll-store")(perplexityNllBuild(s, d))
+
+  private def perplexityNllBuild(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
       val base = docs(s, d)
         .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
         .withColumn("n", size(col("toks")))
@@ -492,7 +507,11 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_bigrams"),
           expr("sum_e6 div n_bigrams").as("nll_e6"))
         .withColumn("keep", col("nll_e6") < 9000000L)
-    },
+  }
+
+  private val perplexityLm = QueryDef(
+    "q_perplexity_lm",
+    (s, d) => nllStore(s, d),
     Some("""WITH t AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
         FROM documents),
@@ -1349,9 +1368,11 @@ object TextAnalysis {
       // per-language totals, the final bucket rollup), and without the
       // checkpoint each consumer re-runs the whole perplexity model build
       // (probe caught 13.9 s / 7.6 s-straggler at 10x ≈ 3x the perplexity
-      // wall; 4.9 s after). The checkpointed relation is 3 narrow columns
-      // per doc — the production shape is persisting the score table.
-      val nl = perplexityLm.build(s, d).select(col("doc_id"), col("nll_e6"))
+      // wall; 4.9 s after). The scores now come from the persisted
+      // [[nllStore]] (one model build per corpus per JVM, shared with
+      // q_perplexity_lm and q_curriculum); the checkpoint still pins the
+      // narrow post-join relation for the three consumers.
+      val nl = nllStore(s, d).select(col("doc_id"), col("nll_e6"))
         .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
         .localCheckpoint()
       val g = nl.groupBy(col("lang"), col("nll_e6")).agg(count(lit(1)).as("c"))
