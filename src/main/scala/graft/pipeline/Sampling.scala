@@ -273,6 +273,85 @@ object Sampling {
              ELSE 'test' END AS split
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id"""))
 
+  /** Leakage CERTIFICATE for the split family: per split scheme, how many
+    * verified near-dup pairs (J ≥ 0.5, the family threshold) END UP WITH
+    * THEIR ENDPOINTS IN DIFFERENT SPLITS — the eval-contamination channel
+    * itself, measured. The per-document hash split ([[sampleSplit]]'s
+    * rule) leaks by construction (a near-dup twin of a test doc can land
+    * in train); the cluster-keyed split ([[splitLeakageSafe]]) must
+    * measure EXACTLY ZERO cross-split pairs, because both endpoints of
+    * every pair share a component and therefore a split key. This is the
+    * certification-query pattern (recall cert, sketch certs, cc A/B)
+    * applied to split hygiene — the number a data lead checks before
+    * trusting an eval score.
+    *
+    * Scale shape: the pair relation rides the persisted
+    * [[Dedup.materializedPairs]] store; each scheme is two doc_id-keyed
+    * equi joins of that (long, long) relation against a narrow
+    * (doc_id, split) projection plus a 1-row rollup. Nothing is
+    * corpus-grain beyond the map-side split projection. */
+  private val splitLeakageCert = QueryDef(
+    "q_split_leakage_cert",
+    (s, d) => {
+      val pairs = Dedup.materializedPairs(s, d, 0.5)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val bucket = splitHash(col("doc_id")) % 10
+      val naive = Tables.t(s, d, "documents").select(col("doc_id"),
+        when(bucket < 8, "train").when(bucket === 8, "valid")
+          .otherwise("test").as("split"))
+      def cert(scheme: String, asg: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame =
+        pairs
+          .join(asg.select(col("doc_id").as("a_id"), col("split").as("sa")), "a_id")
+          .join(asg.select(col("doc_id").as("b_id"), col("split").as("sb")), "b_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_cross"))
+          .select(lit(scheme).as("scheme"), col("n_pairs"), col("n_cross"),
+            expr("n_cross * CAST(1000000 AS BIGINT) div greatest(n_pairs, 1)")
+              .as("leak_e6"))
+      cert("per_doc", naive).union(
+        cert("per_cluster", splitLeakageSafe.build(s, d)))
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.pairsCteSql("documents", 0.5)},
+      edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      reach(src, dst) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+      comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+               FROM reach GROUP BY src),
+      asg AS (
+        SELECT d.doc_id,
+          CASE WHEN (d.doc_id * 40503) % 65536 % 10 < 8 THEN 'train'
+               WHEN (d.doc_id * 40503) % 65536 % 10 = 8 THEN 'valid'
+               ELSE 'test' END AS s_doc,
+          CASE WHEN (COALESCE(c.cluster_id, d.doc_id) * 40503) % 65536 % 10 < 8
+                 THEN 'train'
+               WHEN (COALESCE(c.cluster_id, d.doc_id) * 40503) % 65536 % 10 = 8
+                 THEN 'valid'
+               ELSE 'test' END AS s_cl
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+      j AS (
+        SELECT a.s_doc AS sa_doc, b.s_doc AS sb_doc,
+          a.s_cl AS sa_cl, b.s_cl AS sb_cl
+        FROM pairs p
+          JOIN asg a ON p.a_id = a.doc_id
+          JOIN asg b ON p.b_id = b.doc_id)
+      SELECT 'per_doc' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(CASE WHEN sa_doc <> sb_doc THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_cross,
+        (CAST(SUM(CASE WHEN sa_doc <> sb_doc THEN 1 ELSE 0 END) AS BIGINT)
+          * 1000000) // GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS leak_e6
+      FROM j
+      UNION ALL
+      SELECT 'per_cluster' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(CASE WHEN sa_cl <> sb_cl THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_cross,
+        (CAST(SUM(CASE WHEN sa_cl <> sb_cl THEN 1 ELSE 0 END) AS BIGINT)
+          * 1000000) // GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS leak_e6
+      FROM j"""))
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — public): score every raw
     * document by how much its hashed-n-gram feature distribution looks like
@@ -639,6 +718,6 @@ object Sampling {
 
   val all: Seq[QueryDef] =
     Seq(sampleSplit, sampleStratified, mixSources, langRebalance, shardShuffle,
-      sampleWeighted, splitLeakageSafe, dsirSelect, domainMix, curriculum,
-      repeatAllocation)
+      sampleWeighted, splitLeakageSafe, splitLeakageCert, dsirSelect,
+      domainMix, curriculum, repeatAllocation)
 }

@@ -1878,6 +1878,36 @@ class PipelineSpec extends SparkSpec {
     assert(eps.values.max >= 2, "degenerate corpus: no source is repeated")
   }
 
+  test("q_split_leakage_cert: cluster split leaks zero pairs, per-doc split leaks") {
+    val rows = SparkEntry.queries("q_split_leakage_cert")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (npDoc, crossDoc, leakDoc) = rows("per_doc")
+    val (npCl, crossCl, leakCl) = rows("per_cluster")
+    // Both schemes certify the same pair universe.
+    assert(npDoc == npCl && npDoc > 0, s"pair universe mismatch: $rows")
+    // The THEOREM the leakage-safe split exists for: zero cross-split
+    // near-dup pairs, because both endpoints share a component key.
+    assert(crossCl == 0L && leakCl == 0L,
+      s"cluster-keyed split leaked near-dup pairs: $rows")
+    // And the channel is REAL: the per-document hash split must leak on a
+    // corpus with near-dups (otherwise this certificate certifies nothing).
+    assert(crossDoc > 0L && leakDoc > 0L,
+      s"per-doc split unexpectedly leak-free — degenerate corpus? $rows")
+    // Independent recompute of the per-doc count from the gated pieces.
+    val split = SparkEntry.queries("q_sample_split")(spark, sfDir) // rollup only
+    assert(split.count() > 0)
+    val asg = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), ((col("doc_id") * 40503L) % 65536L % 10L).as("b"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getLong(1) < 8) "train" else if (r.getLong(1) == 8) "valid" else "test"))
+      .toMap
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectCross = pairs.count { case (a, b) => asg(a) != asg(b) }
+    assert(crossDoc == expectCross,
+      s"per-doc cross count diverged: got $crossDoc want $expectCross")
+  }
+
   test("materializedPairs store: reused while fresh, rebuilt on corpus regen") {
     // The graph family's shared edge store (VERDICT r11 #4): the
     // freshness contract is (a) same corpus content => the SAME persisted
