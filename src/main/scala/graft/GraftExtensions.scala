@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{ArgmaxCosine, CosineSimilarity, JaccardSimilarity, LshSignatures}
+import graft.functions.{ArgmaxCosine, CosineSimilarity, GopherStats, GramProfile, JaccardSimilarity, LshSignatures}
 
 /** Session extensions: graft's native functions, injected at session build
   * (`spark.sql.extensions=graft.GraftExtensions`). This is the sanctioned
@@ -62,6 +62,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "graft_bloom_contains(bloom, xxhash64(x)) takes (binary scalar-subquery/literal, bigint)")
         BloomFilterMightContain(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gopher_stats"),
+      new ExpressionInfo(classOf[GopherStats].getName, "graft_gopher_stats"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_gopher_stats(toks) takes one array<string> argument")
+        GopherStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_profile"),
+      new ExpressionInfo(classOf[GramProfile].getName, "graft_gram_profile"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_gram_profile(toks, n) takes (array<string>, int)")
+        GramProfile(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_jaccard"),

@@ -26,34 +26,29 @@ object Curation {
   /** Gopher-style repetition quality gate: fraction of bigram mass held by
     * the single most frequent bigram, plus the duplicate-trigram fraction
     * (1 - distinct/total). Highly templated or stuttering documents score
-    * high on both and are dropped. Per-doc n-gram enumeration is a map
-    * stage (`transform`, no UDF); both aggregates key on doc_id, so the
-    * join between them is co-partitioned — two doc-keyed shuffles carrying
-    * (doc_id, gram) pairs, never text, then a zero-exchange join. */
+    * high on both and are dropped. Every n-gram of a document derives from
+    * the document's own row, so all three facts per n (total, distinct,
+    * top count) are PARTITION-LOCAL: the original explode → (doc, gram)
+    * groupBy plan paid two hash exchanges whose keys never crossed a
+    * partition (the defect the r11 stage probe found in q_quality_gopher's
+    * first plan). Since r12 the native `graft_gram_profile` kernel
+    * ([[graft.functions.GramProfile]]) computes them in one compiled
+    * sorted pass per n — ZERO shuffle, no join, at any corpus size; counts
+    * are trivially identical, so the SQL oracle is unchanged. */
   private val qualityRepetition = QueryDef(
     "q_quality_repetition",
     (s, d) => {
-      val base = docs(s, d)
+      val base = Tables.spreadForRowCpu(docs(s, d))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
-      val bg = base.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', slice(toks, i+1, 2)))"))
-        .as("g"))
-      val bstat = bg.groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_bi"))
-      val tstat = base.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3)))"))
-        .as("g3"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tri"), countDistinct(col("g3")).as("n_dist"))
-      bstat.join(tstat, "doc_id")
+      base
+        .withColumn("bi", call_function("graft_gram_profile", col("toks"), lit(2)))
+        .withColumn("tri", call_function("graft_gram_profile", col("toks"), lit(3)))
         .select(col("doc_id"),
-          floor(col("top_cnt").cast(DoubleType) / col("n_bi").cast(DoubleType) * 1e6)
-            .as("top_bigram_frac_e6"),
-          floor((col("n_tri") - col("n_dist")).cast(DoubleType) /
-            col("n_tri").cast(DoubleType) * 1e6).as("dup_trigram_frac_e6"))
+          floor(col("bi.top_cnt").cast(DoubleType) /
+            col("bi.n_grams").cast(DoubleType) * 1e6).as("top_bigram_frac_e6"),
+          floor((col("tri.n_grams") - col("tri.n_distinct")).cast(DoubleType) /
+            col("tri.n_grams").cast(DoubleType) * 1e6).as("dup_trigram_frac_e6"))
         .withColumn("keep",
           col("top_bigram_frac_e6") <= 180000 && col("dup_trigram_frac_e6") <= 300000)
     },

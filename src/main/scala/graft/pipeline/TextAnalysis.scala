@@ -870,21 +870,15 @@ object TextAnalysis {
     * PipelineSpec brute force pin the rewrite's equivalence). */
   private val NS_TOP = Seq(2, 3, 4)
   private val NS_DUP = Seq(5, 10)
-  private val repetition = QueryDef(
-    "q_quality_gopher",
-    (s, d) => {
-      // Every gram of a document lives in the document's own row, so the
-      // per-(doc, n, gram) counts are PARTITION-LOCAL facts: the original
-      // explode → groupBy plan shuffled ~1 GB of gram rows per 50k docs
-      // through an exchange whose keys never crossed a partition (stage
-      // probe, r11). This form computes each doc's statistics map-side —
-      // sort the doc's gram array, then one run-length fold carrying
-      // (best run, tie-broken gram; duplicated char mass) — ZERO shuffle,
-      // no join, at any corpus size. Tie-break and char accounting are
-      // bit-identical to the old plan (the unchanged oracle + brute-force
-      // spec pin that).
-      def statsFor(n: Int): Column = expr(
-        s"""CASE WHEN size(toks) >= $n THEN
+
+  /** The interpreted-HOF fold the native `graft_gopher_stats` kernel
+    * replaced (r12): kept as the DIFFERENTIAL ORACLE FunctionsSpec runs
+    * the kernel against (the cosineHof precedent). Expects columns
+    * `toks` (array<string>) in scope; yields struct(topchars, dupchars)
+    * for one n.
+    */
+  private[graft] def gopherStatsHof(n: Int): Column = expr(
+    s"""CASE WHEN size(toks) >= $n THEN
               aggregate(
                 array_sort(transform(sequence(1, size(toks) - ${n - 1}),
                   i -> concat_ws(' ', slice(toks, i, $n)))),
@@ -910,17 +904,32 @@ object TextAnalysis {
                   'dupchars', st.dup + IF(st.run >= 2L,
                     st.run * length(st.prev), 0L)))
             ELSE named_struct('topchars', 0L, 'dupchars', 0L) END""")
+
+  private val repetition = QueryDef(
+    "q_quality_gopher",
+    (s, d) => {
+      // Every gram of a document lives in the document's own row, so the
+      // per-(doc, n, gram) counts are PARTITION-LOCAL facts: the original
+      // explode → groupBy plan shuffled ~1 GB of gram rows per 50k docs
+      // through an exchange whose keys never crossed a partition (stage
+      // probe, r11), and the r11 HOF rewrite still paid five interpreted
+      // aggregate() folds per doc — the suite's worst CPU decade law.
+      // Since r12 all five statistics come from ONE native codegen kernel
+      // ([[graft.functions.GopherStats]]): one joined byte buffer per doc,
+      // zero-copy gram views, the identical run-length recurrence compiled
+      // — still ZERO shuffle, no join, at any corpus size. Bit-identical
+      // to the HOF fold (FunctionsSpec differential) and to the unchanged
+      // SQL oracle + PipelineSpec brute force.
       val base = Tables.spreadForRowCpu(docs(s, d))
         .select(col("doc_id"),
           length(col("text")).as("total"), split(col("text"), " ").as("toks"))
-      val withStats = (NS_TOP ++ NS_DUP).foldLeft(base) { (df, n) =>
-        df.withColumn(s"st$n", statsFor(n))
-      }
+      val withStats = base
+        .withColumn("gs", call_function("graft_gopher_stats", col("toks")))
       val outCols =
         NS_TOP.map(n =>
-          floor(col(s"st$n.topchars") * lit(1e6) / col("total")).as(s"top${n}_e6")) ++
+          floor(col(s"gs.top${n}c") * lit(1e6) / col("total")).as(s"top${n}_e6")) ++
         NS_DUP.map(n =>
-          floor(col(s"st$n.dupchars") * lit(1e6) / col("total")).as(s"dup${n}_e6"))
+          floor(col(s"gs.dup${n}c") * lit(1e6) / col("total")).as(s"dup${n}_e6"))
       withStats.select(col("doc_id") +: outCols: _*)
         .withColumn("keep",
           col("top2_e6") <= 200000 && col("top3_e6") <= 180000 &&

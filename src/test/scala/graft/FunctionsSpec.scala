@@ -156,4 +156,108 @@ class FunctionsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_cosine.*"), plan)
   }
+
+  test("graft_gopher_stats is bit-identical to the interpreted HOF fold on the corpus") {
+    val base = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val both = Seq(2, 3, 4, 5, 10).foldLeft(
+      base.withColumn("gs", call_function("graft_gopher_stats", col("toks")))) {
+      (df, n) => df.withColumn(s"st$n", pipeline.TextAnalysis.gopherStatsHof(n))
+    }
+    val diff = both.filter(
+      col("gs.top2c") =!= col("st2.topchars") ||
+      col("gs.top3c") =!= col("st3.topchars") ||
+      col("gs.top4c") =!= col("st4.topchars") ||
+      col("gs.dup5c") =!= col("st5.dupchars") ||
+      col("gs.dup10c") =!= col("st10.dupchars"))
+    assert(both.count() > 0)
+    assert(diff.isEmpty, diff.limit(5).collect().mkString("\n"))
+  }
+
+  test("graft_gopher_stats edge cases: ties, empty tokens, astral-plane order, nulls") {
+    // Crafted docs: count ties broken by gram length then lexicographic;
+    // empty tokens from doubled separators; supplementary characters
+    // (U+10000+) where byte-wise UTF-8 order and UTF-16 code-unit order
+    // could diverge if the kernel sorted Java Strings; short docs below
+    // every n; a 1-token doc.
+    val texts = Seq(
+      "a b a b c d c d",                 // two count-2 bigrams: tie
+      "aa bb aa bb cc",                  // longer-gram tiebreak
+      "x  y  x  y",                      // empty tokens between doubles
+      "𐀀 z 𐀀 z ￿ q", // astral (U+10000) vs BMP U+FFFF ordering
+      "one",                             // below every n
+      "p q",                             // exactly n=2
+      "r r r r r r r r r r r r"          // one gram dominating every n
+    )
+    val df = spark.createDataFrame(texts.zipWithIndex.map(_.swap))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val both = Seq(2, 3, 4, 5, 10).foldLeft(
+      df.withColumn("gs", call_function("graft_gopher_stats", col("toks")))) {
+      (d, n) => d.withColumn(s"st$n", pipeline.TextAnalysis.gopherStatsHof(n))
+    }.collect()
+    both.foreach { r =>
+      val gs = r.getStruct(r.fieldIndex("gs"))
+      def st(n: Int, f: String) =
+        r.getStruct(r.fieldIndex(s"st$n")).getAs[Long](f)
+      assert(gs.getLong(0) == st(2, "topchars"), s"top2 @ ${r.get(0)}: $r")
+      assert(gs.getLong(1) == st(3, "topchars"), s"top3 @ ${r.get(0)}: $r")
+      assert(gs.getLong(2) == st(4, "topchars"), s"top4 @ ${r.get(0)}: $r")
+      assert(gs.getLong(3) == st(5, "dupchars"), s"dup5 @ ${r.get(0)}: $r")
+      assert(gs.getLong(4) == st(10, "dupchars"), s"dup10 @ ${r.get(0)}: $r")
+    }
+    // NULL array and NULL token slot -> NULL (graft_cosine convention).
+    val nulls = spark.sql(
+      """SELECT graft_gopher_stats(CAST(NULL AS ARRAY<STRING>)) AS n1,
+           graft_gopher_stats(array('a', CAST(NULL AS STRING), 'b')) AS n2""")
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1), nulls.toString)
+  }
+
+  test("graft_gram_profile equals the explode-groupBy formulation on the corpus") {
+    val base = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    for (n <- Seq(2, 3)) {
+      val native = base.select(col("doc_id"),
+        call_function("graft_gram_profile", col("toks"), lit(n)).as("p"))
+        .select(col("doc_id"), col("p.n_grams"), col("p.n_distinct"), col("p.top_cnt"))
+      val composed = base.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', slice(toks, i+1, $n)))"))
+        .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_cnt"))
+      assert(native.count() > 0)
+      assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty,
+        s"n=$n: native and explode-groupBy profiles diverge")
+    }
+  }
+
+  test("graft_gram_profile null/shape semantics") {
+    val r = spark.sql(
+      """SELECT
+           graft_gram_profile(CAST(NULL AS ARRAY<STRING>), 2) AS n1,
+           graft_gram_profile(array('a', CAST(NULL AS STRING)), 2) AS n2,
+           graft_gram_profile(array('a', 'b'), 0) AS n3,
+           graft_gram_profile(array('a', 'b'), 5) AS short,
+           graft_gram_profile(array('a', 'b', 'a', 'b'), 2) AS p""")
+      .collect().head
+    assert((0 until 3).forall(r.isNullAt), r.toString)
+    assert(r.getStruct(3).getLong(0) == 0L && r.getStruct(3).getLong(1) == 0L &&
+      r.getStruct(3).getLong(2) == 0L, "L < n must yield (0, 0, 0)")
+    // grams: "a b", "b a", "a b" -> 3 total, 2 distinct, top "a b" x2.
+    assert(r.getStruct(4).getLong(0) == 3L && r.getStruct(4).getLong(1) == 2L &&
+      r.getStruct(4).getLong(2) == 2L, r.getStruct(4).toString)
+  }
+
+  test("graft_gopher_stats participates in whole-stage codegen") {
+    val df = Tables.t(spark, sfDir, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .select(call_function("graft_gopher_stats", col("toks")).as("gs"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_gopher_stats.*"), plan)
+  }
 }

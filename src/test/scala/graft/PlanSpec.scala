@@ -672,6 +672,22 @@ class PlanSpec extends SparkSpec {
       s"fuzzy pair-dedup not over collapsed keys:\n$fuzzyPlan")
   }
 
+  test("within-doc repetition gates plan no keyed exchange (kernel, not explode-groupBy)") {
+    // Every gram of a document derives from the document's own row, so
+    // neither gate may hash-shuffle gram rows: the only exchange allowed
+    // is spreadForRowCpu's deliberate round-robin CPU spread. The native
+    // kernels (graft_gopher_stats / graft_gram_profile) must appear in
+    // the projection — a regression to the interpreted HOF or the
+    // explode form would drop them.
+    for ((q, fn) <- Seq("q_quality_gopher" -> "graft_gopher_stats",
+        "q_quality_repetition" -> "graft_gram_profile")) {
+      val p = planString(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q hash-shuffles partition-local gram facts:\n$p")
+      assert(p.contains(fn), s"$q lost its native kernel $fn:\n$p")
+    }
+  }
+
   test("q_domain_mix's bigram aggregate is computed once (exchange reused)") {
     // VERDICT r11 "what's wrong" #3: the (source, prev, cur) aggregate `g`
     // feeds BOTH the LM cost table (c2 chain) and the per-domain rollup
