@@ -1060,19 +1060,45 @@ object TextAnalysis {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("cnt")).as("c"))
 
-  private def bpeLearn(s: SparkSession, d: String)
+  /** The trained BPE table — a content-keyed persisted store (the
+    * materializedPairs / scoreLabelStore discipline): THREE gated queries
+    * replay the same [[BPE_MERGES]]-round training loop (q_bpe_train,
+    * q_bpe_encode, and q_tokenizer_fertility via q_bpe_encode's builder),
+    * each paying the full per-round driver-pull + checkpoint chain. One
+    * training run per corpus content per JVM now fills both halves — the
+    * merge list (driver-side, keyed by the SAME content token the parquet
+    * store validates, so they can never desynchronize) and the final
+    * (w, cnt, syms) word table (temp parquet). Freshness rides
+    * [[Tables.contentToken]]: an in-place corpus regen rebuilds both.
+    */
+  private val bpeWordCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  Tables.registerTempCacheCleanup(bpeWordCache)
+  private val bpeMergesByPath = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(Long, String, String, Long)])]()
+
+  private[graft] def bpeLearn(s: SparkSession, d: String)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
-    var cur = wordTable(s, d)
-    val merges = Seq.newBuilder[(Long, String, String, Long)]
-    for (step <- 1 to BPE_MERGES) {
-      val best = pairCounts(cur)
-        .orderBy(col("c").desc, col("l"), col("r")).limit(1)
-        .collect()(0)
-      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((step.toLong, l, r, c))
-      cur = applyMerge(cur, l, r).localCheckpoint()
+    val path = s"$d/documents.parquet"
+    val token = Tables.contentToken(path)
+    val tbl = Tables.contentKeyedTempParquet(bpeWordCache, s, path, "graft-bpe-store") {
+      var cur = wordTable(s, d)
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (step <- 1 to BPE_MERGES) {
+        val best = pairCounts(cur)
+          .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+          .collect()(0)
+        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((step.toLong, l, r, c))
+        cur = applyMerge(cur, l, r).localCheckpoint()
+      }
+      bpeMergesByPath.put(path, (token, merges.result()))
+      cur
     }
-    (merges.result(), cur)
+    val m = bpeMergesByPath.get(path)
+    require(m != null && m._1 == token,
+      "BPE merge list out of sync with the stored word table")
+    (m._2, tbl)
   }
 
   /** The shared SQL prefix (w0 .. w{M}): the word-frequency base plus one

@@ -143,10 +143,36 @@ object Unigram {
   /** Seed + all EM rounds but the last E-step. Returns the checkpointed
     * word table, per-piece (seed count, count after each completed round),
     * and the score table feeding the FINAL E-step — which each consumer
-    * runs distributed as its own last stage. */
-  private def learnCore(s: SparkSession, d: String)
+    * runs distributed as its own last stage.
+    *
+    * Cached once per corpus content per JVM (the bpeLearn store
+    * discipline): BOTH gated consumers (q_unigram_train, q_unigram_encode)
+    * replay the identical seed + EM recurrence, each paying the corpus
+    * scan plus [[EM_ROUNDS]] driver-pull rounds. The word table persists
+    * as temp parquet; the driver-side EM state pins via [[Tables.keyedOnce]]
+    * on the SAME content token, so the pair can never desynchronize. */
+  private val uniWordCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  Tables.registerTempCacheCleanup(uniWordCache)
+  private val uniStateCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[
+      (Seq[(String, Seq[Long])], Seq[(String, Long)], Int)]]()
+
+  private[graft] def learnCore(s: SparkSession, d: String)
       : (DataFrame, Seq[(String, Seq[Long])], Seq[(String, Long)], Int) = {
-    val words = wordTable(s, d).localCheckpoint()
+    val words = Tables.contentKeyedTempParquet(uniWordCache, s,
+      s"$d/documents.parquet", "graft-uniword-store")(wordTable(s, d))
+      .localCheckpoint()
+    val token = Tables.contentToken(s"$d/documents.parquet")
+    val (hist, sc, v) =
+      Tables.keyedOnce(uniStateCache, token)(Tables.staleSibling(token, _)) {
+        learnState(words)
+      }
+    (words, hist, sc, v)
+  }
+
+  private def learnState(words: DataFrame)
+      : (Seq[(String, Seq[Long])], Seq[(String, Long)], Int) = {
     val grid = words
       .select(col("w"), col("cnt"), explode(expr(gridExpr)).as("e"))
       .select(expr("substring(w, e.i + 1, e.k)").as("piece"), col("cnt"))
@@ -170,7 +196,7 @@ object Unigram {
       hist = hist.zip(cnts).map { case ((p, h), (_, c)) => p -> (h :+ c) }
       sc = scoresOf(cnts, v)
     }
-    (words, hist, sc, v)
+    (hist, sc, v)
   }
 
   // ---------------------------------------------------------------- oracle

@@ -1948,4 +1948,49 @@ class PipelineSpec extends SparkSpec {
       ()
     }
   }
+
+  test("tokenizer trainer stores: reused while fresh, rebuilt on corpus regen") {
+    // The BPE and unigram trainers are content-keyed stores (r12): three
+    // gated consumers share one BPE train, two share one unigram EM run.
+    // Contract: (a) fresh content => the same persisted word table and
+    // the IDENTICAL driver-side state on every call; (b) an in-place
+    // regen => both halves rebuild together (the require in bpeLearn
+    // guards the merges/table pairing on the content token).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpetest").toString
+    def plant(n: Int): Unit =
+      Tables.t(spark, sfDir, "documents").orderBy(col("doc_id")).limit(n)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      plant(40)
+      val (m1, t1) = pipeline.TextAnalysis.bpeLearn(spark, tmp)
+      val (m2, t2) = pipeline.TextAnalysis.bpeLearn(spark, tmp)
+      assert(m1 == m2, "fresh content must serve one cached merge list")
+      assert(t1.inputFiles.toSet == t2.inputFiles.toSet,
+        "fresh content must serve one persisted word table")
+      val (_, h1, s1, v1) = pipeline.Unigram.learnCore(spark, tmp)
+      val (_, h2, s2, v2) = pipeline.Unigram.learnCore(spark, tmp)
+      assert(h1 == h2 && s1 == s2 && v1 == v2,
+        "fresh content must serve one cached EM state")
+      plant(60)
+      val (m3, t3) = pipeline.TextAnalysis.bpeLearn(spark, tmp)
+      assert(t3.inputFiles.toSet != t1.inputFiles.toSet,
+        "content change at the same path must rebuild the BPE store")
+      // The rebuilt table must be the FINAL table of the rebuilt merges:
+      // replaying m3 over the new corpus word table reproduces it (the
+      // pairing guard, checked by content not just by token).
+      val expect = t3.select(col("w"), col("cnt")).orderBy(col("w"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val fresh = Tables.t(spark, tmp, "documents")
+        .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+        .filter(expr("length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) = 0"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("w")).collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(expect.toSeq == fresh.toSeq,
+        "rebuilt word table diverged from the new corpus's word frequencies")
+      assert(m3.nonEmpty && m3.forall(_._4 > 0), "rebuilt merges malformed")
+    } finally {
+      scala.reflect.io.Path(new java.io.File(tmp)).deleteRecursively()
+      ()
+    }
+  }
 }
