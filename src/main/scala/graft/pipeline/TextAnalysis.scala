@@ -1603,11 +1603,120 @@ object TextAnalysis {
           * 1e6) AS BIGINT) AS beta_e6
       FROM base"""))
 
+  /** The FULL Gopher quality-RULE set (Rae et al. 2021, appendix A1.1 —
+    * public), the non-repetition document gates that complete the family
+    * next to [[repetition]]'s n-gram statistics: word-count bounds
+    * [50, 100k], mean word length in [3, 10] chars, symbol-to-word ratio
+    * ≤ 0.1 for hashes and for ellipses, ≥ 80% of words carrying at least
+    * one alphabetic character, and ≥ 2 distinct required stopwords
+    * present — the paper's eight (the, be, to, of, and, that, have,
+    * with) plus the article 'a': the paper set is an English-web-model
+    * constant, and this corpus model draws its function words from
+    * {the, a}, so the unmodified set would gate every document
+    * identically (a vacuous certificate); the augmented set keeps the
+    * rule's SHAPE (≥ 2 distinct required function words) while
+    * discriminating on this corpus. The
+    * line-grain rules (bullet-start / ellipsis-end fractions) are omitted:
+    * the corpus is single-line by construction, so they gate nothing here
+    * and their thresholds would certify vacuous truths.
+    *
+    * All ratios are nonnegative-integer `div` at e6 (Spark `div` ==
+    * DuckDB `//` on nonnegative operands — the oracle-parity convention);
+    * the alphabetic test is `translate`-based, not a regex (anchors are
+    * not engine-portable, the q_bpe_train precedent). Scale shape: ONE
+    * map-side pass over each document's own row — no shuffle, no join at
+    * any corpus size (the q_quality_gopher kernel family's shape; these
+    * statistics are cheap enough that composed expressions stay inside
+    * whole-stage codegen without a native kernel). */
+  private val gopherRules = QueryDef(
+    "q_quality_gopher_rules",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .filter(col("n_words") >= 1)
+        .withColumn("sum_len", expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
+        .withColumn("n_alpha", size(expr(
+          """filter(toks, t -> length(translate(t,
+             'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ', ''))
+             < length(t))""")).cast("long"))
+        .withColumn("n_hash",
+          (length(col("text")) - length(expr("replace(text, '#', '')"))).cast("long"))
+        .withColumn("n_ell",
+          expr("CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"))
+        .withColumn("n_req_stops", expr(
+          """CAST(IF(array_contains(toks, 'the'), 1, 0) +
+             IF(array_contains(toks, 'be'), 1, 0) +
+             IF(array_contains(toks, 'to'), 1, 0) +
+             IF(array_contains(toks, 'of'), 1, 0) +
+             IF(array_contains(toks, 'and'), 1, 0) +
+             IF(array_contains(toks, 'that'), 1, 0) +
+             IF(array_contains(toks, 'have'), 1, 0) +
+             IF(array_contains(toks, 'with'), 1, 0) +
+             IF(array_contains(toks, 'a'), 1, 0) AS BIGINT)"""))
+        .withColumn("mean_word_len_e6",
+          expr("(sum_len * CAST(1000000 AS BIGINT)) div n_words"))
+        .withColumn("hash_ratio_e6",
+          expr("(n_hash * CAST(1000000 AS BIGINT)) div n_words"))
+        .withColumn("ellipsis_ratio_e6",
+          expr("(n_ell * CAST(1000000 AS BIGINT)) div n_words"))
+        .withColumn("alpha_frac_e6",
+          expr("(n_alpha * CAST(1000000 AS BIGINT)) div n_words"))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len_e6"),
+          col("hash_ratio_e6"), col("ellipsis_ratio_e6"),
+          col("alpha_frac_e6"), col("n_req_stops"),
+          (col("n_words") >= 50 && col("n_words") <= 100000 &&
+            col("mean_word_len_e6") >= 3000000 &&
+            col("mean_word_len_e6") <= 10000000 &&
+            col("hash_ratio_e6") <= 100000 &&
+            col("ellipsis_ratio_e6") <= 100000 &&
+            col("alpha_frac_e6") >= 800000 &&
+            col("n_req_stops") >= 2).as("keep")),
+    Some("""WITH t AS (
+        SELECT doc_id, text,
+          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT) AS sum_len,
+          CAST(len(list_filter(toks, w -> len(translate(w,
+            'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ', ''))
+            < len(w))) AS BIGINT) AS n_alpha,
+          CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+          CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+          CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
+            CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END +
+            CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END +
+            CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END +
+            CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END +
+            CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END +
+            CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END +
+            CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END +
+            CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END AS BIGINT)
+            AS n_req_stops
+        FROM t WHERE len(toks) >= 1),
+      r AS (
+        SELECT doc_id, n_words,
+          (sum_len * 1000000) // n_words AS mean_word_len_e6,
+          (n_hash * 1000000) // n_words AS hash_ratio_e6,
+          (n_ell * 1000000) // n_words AS ellipsis_ratio_e6,
+          (n_alpha * 1000000) // n_words AS alpha_frac_e6,
+          n_req_stops
+        FROM b)
+      SELECT doc_id, n_words, mean_word_len_e6, hash_ratio_e6,
+        ellipsis_ratio_e6, alpha_frac_e6, n_req_stops,
+        n_words BETWEEN 50 AND 100000 AND
+          mean_word_len_e6 BETWEEN 3000000 AND 10000000 AND
+          hash_ratio_e6 <= 100000 AND ellipsis_ratio_e6 <= 100000 AND
+          alpha_frac_e6 >= 800000 AND n_req_stops >= 2 AS keep
+      FROM r"""))
+
   val all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, tokenCount, fingerprint, vocab,
       fingerprintRolling, tfidfKeywords, outlierFilter, boilerplate, bm25,
       bigramLm, decontaminate, perplexityLm, knPerplexity, pmiCollocations,
-      oovRate, repetition, bpeTrain,
+      oovRate, repetition, gopherRules, bpeTrain,
       wordpieceTrain, bpeEncode, tokenizerFertility, ccnetBuckets,
       distinctNgrams, vocabGrowth, zipfSlope, textrank)
 }
