@@ -35,6 +35,10 @@ object GopherKernel {
       i += 1
     }
     val bufLen = bytes + math.max(L - 1, 0)
+    // Unreachable for split()-derived tokens (disjoint substrings of one
+    // <= 2 GiB UTF8String), but a CONSTRUCTED array can exceed a JVM byte
+    // array: NULL, not a truncated .toInt allocation.
+    if (bufLen > Int.MaxValue - 16) return null
     val buf = new Array[Byte](bufLen.toInt)
     val starts = new Array[Int](L + 1)
     var off = 0

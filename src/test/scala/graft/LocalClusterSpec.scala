@@ -80,10 +80,17 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
                                // checkpointed matrix held in REMOTE JVMs; 8
                                // data-dependent replans from 65-value pulls
                                // must stay bit-exact across executors (r11)
-    "q_cc_stars")              // 6 LS/SS alternations, each replanned
+    "q_cc_stars",              // 6 LS/SS alternations, each replanned
                                // against the previous round's checkpoint
                                // blocks in REMOTE JVMs; min-aggregates and
                                // DISTINCT must agree across executors (r11)
+    "q_quality_gopher",        // graft_gopher_stats kernel: generated code
+                               // calls the GopherKernel static from REMOTE
+                               // executor JVMs; zero-copy UTF8String views
+                               // must hash bit-exactly across JVMs (r12)
+    "q_quality_repetition")    // graft_gram_profile kernel on remote JVMs;
+                               // the zero-exchange plan's only movement is
+                               // the round-robin CPU spread (r12)
 
   /** Engine-order-free canonical form: every output in the slice is a
     * deterministic (oracle-hashed) result, so sorted Row renderings are an
