@@ -325,13 +325,34 @@ object Embeddings {
     (0 until 64).map(j => v(j) - idivL(c * u(j), PCA_VSCALE)).toArray
   }
 
-  /** Chain-1 direction (the q_pca_power recurrence), fully driver-side —
-    * bit-identical to the gated q_pca_power output by construction. */
-  private def pcaTopDirection(X: DataFrame): Array[Long] = {
-    var v = Array.fill(64)(PCA_VSCALE)
-    for (_ <- 1 to PCA_ROUNDS) v = pcaRound(X, v)
-    v
+  /** Both pinned chains' FULL round sequences — chain 1 c1(0) = v0 ..
+    * c1(8) = the top direction; chain 2 c2(0) = deflate(v0, v1) .. c2(8)
+    * = the second direction — once per corpus content per JVM (the
+    * bpeLearn store discipline, r12). Every PCA consumer replays a
+    * PREFIX of exactly these sequences (q_pca_power uses c1(ROUNDS−1)
+    * before its in-plan final round; q_pca_deflate uses c1(ROUNDS) and
+    * c2(ROUNDS−1); q_pca_variance uses both finals), so serving them
+    * from the cache cannot change any gated value — it only stops the
+    * three queries from re-running up to 16 y-passes each. */
+  private val pcaChainCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[
+      (IndexedSeq[Array[Long]], IndexedSeq[Array[Long]])]]()
+
+  private def pcaChains(s: org.apache.spark.sql.SparkSession, d: String)
+      : (IndexedSeq[Array[Long]], IndexedSeq[Array[Long]]) = {
+    val token = Tables.contentToken(s"$d/embeddings.parquet")
+    Tables.keyedOnce(pcaChainCache, token)(Tables.staleSibling(token, _)) {
+      val X = pcaX(s, d)
+      val c1 = scala.collection.mutable.ArrayBuffer(Array.fill(64)(PCA_VSCALE))
+      for (_ <- 1 to PCA_ROUNDS) c1 += pcaRound(X, c1.last)
+      val v1 = c1.last
+      val c2 = scala.collection.mutable.ArrayBuffer(
+        pcaDeflate(Array.fill(64)(PCA_VSCALE), v1))
+      for (_ <- 1 to PCA_ROUNDS) c2 += pcaDeflate(pcaRound(X, c2.last), v1)
+      (c1.toIndexedSeq, c2.toIndexedSeq)
+    }
   }
+
 
   /** The unrolled SQL rounds with a CTE-name prefix and a per-round
     * source-relation function (chain 2 reads the DEFLATED previous
@@ -374,8 +395,7 @@ object Embeddings {
     "q_pca_power",
     (s, d) => {
       val X = pcaX(s, d)
-      var v = Array.fill(64)(PCA_VSCALE)
-      for (_ <- 1 until PCA_ROUNDS) v = pcaRound(X, v)
+      val v = pcaChains(s, d)._1(PCA_ROUNDS - 1)
       val yFinal = pcaYOf(X, v).localCheckpoint()
       val ym = yFinal.agg(greatest(max(abs(col("y"))), lit(1L)).as("ym"))
       yFinal.crossJoin(broadcast(ym))
@@ -408,9 +428,9 @@ object Embeddings {
     "q_pca_deflate",
     (s, d) => {
       val X = pcaX(s, d)
-      val v1 = pcaTopDirection(X)
-      var v = pcaDeflate(Array.fill(64)(PCA_VSCALE), v1)
-      for (_ <- 1 until PCA_ROUNDS) v = pcaDeflate(pcaRound(X, v), v1)
+      val (c1, c2) = pcaChains(s, d)
+      val v1 = c1(PCA_ROUNDS)
+      val v = c2(PCA_ROUNDS - 1)
       // Final round in-plan: normalize, then deflate against the literal
       // v1 relation.
       val n1 = v1.map(x => x * x).sum
@@ -463,12 +483,6 @@ object Embeddings {
         FROM bd$PCA_ROUNDS b JOIN a$PCA_ROUNDS a ON b.dim = a.dim"""
     })
 
-  /** Chain-2 direction (the q_pca_deflate recurrence), fully driver-side. */
-  private def pcaSecondDirection(X: DataFrame, v1: Array[Long]): Array[Long] = {
-    var v = pcaDeflate(Array.fill(64)(PCA_VSCALE), v1)
-    for (_ <- 1 to PCA_ROUNDS) v = pcaDeflate(pcaRound(X, v), v1)
-    v
-  }
 
   /** Explained-variance certificates for the two learned axes: per axis
     * the quantized Rayleigh mass Σ(x·v div 1e7)², the axis norm ‖v‖², the
@@ -489,8 +503,9 @@ object Embeddings {
     "q_pca_variance",
     (s, d) => {
       val X = pcaX(s, d)
-      val v1 = pcaTopDirection(X)
-      val v2 = pcaSecondDirection(X, v1)
+      val (c1, c2) = pcaChains(s, d)
+      val v1 = c1(PCA_ROUNDS)
+      val v2 = c2(PCA_ROUNDS)
       val trace = X.agg(coalesce(sum(expr(
         """aggregate(xq, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)""")),
         lit(1L)).as("trace"))
