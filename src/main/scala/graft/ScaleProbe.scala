@@ -409,7 +409,13 @@ object ScaleProbe {
         // train the same k=16 coarse quantizer q_ann_ivf shares; listed
         // separately so a PROBE_QUERIES-narrowed silhouette/purity run
         // still gets its centroids warmed at the decade
-        "q_silhouette", "q_cluster_purity"))
+        "q_silhouette", "q_cluster_purity",
+        // r12 content-keyed trainer/score stores (the same train-once
+        // claim): one BPE train, one unigram EM run, one LM-score +
+        // quality-label build per corpus — the timed consumers measure
+        // their own encode/rollup stages, not the shared build
+        "q_bpe_train", "q_unigram_train", "q_perplexity_lm",
+        "q_quality_auc", "q_pca_power"))
     val r1 = {
       val fams = run(s"$workDir/g1x", "g1x") ++
         run(s"$workDir/g1x", "g1x", simQueries) ++
