@@ -1231,51 +1231,114 @@ object TextAnalysis {
     * symbol-grain aggregate per round — ≤ vocab keys, strictly smaller
     * than the pair aggregate the round already pays. */
   private val WP_MERGES = 8
-  private def wordpieceLearn(s: SparkSession, d: String)
-      : Seq[(Long, String, String, Long, Long)] = {
-    var cur = wordTable(s, d)
-    val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
-    for (step <- 1 to WP_MERGES) {
-      val symc = cur.select(col("cnt"), explode(col("syms")).as("sym"))
-        .groupBy(col("sym")).agg(sum(col("cnt")).as("sc"))
-      val best = pairCounts(cur)
-        .join(symc.select(col("sym").as("l"), col("sc").as("sl")), "l")
-        .join(symc.select(col("sym").as("r"), col("sc").as("sr")), "r")
-        .withColumn("score_e9",
-          expr("c * CAST(1000000000 AS BIGINT) div (sl * sr)"))
-        .orderBy(col("score_e9").desc, col("c").desc, col("l"), col("r"))
-        .limit(1).select("l", "r", "c", "score_e9")
-        .collect()(0)
-      val (l, r) = (best.getString(0), best.getString(1))
-      merges += ((step.toLong, l, r, best.getLong(2), best.getLong(3)))
-      cur = applyMerge(cur, l, r).localCheckpoint()
+
+  /** The trained WordPiece table — a content-keyed persisted store (the
+    * [[bpeLearn]] discipline, r12): q_wordpiece_train reads the merge
+    * list, q_wordpiece_encode the final word table; one training run per
+    * corpus content per JVM fills both halves on the same token. */
+  private val wpWordCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  Tables.registerTempCacheCleanup(wpWordCache)
+  private val wpMergesByPath = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(Long, String, String, Long, Long)])]()
+
+  private[graft] def wordpieceLearn(s: SparkSession, d: String)
+      : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
+    val path = s"$d/documents.parquet"
+    val token = Tables.contentToken(path)
+    val tbl = Tables.contentKeyedTempParquet(wpWordCache, s, path, "graft-wp-store") {
+      var cur = wordTable(s, d)
+      val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
+      for (step <- 1 to WP_MERGES) {
+        val symc = cur.select(col("cnt"), explode(col("syms")).as("sym"))
+          .groupBy(col("sym")).agg(sum(col("cnt")).as("sc"))
+        val best = pairCounts(cur)
+          .join(symc.select(col("sym").as("l"), col("sc").as("sl")), "l")
+          .join(symc.select(col("sym").as("r"), col("sc").as("sr")), "r")
+          .withColumn("score_e9",
+            expr("c * CAST(1000000000 AS BIGINT) div (sl * sr)"))
+          .orderBy(col("score_e9").desc, col("c").desc, col("l"), col("r"))
+          .limit(1).select("l", "r", "c", "score_e9")
+          .collect()(0)
+        val (l, r) = (best.getString(0), best.getString(1))
+        merges += ((step.toLong, l, r, best.getLong(2), best.getLong(3)))
+        cur = applyMerge(cur, l, r).localCheckpoint()
+      }
+      wpMergesByPath.put(path, (token, merges.result()))
+      cur
     }
-    merges.result()
+    val m = wpMergesByPath.get(path)
+    require(m != null && m._1 == token,
+      "WordPiece merge list out of sync with the stored word table")
+    (m._2, tbl)
   }
+
+  /** The shared WordPiece SQL prefix (w0 .. w{M} under the likelihood
+    * pick) — the [[bpeCtes]] twin. */
+  private def wpCtes: String =
+    mergeCtes(WP_MERGES, r =>
+      s"""SELECT p.l, p.r, p.c,
+           (p.c * 1000000000) // (sl.sc * sr.sc) AS score_e9
+         FROM p$r p
+         JOIN s$r sl ON p.l = sl.sym
+         JOIN s$r sr ON p.r = sr.sym
+         ORDER BY score_e9 DESC, p.c DESC, p.l, p.r LIMIT 1""")
 
   private val wordpieceTrain = QueryDef(
     "q_wordpiece_train",
     (s, d) => {
       val sess = s
       import sess.implicits._
-      wordpieceLearn(s, d)
+      wordpieceLearn(s, d)._1
         .toDF("step", "sym_l", "sym_r", "pair_cnt", "score_e9")
     },
     Some {
-      val ctes = mergeCtes(WP_MERGES, r =>
-        s"""SELECT p.l, p.r, p.c,
-             (p.c * 1000000000) // (sl.sc * sr.sc) AS score_e9
-           FROM p$r p
-           JOIN s$r sl ON p.l = sl.sym
-           JOIN s$r sr ON p.r = sr.sym
-           ORDER BY score_e9 DESC, p.c DESC, p.l, p.r LIMIT 1""")
       val unions = (1 to WP_MERGES).map(r =>
         s"""SELECT CAST($r AS BIGINT) AS step, l AS sym_l, r AS sym_r,
              c AS pair_cnt, score_e9 FROM m$r""")
         .mkString("\n UNION ALL ")
-      s"""WITH $ctes
+      s"""WITH $wpCtes
          $unions"""
     })
+
+  /** WordPiece ENCODE — the q_bpe_encode twin under the likelihood-trained
+    * table, closing the train/encode asymmetry (BPE and unigram both ship
+    * encode gates; WordPiece shipped train only): per document the word
+    * count, subword count, and fanout under [[wordpieceLearn]]'s final
+    * word table. The per-word subword counts are the learned segmentation
+    * itself (size(syms) of the stored table — the merge-application fold
+    * IS the encoder), reused verbatim from the store, so the gate
+    * certifies the table users would actually encode with. Scale shape:
+    * identical to q_bpe_encode — one corpus scan joined to the broadcast
+    * vocab-bound dictionary, one doc-keyed partial aggregate. */
+  private val wordpieceEncode = QueryDef(
+    "q_wordpiece_encode",
+    (s, d) => {
+      val vocab = wordpieceLearn(s, d)._2
+        .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+      docs(s, d)
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+        .filter(expr("length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) = 0"))
+        .join(broadcast(vocab), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+        .select(col("doc_id"), col("n_words"), col("n_subwords"),
+          expr("(n_subwords * CAST(1000000 AS BIGINT)) div n_words").as("fanout_e6"))
+    },
+    Some(s"""WITH $wpCtes,
+        sub AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM w$WP_MERGES),
+        inst AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM documents) t
+          WHERE length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) = 0)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+          (CAST(SUM(n_sub) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT)
+            AS fanout_e6
+        FROM inst JOIN sub USING (w) GROUP BY 1"""))
 
   /** The ENCODE path of the learned tokenizer — what a release actually
     * ships: retokenize the corpus with the merge table and report each
@@ -1717,6 +1780,6 @@ object TextAnalysis {
       fingerprintRolling, tfidfKeywords, outlierFilter, boilerplate, bm25,
       bigramLm, decontaminate, perplexityLm, knPerplexity, pmiCollocations,
       oovRate, repetition, gopherRules, bpeTrain,
-      wordpieceTrain, bpeEncode, tokenizerFertility, ccnetBuckets,
+      wordpieceTrain, wordpieceEncode, bpeEncode, tokenizerFertility, ccnetBuckets,
       distinctNgrams, vocabGrowth, zipfSlope, textrank)
 }
