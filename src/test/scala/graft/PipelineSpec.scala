@@ -1949,6 +1949,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bigram store: reused while fresh, rebuilt on regen, equals a fresh aggregate") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bigramtest").toString
+    def plant(n: Int): Unit =
+      Tables.t(spark, sfDir, "documents").orderBy(col("doc_id")).limit(n)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def fresh() = Tables.t(spark, tmp, "documents")
+      .select(col("source"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+             i -> struct(element_at(toks, i + 1) AS prev,
+                         element_at(toks, i + 2) AS cur))""")).as("bg"))
+      .groupBy(col("source"), col("bg.prev"), col("bg.cur")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toString).toSet
+    try {
+      plant(30)
+      val s1 = pipeline.TextAnalysis.bigramStore(spark, tmp)
+      val files1 = s1.inputFiles.toSet
+      assert(s1.collect().map(_.toString).toSet == fresh(),
+        "store diverged from a fresh (source, prev, cur) aggregate")
+      assert(pipeline.TextAnalysis.bigramStore(spark, tmp).inputFiles.toSet == files1,
+        "fresh content must be served from the one persisted copy")
+      plant(50)
+      val s2 = pipeline.TextAnalysis.bigramStore(spark, tmp)
+      assert(s2.inputFiles.toSet != files1,
+        "content change at the same path must rebuild the store")
+      assert(s2.collect().map(_.toString).toSet == fresh(),
+        "rebuilt store diverged from the new corpus's aggregate")
+    } finally {
+      scala.reflect.io.Path(new java.io.File(tmp)).deleteRecursively()
+      ()
+    }
+  }
+
   test("tokenizer trainer stores: reused while fresh, rebuilt on corpus regen") {
     // The BPE and unigram trainers are content-keyed stores (r12): three
     // gated consumers share one BPE train, two share one unigram EM run.
