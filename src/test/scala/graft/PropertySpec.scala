@@ -194,6 +194,71 @@ class PropertySpec extends AnyFunSuite {
       assert(islandParity(syms, l, r) == g, s"parity diverged on $syms + ($l,$r)")
     }
   }
+  test("GopherKernel matches a definitional reference on random unicode token arrays") {
+    // Independent reference built from the DEFINITION (occurrence map +
+    // explicit (count desc, codepoint-length desc, UTF-8-byte-order asc)
+    // selection), not from the kernel's run-length mechanics — and with
+    // raw JDK primitives (codePointCount, getBytes("UTF-8")) instead of
+    // UTF8String, so an ordering or length bug in the kernel's zero-copy
+    // views cannot hide in a shared helper.
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def byteLt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    def refTopDup(toks: IndexedSeq[String], n: Int): (Long, Long) = {
+      if (toks.size < n) return (0L, 0L)
+      val grams = (0 to toks.size - n).map(i => toks.slice(i, i + n).mkString(" "))
+      val cnt = grams.groupBy(identity).map { case (g, o) => (g, o.size.toLong) }
+      val best = cnt.toSeq.reduceLeft { (a, b) =>
+        if (b._2 > a._2 || (b._2 == a._2 && (cp(b._1) > cp(a._1) ||
+          (cp(b._1) == cp(a._1) && byteLt(b._1, a._1))))) b else a
+      }
+      (best._2 * cp(best._1),
+        cnt.collect { case (g, c) if c >= 2 => c * cp(g) }.sum)
+    }
+    def refProfile(toks: IndexedSeq[String], n: Int): (Long, Long, Long) = {
+      if (toks.size < n) return (0L, 0L, 0L)
+      val grams = (0 to toks.size - n).map(i => toks.slice(i, i + n).mkString(" "))
+      val cnt = grams.groupBy(identity).map { case (_, o) => o.size.toLong }
+      (grams.size.toLong, cnt.size.toLong, cnt.max)
+    }
+    val alphabet = IndexedSeq("", "a", "b", "ab", "ba", "aa b", "é",
+      "𐀀" /* U+10000 */, "￿", "z￿", "𐀀z")
+    val rng = new Random(4242)
+    for (_ <- 0 until 500) {
+      val toks = IndexedSeq.fill(rng.nextInt(13))(alphabet(rng.nextInt(alphabet.size)))
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val row = functions.GopherKernel.compute(arr)
+      assert(row != null)
+      val want = Seq(2 -> 0, 3 -> 1, 4 -> 2).map { case (n, i) =>
+        (refTopDup(toks, n)._1, row.getLong(i))
+      } ++ Seq(5 -> 3, 10 -> 4).map { case (n, i) =>
+        (refTopDup(toks, n)._2, row.getLong(i))
+      }
+      want.foreach { case (ref, got) => assert(ref == got, s"toks=$toks: $want") }
+      for (n <- Seq(1, 2, 3, 5)) {
+        val p = functions.GopherKernel.profile(arr, n)
+        val (m, dst, top) = refProfile(toks, n)
+        assert(p.getLong(0) == m && p.getLong(1) == dst && p.getLong(2) == top,
+          s"profile n=$n toks=$toks: got (${p.getLong(0)}, ${p.getLong(1)}, ${p.getLong(2)}) want ($m, $dst, $top)")
+      }
+    }
+    // Null token slot -> null result (the graft_cosine convention).
+    val withNull = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), null, UTF8String.fromString("b")))
+    assert(functions.GopherKernel.compute(withNull) == null)
+    assert(functions.GopherKernel.profile(withNull, 2) == null)
+  }
 }
 
 /** Spark-backed equivalence check for the salting utilities. */
