@@ -487,8 +487,13 @@ object ScaleProbe {
       println(s"generated g100x (docs/vecs/events as kept)")
       // Train-once warm for IVF (same rationale as warm10x above): its
       // coarse-quantizer training is one-time per (corpus, k) and must
-      // not land inside the single timed 100x wall.
-      run(s"$workDir/g100x", "warm100x", Seq("q_ann_ivf"))
+      // not land inside the single timed 100x wall. The r12 content-keyed
+      // trainer/chain stores join for the same reason — without them the
+      // third-decade ratio compares a store-warm 10x marginal against a
+      // cold 100x build (a methodology artifact, not a law).
+      run(s"$workDir/g100x", "warm100x",
+        Seq("q_ann_ivf", "q_bpe_train", "q_unigram_train",
+          "q_perplexity_lm", "q_quality_auc", "q_pca_power"))
       val r100 = {
         val fams = run(s"$workDir/g100x", "g100x", decaDocs) ++
           run(s"$workDir/g100x", "g100x", decaSim) ++
