@@ -1282,11 +1282,27 @@ object Dedup {
     * winnowing point — ~2/(W+1) of gram count, so the exploded relation
     * is a fraction of token mass); the only corpus-grain exchanges key on
     * the fingerprint hash ([[hexFold]]-uniform by construction) for the
-    * distinct-doc count and the join back. Text never shuffles. The
-    * per-window triple slice(gh, j, W) is an accepted interpreted-HOF
-    * constant factor (the gopher law), not a scaling term. */
+    * distinct-doc count and the join back. Text never shuffles. Window
+    * selection runs in the native `graft_winnow` kernel since r12 (one
+    * compiled scan per window; the interpreted slice/reverse/min form it
+    * replaced, [[winnowSelHof]], cost ~2.3× the wall at 10× and is kept
+    * as the FunctionsSpec differential oracle); gram hashing stays md5 —
+    * the remaining, unavoidable cost term. */
   private val WIN_K = 4
   private val WIN_W = 8
+
+  /** The interpreted-HOF window selection the native `graft_winnow`
+    * kernel replaced (r12): kept as FunctionsSpec's differential oracle
+    * (the gopherStatsHof precedent). Expects columns `gh` (array<bigint>)
+    * and `m` (gram count) in scope. */
+  private[graft] def winnowSelHof(w: Int): Column = expr(
+    s"""array_distinct(transform(sequence(1, m - ${w - 1}), j ->
+          struct(
+            CAST(j + $w - array_position(
+              reverse(slice(gh, CAST(j AS INT), $w)),
+              array_min(slice(gh, CAST(j AS INT), $w))) AS BIGINT) AS pos,
+            array_min(slice(gh, CAST(j AS INT), $w)) AS fph)))""")
+
   private val winnow = QueryDef(
     "q_winnow_fingerprint",
     (s, d) => {
@@ -1300,13 +1316,12 @@ object Dedup {
           s"""transform(
                 transform(sequence(1, m), i -> md5(concat_ws(' ', slice(toks, CAST(i AS INT), $WIN_K)))),
                 h -> $fold)"""))
-        .withColumn("sel", explode(expr(
-          s"""array_distinct(transform(sequence(1, m - ${WIN_W - 1}), j ->
-                struct(
-                  CAST(j + $WIN_W - array_position(
-                    reverse(slice(gh, CAST(j AS INT), $WIN_W)),
-                    array_min(slice(gh, CAST(j AS INT), $WIN_W))) AS BIGINT) AS pos,
-                  array_min(slice(gh, CAST(j AS INT), $WIN_W)) AS fph)))""")))
+        // Window selection via the native graft_winnow kernel (r12): one
+        // compiled right-to-left scan per window instead of four
+        // interpreted array allocations — bit-identical to [[winnowSelHof]]
+        // (FunctionsSpec differential pins it).
+        .withColumn("sel",
+          explode(call_function("graft_winnow", col("gh"), lit(WIN_W))))
         .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fph").as("fph"))
         // Select once, consume twice: the dup count and the join-back are
         // both fed by this narrow relation, and without the checkpoint

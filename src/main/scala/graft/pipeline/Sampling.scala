@@ -188,7 +188,7 @@ object Sampling {
     * Spark expression and the oracle SQL cannot drift: instr() on the hex
     * alphabet is the only cross-engine-portable hex decode (see
     * [[shardShuffle]]). Result < 2^32, exact in int64 everywhere. */
-  private[pipeline] def hexFold(hxCol: String): String =
+  private[graft] def hexFold(hxCol: String): String =
     (1 to 8).map(i =>
       s"(CAST(instr('0123456789abcdef', substring($hxCol, $i, 1)) AS BIGINT) - 1) * " +
         (1L << (4 * (8 - i)))).mkString(" + ")

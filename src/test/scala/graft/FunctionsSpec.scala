@@ -252,6 +252,43 @@ class FunctionsSpec extends SparkSpec {
       r.getStruct(4).getLong(2) == 2L, r.getStruct(4).toString)
   }
 
+  test("graft_winnow equals the slice/reverse/array_position HOF selection") {
+    // The corpus path (real gram hashes, hexFold of md5) plus crafted tie
+    // cases: equal minima in one window must pick the RIGHTMOST position,
+    // and duplicate selections across windows must first-occurrence-dedup
+    // exactly like array_distinct.
+    val base = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .withColumn("m", (size(col("toks")) - lit(3)).cast("long"))
+      .filter(col("m") >= 8)
+      .withColumn("gh", expr(
+        s"""transform(
+              transform(sequence(1, m), i -> md5(concat_ws(' ', slice(toks, CAST(i AS INT), 4)))),
+              h -> ${pipeline.Sampling.hexFold("h")})"""))
+    val both = base.select(col("doc_id"),
+      call_function("graft_winnow", col("gh"), lit(8)).as("native"),
+      pipeline.Dedup.winnowSelHof(8).as("hof"))
+    assert(both.count() > 0)
+    val diff = both.filter(col("native") =!= col("hof"))
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+    // Ties + duplicates: window w=3 over [5, 5, 5, 1, 1] -> windows
+    // select (3, 5), (4, 1)... rightmost min each time; dedup collapses.
+    val crafted = spark.sql(
+      """SELECT graft_winnow(CAST(array(5, 5, 5, 1, 1) AS array<bigint>), 3) AS s""")
+      .selectExpr("transform(s, x -> struct(x.pos, x.fph)) AS s").head.getSeq[org.apache.spark.sql.Row](0)
+    assert(crafted.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((3L, 5L), (4L, 1L), (5L, 1L)),
+      s"tie/dedup selection wrong: $crafted")
+    // Null/shape semantics.
+    val nulls = spark.sql(
+      """SELECT graft_winnow(CAST(NULL AS array<bigint>), 3) AS n1,
+           graft_winnow(array(1L, CAST(NULL AS BIGINT)), 2) AS n2,
+           graft_winnow(array(1L, 2L), 0) AS n3,
+           graft_winnow(array(1L, 2L), 5) AS short""").collect().head
+    assert((0 until 3).forall(nulls.isNullAt), nulls.toString)
+    assert(nulls.getSeq[Any](3).isEmpty, "array shorter than w must yield empty")
+  }
+
   test("graft_gopher_stats participates in whole-stage codegen") {
     val df = Tables.t(spark, sfDir, "documents")
       .select(split(col("text"), " ").as("toks"))
