@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{ArgmaxCosine, CosineSimilarity, GopherStats, GramProfile, JaccardSimilarity, LshSignatures, WinnowSelect}
+import graft.functions.{ArgmaxCosine, CosineSimilarity, GopherStats, GramHashes, GramProfile, JaccardSimilarity, LshSignatures, WinnowSelect}
 
 /** Session extensions: graft's native functions, injected at session build
   * (`spark.sql.extensions=graft.GraftExtensions`). This is the sanctioned
@@ -78,6 +78,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "graft_gram_profile(toks, n) takes (array<string>, int)")
         GramProfile(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "graft_gram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_gram_hashes(toks, n) takes (array<string>, int)")
+        GramHashes(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow"),

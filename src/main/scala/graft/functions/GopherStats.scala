@@ -157,6 +157,34 @@ object GopherKernel {
     }
     new GenericInternalRow(Array[Any](m.toLong, distinct, top))
   }
+
+  /** xxhash64 (seed 42, Spark's SQL default) of every word n-gram, hashed
+    * directly over the gram's byte span in the [[joined]] buffer — the
+    * same bytes `xxhash64(concat_ws(' ', slice(toks, i, n)))` hashes, so
+    * the values are bit-identical without materializing a gram string per
+    * position. Returns null iff a token slot is null or n <= 0; L < n
+    * yields the empty array.
+    */
+  def gramHashes(toks: ArrayData, n: Int): ArrayData = {
+    if (n <= 0) return null
+    val j0 = joined(toks)
+    if (j0 == null) return null
+    val (buf, starts, l) = j0
+    val m = l - n + 1
+    if (m <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s0 = starts(i)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s0,
+        starts(i + n) - 1 - s0, 42L)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }
 
 /** Native codegen'd Gopher repetition statistics (Rae et al. 2021,
@@ -272,5 +300,52 @@ case class GramProfile(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GramProfile =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native codegen'd n-gram xxhash64.
+  *
+  * `graft_gram_hashes(toks, n)` returns `array<bigint>` — the seed-42
+  * xxhash64 of every word n-gram, the fingerprint relation
+  * q_substring_dedup explodes. The composable form materializes a gram
+  * STRING per position (`xxhash64(concat_ws(' ', slice(toks, i, n)))`
+  * inside an interpreted transform); this kernel hashes each gram's byte
+  * span in one joined buffer in place — identical values, zero gram
+  * allocations (FunctionsSpec differential). NULL array, NULL token
+  * slot, or n <= 0 yields NULL; fewer than n tokens yields the empty
+  * array.
+  */
+case class GramHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, int), got " +
+        s"${l.catalogString}, ${r.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gram_hashes"
+
+  override def nullSafeEval(a: Any, n: Any): Any =
+    GopherKernel.gramHashes(a.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, n) => {
+      val r = ctx.freshName("gramHashArr")
+      s"""
+        final org.apache.spark.sql.catalyst.util.ArrayData $r =
+          graft.functions.GopherKernel.gramHashes($v, $n);
+        if ($r == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $r;
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GramHashes =
     copy(left = newLeft, right = newRight)
 }

@@ -584,8 +584,12 @@ object Curation {
         .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
         .withColumn("n", size(col("toks")))
         .filter(col("n") >= 8)
-      val grams = base.select(col("doc_id"), col("n"), explode(expr(
-        "transform(sequence(1, n - 7), i -> xxhash64(concat_ws(' ', slice(toks, i, 8))))")).as("g"))
+      // Span fingerprints via the native graft_gram_hashes kernel (r12):
+      // xxhash64 over each gram's byte span in one joined buffer —
+      // identical values to xxhash64(concat_ws(' ', slice(toks, i, 8)))
+      // with zero gram-string allocations (FunctionsSpec differential).
+      val grams = base.select(col("doc_id"), col("n"), explode(
+        call_function("graft_gram_hashes", col("toks"), lit(8))).as("g"))
       val shared = grams.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)

@@ -289,6 +289,30 @@ class FunctionsSpec extends SparkSpec {
     assert(nulls.getSeq[Any](3).isEmpty, "array shorter than w must yield empty")
   }
 
+  test("graft_gram_hashes equals xxhash64 over concat_ws gram strings") {
+    val base = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 8)
+    val both = base.select(col("doc_id"),
+      call_function("graft_gram_hashes", col("toks"), lit(8)).as("native"),
+      expr("transform(sequence(1, n - 7), i -> xxhash64(concat_ws(' ', slice(toks, i, 8))))")
+        .as("hof"))
+    assert(both.count() > 0)
+    val diff = both.filter(col("native") =!= col("hof"))
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+    val edge = spark.sql(
+      """SELECT graft_gram_hashes(array('a', 'b'), 2) AS p,
+           xxhash64('a b') AS x,
+           graft_gram_hashes(array('a'), 2) AS short,
+           graft_gram_hashes(array('a', CAST(NULL AS STRING)), 2) AS n1,
+           graft_gram_hashes(CAST(NULL AS ARRAY<STRING>), 2) AS n2,
+           graft_gram_hashes(array('a', 'b'), 0) AS n3""").collect().head
+    assert(edge.getSeq[Long](0) == Seq(edge.getLong(1)), edge.toString)
+    assert(edge.getSeq[Any](2).isEmpty, "fewer than n tokens must yield empty")
+    assert((3 until 6).forall(edge.isNullAt), edge.toString)
+  }
+
   test("graft_gopher_stats participates in whole-stage codegen") {
     val df = Tables.t(spark, sfDir, "documents")
       .select(split(col("text"), " ").as("toks"))
