@@ -321,4 +321,17 @@ class FunctionsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_gopher_stats.*"), plan)
   }
+
+  test("graft_gram_hashes and graft_winnow participate in whole-stage codegen") {
+    // Plain split feeds the kernels (a filter() HOF in the same stage is
+    // CodegenFallback and would break the span regardless of the kernels).
+    val df = Tables.t(spark, sfDir, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .select(call_function("graft_winnow",
+        call_function("graft_gram_hashes", col("toks"), lit(4)), lit(8)).as("sel"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_winnow\\(graft_gram_hashes.*"),
+      plan)
+  }
 }
