@@ -73,9 +73,10 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
                                // localCheckpoint blocks held in REMOTE JVMs;
                                // integer ranks must survive the round trips
                                // bit-exactly (r11)
-    "q_winnow_fingerprint",    // deep interpreted-HOF window selection (slice/
-                               // reverse/array_position) evaluated on remote
-                               // executors; fp-keyed exchange between JVMs (r11)
+    "q_winnow_fingerprint",    // graft_winnow kernel selection on remote
+                               // executors (since r12; formerly the
+                               // interpreted slice/reverse/array_position
+                               // HOFs); fp-keyed exchange between JVMs
     "q_pca_power",             // 16 literal-vector fold passes over a
                                // checkpointed matrix held in REMOTE JVMs; 8
                                // data-dependent replans from 65-value pulls
