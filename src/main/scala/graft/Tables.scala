@@ -113,6 +113,14 @@ object Tables {
     * (e.g. a pair store at threshold t) — it extends the cache key only;
     * the freshness token always comes from the real `path` contents, so a
     * regenerated corpus evicts every variant's store. */
+  /** Count of store BUILDS (cache misses that ran a Spark write) across
+    * every [[contentKeyedTempParquet]] cache in the JVM — the observable
+    * the reuse specs assert on: "the second consumer did not rebuild" is
+    * `tempBuildCount` unchanged across its run, which no timing heuristic
+    * can state as crisply. */
+  private[graft] val tempBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def tempBuildCount: Long = tempBuilds.get()
+
   private[graft] def contentKeyedTempParquet(
       cache: java.util.concurrent.ConcurrentHashMap[String, (String, String)],
       s: SparkSession, path: String, prefix: String, variant: String = "")
@@ -130,6 +138,7 @@ object Tables {
         }
         if (old != null)
           scala.reflect.io.Path(new java.io.File(old._2)).deleteRecursively()
+        tempBuilds.incrementAndGet()
         (token, out)
       }
     })._2

@@ -89,8 +89,12 @@ object GatewayQueries {
         def arrived(): Boolean =
           Option(graft.Sessions.gridHistory.get(metric))
             .exists(_.exists(_.seq > seq0))
-        graft.pipeline.Dedup.all.find(_.name == "q_dedup_minhash").get
-          .build(s, d).write.format("noop").mode("overwrite").save()
+        // Run the RAW banding pipeline, not the gated query: the gated
+        // q_dedup_minhash serves the per-strategy pair STORE when warm
+        // (r13), which skips the banding and would never fire a fresh
+        // grid decision — exactly this certification's subject.
+        graft.pipeline.Dedup.minhashPairs(s, d)
+          .write.format("noop").mode("overwrite").save()
         // Observed metrics arrive on the async listener bus; bounded
         // wait, then fail LOUDLY — a silent fall-through would surface
         // as an opaque 0-vs-1-row hash mismatch at the driver instead of

@@ -107,13 +107,24 @@ object Dedup {
     * force the DISCOVERY shuffles (not just the graph rounds) across real
     * executor-JVM boundaries at sf0.1. */
   private[graft] def evictSharedStores(): Unit =
-    Seq(shingleIndexCache, pairsStoreCache, clusterLabelsCache).foreach { c =>
-      c.values.forEach { case (_, dir) =>
-        scala.reflect.io.Path(new java.io.File(dir)).deleteRecursively()
-        ()
-      }
-      c.clear()
+    Seq(shingleIndexCache, pairsStoreCache, clusterLabelsCache,
+      strategyPairsCache).foreach(evictCache)
+
+  /** Drop only the per-strategy pair stores — the routing/telemetry specs
+    * use this to force a strategy's banding to re-run (and its grid
+    * decision to re-fire) without also rebuilding the shingle index the
+    * banding reads. */
+  private[graft] def evictStrategyStores(): Unit =
+    evictCache(strategyPairsCache)
+
+  private def evictCache(
+      c: java.util.concurrent.ConcurrentHashMap[String, (String, String)]): Unit = {
+    c.values.forEach { case (_, dir) =>
+      scala.reflect.io.Path(new java.io.File(dir)).deleteRecursively()
+      ()
     }
+    c.clear()
+  }
 
   /** Exact dedup: sha256 over normalized text; keep the smallest doc_id per
     * digest. One shuffle keyed by digest — uniform by construction, so no
@@ -543,7 +554,7 @@ object Dedup {
   // the cause (marginal zone vs broken banding).
   private val dedupMinhash = QueryDef(
     "q_dedup_minhash",
-    (s, d) => minhashPairs(s, d),
+    (s, d) => materializedStrategyPairs(s, d, "minhash"),
     Some(allPairsJaccardSql(0.5)))
 
   /** Above this exact Jaccard, a banding miss is the SCHEME's fault, not
@@ -579,7 +590,7 @@ object Dedup {
     (s, d) => {
       val truth = materializedPairs(s, d, 0.5)
         .select(col("a_id"), col("b_id"), col("j")).withColumn("in_t", lit(1))
-      val found = minhashPairs(s, d)
+      val found = materializedStrategyPairs(s, d, "minhash")
         .select(col("a_id"), col("b_id")).withColumn("in_f", lit(1))
       truth.join(found, Seq("a_id", "b_id"), "full_outer")
         .agg(
@@ -697,9 +708,51 @@ object Dedup {
         .select(col("a_id"), col("b_id"), floor(col("j") * 1e6).as("j_e6"))
   }
 
+  /** Per-STRATEGY pair-output stores — the [[materializedPairs]]
+    * discipline applied to each banding strategy's own emitted pair set
+    * (VERDICT r12 next-round #1/#7). The simhash banding pipeline was
+    * derived twice per run (q_dedup_simhash + q_dedup_auto's default
+    * route, the suite's slowest PAIR at 2.2 s each) and the minhash
+    * pipeline three times (q_dedup_minhash, q_dedup_recall_cert,
+    * q_dedup_cross_source) — yet each derivation is a pure function of
+    * (corpus content, strategy), exactly the shape the content-keyed
+    * store family already amortizes. One persisted copy per (corpus,
+    * strategy) per JVM; freshness rides [[Tables.contentToken]] so a
+    * regen rebuilds; the sharded escape route stays live (it only runs
+    * under a double-saturated routing decision, never twice per run).
+    * Production shape at 100 TB: a dedup strategy's verified pair set IS
+    * the deliverable relation — it is discovered once and read by every
+    * consumer, not re-banded per downstream query. */
+  private val strategyPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  Tables.registerTempCacheCleanup(strategyPairsCache)
+
+  private[graft] def materializedStrategyPairs(
+      s: SparkSession, d: String, strat: String): DataFrame =
+    Tables.contentKeyedTempParquet(strategyPairsCache, s,
+      s"$d/documents.parquet", "graft-strat-pairs", s"#strat=$strat")(
+      strat match {
+        case "simhash" => simhashPairs(s, d)
+        case "minhash" => minhashPairs(s, d)
+        case other => throw new IllegalArgumentException(
+          s"no stored strategy '$other' (sharded escape runs live)")
+      })
+
+  /** Test hook: which strategy stores exist for corpus `d` right now —
+    * the reuse/routing specs read this instead of plan shapes (the served
+    * plan is a store scan on every route once the store exists). */
+  private[graft] def storedStrategies(d: String): Set[String] = {
+    val prefix = s"$d/documents.parquet#strat="
+    val out = scala.collection.mutable.Set[String]()
+    strategyPairsCache.keySet.forEach { k =>
+      if (k.startsWith(prefix)) out += k.stripPrefix(prefix)
+    }
+    out.toSet
+  }
+
   private val dedupSimhash = QueryDef(
     "q_dedup_simhash",
-    (s, d) => simhashPairs(s, d),
+    (s, d) => materializedStrategyPairs(s, d, "simhash"),
     Some(allPairsJaccardSql(0.5)))
 
   /** STRATEGY-ADAPTIVE near-dup dedup — the operator that ACTS on the
@@ -744,9 +797,15 @@ object Dedup {
     def regime(site: String): Option[String] =
       graft.Sessions.latestGridDecision(GRID_METRIC_PREFIX + site).map(_.regime)
     autoRoute(regime("simhash"), regime("minhash")) match {
+      // The banding routes serve the per-strategy stores: within a run
+      // the router's chosen strategy is derived once per JVM and SHARED
+      // with that strategy's own gated query (r12 made q_dedup_auto +
+      // q_dedup_simhash the suite's slowest pair by re-deriving the same
+      // banding twice). The sharded escape stays live — it only fires
+      // under a double-saturated decision.
       case "minhash_sharded" => minhashPairsSharded(s, d)
-      case "minhash" => minhashPairs(s, d)
-      case _ => simhashPairs(s, d)
+      case "minhash" => materializedStrategyPairs(s, d, "minhash")
+      case _ => materializedStrategyPairs(s, d, "simhash")
     }
   }
 
@@ -901,7 +960,8 @@ object Dedup {
   private val dedupCrossSource = QueryDef(
     "q_dedup_cross_source",
     (s, d) => {
-      val pairs = minhashPairs(s, d).select(col("a_id"), col("b_id"))
+      val pairs = materializedStrategyPairs(s, d, "minhash")
+        .select(col("a_id"), col("b_id"))
       val src = docs(s, d).select(col("doc_id"), col("source"))
       pairs
         .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")

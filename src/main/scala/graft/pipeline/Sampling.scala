@@ -389,12 +389,15 @@ object Sampling {
       // grain exchange exists anywhere — an intermediate per-(doc, b)
       // groupBy would add one and, unpersisted, be recomputed per
       // consumer anyway.
+      // Feature extraction is the compiled kernel (VERDICT r12 #2): one
+      // byte scan + one digest per token instance, emitting bucket ids
+      // directly — the interpreted filter() HOF, per-token explode/concat,
+      // md5 hex string, and 8-term hex fold all collapse into
+      // graft_dsir_buckets; the exploded rows carry a bare bigint.
       val toks = Tables.spreadForRowCpu(Tables.t(s, d, "documents"))
         .select(col("doc_id"), col("lang"),
-          explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
-        .withColumn("hx", md5(concat(lit("graft-dsir-1:"), col("tok"))))
-        .select(col("doc_id"), col("lang"),
-          expr(s"(${hexFold("hx")}) % $DSIR_B").as("b"))
+          explode(call_function("graft_dsir_buckets",
+            col("text"), lit("graft-dsir-1:"), lit(DSIR_B))).as("b"))
       val bs = toks.groupBy(col("b")).agg(
         count(lit(1)).as("cr"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))

@@ -313,6 +313,50 @@ class FunctionsSpec extends SparkSpec {
     assert((3 until 6).forall(edge.isNullAt), edge.toString)
   }
 
+  test("graft_dsir_buckets equals the composable md5 hex fold") {
+    // The retained interpreted oracle: explode non-empty tokens, md5 the
+    // salted concat, fold the first 8 hex chars, mod B — exactly what the
+    // kernel compiles away (VERDICT r12 #2).
+    val fold = pipeline.Sampling.hexFold("hx")
+    val both = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("native",
+        call_function("graft_dsir_buckets", col("text"),
+          lit("graft-dsir-1:"), lit(1024)))
+      .withColumn("hof", expr(
+        s"""transform(filter(split(text, ' '), x -> x != ''),
+            tok -> (${fold.replace("hx", "md5('graft-dsir-1:' || tok)")}) % 1024L)"""))
+    assert(both.count() > 0)
+    val diff = both.filter(col("native") =!= col("hof"))
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+    // Edges: empty text / all-space text yield empty arrays; NULL text
+    // and non-positive b yield NULL; multi-byte tokens hash their UTF-8
+    // bytes (the 0x20 scan is codepoint-safe).
+    val edge = spark.sql(
+      """SELECT graft_dsir_buckets('', 's:', 16) AS empty,
+           graft_dsir_buckets('   ', 's:', 16) AS spaces,
+           graft_dsir_buckets(CAST(NULL AS STRING), 's:', 16) AS n1,
+           graft_dsir_buckets('a b', 's:', 0) AS n2,
+           graft_dsir_buckets('héllo wörld', 'graft-dsir-1:', 1024) AS uni""")
+      .collect().head
+    assert(edge.getSeq[Any](0).isEmpty && edge.getSeq[Any](1).isEmpty, edge.toString)
+    assert(edge.isNullAt(2) && edge.isNullAt(3), edge.toString)
+    val uniOracle = spark.sql(
+      s"""SELECT transform(filter(split('héllo wörld', ' '), x -> x != ''),
+           tok -> (${fold.replace("hx", "md5('graft-dsir-1:' || tok)")}) % 1024L) AS o""")
+      .collect().head.getSeq[Long](0)
+    assert(edge.getSeq[Long](4) == uniOracle, "multi-byte token divergence")
+  }
+
+  test("graft_dsir_buckets participates in whole-stage codegen") {
+    val df = Tables.t(spark, sfDir, "documents")
+      .select(call_function("graft_dsir_buckets", col("text"),
+        lit("graft-dsir-1:"), lit(1024)).as("b"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_dsir_buckets.*"), plan)
+  }
+
   test("graft_gopher_stats participates in whole-stage codegen") {
     val df = Tables.t(spark, sfDir, "documents")
       .select(split(col("text"), " ").as("toks"))

@@ -136,7 +136,12 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     SparkSession.clearDefaultSession()
     // The local expected-pass above also fires the grid witness; clear it
     // so the telemetry test below proves the CLUSTER path, not a leftover.
+    // Likewise evict the per-strategy pair stores the local pass built:
+    // the cluster slice must re-run the minhash banding itself (emitting
+    // the grid decision from REMOTE executors), not scan a store the
+    // local session wrote.
     Sessions.clearGridSite(graft.pipeline.Dedup.GRID_METRIC_PREFIX + "minhash")
+    graft.pipeline.Dedup.evictStrategyStores()
     val b = SparkSession.builder()
       .master("local-cluster[2,4,4096]")
       .config("spark.executor.memory", "3g")

@@ -46,6 +46,28 @@ class PipelineSpec extends SparkSpec {
       s"minhash missed strong pairs: ${strong -- got}")
   }
 
+  test("the strategy-pair stores are built once and reused across the family") {
+    // VERDICT r12 #1/#7: the simhash banding must be derived once per
+    // (corpus, JVM) and SHARED by q_dedup_simhash + q_dedup_auto's
+    // default route; the minhash banding once, shared by q_dedup_minhash,
+    // q_dedup_recall_cert and q_dedup_cross_source. Warm every store the
+    // family touches, then assert the GLOBAL build counter stays flat
+    // while every consumer re-runs — no store of any kind is rebuilt.
+    val consumers = Seq("q_dedup_simhash", "q_dedup_auto", "q_dedup_minhash",
+      "q_dedup_recall_cert", "q_dedup_cross_source")
+    Sessions.clearGridSite(pipeline.Dedup.GRID_METRIC_PREFIX + "simhash")
+    consumers.foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
+    assert(pipeline.Dedup.storedStrategies(sfDir) == Set("simhash", "minhash"))
+    val builds = Tables.tempBuildCount
+    val simhashRows = SparkEntry.queries("q_dedup_simhash")(spark, sfDir).count()
+    consumers.foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
+    assert(Tables.tempBuildCount == builds,
+      "a warm re-run of the dedup family rebuilt a content-keyed store")
+    assert(simhashRows ==
+      SparkEntry.queries("q_dedup_auto")(spark, sfDir).count(),
+      "q_dedup_auto's default route should serve the simhash store")
+  }
+
   test("q_dedup_simhash == exactly the J >= 0.5 pairs within its hamming radius") {
     // The precise simhash contract: candidate recall is 100% within
     // hamming <= SIMHASH_RADIUS (pigeonhole: <= 6 flips leave >= 2 of the

@@ -420,6 +420,10 @@ class SkewSpec extends SparkSpec {
     // truth on this corpus).
     Sessions.gridHistory.clear()
     Sessions.lastGridOccupancy.clear()
+    // A warm strategy-pair store would serve the banding's OUTPUT without
+    // running the banding (r13) — evict so this run re-derives and the
+    // grid witness actually fires.
+    Dedup.evictStrategyStores()
     // Watermark, then scan the HISTORY for this run's decision rather than
     // polling latest-wins: the hot-corpus test right before this one ends
     // with a count() whose decision event is still in flight on the async
@@ -489,20 +493,22 @@ class SkewSpec extends SparkSpec {
   test("q_dedup_auto routes on the saturated decision and keeps the answer") {
     import graft.pipeline.Dedup
     val metric = Dedup.GRID_METRIC_PREFIX + "simhash"
-    // Default route (registry clear / linear): the SimHash path — its
-    // plan carries the hamming bit_count candidate filter.
+    // Default route (registry clear / linear): the SimHash path. The
+    // served plan is a store scan whatever the route (r13 per-strategy
+    // pair stores), so the route is asserted on WHICH store the run
+    // builds, starting from an empty store family.
     Sessions.clearGridSite(metric)
-    val defPlan = SparkEntry.queries("q_dedup_auto")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(defPlan.contains("bit_count"),
-      "default route should be the simhash path")
+    Dedup.evictStrategyStores()
     val w = Sessions.gridSeqNow
     val defRows = SparkEntry.queries("q_dedup_auto")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // That collect() ran the simhash path, whose own (linear) decision is
-    // still in flight on the async listener bus — let it LAND before
-    // seeding, or it would overwrite the seeded saturation (latest-wins)
-    // and the router would spuriously take the simhash path again.
+    assert(Dedup.storedStrategies(sfDir) == Set("simhash"),
+      "default route should have built (only) the simhash store")
+    // That run's store build ran the simhash banding, whose own (linear)
+    // decision is still in flight on the async listener bus — let it LAND
+    // before seeding, or it would overwrite the seeded saturation
+    // (latest-wins) and the router would spuriously take the simhash path
+    // again.
     val drainDl = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while (!Option(Sessions.gridHistory.get(metric)).toSeq.flatten
         .exists(_.seq > w) && System.nanoTime() < drainDl)
@@ -512,10 +518,11 @@ class SkewSpec extends SparkSpec {
     Sessions.recordGridDecision(metric,
       Dedup.GridDecision("simhash", 50000, 64, "saturated", Some("minhash")))
     try {
-      val escPlan = SparkEntry.queries("q_dedup_auto")(spark, sfDir)
-        .queryExecution.executedPlan.toString
-      assert(!escPlan.contains("bit_count"),
-        "saturated route should be the minhash path")
+      // The escape run must have built the minhash store alongside the
+      // default run's simhash store — two routes, two stores.
+      SparkEntry.queries("q_dedup_auto")(spark, sfDir)
+      assert(Dedup.storedStrategies(sfDir) == Set("simhash", "minhash"),
+        "saturated route should have built the minhash store")
       // ...and the switch can only IMPROVE completeness: both strategies
       // end in the same exact-Jaccard verification (identical precision),
       // and minhash's candidate recall dominates — it is blind to nothing
