@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{ArgmaxCosine, CosineSimilarity, DsirBuckets, GopherStats, GramHashes, GramProfile, JaccardSimilarity, LshSignatures, WinnowSelect}
+import graft.functions.{ArgmaxCosine, CosineSimilarity, DsirBuckets, GopherStats, GramFoldHashes, GramHashes, GramProfile, JaccardSimilarity, LshSignatures, WinnowSelect}
 
 /** Session extensions: graft's native functions, injected at session build
   * (`spark.sql.extensions=graft.GraftExtensions`). This is the sanctioned
@@ -86,6 +86,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "graft_gram_hashes(toks, n) takes (array<string>, int)")
         GramHashes(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_fold_hashes"),
+      new ExpressionInfo(classOf[GramFoldHashes].getName, "graft_gram_fold_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_gram_fold_hashes(toks, n) takes (array<string>, int)")
+        GramFoldHashes(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_dsir_buckets"),

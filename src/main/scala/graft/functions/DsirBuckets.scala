@@ -16,10 +16,12 @@ object DsirKernel {
 
   // One digest instance per task thread: MessageDigest is stateful and
   // not thread-safe, and allocating one per row would dominate short docs.
+  // Shared with [[GopherKernel.gramFoldHashes]] (same task threads).
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+  private[functions] def sharedMd5(): java.security.MessageDigest = md5.get()
 
   /** Hashed-unigram bucket ids of one text: for every non-empty
     * space-separated token, the first 32 bits (big-endian, unsigned) of

@@ -185,6 +185,44 @@ object GopherKernel {
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** Seeded-md5 fold (the portable [[graft.pipeline.Sampling.hexFold]]
+    * value: the md5's first 4 bytes big-endian, unsigned) of every word
+    * n-gram, digested directly over the gram's byte span in the
+    * [[joined]] buffer — the same bytes `md5(concat_ws(' ', slice(toks,
+    * i, n)))` hashes, so values are bit-identical to the composable
+    * `transform(transform(sequence(1, m), i -> md5(...)), h -> fold)`
+    * WITHOUT a gram string, a 32-char hex string, or an 8-term
+    * substring/instr fold per position. md5 stays the hash because the
+    * DuckDB oracle must recompute the identical values from first
+    * principles (xxhash64's seed-42 spans are not expressible there);
+    * what the kernel removes is the interpreted pipeline around it.
+    * Returns null iff a token slot is null or n <= 0; L < n yields the
+    * empty array.
+    */
+  def gramFoldHashes(toks: ArrayData, n: Int): ArrayData = {
+    if (n <= 0) return null
+    val j0 = joined(toks)
+    if (j0 == null) return null
+    val (buf, starts, l) = j0
+    val m = l - n + 1
+    if (m <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    val md = DsirKernel.sharedMd5()
+    var i = 0
+    while (i < m) {
+      val s0 = starts(i)
+      md.reset()
+      md.update(buf, s0, starts(i + n) - 1 - s0)
+      val d = md.digest()
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }
 
 /** Native codegen'd Gopher repetition statistics (Rae et al. 2021,
@@ -347,5 +385,58 @@ case class GramHashes(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GramHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native codegen'd n-gram seeded-md5 fold.
+  *
+  * `graft_gram_fold_hashes(toks, n)` returns `array<bigint>` — the
+  * portable hexFold(md5(gram)) value of every word n-gram, the hash the
+  * winnowing fingerprint family orders its window minima by. The
+  * composable form (q_winnow_fingerprint through r12) was two nested
+  * interpreted `transform`s allocating a gram string, a 32-char hex
+  * string, and an 8-term substring/instr fold per position — the query's
+  * dominant cost term after the selection kernel landed (VERDICT r12
+  * #3). This kernel digests each gram's byte span in the one joined
+  * buffer in place; md5 is retained (not switched to xxhash64 spans)
+  * deliberately: the hash VALUES are structural here — the window
+  * minimum is an argmin over them — and the DuckDB oracle must
+  * recompute the identical values from first principles, which the
+  * portable md5 fold allows and a Spark-seeded xxhash64 would not.
+  * NULL array, NULL token slot, or n <= 0 yields NULL; fewer than n
+  * tokens yields the empty array.
+  */
+case class GramFoldHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, int), got " +
+        s"${l.catalogString}, ${r.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gram_fold_hashes"
+
+  override def nullSafeEval(a: Any, n: Any): Any =
+    GopherKernel.gramFoldHashes(a.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, n) => {
+      val r = ctx.freshName("gramFoldArr")
+      s"""
+        final org.apache.spark.sql.catalyst.util.ArrayData $r =
+          graft.functions.GopherKernel.gramFoldHashes($v, $n);
+        if ($r == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $r;
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GramFoldHashes =
     copy(left = newLeft, right = newRight)
 }

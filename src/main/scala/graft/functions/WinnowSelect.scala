@@ -16,6 +16,16 @@ object WinnowKernel {
     * occurrence-deduplicated — exactly `array_distinct(transform(...))`
     * over the composable slice/reverse/array_position/array_min form.
     * Positions are 1-based gram indices, the HOF form's convention.
+    *
+    * O(m) via a monotonic deque of indices (ADVICE r12; the r12 form
+    * rescanned each window right-to-left, O(m·w) with boxed-tuple set
+    * inserts): popping BACK entries with value >= the incoming value
+    * keeps the deque strictly increasing and makes the front the
+    * window's RIGHTMOST minimum (an equal earlier element is evicted by
+    * the later one — exactly the paper's tie rule). Selected positions
+    * are then non-decreasing window-over-window (the previous rightmost
+    * minimum stays minimal until it slides out), so the first-occurrence
+    * dedup degenerates to skip-if-same-as-last — no hash set at all.
     * Returns null iff a hash slot is null or w <= 0; an array shorter
     * than w yields the empty selection.
     */
@@ -31,27 +41,32 @@ object WinnowKernel {
     }
     val nWin = m - w + 1
     if (nWin <= 0) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[(Long, Long)]()
-    var j = 0
-    while (j < nWin) {
-      // Rightmost minimum of hs[j, j + w): scan right-to-left, strict
-      // comparison keeps the first (rightmost) occurrence.
-      var best = hs(j + w - 1)
-      var bestPos = j + w - 1
-      var k = j + w - 2
-      while (k >= j) {
-        if (hs(k) < best) { best = hs(k); bestPos = k }
-        k -= 1
+    val dq = new Array[Int](m) // index ring, values strictly increasing
+    var head = 0
+    var tail = 0 // active range [head, tail)
+    val outP = new Array[Long](nWin)
+    val outH = new Array[Long](nWin)
+    var cnt = 0
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val p = dq(head)
+        if (cnt == 0 || outP(cnt - 1) != (p + 1).toLong) {
+          outP(cnt) = (p + 1).toLong // 1-based gram index
+          outH(cnt) = hs(p)
+          cnt += 1
+        }
       }
-      seen.add(((bestPos + 1).toLong, best)) // 1-based gram index
-      j += 1
+      i += 1
     }
-    val out = new Array[Any](seen.size())
-    val it = seen.iterator()
+    val out = new Array[Any](cnt)
     var o = 0
-    while (it.hasNext) {
-      val (p, h) = it.next()
-      out(o) = new GenericInternalRow(Array[Any](p, h))
+    while (o < cnt) {
+      out(o) = new GenericInternalRow(Array[Any](outP(o), outH(o)))
       o += 1
     }
     new GenericArrayData(out)
@@ -66,10 +81,11 @@ object WinnowKernel {
   * evaluates `slice` + `reverse` + `array_position` + `array_min` per
   * window — four interpreted array allocations per window per document,
   * the q_winnow_fingerprint CPU wall the 100x stage drill measured at
-  * ~33 s/task. This is ONE compiled right-to-left scan per window with
-  * first-occurrence dedup, bit-identical to the HOF form (FunctionsSpec
-  * differential; ties and duplicate selections included). NULL array,
-  * NULL hash slot, or w <= 0 yields NULL (the graft_cosine convention).
+  * ~33 s/task. This is ONE compiled monotonic-deque pass over the whole
+  * array (O(m), no per-window rescan), bit-identical to the HOF form
+  * (FunctionsSpec differential; ties and duplicate selections included).
+  * NULL array, NULL hash slot, or w <= 0 yields NULL (the graft_cosine
+  * convention).
   */
 case class WinnowSelect(left: Expression, right: Expression)
     extends BinaryExpression {

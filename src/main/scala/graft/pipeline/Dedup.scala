@@ -1343,11 +1343,13 @@ object Dedup {
     * is a fraction of token mass); the only corpus-grain exchanges key on
     * the fingerprint hash ([[hexFold]]-uniform by construction) for the
     * distinct-doc count and the join back. Text never shuffles. Window
-    * selection runs in the native `graft_winnow` kernel since r12 (one
-    * compiled scan per window; the interpreted slice/reverse/min form it
-    * replaced, [[winnowSelHof]], cost ~2.3× the wall at 10× and is kept
-    * as the FunctionsSpec differential oracle); gram hashing stays md5 —
-    * the remaining, unavoidable cost term. */
+    * selection runs in the native `graft_winnow` kernel since r12 (an
+    * O(m) monotonic-deque pass since r13; the interpreted
+    * slice/reverse/min form it replaced, [[winnowSelHof]], cost ~2.3×
+    * the wall at 10× and is kept as the FunctionsSpec differential
+    * oracle); gram hashing runs in `graft_gram_fold_hashes` since r13 —
+    * the same portable md5-fold values the oracle recomputes, digested
+    * over byte spans with zero per-gram allocations. */
   private val WIN_K = 4
   private val WIN_W = 8
 
@@ -1366,16 +1368,20 @@ object Dedup {
   private val winnow = QueryDef(
     "q_winnow_fingerprint",
     (s, d) => {
-      val fold = Sampling.hexFold("h")
       val base = graft.Tables.spreadForRowCpu(docs(s, d))
         .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
         .withColumn("m", (size(col("toks")) - lit(WIN_K - 1)).cast("long"))
         .filter(col("m") >= WIN_W)
       val fps = base
-        .withColumn("gh", expr(
-          s"""transform(
-                transform(sequence(1, m), i -> md5(concat_ws(' ', slice(toks, CAST(i AS INT), $WIN_K)))),
-                h -> $fold)"""))
+        // Gram hashing via the native graft_gram_fold_hashes kernel (r13,
+        // VERDICT r12 #3): the identical seeded-md5 fold VALUES — the
+        // DuckDB oracle recomputes them from first principles, so the
+        // hash must stay the portable md5 fold, not a Spark-seeded
+        // xxhash64 — digested over byte spans of one joined buffer
+        // instead of two interpreted transforms allocating a gram
+        // string + hex string + 8-term fold per position.
+        .withColumn("gh",
+          call_function("graft_gram_fold_hashes", col("toks"), lit(WIN_K)))
         // Window selection via the native graft_winnow kernel (r12): one
         // compiled right-to-left scan per window instead of four
         // interpreted array allocations — bit-identical to [[winnowSelHof]]

@@ -313,6 +313,32 @@ class FunctionsSpec extends SparkSpec {
     assert((3 until 6).forall(edge.isNullAt), edge.toString)
   }
 
+  test("graft_gram_fold_hashes equals the interpreted md5-fold transform") {
+    // The retained interpreted oracle: md5 hex of each concat_ws gram,
+    // folded through hexFold — exactly what q_winnow_fingerprint built
+    // through r12 and what its DuckDB oracle still computes.
+    val fold = pipeline.Sampling.hexFold("h")
+    val base = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .withColumn("m", (size(col("toks")) - 3).cast("long"))
+      .filter(col("m") >= 1)
+    val both = base.select(col("doc_id"),
+      call_function("graft_gram_fold_hashes", col("toks"), lit(4)).as("native"),
+      expr(s"""transform(
+          transform(sequence(1, m), i -> md5(concat_ws(' ', slice(toks, CAST(i AS INT), 4)))),
+          h -> $fold)""").as("hof"))
+    assert(both.count() > 0)
+    val diff = both.filter(col("native") =!= col("hof"))
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+    val edge = spark.sql(
+      """SELECT graft_gram_fold_hashes(array('a'), 2) AS short,
+           graft_gram_fold_hashes(array('a', CAST(NULL AS STRING)), 2) AS n1,
+           graft_gram_fold_hashes(CAST(NULL AS ARRAY<STRING>), 2) AS n2,
+           graft_gram_fold_hashes(array('a', 'b'), 0) AS n3""").collect().head
+    assert(edge.getSeq[Any](0).isEmpty, "fewer than n tokens must yield empty")
+    assert((1 until 4).forall(edge.isNullAt), edge.toString)
+  }
+
   test("graft_dsir_buckets equals the composable md5 hex fold") {
     // The retained interpreted oracle: explode non-empty tokens, md5 the
     // salted concat, fold the first 8 hex chars, mod B — exactly what the
