@@ -483,6 +483,15 @@ final class JobRuntime(
     spark.read.format("graft-grid-decisions")
       .load().createOrReplaceTempView("grid_decisions")
 
+  /** Register `store_occupancy` — the content-keyed temp-store registry
+    * ([[graft.Tables.storeRegistry]]) as a refresh-on-scan SQL view, same
+    * discipline as `grid_decisions`: one row per live persisted store
+    * with bytes + LRU access seq + the caps and eviction counter, so a
+    * long-lived gateway's operator can watch the store budget hold. */
+  def registerStoreOccupancyView(): Unit =
+    spark.read.format("graft-store-occupancy")
+      .load().createOrReplaceTempView("store_occupancy")
+
   /** Cluster/heartbeat observability — the reference's `cluster_nodes`
     * membership table fed by `Heartbeater` upserts
     * (`dist/src/heartbeat.rs:21-73`, `clusters/postgres/src/cluster.rs:

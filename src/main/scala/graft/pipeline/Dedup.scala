@@ -121,7 +121,7 @@ object Dedup {
       c: java.util.concurrent.ConcurrentHashMap[String, (String, String)]): Unit = {
     c.values.forEach { case (_, dir) =>
       scala.reflect.io.Path(new java.io.File(dir)).deleteRecursively()
-      ()
+      Tables.deregisterStoreDir(dir)
     }
     c.clear()
   }

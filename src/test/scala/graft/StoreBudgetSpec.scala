@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The content-keyed temp-store LRU budget (VERDICT r12 missing #2): a
+  * long-lived gateway JVM that serves many distinct corpora must hold
+  * store occupancy under the caps — with evicted stores REBUILDING
+  * identically on refetch (content-keyed ⇒ eviction costs a rebuild,
+  * never staleness). Mirrors the job registry's TTL-sweeper spec. */
+class StoreBudgetSpec extends SparkSpec {
+
+  /** Write one tiny distinct corpus (full documents schema) and return its
+    * dir. Two of the docs are near-dups so the pair store is non-empty. */
+  private def writeCorpus(root: java.nio.file.Path, i: Int): String = {
+    val d = root.resolve(s"corpus$i").toString
+    val texts = Seq(
+      s"the quick brown fox jumps over the lazy dog variant$i",
+      s"the quick brown fox jumps over the lazy dog variant$i today",
+      s"completely different content about the number $i and spark plans",
+      s"a third unrelated document mentioning corpus $i twice corpus $i",
+      s"yet another filler line for corpus $i with enough tokens in it")
+    val rows = texts.zipWithIndex.map { case (t, j) =>
+      (j.toLong, t, "en", "test", t.length.toLong)
+    }
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("LRU budget: occupancy holds under a low cap across cycled corpora; " +
+      "evicted stores rebuild bit-identically") {
+    val root = java.nio.file.Files.createTempDirectory("graft-budget-spec")
+    val oldCap = Tables.storeCountCap
+    try {
+      val dirs = (0 until 6).map(writeCorpus(root, _))
+      Tables.storeCountCap = 3
+
+      // First corpus: snapshot its verified pair relation and its store dir.
+      val first = pipeline.Dedup.materializedPairs(spark, dirs.head, 0.5)
+        .orderBy("a_id", "b_id").collect().toSeq
+      assert(first.nonEmpty, "tiny corpus must yield at least one near-dup pair")
+      val firstDir = {
+        val snap = Tables.storeOccupancySnapshot
+        val hit = snap.filter(r => r._1 == "graft-pairs-idx" &&
+          r._2.startsWith(dirs.head))
+        assert(hit.size == 1, s"expected one pairs store for corpus0, got $snap")
+        // Registry keys are dirs; recover via the registry map itself.
+        var dir: String = null
+        Tables.storeRegistry.forEach((d, e) =>
+          if (e.store == "graft-pairs-idx" && e.key.startsWith(dirs.head)) dir = d)
+        dir
+      }
+      assert(firstDir != null && new java.io.File(firstDir).exists())
+
+      // Cycle the remaining corpora through the same store family. Each
+      // warms 2 stores (shingle index + pair store): 12 total against a
+      // cap of 3 ⇒ evictions must fire and the oldest (corpus 0) must go.
+      val evict0 = Tables.storeEvictions.get()
+      dirs.tail.foreach(d =>
+        pipeline.Dedup.materializedPairs(spark, d, 0.5).count())
+      assert(Tables.storeRegistry.size() <= 3,
+        s"registry ${Tables.storeRegistry.size()} exceeds cap 3")
+      assert(Tables.storeEvictions.get() > evict0, "no eviction fired")
+      assert(!new java.io.File(firstDir).exists(),
+        "LRU victim's directory must be deleted")
+      // Every surviving registry row points at a live directory.
+      Tables.storeRegistry.forEach((d, _) =>
+        assert(new java.io.File(d).exists(), s"registry row $d has no files"))
+      val bytes = Tables.storeOccupancySnapshot.map(_._3).sum
+      assert(bytes <= Tables.storeBytesCap)
+
+      // Refetch the evicted corpus: one rebuild, identical relation.
+      val builds0 = Tables.tempBuildCount
+      val again = pipeline.Dedup.materializedPairs(spark, dirs.head, 0.5)
+        .orderBy("a_id", "b_id").collect().toSeq
+      assert(Tables.tempBuildCount > builds0, "refetch must rebuild the store")
+      assert(again == first, "rebuilt store must match the evicted relation")
+    } finally {
+      Tables.storeCountCap = oldCap
+      // Drop the test corpora's stores so later suites' LRU space isn't
+      // polluted by entries whose source dirs are about to vanish.
+      pipeline.Dedup.evictSharedStores()
+      scala.reflect.io.Path(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("store_occupancy view reflects the registry and its caps") {
+    pipeline.Dedup.materializedPairs(spark, sfDir, 0.5).count()
+    val rt = new gateway.JobRuntime(spark)
+    try {
+      rt.registerStoreOccupancyView()
+      val rows = spark.sql(
+        """SELECT store, bytes, last_access_seq, count_cap, bytes_cap
+           FROM store_occupancy""").collect()
+      assert(rows.nonEmpty)
+      assert(rows.exists(_.getString(0) == "graft-pairs-idx"))
+      assert(rows.forall(_.getLong(1) > 0L), "every store has on-disk bytes")
+      assert(rows.forall(r => r.getInt(3) == Tables.storeCountCap &&
+        r.getLong(4) == Tables.storeBytesCap))
+      assert(rows.length <= Tables.storeCountCap)
+      // Refresh-on-scan: warming another store family changes the next
+      // observation without re-registering the view.
+      val n0 = spark.sql("SELECT count(*) FROM store_occupancy").head().getLong(0)
+      pipeline.Dedup.materializedStrategyPairs(spark, sfDir, "minhash").count()
+      val n1 = spark.sql("SELECT count(*) FROM store_occupancy").head().getLong(0)
+      assert(n1 >= n0, "view must re-snapshot the registry per scan")
+    } finally rt.close()
+  }
+}
