@@ -215,14 +215,30 @@ object Tables {
   private[graft] def contentKeyedTempParquet(
       cache: java.util.concurrent.ConcurrentHashMap[String, (String, String)],
       s: SparkSession, path: String, prefix: String, variant: String = "")
-      (build: => DataFrame): DataFrame = {
+      (build: => DataFrame): DataFrame =
+    contentKeyedTempParquetKeyed(cache, s, path, prefix, variant)(_ => build)._2
+
+  /** [[contentKeyedTempParquet]] that also passes the build its cache
+    * token and returns the SERVED entry's token. For builders with a
+    * driver-side half (BPE/WordPiece merge lists, unigram EM state) that
+    * must stay in lockstep with the parquet half: keying the driver half
+    * on a token recomputed OUTSIDE the cache races an in-place corpus
+    * regen — the store lands under the fresh token while the driver half
+    * holds the stale one (or vice versa), and the pair never re-syncs
+    * because later calls serve the warm store without rebuilding (ADVICE
+    * r12). Keying both halves on THIS token — written inside the same
+    * bin-locked compute — makes desync impossible by construction. */
+  private[graft] def contentKeyedTempParquetKeyed(
+      cache: java.util.concurrent.ConcurrentHashMap[String, (String, String)],
+      s: SparkSession, path: String, prefix: String, variant: String = "")
+      (build: String => DataFrame): (String, DataFrame) = {
     val token = contentToken(path)
     val key = path + variant
-    val dir = cache.compute(key, (_, old) => {
+    val (servedToken, dir) = cache.compute(key, (_, old) => {
       if (old != null && old._1 == token) old
       else {
         val out = java.nio.file.Files.createTempDirectory(prefix).toString
-        try build.write.mode("overwrite").parquet(out)
+        try build(token).write.mode("overwrite").parquet(out)
         catch {
           case e: Throwable =>
             scala.reflect.io.Path(new java.io.File(out)).deleteRecursively()
@@ -240,11 +256,11 @@ object Tables {
           new java.util.concurrent.atomic.AtomicLong(storeSeq.incrementAndGet())))
         (token, out)
       }
-    })._2
+    })
     Option(storeRegistry.get(dir))
       .foreach(_.lastAccess.set(storeSeq.incrementAndGet()))
     enforceStoreBudget(dir)
-    s.read.parquet(dir)
+    (servedToken, s.read.parquet(dir))
   }
 
   /** Once-per-token in-memory build — the driver-memory sibling of

@@ -1112,8 +1112,14 @@ object TextAnalysis {
   private[graft] def bpeLearn(s: SparkSession, d: String)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     val path = s"$d/documents.parquet"
-    val token = Tables.contentToken(path)
-    val tbl = Tables.contentKeyedTempParquet(bpeWordCache, s, path, "graft-bpe-store") {
+    // Both halves key on the token the STORE CACHE computed (ADVICE r12):
+    // an outer-scope token races an in-place corpus regen — the store
+    // would land under the fresh token while the merge map held the
+    // stale one, wedging every later call on the require below. The
+    // keyed variant writes both halves inside one bin-locked compute, so
+    // the invariant is structural and the require is a pure assertion.
+    val (token, tbl) = Tables.contentKeyedTempParquetKeyed(
+      bpeWordCache, s, path, "graft-bpe-store") { tok =>
       var cur = wordTable(s, d)
       val merges = Seq.newBuilder[(Long, String, String, Long)]
       for (step <- 1 to BPE_MERGES) {
@@ -1124,7 +1130,7 @@ object TextAnalysis {
         merges += ((step.toLong, l, r, c))
         cur = applyMerge(cur, l, r).localCheckpoint()
       }
-      bpeMergesByPath.put(path, (token, merges.result()))
+      bpeMergesByPath.put(path, (tok, merges.result()))
       cur
     }
     val m = bpeMergesByPath.get(path)
@@ -1277,8 +1283,9 @@ object TextAnalysis {
   private[graft] def wordpieceLearn(s: SparkSession, d: String)
       : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
     val path = s"$d/documents.parquet"
-    val token = Tables.contentToken(path)
-    val tbl = Tables.contentKeyedTempParquet(wpWordCache, s, path, "graft-wp-store") {
+    // Keyed-token discipline — see [[bpeLearn]] (ADVICE r12).
+    val (token, tbl) = Tables.contentKeyedTempParquetKeyed(
+      wpWordCache, s, path, "graft-wp-store") { tok =>
       var cur = wordTable(s, d)
       val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
       for (step <- 1 to WP_MERGES) {
@@ -1296,7 +1303,7 @@ object TextAnalysis {
         merges += ((step.toLong, l, r, best.getLong(2), best.getLong(3)))
         cur = applyMerge(cur, l, r).localCheckpoint()
       }
-      wpMergesByPath.put(path, (token, merges.result()))
+      wpMergesByPath.put(path, (tok, merges.result()))
       cur
     }
     val m = wpMergesByPath.get(path)

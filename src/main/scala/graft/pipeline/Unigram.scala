@@ -160,10 +160,14 @@ object Unigram {
 
   private[graft] def learnCore(s: SparkSession, d: String)
       : (DataFrame, Seq[(String, Seq[Long])], Seq[(String, Long)], Int) = {
-    val words = Tables.contentKeyedTempParquet(uniWordCache, s,
-      s"$d/documents.parquet", "graft-uniword-store")(wordTable(s, d))
-      .localCheckpoint()
-    val token = Tables.contentToken(s"$d/documents.parquet")
+    // The EM state keys on the token the word STORE was served under
+    // (ADVICE r12 / bpeLearn discipline) — recomputing the token after
+    // the serve raced an in-place corpus regen: state derived from the
+    // old words could pin under the new token and serve a mismatched
+    // (words, state) pair until the NEXT regen.
+    val (token, served) = Tables.contentKeyedTempParquetKeyed(uniWordCache, s,
+      s"$d/documents.parquet", "graft-uniword-store")(_ => wordTable(s, d))
+    val words = served.localCheckpoint()
     val (hist, sc, v) =
       Tables.keyedOnce(uniStateCache, token)(Tables.staleSibling(token, _)) {
         learnState(words)
