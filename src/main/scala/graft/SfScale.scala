@@ -37,7 +37,16 @@ object SfScale {
     val (src, out) = (args(0), args(1))
     val f = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = Sessions.local()
+    build(spark, src, out, f)
+    spark.stop()
+  }
 
+  /** In-process build — the cluster lane (LocalClusterSpec) regenerates
+    * the sf1 directory with the suite's own session when it is absent,
+    * so the sf1 lane is reproducible on a fresh machine. Deterministic:
+    * TPC-H replicas are pure key arithmetic and CorpusGen is seeded. */
+  def build(spark: org.apache.spark.sql.SparkSession, src: String,
+      out: String, f: Int = 10): Unit = {
     def copy(t: String): Unit =
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -81,6 +90,5 @@ object SfScale {
       val n = spark.read.parquet(s"$out/$t.parquet").count()
       println(s"SFSCALE $t rows=$n")
     }
-    spark.stop()
   }
 }

