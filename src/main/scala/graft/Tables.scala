@@ -344,6 +344,32 @@ object Tables {
     }
   }
 
+  /** Leak bound for the bucketed CATALOG store caches (the incremental
+    * fingerprint and ANN band stores — `saveAsTable` under a shared temp
+    * root, keyed by corpus path): same growth shape as the temp-parquet
+    * family but the entry is a catalog table, so eviction needs the
+    * session. Arbitrary-order cap like [[KEYED_ONCE_CAP]] (these caches
+    * carry no access sequence): a dropped store costs one rebuild on the
+    * next batch against that corpus, never staleness. `keep` is the key
+    * just served. */
+  private[graft] val CATALOG_STORE_CAP = 8
+  private[graft] def capCatalogStores(
+      cache: java.util.concurrent.ConcurrentHashMap[String, (String, String)],
+      s: SparkSession, root: String, keep: String): Unit = {
+    if (cache.size() <= CATALOG_STORE_CAP) return
+    val it = cache.entrySet().iterator()
+    while (cache.size() > CATALOG_STORE_CAP && it.hasNext) {
+      val e = it.next()
+      if (e.getKey != keep) {
+        val table = e.getValue._2
+        it.remove()
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        scala.reflect.io.Path(new java.io.File(s"$root/$table")).deleteRecursively()
+        ()
+      }
+    }
+  }
+
   /** Register the shutdown reclamation for a [[contentKeyedTempParquet]]
     * cache (call once per cache at object init). */
   private[graft] def registerTempCacheCleanup(

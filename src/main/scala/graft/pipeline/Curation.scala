@@ -257,6 +257,7 @@ object Curation {
         (token, table)
       }
     })
+    Tables.capCatalogStores(fpStoreCache, s, fpStoreRoot, path)
     s.table(table)
   }
 

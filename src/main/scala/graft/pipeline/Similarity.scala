@@ -394,6 +394,7 @@ object Similarity {
         (token, table)
       }
     })
+    Tables.capCatalogStores(annStoreCache, s, annStoreRoot, path)
     s.table(table)
   }
 

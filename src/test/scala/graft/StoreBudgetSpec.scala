@@ -85,6 +85,32 @@ class StoreBudgetSpec extends SparkSpec {
     }
   }
 
+  test("catalog-store cap bounds the bucketed fp-store family across corpora") {
+    // The bucketed saveAsTable stores (incremental dedup's fingerprint
+    // store) are keyed by corpus path — one catalog table per distinct
+    // corpus, unbounded on a long-lived JVM without the cap. Cycle
+    // CAP + 2 distinct corpora and assert the table count stays bounded
+    // while the query keeps answering (a dropped store rebuilds).
+    val root = java.nio.file.Files.createTempDirectory("graft-budget-cat")
+    try {
+      val dirs = (0 until Tables.CATALOG_STORE_CAP + 2).map(writeCorpus(root, _))
+      dirs.foreach { d =>
+        assert(SparkEntry.queries("q_dedup_incremental")(spark, d).collect()
+          .nonEmpty)
+      }
+      val n = spark.catalog.listTables().collect()
+        .count(_.name.startsWith("graft_fp_store_"))
+      assert(n <= Tables.CATALOG_STORE_CAP,
+        s"$n fp-store tables survive a ${dirs.size}-corpus cycle")
+      // A capped-out corpus still answers (store rebuilds transparently).
+      assert(SparkEntry.queries("q_dedup_incremental")(spark, dirs.head)
+        .collect().nonEmpty)
+    } finally {
+      scala.reflect.io.Path(root.toFile).deleteRecursively()
+      ()
+    }
+  }
+
   test("store_occupancy view reflects the registry and its caps") {
     pipeline.Dedup.materializedPairs(spark, sfDir, 0.5).count()
     val rt = new gateway.JobRuntime(spark)
