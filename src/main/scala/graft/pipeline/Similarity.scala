@@ -1434,10 +1434,14 @@ object Similarity {
     * broadcast-scalar cosine scan + TakeOrdered top-50, exactly
     * [[annBrute]]'s discipline (at 100 TB swap in the LSH/IVF path; the
     * rerank is path-agnostic). Everything after operates on the BOUNDED
-    * 50-row checkpointed pool: the 50×50 sim matrix and ten
-    * argmax-join-limit rounds are constant-size regardless of corpus
-    * scale — the bounded-relation-rounds precedent (hybrid retrieval's
-    * rank fusion, repeat_allocation's ≤40-row greedy). */
+    * 50-row pool: since r13 the pool's (rel, pairwise-sim) rows — at
+    * most POOL + POOL² tiny tuples, bounded by the LIMIT regardless of
+    * corpus scale — are pulled once and the ten greedy argmax rounds run
+    * as driver arithmetic. The former shape (ten
+    * join-groupBy-limit(1)-union Spark rounds over the same 50 rows)
+    * spent ~1.4 s of pure job-launch latency per bench run on
+    * constant-size data — scheduling, not computation; one pull is the
+    * repeat_allocation / PCA-decision-pull precedent. */
   private val MMR_POOL = 50
   private val MMR_OUT = 10
   private val mmrRerank = QueryDef(
@@ -1451,31 +1455,38 @@ object Similarity {
           floor(cosine(col("qv"), asDouble(col("embedding"))) * 1e6).as("rel_e6"))
         .orderBy(col("rel_e6").desc, col("vec_id")).limit(MMR_POOL)
         .localCheckpoint()
+      // ONE bounded pull: pool relevance + the 50×50 sim matrix (both
+      // LIMIT-bounded by construction). The greedy argmax rounds are
+      // driver arithmetic — identical values to the former ten Spark
+      // rounds (same integer weights, same vec_id tie-break), without
+      // ten union/checkpoint job launches over constant-size data.
       val sims = cands.select(col("vec_id").as("a"), col("v").as("va"))
         .join(cands.select(col("vec_id").as("b"), col("v").as("vb")),
           col("a") =!= col("b"))
         .select(col("a"), col("b"),
           floor(cosine(col("va"), col("vb")) * 1e6).as("s_e6"))
-        .localCheckpoint()
-      val base = cands.select(col("vec_id"), col("rel_e6"))
-      var picked = base.orderBy(col("rel_e6").desc, col("vec_id")).limit(1)
-        .select(col("vec_id"), lit(1L).as("rnk"), col("rel_e6"),
-          (lit(7L) * col("rel_e6")).as("mmr_e7"))
-        .localCheckpoint()
-      for (k <- 2 to MMR_OUT) {
-        val next = base
-          .join(picked.select(col("vec_id").as("p")),
-            col("vec_id") === col("p"), "left_anti")
-          .join(sims, col("vec_id") === col("a"))
-          .join(picked.select(col("vec_id").as("pb")), col("b") === col("pb"))
-          .groupBy(col("vec_id"), col("rel_e6"))
-          .agg(max(col("s_e6")).as("ms"))
-          .select(col("vec_id"), lit(k.toLong).as("rnk"), col("rel_e6"),
-            (lit(7L) * col("rel_e6") - lit(3L) * col("ms")).as("mmr_e7"))
-          .orderBy(col("mmr_e7").desc, col("vec_id")).limit(1)
-        picked = picked.union(next).localCheckpoint()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val base = cands.select(col("vec_id"), col("rel_e6")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .sortBy { case (id, rel) => (-rel, id) }
+      val picked = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)] // (vec_id, rnk, rel_e6, mmr_e7)
+      base.headOption.foreach { case (id, rel) =>
+        picked += ((id, 1L, rel, 7L * rel))
       }
-      picked
+      for (k <- 2 to MMR_OUT) {
+        val remaining = base.filter { case (id, _) =>
+          !picked.exists(_._1 == id) }
+        if (remaining.nonEmpty) {
+          val (id, rel, mmr) = remaining.map { case (id, rel) =>
+            val ms = picked.map(p => sims((id, p._1))).max
+            (id, rel, 7L * rel - 3L * ms)
+          }.minBy { case (id, _, mmr) => (-mmr, id) }
+          picked += ((id, k.toLong, rel, mmr))
+        }
+      }
+      s.createDataFrame(picked.toSeq)
+        .toDF("vec_id", "rnk", "rel_e6", "mmr_e7")
     },
     Some {
       val rounds = (2 to MMR_OUT).map { k =>

@@ -178,8 +178,8 @@ class PlanSpec extends SparkSpec {
     // q_mmr_rerank's crosses live entirely on BOUNDED relations: the
     // corpus side is one broadcast-scalar cosine scan (the q_ann_brute
     // shape), then the 50-row checkpointed pool self-pairs under <> (50x50
-    // constant) and each greedy round joins ≤50 rows — corpus-size-
-    // independent by construction.
+    // constant); the greedy rounds are driver arithmetic on that bounded
+    // pull since r13 — corpus-size-independent by construction.
     // q_pca_power's cross is the 64-row direction relation x ONE
     // normalization-max row (the q22 scalar-broadcast shape); the corpus
     // passes are map-side folds against literal vectors, never joined.
