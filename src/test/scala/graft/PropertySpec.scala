@@ -259,6 +259,49 @@ class PropertySpec extends AnyFunSuite {
     assert(functions.GopherKernel.compute(withNull) == null)
     assert(functions.GopherKernel.profile(withNull, 2) == null)
   }
+
+  test("WinnowKernel deque selection equals brute force under heavy ties") {
+    // The r13 monotonic-deque rewrite's edge cases — long equal runs,
+    // strictly decreasing sequences, duplicate minima re-entering later
+    // windows — with values drawn from a TINY range so ties dominate
+    // (the corpus differential in FunctionsSpec can't force these).
+    // Brute force: rightmost minimum per window (strict < right-to-left
+    // keeps the first seen = rightmost), first-occurrence dedup on
+    // (pos, hash).
+    def brute(hs: Array[Long], w: Int): Seq[(Long, Long)] = {
+      val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+      for (j <- 0 to hs.length - w) {
+        var best = hs(j + w - 1); var bp = j + w - 1
+        for (k <- (j + w - 2) to j by -1)
+          if (hs(k) < best) { best = hs(k); bp = k }
+        out += (((bp + 1).toLong, best))
+      }
+      out.toSeq
+    }
+    val rng = new Random(13)
+    def kernel(hs: Array[Long], w: Int): Seq[(Long, Long)] = {
+      val r = functions.WinnowKernel.select(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          hs.map(Long.box)), w)
+      (0 until r.numElements()).map { i =>
+        val row = r.getStruct(i, 2)
+        (row.getLong(0), row.getLong(1))
+      }
+    }
+    for (trial <- 0 until 2000) {
+      val m = 1 + rng.nextInt(24)
+      val range = 1 + rng.nextInt(4) // tiny value range => dense ties
+      val hs = Array.fill(m)(rng.nextInt(range).toLong)
+      val w = 1 + rng.nextInt(m)
+      assert(kernel(hs, w) == brute(hs, w),
+        s"trial $trial: hs=${hs.mkString(",")} w=$w")
+    }
+    // The named pathologies explicitly:
+    assert(kernel(Array(3L, 3L, 3L, 3L, 3L), 2) == brute(Array(3L, 3L, 3L, 3L, 3L), 2))
+    assert(kernel(Array(5L, 4L, 3L, 2L, 1L), 3) == brute(Array(5L, 4L, 3L, 2L, 1L), 3))
+    assert(kernel(Array(1L, 9L, 9L, 1L, 9L, 9L, 1L), 3) ==
+      brute(Array(1L, 9L, 9L, 1L, 9L, 9L, 1L), 3))
+  }
 }
 
 /** Spark-backed equivalence check for the salting utilities. */
