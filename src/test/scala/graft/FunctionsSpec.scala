@@ -337,6 +337,20 @@ class FunctionsSpec extends SparkSpec {
            graft_gram_fold_hashes(array('a', 'b'), 0) AS n3""").collect().head
     assert(edge.getSeq[Any](0).isEmpty, "fewer than n tokens must yield empty")
     assert((1 until 4).forall(edge.isNullAt), edge.toString)
+    // Multi-byte discipline: the kernel digests UTF8String BYTE spans of
+    // the joined buffer — values must match the concat_ws/md5 string path
+    // on 2-, 3-, and 4-byte (astral) code points and the empty token,
+    // which the ASCII word-bag corpus above cannot force.
+    val uni = spark.sql(
+      s"""SELECT graft_gram_fold_hashes(toks, 2) AS native,
+            transform(
+              transform(sequence(1, size(toks) - 1),
+                i -> md5(concat_ws(' ', slice(toks, CAST(i AS INT), 2)))),
+              h -> $fold) AS hof
+          FROM (SELECT array('é', 'ügér', '漢字', '𝄞clef', '', 'a') AS toks)""")
+      .collect().head
+    assert(uni.getSeq[Long](0) == uni.getSeq[Long](1),
+      s"unicode byte-span digest diverged: $uni")
   }
 
   test("graft_dsir_buckets equals the composable md5 hex fold") {
