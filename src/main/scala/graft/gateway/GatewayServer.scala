@@ -53,7 +53,8 @@ final case class GatewayAuth(user: String = "admin", password: String = "admin12
   *       fetch page + EOS, self-delimiting), then {"ok": true, "rows": N}
   *       — the reference's result wire (LZ4 Arrow FlightData,
   *       `networks/tonic/src/server.rs:109-141`)
-  *   {"op": "running_jobs"} / {"op": "cluster_nodes"}
+  *   {"op": "running_jobs"} / {"op": "cluster_nodes"} /
+  *   {"op": "store_occupancy"}
   *       -> one {"row": [...]} per row, then {"ok": true, "rows": N}
   *   {"op": "cancel", "job_id": "..."} -> {"ok": true}
   *   errors -> {"ok": false, "error": "..."}
@@ -334,6 +335,9 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
         out.println(s"""{"ok": true, "rows": $n}""")
       case Some("cluster_nodes") =>
         val n = streamRows(runtime.clusterNodes().collect().iterator, out)
+        out.println(s"""{"ok": true, "rows": $n}""")
+      case Some("store_occupancy") =>
+        val n = streamRows(runtime.storeOccupancy().collect().iterator, out)
         out.println(s"""{"ok": true, "rows": $n}""")
       case Some("cancel") =>
         field(line, "job_id").foreach { id =>

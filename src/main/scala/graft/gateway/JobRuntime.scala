@@ -492,6 +492,20 @@ final class JobRuntime(
     spark.read.format("graft-store-occupancy")
       .load().createOrReplaceTempView("store_occupancy")
 
+  /** Point-in-time `store_occupancy` snapshot (the [[runningJobs]] shape)
+    * — the socket gateway's `store_occupancy` op reads this, so a remote
+    * operator polls the store budget without registering views. */
+  def storeOccupancy(): DataFrame = {
+    val (cap, bcap, ev) = (graft.Tables.storeCountCap,
+      graft.Tables.storeBytesCap, graft.Tables.storeEvictions.get())
+    val rows = graft.Tables.storeOccupancySnapshot
+      .sortBy(r => (r._1, r._2))
+      .map { case (store, key, bytes, seq) =>
+        Row(store, key, bytes, seq, cap, bcap, ev)
+      }
+    spark.createDataFrame(rows.asJava, StoreOccupancySource.schema)
+  }
+
   /** Cluster/heartbeat observability — the reference's `cluster_nodes`
     * membership table fed by `Heartbeater` upserts
     * (`dist/src/heartbeat.rs:21-73`, `clusters/postgres/src/cluster.rs:

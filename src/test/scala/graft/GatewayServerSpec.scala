@@ -62,6 +62,21 @@ class GatewayServerSpec extends SparkSpec {
       var nodeRows = 0
       while (line.startsWith("{\"row\"")) { nodeRows += 1; line = in.readLine() }
       assert(nodeRows >= 1)
+      // store_occupancy: warm one store, then the op must stream its row
+      // (plus whatever else is warm in this JVM) with the caps columns.
+      pipeline.Dedup.materializedPairs(spark, sfDir, 0.5).count()
+      out.println("""{"op": "store_occupancy"}""")
+      line = in.readLine()
+      var storeRows = 0
+      var sawPairs = false
+      while (line.startsWith("{\"row\"")) {
+        storeRows += 1
+        if (line.contains("graft-pairs-idx")) sawPairs = true
+        line = in.readLine()
+      }
+      assert(line.contains("\"ok\": true"), line)
+      assert(storeRows >= 1 && sawPairs,
+        s"expected the warmed pairs store in $storeRows occupancy rows")
     }
   }
 
