@@ -73,22 +73,69 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     register(spark, dir, names: _*)
 
+  /** Hadoop configuration for store-file operations: the active session's
+    * (so `hdfs://`/`s3a://` URIs resolve with its credentials) or a bare
+    * default (shutdown hooks outlive sessions; local `file://` paths need
+    * nothing more). */
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** Content-derived cache token for a parquet path: (leaf-file count, total
     * bytes, max mtime) over every regular file under the path. Unlike a bare
     * `lastModified` on the top-level path, this changes when part-files are
     * rewritten in place inside a directory, and a not-yet-existing path
     * yields a distinct "absent" token instead of a constant 0 that would pin
     * a stale entry forever. Used to key JVM-lifetime caches (shingle index,
-    * IVF centroids) so regenerated data at the same path is re-derived. */
+    * IVF centroids) so regenerated data at the same path is re-derived.
+    *
+    * Walks through the Hadoop FS API (r13), not java.io: at cluster scale
+    * the corpus lives on `hdfs://`/`s3a://`, where a java.io walk would
+    * return the CONSTANT absent token and pin the first-built store as
+    * permanently fresh — staleness masquerading as caching. */
   def contentToken(path: String): String = {
-    val root = new java.io.File(path)
-    if (!root.exists()) return s"${root.getCanonicalPath}#absent"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) return s"$p#absent"
     var n = 0L; var bytes = 0L; var maxM = 0L
-    def walk(f: java.io.File): Unit =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
-      else { n += 1; bytes += f.length(); maxM = math.max(maxM, f.lastModified()) }
-    walk(root)
-    s"${root.getCanonicalPath}#$n#$bytes#$maxM"
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      n += 1; bytes += st.getLen; maxM = math.max(maxM, st.getModificationTime)
+    }
+    s"$p#$n#$bytes#$maxM"
+  }
+
+  /** Where store files land. Driver-local JVM temp by default (correct
+    * for local[n] and local-cluster on one host); on a real multi-host
+    * cluster set `spark.graft.store.root` (or GRAFT_STORE_ROOT) to a
+    * SHARED filesystem URI — executor tasks must read the store parquet
+    * the driver registers, which driver-local /tmp cannot serve off one
+    * machine. Each JVM claims a unique subdir under the configured root,
+    * so shutdown reclamation and LRU deletes can never touch another
+    * gateway's stores. */
+  private val storeJvmId: String =
+    java.util.UUID.randomUUID().toString.take(12)
+  private def configuredStoreRoot: Option[String] =
+    SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.store.root"))
+      .orElse(sys.env.get("GRAFT_STORE_ROOT"))
+      .map(r => s"${r.stripSuffix("/")}/graft-store-$storeJvmId")
+
+  private[graft] def newStoreDir(prefix: String): String =
+    configuredStoreRoot match {
+      case Some(root) =>
+        s"$root/$prefix-${java.util.UUID.randomUUID().toString.take(12)}"
+      case None => java.nio.file.Files.createTempDirectory(prefix).toString
+    }
+
+  /** Delete a store directory through the Hadoop FS API (works for local
+    * temp dirs AND shared-FS roots; java.io deleteRecursively silently
+    * no-ops on non-local URIs, leaking the store). */
+  private[graft] def deleteStoreFiles(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    try { p.getFileSystem(hadoopConf).delete(p, true); () }
+    catch { case _: java.io.IOException => () }
   }
 
   /** Content-keyed temp-parquet materialization — THE shared discipline
@@ -153,14 +200,10 @@ object Tables {
   @volatile private[graft] var storeCountCap: Int = 48
   @volatile private[graft] var storeBytesCap: Long = 16L << 30
 
-  private def dirBytes(path: String): Long = {
-    var bytes = 0L
-    def walk(f: java.io.File): Unit =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
-      else bytes += f.length()
-    walk(new java.io.File(path))
-    bytes
-  }
+  private def dirBytes(path: String): Long = try {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(hadoopConf).getContentSummary(p).getLength
+  } catch { case _: java.io.IOException => 0L }
 
   /** Occupancy snapshot for the observability view: (store, key, bytes,
     * last access seq), registry order. */
@@ -205,7 +248,7 @@ object Tables {
       if (victims.isEmpty) return
       val v = victims.minBy(_.lastAccess.get())
       if (v.cache.remove(v.key, (v.token, v.dir))) {
-        scala.reflect.io.Path(new java.io.File(v.dir)).deleteRecursively()
+        deleteStoreFiles(v.dir)
         storeEvictions.incrementAndGet()
       }
       storeRegistry.remove(v.dir)
@@ -237,15 +280,15 @@ object Tables {
     val (servedToken, dir) = cache.compute(key, (_, old) => {
       if (old != null && old._1 == token) old
       else {
-        val out = java.nio.file.Files.createTempDirectory(prefix).toString
+        val out = newStoreDir(prefix)
         try build(token).write.mode("overwrite").parquet(out)
         catch {
           case e: Throwable =>
-            scala.reflect.io.Path(new java.io.File(out)).deleteRecursively()
+            deleteStoreFiles(out)
             throw e
         }
         if (old != null) {
-          scala.reflect.io.Path(new java.io.File(old._2)).deleteRecursively()
+          deleteStoreFiles(old._2)
           deregisterStoreDir(old._2)
         }
         tempBuilds.incrementAndGet()
@@ -364,8 +407,7 @@ object Tables {
         val table = e.getValue._2
         it.remove()
         s.sql(s"DROP TABLE IF EXISTS $table")
-        scala.reflect.io.Path(new java.io.File(s"$root/$table")).deleteRecursively()
-        ()
+        deleteStoreFiles(s"$root/$table")
       }
     }
   }
@@ -375,9 +417,7 @@ object Tables {
   private[graft] def registerTempCacheCleanup(
       cache: java.util.concurrent.ConcurrentHashMap[String, (String, String)]): Unit = {
     sys.addShutdownHook {
-      cache.values.forEach { case (_, dir) =>
-        scala.reflect.io.Path(new java.io.File(dir)).deleteRecursively()
-      }
+      cache.values.forEach { case (_, dir) => deleteStoreFiles(dir) }
     }
     ()
   }

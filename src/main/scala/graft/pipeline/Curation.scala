@@ -230,12 +230,11 @@ object Curation {
   private val fpStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private lazy val fpStoreRoot: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-fp-store")
-    sys.addShutdownHook {
-      scala.reflect.io.Path(dir.toFile).deleteRecursively()
-      ()
-    }
-    dir.toString
+    // Honors spark.graft.store.root (shared FS on a multi-host cluster);
+    // local JVM temp otherwise. Hadoop-FS reclamation either way.
+    val dir = Tables.newStoreDir("graft-fp-store")
+    sys.addShutdownHook { Tables.deleteStoreFiles(dir) }
+    dir
   }
 
   private def bucketedFpStore(s: SparkSession, d: String,

@@ -120,7 +120,7 @@ object Dedup {
   private def evictCache(
       c: java.util.concurrent.ConcurrentHashMap[String, (String, String)]): Unit = {
     c.values.forEach { case (_, dir) =>
-      scala.reflect.io.Path(new java.io.File(dir)).deleteRecursively()
+      Tables.deleteStoreFiles(dir)
       Tables.deregisterStoreDir(dir)
     }
     c.clear()

@@ -368,12 +368,10 @@ object Similarity {
   private val annStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private lazy val annStoreRoot: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ann-store")
-    sys.addShutdownHook {
-      scala.reflect.io.Path(dir.toFile).deleteRecursively()
-      ()
-    }
-    dir.toString
+    // Honors spark.graft.store.root — see Curation.fpStoreRoot.
+    val dir = Tables.newStoreDir("graft-ann-store")
+    sys.addShutdownHook { Tables.deleteStoreFiles(dir) }
+    dir
   }
 
   private def bucketedBandStore(s: SparkSession, d: String, even: DataFrame,

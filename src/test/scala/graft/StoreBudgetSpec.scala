@@ -85,6 +85,36 @@ class StoreBudgetSpec extends SparkSpec {
     }
   }
 
+  test("spark.graft.store.root redirects store files to a shared-FS root") {
+    // On a multi-host cluster the stores must live on a SHARED filesystem
+    // (executors read what the driver registers). With the conf set, new
+    // store dirs land under <root>/graft-store-<jvmId>/ and eviction
+    // deletes them through the Hadoop FS API; values are unchanged.
+    val root = java.nio.file.Files.createTempDirectory("graft-shared-root")
+    val corpus = java.nio.file.Files.createTempDirectory("graft-root-corpus")
+    try {
+      val d = writeCorpus(corpus, 99)
+      spark.conf.set("spark.graft.store.root", root.toString)
+      val rows = pipeline.Dedup.materializedPairs(spark, d, 0.5)
+        .orderBy("a_id", "b_id").collect().toSeq
+      assert(rows.nonEmpty)
+      var dir: String = null
+      Tables.storeRegistry.forEach((dd, e) =>
+        if (e.store == "graft-pairs-idx" && e.key.startsWith(d)) dir = dd)
+      assert(dir != null && dir.startsWith(root.toString),
+        s"store dir $dir must land under the configured root $root")
+      assert(new java.io.File(dir).exists())
+      // Eviction through the helper removes the shared-FS files too.
+      pipeline.Dedup.evictSharedStores()
+      assert(!new java.io.File(dir).exists())
+    } finally {
+      spark.conf.unset("spark.graft.store.root")
+      pipeline.Dedup.evictSharedStores()
+      scala.reflect.io.Path(root.toFile).deleteRecursively()
+      scala.reflect.io.Path(corpus.toFile).deleteRecursively()
+    }
+  }
+
   test("catalog-store cap bounds the bucketed fp-store family across corpora") {
     // The bucketed saveAsTable stores (incremental dedup's fingerprint
     // store) are keyed by corpus path — one catalog table per distinct
