@@ -418,4 +418,19 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_winnow\\(graft_gram_hashes.*"),
       plan)
   }
+
+  test("graft_gram_fold_hashes participates in whole-stage codegen") {
+    // The winnow build's actual composition (q_winnow_fingerprint):
+    // fold-hash the grams, winnow-select the minima — one fused stage.
+    val df = Tables.t(spark, sfDir, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .select(call_function("graft_winnow",
+        call_function("graft_gram_fold_hashes", col("toks"), lit(4)),
+        lit(8)).as("sel"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches(
+      "(?s).*\\*\\(\\d+\\) Project \\[graft_winnow\\(graft_gram_fold_hashes.*"),
+      plan)
+  }
 }
