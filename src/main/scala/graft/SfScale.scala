@@ -90,5 +90,24 @@ object SfScale {
       val n = spark.read.parquet(s"$out/$t.parquet").count()
       println(s"SFSCALE $t rows=$n")
     }
+
+    // Completion sentinel, written strictly AFTER the last table (and
+    // after the row-count read-back proves each is scannable): consumers
+    // key "is this sf dir usable" on THIS file, not on the first table's
+    // presence — a build that crashed mid-way (documents written, later
+    // tables missing/truncated) must regenerate, not half-serve (ADVICE
+    // r13). Through the Hadoop FS API so a shared-FS `out` works too.
+    val done = new org.apache.hadoop.fs.Path(s"$out/$COMPLETE_MARKER")
+    done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(done, true).close()
+  }
+
+  /** Name of the completion sentinel [[build]] writes last. */
+  val COMPLETE_MARKER = "_GRAFT_SF_COMPLETE"
+
+  /** True iff `dir` holds a COMPLETED build — the regeneration key. */
+  def isComplete(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$COMPLETE_MARKER")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 }

@@ -94,17 +94,31 @@ object Tables {
     * return the CONSTANT absent token and pin the first-built store as
     * permanently fresh — staleness masquerading as caching. */
   def contentToken(path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(hadoopConf)
-    if (!fs.exists(p)) return s"$p#absent"
+    val raw = new org.apache.hadoop.fs.Path(path)
+    val fs = raw.getFileSystem(hadoopConf)
+    // Qualify BEFORE building the token (ADVICE r13): relative vs absolute
+    // vs default-FS spellings of one corpus must share a cache key, or each
+    // spelling builds (and leaks) its own store copy. (The old java.io
+    // version canonicalized; the Hadoop-FS rewrite had dropped that.)
+    val p = fs.makeQualified(raw)
+    if (!fs.exists(p)) return s"$p${TOKEN_SEP}absent"
     var n = 0L; var bytes = 0L; var maxM = 0L
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
       n += 1; bytes += st.getLen; maxM = math.max(maxM, st.getModificationTime)
     }
-    s"$p#$n#$bytes#$maxM"
+    s"$p$TOKEN_SEP$n#$bytes#$maxM"
   }
+
+  /** Separator between a token's path half and its metrics half. A control
+    * char, ILLEGAL in URIs and in every real filesystem's names — so the
+    * path half can never contain it, making [[staleSibling]]'s parse
+    * unambiguous. '#' could not serve: it is URI-legal (a path containing
+    * one silently disabled stale-sibling eviction, ADVICE r13) and callers
+    * append '#'-delimited param suffixes, some numeric, so neither a left-
+    * nor right-anchored '#' parse is sound. */
+  private[graft] val TOKEN_SEP = '\u0001'
 
   /** Where store files land. Driver-local JVM temp by default (correct
     * for local[n] and local-cluster on one host); on a real multi-host
@@ -200,6 +214,55 @@ object Tables {
   @volatile private[graft] var storeCountCap: Int = 48
   @volatile private[graft] var storeBytesCap: Long = 16L << 30
 
+  /** Grace window between a store's EVICTION (registry row + cache entry
+    * dropped — occupancy stops counting it, the next access rebuilds) and
+    * the deletion of its FILES. Closes the serve→execute race (ADVICE r13
+    * medium): `contentKeyedTempParquetKeyed` returns a LAZY DataFrame, so
+    * a caller may execute its plan well after being served — and a
+    * concurrent caller's budget enforcement (or, single-threaded, a query
+    * whose working set exceeds the caps) could otherwise select that
+    * just-served store as the LRU victim and delete its parquet out from
+    * under the pending execution (FileNotFound mid-query). Deferring only
+    * the FILE deletion keeps the budget's bookkeeping immediate while
+    * giving every in-flight plan a full grace window to finish reading.
+    * Condemned bytes linger at most `grace × eviction rate` beyond the
+    * byte cap — bounded, and zero on the common no-eviction path. 0 means
+    * delete immediately (the budget specs use it to observe deletion). */
+  @volatile private[graft] var storeEvictionGraceMs: Long = 10L * 60 * 1000
+
+  private[graft] final case class CondemnedStore(dir: String, deadline: Long)
+  private[graft] val condemnedStores =
+    new java.util.concurrent.ConcurrentLinkedQueue[CondemnedStore]()
+  sys.addShutdownHook(sweepCondemnedStores(force = true))
+
+  /** Defer a superseded/evicted store directory's deletion by the grace
+    * window (immediate when the window is 0). */
+  private[graft] def condemnStoreDir(dir: String): Unit = {
+    val grace = storeEvictionGraceMs
+    if (grace <= 0L) deleteStoreFiles(dir)
+    else {
+      condemnedStores.add(
+        CondemnedStore(dir, System.currentTimeMillis() + grace))
+      ()
+    }
+  }
+
+  /** Delete condemned store dirs whose grace deadline has passed (all of
+    * them under `force` — the shutdown path). Piggybacks on every budget
+    * enforcement pass, so a long-lived gateway drains the queue as part
+    * of its normal serve traffic. */
+  private[graft] def sweepCondemnedStores(force: Boolean = false): Unit = {
+    val now = System.currentTimeMillis()
+    val it = condemnedStores.iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (force || c.deadline <= now) {
+        deleteStoreFiles(c.dir)
+        it.remove()
+      }
+    }
+  }
+
   private def dirBytes(path: String): Long = try {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(hadoopConf).getContentSummary(p).getLength
@@ -233,6 +296,7 @@ object Tables {
     * remove on cache A inside cache B's bin lock could deadlock two
     * concurrent enforcement passes. */
   private def enforceStoreBudget(keep: String): Unit = {
+    sweepCondemnedStores()
     var guard = storeRegistry.size() + 1
     while (guard > 0) {
       guard -= 1
@@ -248,7 +312,10 @@ object Tables {
       if (victims.isEmpty) return
       val v = victims.minBy(_.lastAccess.get())
       if (v.cache.remove(v.key, (v.token, v.dir))) {
-        deleteStoreFiles(v.dir)
+        // Eviction drops the bookkeeping NOW but the files only after the
+        // grace window — a concurrently-served lazy plan still reading
+        // this dir must not hit FileNotFound (ADVICE r13 medium).
+        condemnStoreDir(v.dir)
         storeEvictions.incrementAndGet()
       }
       storeRegistry.remove(v.dir)
@@ -288,7 +355,9 @@ object Tables {
             throw e
         }
         if (old != null) {
-          deleteStoreFiles(old._2)
+          // Same serve→execute hazard as LRU eviction: a reader served the
+          // superseded dir may not have executed yet — condemn, don't cut.
+          condemnStoreDir(old._2)
           deregisterStoreDir(old._2)
         }
         tempBuilds.incrementAndGet()
@@ -376,10 +445,21 @@ object Tables {
     * is <= every fresher sibling's. Same-content tokens (differing only
     * in a builder-param suffix like `#k=`) never evict each other. */
   private[graft] def staleSibling(mine: String, other: String): Boolean = {
+    // Parse at [[TOKEN_SEP]] (ADVICE r13): the path half runs up to the
+    // control-char separator — which no URI can contain — so a corpus path
+    // with '#' in it keeps its full spelling instead of being truncated at
+    // its first '#' (which silently disabled stale-sibling eviction for
+    // such paths). The metrics half is then left-anchored n#bytes#mtime,
+    // unambiguous even under callers' '#'-delimited (sometimes numeric)
+    // param suffixes. Absent tokens fail the numeric parse → never compare.
     def parse(t: String): Option[(String, Long)] = {
-      val seg = t.split('#')
-      if (seg.length >= 4) scala.util.Try((seg(0), seg(3).toLong)).toOption
-      else None
+      val cut = t.indexOf(TOKEN_SEP.toInt)
+      if (cut < 0) None
+      else {
+        val seg = t.substring(cut + 1).split('#')
+        if (seg.length < 3) None
+        else scala.util.Try((t.substring(0, cut), seg(2).toLong)).toOption
+      }
     }
     (parse(mine), parse(other)) match {
       case (Some((pm, mm)), Some((po, mo))) => pm == po && mo < mm
@@ -404,10 +484,20 @@ object Tables {
     while (cache.size() > CATALOG_STORE_CAP && it.hasNext) {
       val e = it.next()
       if (e.getKey != keep) {
-        val table = e.getValue._2
-        it.remove()
-        s.sql(s"DROP TABLE IF EXISTS $table")
-        deleteStoreFiles(s"$root/$table")
+        // Exact-value remove (ADVICE r13): a concurrent compute may have
+        // just REFRESHED this key (new token, new table). A blind
+        // it.remove() would drop the fresh mapping while only the captured
+        // stale table got dropped — leaking the fresh table's files AND
+        // its catalog entry. remove(key, capturedValue) only wins when the
+        // entry is still the one this iteration observed; a refreshed
+        // entry survives and its stale predecessor was already dropped by
+        // the refresh itself.
+        val captured = e.getValue
+        if (cache.remove(e.getKey, captured)) {
+          val table = captured._2
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          deleteStoreFiles(s"$root/$table")
+        }
       }
     }
   }

@@ -147,10 +147,17 @@ object GatewayQueries {
       val rt = new JobRuntime(s)
       try {
         rt.registerStoreOccupancyView()
+        // coalesce(…, FALSE): with an EMPTY registry (warm store evicted
+        // between the warm-up above and this scan) sum/any_value are NULL;
+        // stuffing NULL into the non-null BooleanType fields below is
+        // undefined behavior at row encoding (ADVICE r13). FALSE makes the
+        // edge fail loudly AT THE GATE (a red store_present row) instead.
         val observed = s.sql(
           """SELECT count(*) >= 1 AS store_present,
-               count(*) <= any_value(count_cap) AS within_count_cap,
-               sum(bytes) <= any_value(bytes_cap) AS within_bytes_cap
+               coalesce(count(*) <= any_value(count_cap), FALSE)
+                 AS within_count_cap,
+               coalesce(sum(bytes) <= any_value(bytes_cap), FALSE)
+                 AS within_bytes_cap
              FROM store_occupancy""").collect()
         s.createDataFrame(java.util.Arrays.asList(observed: _*),
           org.apache.spark.sql.types.StructType(Seq(

@@ -32,9 +32,13 @@ class StoreBudgetSpec extends SparkSpec {
       "evicted stores rebuild bit-identically") {
     val root = java.nio.file.Files.createTempDirectory("graft-budget-spec")
     val oldCap = Tables.storeCountCap
+    val oldGrace = Tables.storeEvictionGraceMs
     try {
       val dirs = (0 until 6).map(writeCorpus(root, _))
       Tables.storeCountCap = 3
+      // Grace 0: this test observes DELETION; the grace window itself is
+      // covered by the dedicated test below.
+      Tables.storeEvictionGraceMs = 0L
 
       // First corpus: snapshot its verified pair relation and its store dir.
       val first = pipeline.Dedup.materializedPairs(spark, dirs.head, 0.5)
@@ -78,8 +82,53 @@ class StoreBudgetSpec extends SparkSpec {
       assert(again == first, "rebuilt store must match the evicted relation")
     } finally {
       Tables.storeCountCap = oldCap
+      Tables.storeEvictionGraceMs = oldGrace
       // Drop the test corpora's stores so later suites' LRU space isn't
       // polluted by entries whose source dirs are about to vanish.
+      pipeline.Dedup.evictSharedStores()
+      scala.reflect.io.Path(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("eviction grace window: a just-served store's files outlive its " +
+      "eviction until the grace deadline (serve→execute race, ADVICE r13)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-grace-spec")
+    val oldCap = Tables.storeCountCap
+    val oldGrace = Tables.storeEvictionGraceMs
+    try {
+      val dirs = (0 until 4).map(writeCorpus(root, _))
+      Tables.storeCountCap = 2
+      Tables.storeEvictionGraceMs = 60L * 1000 // longer than this test
+      // Serve corpus 0 LAZILY — no action yet, exactly the race window.
+      val lazily = pipeline.Dedup.materializedPairs(spark, dirs.head, 0.5)
+        .orderBy("a_id", "b_id")
+      var dir0: String = null
+      Tables.storeRegistry.forEach((dd, e) =>
+        if (e.store == "graft-pairs-idx" && e.key.startsWith(dirs.head)) dir0 = dd)
+      assert(dir0 != null)
+      // Cycle the other corpora: corpus 0's stores get EVICTED (registry
+      // row + cache entry gone) under the low cap...
+      val evict0 = Tables.storeEvictions.get()
+      dirs.tail.foreach(d =>
+        pipeline.Dedup.materializedPairs(spark, d, 0.5).count())
+      assert(Tables.storeEvictions.get() > evict0, "no eviction fired")
+      assert(!Tables.storeRegistry.containsKey(dir0),
+        "victim must leave the registry immediately")
+      // ...but its FILES survive (condemned, not deleted), so the lazy
+      // plan served before the evictions still executes correctly.
+      assert(new java.io.File(dir0).exists(),
+        "condemned store's files must survive the grace window")
+      assert(lazily.collect().nonEmpty,
+        "a pre-eviction lazy plan must still execute during the grace window")
+      // A forced sweep (the shutdown path; deadline expiry in production)
+      // actually deletes the condemned files.
+      Tables.sweepCondemnedStores(force = true)
+      assert(!new java.io.File(dir0).exists(),
+        "sweep past the deadline must delete the condemned files")
+    } finally {
+      Tables.storeCountCap = oldCap
+      Tables.storeEvictionGraceMs = oldGrace
+      Tables.sweepCondemnedStores(force = true)
       pipeline.Dedup.evictSharedStores()
       scala.reflect.io.Path(root.toFile).deleteRecursively()
     }
@@ -137,6 +186,36 @@ class StoreBudgetSpec extends SparkSpec {
         .collect().nonEmpty)
     } finally {
       scala.reflect.io.Path(root.toFile).deleteRecursively()
+      ()
+    }
+  }
+
+  test("contentToken canonicalizes path spellings; staleSibling survives " +
+      "'#' in paths and numeric param suffixes (ADVICE r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok")
+    try {
+      java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
+      val abs = Tables.contentToken(dir.toString)
+      // Same corpus through a non-canonical spelling -> same token.
+      assert(Tables.contentToken(s"$dir/../${dir.getFileName}") == abs)
+      val sep = Tables.TOKEN_SEP
+      // Fabricated sibling tokens for a path CONTAINING '#': the old
+      // '#'-split parse truncated the path half and disabled eviction.
+      val p = s"file:/data/we#ird/corpus"
+      val stale = s"$p${sep}3#100#1000"
+      val fresh = s"$p${sep}3#120#2000"
+      assert(Tables.staleSibling(fresh, stale))
+      assert(!Tables.staleSibling(stale, fresh))
+      // Numeric param suffixes (the IVF '#nTables#nBits' shape) must not
+      // derail the mtime parse; same-content different-suffix never evicts.
+      assert(Tables.staleSibling(s"$fresh#8#16", s"$stale#8#16"))
+      assert(!Tables.staleSibling(s"$fresh#8#16", s"$fresh#4#32"))
+      // Absent tokens and different paths never compare as siblings.
+      assert(!Tables.staleSibling(fresh, s"$p${sep}absent"))
+      assert(!Tables.staleSibling(fresh,
+        s"file:/data/other${sep}3#100#1000"))
+    } finally {
+      scala.reflect.io.Path(dir.toFile).deleteRecursively()
       ()
     }
   }
