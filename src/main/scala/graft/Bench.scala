@@ -12,13 +12,21 @@ package graft
   *     being silently swallowed;
   *   - the JSON line is the last stdout line, printed after `spark.stop()`,
   *     so log noise can't interleave with it;
-  *   - each query is timed TWICE and reports the min of the two passes
-  *     (total = sum of mins), with the host's 1-min load average sampled at
-  *     every pass boundary and emitted as `load_avg_start`/`load_avg_max` —
+  *   - each query is timed at least TWICE and reports the min across
+  *     passes (total = sum of mins), with the host's 1-min load average
+  *     sampled at pass boundaries (`load_avg_start`/`load_avg_max`) —
   *     round-5's driver numbers were 10-60x off under external machine
   *     load, and round 7's single pre-run sample (1.9) hid a mid-run ramp
-  *     that inflated the total 3x; min-of-2 + the per-pass witness makes
-  *     contamination visible instead of silently becoming the record.
+  *     that inflated the total 3x;
+  *   - the record is SELF-PROTECTING (round-13 verdict #1: the official
+  *     record was stamped during an external load storm, +38% on code
+  *     that was actually faster): a bounded pre-run quiesce wait, a
+  *     per-pass external-CPU-share witness (`ext_load`, via
+  *     [[ExtLoadSampler]] — the 1-min load average cannot serve, our own
+  *     local[32] run drives it to 3-5 on a quiet machine), up to
+  *     [[BenchGate.MAX_PASSES]] passes while every pass reads
+  *     contaminated, and a final `gate` verdict ("clean" iff ≥1 pass ran
+  *     with external share under [[BenchGate.EXT_LOAD_GATE]]).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,28 +69,48 @@ object Bench {
       val err = runOnce(name)
       ((System.nanoTime() - t0) / 1e9, gcMillis() - g0, err)
     }
-    // Load witness, sampled per pass boundary (before pass 1, between the
-    // passes, after pass 2) — round 7 proved a single pre-run sample is
-    // blind to a mid-run ramp: load_avg 1.9 was recorded while the timed
-    // passes ran 3x inflated. start + max makes contamination self-evident.
+    // Legacy load-avg witness, sampled at pass boundaries — kept for
+    // record continuity (start + max), but the GATE rides ext_load, which
+    // our own execution cannot inflate.
     def loadNow(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Pre-run quiesce (VERDICT r13 next #1): the JVM is idle here (warmup
+    // done), so system CPU ≈ external load. Wait — bounded — for the
+    // machine to go quiet instead of stamping a record into a known storm.
+    val quiesceT0 = System.nanoTime()
+    var quiesceWaitMs = 0L
+    while (BenchGate.keepQuiescing(quiesceWaitMs, ExtLoadSampler.sysCpuNow())) {
+      Thread.sleep(BenchGate.QUIESCE_POLL_MS)
+      quiesceWaitMs = (System.nanoTime() - quiesceT0) / 1000000L
+    }
+    val quiesceWaitS = math.rint(quiesceWaitMs / 100.0) / 10
     val loadStart = loadNow()
     val (heapStart, upStart, gcStart) = (heapUsedMb(), uptimeSec(), gcMillis())
-    // Two timed passes, min per query: a transient load spike during one
-    // pass doesn't masquerade as a plan property. The reported gc_ms is
-    // the GC time of the pass that SET the min wall, so the two columns
-    // describe the same execution.
-    val pass1 = names.map(n => n -> timeOne(n)).toMap
-    val loadMid = loadNow()
-    val pass2 = names.map(n => n -> timeOne(n)).toMap
-    val loadMax = math.max(loadStart, math.max(loadMid, loadNow()))
+    // Timed passes, min per query: a transient load spike during one pass
+    // doesn't masquerade as a plan property. Two passes baseline; while
+    // EVERY pass reads contaminated (mean external CPU share above the
+    // gate), up to two more run — external load only inflates walls, so
+    // one clean pass owns the mins and the record self-corrects instead
+    // of stamping the storm (r13's +38% official record). The reported
+    // gc_ms is the GC time of the pass that SET the min wall, so the two
+    // columns describe the same execution.
+    val passes = scala.collection.mutable.ArrayBuffer
+      .empty[Map[String, (Double, Long, Option[String])]]
+    val extLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var loadMax = loadStart
+    while (BenchGate.needAnotherPass(extLoads.toSeq)) {
+      val sampler = new ExtLoadSampler()
+      passes += names.map(n => n -> timeOne(n)).toMap
+      extLoads += sampler.stopAndMean()
+      loadMax = math.max(loadMax, loadNow())
+    }
+    val gate = BenchGate.verdict(extLoads.toSeq)
     val (heapEnd, upEnd, gcEnd) = (heapUsedMb(), uptimeSec(), gcMillis())
     val timed = names.map { n =>
-      val (s1, g1, e1) = pass1(n)
-      val (s2, g2, e2) = pass2(n)
-      (n, math.min(s1, s2), if (s1 <= s2) g1 else g2, e1.orElse(e2))
-    }
+      val runs = passes.map(_(n))
+      val (sec, gc, _) = runs.minBy(_._1)
+      (n, sec, gc, runs.flatMap(_._3).headOption)
+    }.toSeq
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def entry(n: String, sec: Double, err: Option[String]) =
@@ -91,8 +119,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = math.rint(
       timed.collect { case (_, sec, _, None) => sec }.sum * 1000) / 1000
+    val extStr = extLoads.map(e => math.rint(e * 1000) / 1000)
+      .mkString("[", ",", "]")
     val witness =
-      s""""gc_total_ms":${gcEnd - gcStart},"gc_warmup_ms":$gcStart,""" +
+      s""""gate":${jstr(gate)},"ext_load":$extStr,""" +
+        s""""quiesce_wait_s":$quiesceWaitS,""" +
+        s""""gc_total_ms":${gcEnd - gcStart},"gc_warmup_ms":$gcStart,""" +
         s""""heap_mb_start":$heapStart,"heap_mb_end":$heapEnd,""" +
         s""""uptime_s_start":$upStart,"uptime_s_end":$upEnd"""
     def jsonWith(qs: Seq[(String, Double, Long, Option[String])],
@@ -103,7 +135,8 @@ object Bench {
         .map { case (n, _, g, _) => s"${jstr(n)}:$g" }
         .mkString(""","gc_ms":{""", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n":${timed.size},""" +
-        s""""passes":2,"load_avg_start":${math.rint(loadStart * 100) / 100},""" +
+        s""""passes":${passes.size},""" +
+        s""""load_avg_start":${math.rint(loadStart * 100) / 100},""" +
         s""""load_avg_max":${math.rint(loadMax * 100) / 100},$witness,""" +
         s""""queries":$m$gc,"errors":$errs,"sf":${jstr(sfDir)}}"""
     }

@@ -1,0 +1,119 @@
+package graft
+
+/** Contamination gate for the official bench record (VERDICT r13 next #1).
+  *
+  * R13's driver record was taken while OTHER processes held the machine:
+  * +38% on code that a quiet same-code run showed was 12% faster. The
+  * witness columns (load avg, GC, heap, uptime) made that diagnosable
+  * after the fact; this object makes the record act on them DURING the
+  * run: wait for quiet before timing, measure external CPU per pass, and
+  * run extra passes while every pass so far is contaminated.
+  *
+  * The signal is EXTERNAL CPU SHARE — mean over a pass of
+  * `max(0, systemCpuLoad - processCpuLoad)` — not the 1-minute load
+  * average: the bench's own local[32] execution drives load avg to 3-5 on
+  * a perfectly quiet machine (r13's QUIET record sampled 5.32 while the
+  * contaminated official one sampled 3.07 — the column cannot gate), while
+  * external share is ~0 whenever the machine is ours alone, whatever we
+  * run. Decision rules are pure functions here; the MXBean sampling lives
+  * in [[ExtLoadSampler]] with an injectable supplier so the rules AND the
+  * aggregation are unit-testable (BenchGateSpec).
+  */
+object BenchGate {
+  /** Max fraction of the machine's CPU other processes may hold during a
+    * pass before it reads contaminated. 10%: r13's contamination stole
+    * ~25-40% per the A/B bisect; genuine co-tenant noise under 10% stays
+    * inside min-of-passes' tolerance. */
+  val EXT_LOAD_GATE = 0.10
+
+  /** Hard cap on timed passes: 2 baseline + up to 2 contamination
+    * retries. Bounded so a persistently loaded machine still yields a
+    * record (flagged `contaminated`) instead of an endless bench. */
+  val MAX_PASSES = 4
+
+  /** Pre-run quiesce: poll until system CPU (ours is idle then) drops
+    * under this, give up after [[QUIESCE_MAX_MS]]. */
+  val QUIESCE_CPU_GATE = 0.20
+  val QUIESCE_MAX_MS = 120000L
+  val QUIESCE_POLL_MS = 2000L
+
+  def passContaminated(extLoad: Double): Boolean = extLoad > EXT_LOAD_GATE
+
+  /** Run another timed pass? Always reach 2 (min-of-2 is the baseline
+    * discipline); beyond that only while EVERY pass so far was
+    * contaminated — one clean pass already owns every per-query min that
+    * matters, and min over extra clean passes is diminishing returns. */
+  def needAnotherPass(extLoads: Seq[Double], maxPasses: Int = MAX_PASSES): Boolean =
+    if (extLoads.size < 2) true
+    else extLoads.size < maxPasses && extLoads.forall(passContaminated)
+
+  /** The record's verdict: clean iff at least one pass ran clean —
+    * external load can only INFLATE a wall, so per-query mins taken
+    * across all passes are owned by clean passes whenever one exists. */
+  def verdict(extLoads: Seq[Double]): String =
+    if (extLoads.exists(e => !passContaminated(e))) "clean" else "contaminated"
+
+  /** How long to keep waiting pre-run, given elapsed wait and the current
+    * system CPU sample (-1 = unavailable → don't block the record on a
+    * blind witness). */
+  def keepQuiescing(elapsedMs: Long, sysCpu: Double): Boolean =
+    elapsedMs < QUIESCE_MAX_MS && sysCpu >= 0 && sysCpu > QUIESCE_CPU_GATE
+}
+
+/** Samples external CPU share on a daemon thread while a timed pass runs.
+  *
+  * `supplier` yields (systemCpuLoad, processCpuLoad) in [0,1] (or negative
+  * when the platform can't say — such samples are dropped). The default
+  * reads com.sun.management.OperatingSystemMXBean, present on every JDK17
+  * this project supports. `meanExternal()` is the pass's witness: mean of
+  * `max(0, sys - proc)` over the samples, 0 when nothing valid was
+  * sampled (no witness must never flag a record contaminated).
+  */
+final class ExtLoadSampler(
+    supplier: () => (Double, Double) = ExtLoadSampler.osMxSupplier,
+    periodMs: Long = 500L) {
+  private val sum = new java.util.concurrent.atomic.DoubleAdder()
+  private val n = new java.util.concurrent.atomic.LongAdder()
+  @volatile private var running = true
+  private val t = new Thread(() => {
+    while (running) {
+      val (sys, proc) = supplier()
+      if (sys >= 0 && proc >= 0) {
+        sum.add(math.max(0.0, sys - proc))
+        n.increment()
+      }
+      try Thread.sleep(periodMs)
+      catch { case _: InterruptedException => running = false }
+    }
+  }, "graft-extload-sampler")
+  t.setDaemon(true)
+  t.start()
+
+  /** Stop sampling and return the pass's mean external share. */
+  def stopAndMean(): Double = {
+    running = false
+    t.interrupt()
+    ExtLoadSampler.mean(sum.sum(), n.sum())
+  }
+}
+
+object ExtLoadSampler {
+  /** Pure aggregation — unit-tested seam. */
+  private[graft] def mean(sum: Double, n: Long): Double =
+    if (n == 0L) 0.0 else sum / n
+
+  private[graft] def osMxSupplier: () => (Double, Double) = {
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        () => (os.getCpuLoad, os.getProcessCpuLoad)
+      case _ => () => (-1.0, -1.0)
+    }
+  }
+
+  /** One-shot system CPU sample for the pre-run quiesce loop. */
+  private[graft] def sysCpuNow(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getCpuLoad
+      case _ => -1.0
+    }
+}
