@@ -400,6 +400,112 @@ class GatewayServerSpec extends SparkSpec {
     }
   }
 
+  /** Byte-level TCP proxy that KILLS the first proxied connection after
+    * `killAfterBytes` of server→client traffic — a genuine mid-stream
+    * transport failure against a healthy server. Later connections pump
+    * cleanly, so a reconnecting client can finish. */
+  private final class FlakyProxy(targetPort: Int, killAfterBytes: Int)
+    extends AutoCloseable {
+    private val server = new java.net.ServerSocket(0)
+    def port: Int = server.getLocalPort
+    private val killUsed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val kills = new java.util.concurrent.atomic.AtomicInteger(0)
+    private def pump(in: java.io.InputStream, out: java.io.OutputStream,
+        limit: Int, onLimit: () => Unit): Unit = {
+      val t = new Thread(() => {
+        val buf = new Array[Byte](1024)
+        var moved = 0
+        var cut = false
+        try {
+          var n = in.read(buf, 0, if (limit < 0) buf.length
+            else math.max(1, math.min(buf.length, limit - moved)))
+          while (n != -1 && !cut) {
+            out.write(buf, 0, n); out.flush(); moved += n
+            if (limit >= 0 && moved >= limit) { onLimit(); cut = true }
+            else n = in.read(buf, 0, if (limit < 0) buf.length
+              else math.max(1, math.min(buf.length, limit - moved)))
+          }
+        } catch { case _: java.io.IOException => () }
+      })
+      t.setDaemon(true); t.start()
+    }
+    private val acceptor = new Thread(() => {
+      try while (!server.isClosed) {
+        val cli = server.accept()
+        val up = new Socket("127.0.0.1", targetPort)
+        pump(cli.getInputStream, up.getOutputStream, -1, () => ())
+        val doKill = killUsed.compareAndSet(false, true)
+        pump(up.getInputStream, cli.getOutputStream,
+          if (doKill) killAfterBytes else -1,
+          () => {
+            kills.incrementAndGet()
+            try cli.close() catch { case _: java.io.IOException => () }
+            try up.close() catch { case _: java.io.IOException => () }
+          })
+      } catch { case _: java.io.IOException => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    override def close(): Unit = server.close()
+  }
+
+  test("client fetch retry: a mid-stream drop reconnects, re-fetches the " +
+      "ticket, and completes with identical rows (ref retry discipline)") {
+    val rt = new JobRuntime(spark)
+    val srv = new GatewayServer(rt)
+    val proxy = new FlakyProxy(srv.boundPort, killAfterBytes = 2000)
+    val sql = "SELECT id, id * id AS sq FROM range(0, 2000, 1, 2)"
+    val direct = new graft.gateway.GatewayClient("127.0.0.1", () => srv.boundPort)
+    val flaky = new graft.gateway.GatewayClient("127.0.0.1", () => proxy.port,
+      sleeper = _ => (), jitterFrac = () => 0.0)
+    try {
+      val truth = direct.fetchAll(sql)
+      assert(truth.size == 2000)
+      // 2000 bytes of server->client traffic die mid-partition-0 stream
+      // (handshake + submit acks ~200B, each row line ~25B): the client
+      // must reconnect, re-handshake, re-issue the ticket, discard the
+      // partial rows, and deliver the same relation.
+      val got = flaky.fetchAll(sql)
+      assert(proxy.kills.get() == 1, "the proxy never killed a stream")
+      assert(got == truth, "retried fetch diverged from the direct fetch")
+    } finally {
+      flaky.close(); direct.close(); proxy.close(); srv.close(); rt.close()
+    }
+  }
+
+  test("client retry discipline: server-side errors do NOT retry; " +
+      "transport failures stop after MAX_RETRIES; backoff is capped+jittered") {
+    // Pure backoff schedule (the reference's x3 exponential <= 10 s).
+    import graft.gateway.GatewayClient.backoffMs
+    assert(backoffMs(0, 0.0) == 125L && backoffMs(0, 1.0) == 250L)
+    assert(backoffMs(1, 0.0) == 250L && backoffMs(1, 1.0) == 500L)
+    assert(backoffMs(2, 0.5) == 750L)
+    assert(backoffMs(30, 1.0) == 10000L, "cap must hold at any attempt")
+    val rt = new JobRuntime(spark)
+    val srv = new GatewayServer(rt)
+    val client = new graft.gateway.GatewayClient("127.0.0.1", () => srv.boundPort,
+      sleeper = _ => (), jitterFrac = () => 0.0)
+    try {
+      // A healthy server answering ok=false is a PROTOCOL answer: thrown
+      // as GatewayRequestException immediately, no reconnect storm.
+      intercept[graft.gateway.GatewayRequestException] {
+        client.fetchPartition("no-such-job", 0)
+      }
+      // A dead endpoint exhausts MAX_RETRIES then throws transport.
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val dead = new graft.gateway.GatewayClient("127.0.0.1", () => {
+        val ss = new java.net.ServerSocket(0)
+        val p = ss.getLocalPort; ss.close(); p // nothing listens here
+      }, sleeper = sleeps += _, jitterFrac = () => 0.0)
+      intercept[graft.gateway.GatewayTransportException] {
+        dead.submit("SELECT 1")
+      }
+      assert(sleeps.size == graft.gateway.GatewayClient.MAX_RETRIES,
+        s"expected MAX_RETRIES backoffs, saw ${sleeps.size}")
+      assert(sleeps.toSeq == Seq(125L, 250L, 500L), s"schedule was $sleeps")
+      dead.close()
+    } finally { client.close(); srv.close(); rt.close() }
+  }
+
   test("protocol errors answer with ok=false and the connection survives") {
     withServer { (_, in, out) =>
       out.println("""{"op": "definitely_not_an_op"}""")
