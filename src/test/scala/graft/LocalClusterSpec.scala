@@ -147,7 +147,11 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     expected = slice.map(n => n -> canon(SparkEntry.queries(n)(local, sfDir))).toMap
     expected01 = heavySlice.map(n =>
       n -> canon(SparkEntry.queries(n)(local, sf01))).toMap
-    if (!new java.io.File(s"$sf1/documents.parquet").exists())
+    // Keyed on the build's completion SENTINEL, not the first table's
+    // presence (ADVICE r13): a crashed partial build (documents written,
+    // later tables missing/truncated) must regenerate, not fail the heavy
+    // assertions confusingly downstream.
+    if (!SfScale.isComplete(local, sf1))
       SfScale.build(local, sf01, sf1)
     expected1 = heavySlice1.map(n =>
       n -> canon(SparkEntry.queries(n)(local, sf1))).toMap
@@ -237,6 +241,53 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     heavySlice1.foreach { n =>
       assert(canon(SparkEntry.queries(n)(cluster, sf1)) == expected1(n),
         s"$n diverged between local[8] and local-cluster execution at sf1")
+    }
+  }
+
+  test("shared-FS store root serves driver-registered stores to executor " +
+      "JVMs, and eviction deletes over the same FS (VERDICT r13 next #3)") {
+    // The production claim behind `spark.graft.store.root`: on a multi-
+    // host cluster the content-keyed stores live on a SHARED filesystem —
+    // the driver registers/builds them, EXECUTOR tasks scan them, and the
+    // LRU/eviction deletes go through the same (Hadoop) FS. This lane
+    // proves the whole path across real executor-JVM boundaries: build
+    // under a configured root on the cluster session, assert placement,
+    // assert a store-backed query's executors read it (any action on the
+    // store relation scans in the remote JVMs), assert eviction removes
+    // the files through the FS API. Mirrors the reference's remote-stage
+    // read semantics (dist/src/physical_plan/proxy.rs:84-117).
+    val sharedRoot = java.nio.file.Files.createTempDirectory("graft-shared-lane")
+    try {
+      pipeline.Dedup.evictSharedStores()
+      cluster.conf.set("spark.graft.store.root", sharedRoot.toString)
+      val name = "q_dedup_minhash" // store-backed: shingle + strategy stores
+      assert(canon(SparkEntry.queries(name)(cluster, sfDir)) == expected(name),
+        "store-backed query diverged under a redirected store root")
+      val dirs = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        Tables.storeRegistry.forEach((d, _) => b += d)
+        b.toSeq
+      }
+      assert(dirs.nonEmpty && dirs.exists(_.startsWith(sharedRoot.toString)),
+        s"no store landed under the configured root; registry: $dirs")
+      // Re-serve: warm store, no rebuild — the cross-JVM scan reads the
+      // SAME driver-registered files.
+      val builds = Tables.tempBuildCount
+      assert(canon(SparkEntry.queries(name)(cluster, sfDir)) == expected(name))
+      assert(Tables.tempBuildCount == builds,
+        "warm re-serve across executor JVMs rebuilt the store")
+      // Eviction deletes through the Hadoop FS over the shared root.
+      pipeline.Dedup.evictSharedStores()
+      val leftover = java.nio.file.Files.walk(sharedRoot).iterator()
+      var files = 0
+      while (leftover.hasNext) {
+        if (java.nio.file.Files.isRegularFile(leftover.next())) files += 1
+      }
+      assert(files == 0, s"$files store files survived eviction under $sharedRoot")
+    } finally {
+      cluster.conf.unset("spark.graft.store.root")
+      pipeline.Dedup.evictSharedStores()
+      scala.reflect.io.Path(sharedRoot.toFile).deleteRecursively()
     }
   }
 

@@ -68,6 +68,22 @@ class PipelineSpec extends SparkSpec {
       "q_dedup_auto's default route should serve the simhash store")
   }
 
+  test("q_cc_ab rides the ccStars store q_cc_stars built (one LS/SS " +
+      "derivation per corpus, VERDICT r13 #5)") {
+    // Warm BOTH stores the A/B consumes: the converged LS/SS edges
+    // (q_cc_stars) and the hash-to-min labels (q_dedup_clusters).
+    SparkEntry.queries("q_cc_stars")(spark, sfDir).count()
+    SparkEntry.queries("q_dedup_clusters")(spark, sfDir).count()
+    val builds = Tables.tempBuildCount
+    val ab = SparkEntry.queries("q_cc_ab")(spark, sfDir)
+    assert(ab.count() > 0)
+    assert(Tables.tempBuildCount == builds,
+      "q_cc_ab rebuilt a store the q_cc_stars run should have left warm")
+    // And the A/B certificate still certifies: every node agrees.
+    assert(ab.filter(org.apache.spark.sql.functions.col("agree") === 0L)
+      .count() == 0L, "LS/SS and hash-to-min labels diverged on the gate corpus")
+  }
+
   test("q_dedup_simhash == exactly the J >= 0.5 pairs within its hamming radius") {
     // The precise simhash contract: candidate recall is 100% within
     // hamming <= SIMHASH_RADIUS (pigeonhole: <= 6 flips leave >= 2 of the
