@@ -282,11 +282,15 @@ object Dedup {
       val exploded = sh.select(col("doc_id"), col("n"),
         explode(col("shingles")).as("shingle"))
       val dfreq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      val prefixA = exploded.join(dfreq, "shingle")
+      // Rank EVERY (doc, shingle) by global rarity — the prefix filter
+      // needs it on the A side, and the position filter (below) needs it
+      // on the container side too.
+      val ranked = exploded.join(dfreq, "shingle")
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      val prefixA = ranked
         .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
-        .select(col("doc_id"), col("n"), col("shingle"))
+        .select(col("doc_id"), col("n"), col("shingle"), col("rk"))
       // Per-shingle side sizes: k (prefix entries) and m (posting list =
       // df, already aggregated). Both land on the shingle-keyed exchange
       // the probe join needs anyway.
@@ -305,20 +309,41 @@ object Dedup {
           max(greatest(col("xb"), col("yb"))).as("max_grid_b"))
         .select(col("shingle"), col("xb"), col("yb"))
       val xs = prefixA.join(sides, "shingle")
-        .select(col("shingle"), col("doc_id"), col("n"),
+        .select(col("shingle"), col("doc_id"), col("n"), col("rk"),
           pmod(xxhash64(col("doc_id")), col("xb")).cast("int").as("p"),
           explode(expr("sequence(0, yb - 1)")).as("q"))
       // Inner join against `sides` also prunes posting lists of shingles
       // that appear in NO prefix — they cannot generate candidates.
-      val ys = exploded.join(sides, "shingle")
-        .select(col("shingle"), col("doc_id").as("y_id"), col("n").as("y_n"),
+      val ys = ranked.select(col("shingle"), col("doc_id").as("y_id"),
+          col("n").as("y_n"), col("rk").as("y_rk"))
+        .join(sides, "shingle")
+        .select(col("shingle"), col("y_id"), col("y_n"), col("y_rk"),
           explode(expr("sequence(0, xb - 1)")).as("p"),
-          pmod(xxhash64(col("doc_id")), col("yb")).cast("int").as("q"))
+          pmod(xxhash64(col("y_id")), col("yb")).cast("int").as("q"))
+      // Position filter, containment form (the prune that collapses the
+      // saturated-vocab regime — sf1 measured 30.7M survivors of the
+      // length filter vs 816 true pairs before it landed): both shingle
+      // sets are sorted by the SAME global (df, shingle) order, so at a
+      // shared shingle seen at positions (rx, ry) the total overlap is
+      // ≤ 1 + min(nA - rx, nB - ry); C ≥ t needs overlap ≥ ceil(t·nA).
+      // Complete: the FIRST shared shingle in that global order is
+      // provably in A's prefix (if it were in A's suffix, ALL shared
+      // would be — but the suffix holds ceil(t·nA) - 1 < overlap
+      // shingles), every other shared shingle ranks later in BOTH docs,
+      // so the bound is exact at that first match and the union over
+      // bucket entries always retains it — later entries may be shed,
+      // they are redundant. Integer throughout: ceil(4n/5) = (4n+4) div 5.
+      // NO mid-pipeline distinct: a pair repeats once per shared prefix
+      // shingle of A, but measured duplication at sf1 is ~2% (26.5M rows
+      // → 26.07M pairs) while the 26M-row distinct cost ~8 s — dedup
+      // happens AFTER verification instead, where survivors are of
+      // output cardinality (816 at sf1), for free.
       val cands = xs.join(ys, Seq("shingle", "p", "q"))
         .filter(col("doc_id") =!= col("y_id") &&
-          col("y_n") * 5L >= col("n") * 4L)
+          col("y_n") * 5L >= col("n") * 4L &&
+          lit(1) + least(col("n") - col("rk"), col("y_n") - col("y_rk")) >=
+            expr("(4 * n + 4) div 5"))
         .select(col("doc_id").as("a_id"), col("y_id").as("b_id"))
-        .distinct()
       val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"),
         col("n").as("na"))
       val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
@@ -328,6 +353,7 @@ object Dedup {
         .filter(col("inter") * 5L >= col("na") * 4L)
         .select(col("a_id"), col("b_id"),
           expr("inter * 1000000L div na").as("c_e6"))
+        .distinct()
     },
     Some(s"""WITH ${shingleCteSql("documents")}
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
