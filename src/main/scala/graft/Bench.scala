@@ -63,11 +63,28 @@ object Bench {
     def uptimeSec(): Long = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getUptime / 1000
 
-    def timeOne(name: String): (Double, Long, Option[String]) = {
+    // Page-cache witness (r14, containment attribution): /proc/self/io
+    // read_bytes counts ACTUAL block-device reads — the bytes the page
+    // cache could not serve. A query whose in-suite wall exceeds its
+    // isolated wall while its disk_read_mb jumps is paying suite-context
+    // cache turnover (245 queries' stores/spills competing for the page
+    // cache), not a plan property. -1 when the platform lacks /proc.
+    def diskReadBytes(): Long = try {
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/self/io")).asScala
+        .collectFirst { case l if l.startsWith("read_bytes:") =>
+          l.substring(l.indexOf(':') + 1).trim.toLong }
+        .getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+
+    def timeOne(name: String): (Double, Long, Long, Option[String]) = {
       val g0 = gcMillis()
+      val io0 = diskReadBytes()
       val t0 = System.nanoTime()
       val err = runOnce(name)
-      ((System.nanoTime() - t0) / 1e9, gcMillis() - g0, err)
+      val io1 = diskReadBytes()
+      ((System.nanoTime() - t0) / 1e9, gcMillis() - g0,
+        if (io0 < 0 || io1 < 0) -1L else (io1 - io0) >> 20, err)
     }
     // Legacy load-avg witness, sampled at pass boundaries — kept for
     // record continuity (start + max), but the GATE rides ext_load, which
@@ -95,7 +112,7 @@ object Bench {
     // gc_ms is the GC time of the pass that SET the min wall, so the two
     // columns describe the same execution.
     val passes = scala.collection.mutable.ArrayBuffer
-      .empty[Map[String, (Double, Long, Option[String])]]
+      .empty[Map[String, (Double, Long, Long, Option[String])]]
     val extLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     var loadMax = loadStart
     while (BenchGate.needAnotherPass(extLoads.toSeq)) {
@@ -106,19 +123,22 @@ object Bench {
     }
     val gate = BenchGate.verdict(extLoads.toSeq)
     val (heapEnd, upEnd, gcEnd) = (heapUsedMb(), uptimeSec(), gcMillis())
+    // Per query: the min wall across passes, with the gc/disk witnesses
+    // of the pass that SET the min (so the columns describe one run).
     val timed = names.map { n =>
       val runs = passes.map(_(n))
-      val (sec, gc, _) = runs.minBy(_._1)
-      (n, sec, gc, runs.flatMap(_._3).headOption)
+      val (sec, gc, io, _) = runs.minBy(_._1)
+      (n, sec, gc, io, runs.flatMap(_._4).headOption)
     }.toSeq
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def entry(n: String, sec: Double, err: Option[String]) =
       s"${jstr(n)}:${if (err.isDefined) -1.0 else math.rint(sec * 1000) / 1000}"
-    val errs = timed.collect { case (n, _, _, Some(e)) => s"${jstr(n)}:${jstr(e)}" }
-      .mkString("{", ",", "}")
+    val errs = timed.collect {
+      case (n, _, _, _, Some(e)) => s"${jstr(n)}:${jstr(e)}"
+    }.mkString("{", ",", "}")
     val total = math.rint(
-      timed.collect { case (_, sec, _, None) => sec }.sum * 1000) / 1000
+      timed.collect { case (_, sec, _, _, None) => sec }.sum * 1000) / 1000
     val extStr = extLoads.map(e => math.rint(e * 1000) / 1000)
       .mkString("[", ",", "]")
     val witness =
@@ -127,18 +147,22 @@ object Bench {
         s""""gc_total_ms":${gcEnd - gcStart},"gc_warmup_ms":$gcStart,""" +
         s""""heap_mb_start":$heapStart,"heap_mb_end":$heapEnd,""" +
         s""""uptime_s_start":$upStart,"uptime_s_end":$upEnd"""
-    def jsonWith(qs: Seq[(String, Double, Long, Option[String])],
-        withGc: Boolean = false) = {
-      val m = qs.sortBy(_._1).map { case (n, sec, _, err) => entry(n, sec, err) }
+    def jsonWith(qs: Seq[(String, Double, Long, Long, Option[String])],
+        withDetail: Boolean = false) = {
+      val m = qs.sortBy(_._1)
+        .map { case (n, sec, _, _, err) => entry(n, sec, err) }
         .mkString("{", ",", "}")
-      val gc = if (!withGc) "" else qs.sortBy(_._1)
-        .map { case (n, _, g, _) => s"${jstr(n)}:$g" }
+      val gc = if (!withDetail) "" else qs.sortBy(_._1)
+        .map { case (n, _, g, _, _) => s"${jstr(n)}:$g" }
         .mkString(""","gc_ms":{""", ",", "}")
+      val io = if (!withDetail) "" else qs.sortBy(_._1)
+        .map { case (n, _, _, i, _) => s"${jstr(n)}:$i" }
+        .mkString(""","io_read_mb":{""", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n":${timed.size},""" +
         s""""passes":${passes.size},""" +
         s""""load_avg_start":${math.rint(loadStart * 100) / 100},""" +
         s""""load_avg_max":${math.rint(loadMax * 100) / 100},$witness,""" +
-        s""""queries":$m$gc,"errors":$errs,"sf":${jstr(sfDir)}}"""
+        s""""queries":$m$gc$io,"errors":$errs,"sf":${jstr(sfDir)}}"""
     }
     // The driver captures only the LAST 2000 CHARS of stdout and parses the
     // tail's final line (BENCH_r1-r4 all front-truncated the full per-query
@@ -149,9 +173,13 @@ object Bench {
     // timestamp) — the bare name was overwritten by any Bench invocation
     // from the repo cwd, which destroyed round 7's only full per-query
     // record.
+    // Dev runs (explicit query args) print the detail maps inline — an
+    // isolated-vs-in-suite witness comparison needs them, and a handful
+    // of queries always fits the budget.
     var kept = timed.sortBy(-_._2)
-    while (jsonWith(kept).length > 1800 && kept.nonEmpty) kept = kept.init
-    val json = jsonWith(kept)
+    while (jsonWith(kept, withDetail = args.nonEmpty).length > 1800 &&
+      kept.nonEmpty) kept = kept.init
+    val json = jsonWith(kept, withDetail = args.nonEmpty)
     // The per-query gc_ms map rides only the durable full record below —
     // the compact driver line carries the suite-level witness fields.
     // Only FULL-suite runs write the durable per-query record: a narrowed
@@ -160,7 +188,7 @@ object Bench {
     // SPARK_GRAFT_ROUND-stamped narrow run would even CLOBBER the round's
     // real record.
     if (args.isEmpty) try {
-      val full = jsonWith(timed, withGc = true)
+      val full = jsonWith(timed, withDetail = true)
       // No round in the env -> timestamp, so successive unstamped runs
       // (driver rounds included) never overwrite each other's record.
       val round = sys.env.get("SPARK_GRAFT_ROUND")
