@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{ArgmaxCosine, CosineSimilarity, DsirBuckets, GopherStats, GramFoldHashes, GramHashes, GramProfile, JaccardSimilarity, LshSignatures, WinnowSelect}
+import graft.functions.{ArgmaxCosine, CdcBounds, CosineSimilarity, DsirBuckets, GopherStats, GramFoldHashes, GramHashes, GramProfile, JaccardSimilarity, LshSignatures, WinnowSelect}
 
 /** Session extensions: graft's native functions, injected at session build
   * (`spark.sql.extensions=graft.GraftExtensions`). This is the sanctioned
@@ -94,6 +94,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "graft_gram_fold_hashes(toks, n) takes (array<string>, int)")
         GramFoldHashes(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cdc_bounds"),
+      new ExpressionInfo(classOf[CdcBounds].getName, "graft_cdc_bounds"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_cdc_bounds(text, w, d) takes (string, int, int)")
+        CdcBounds(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_dsir_buckets"),

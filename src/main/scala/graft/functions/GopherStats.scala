@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -200,6 +200,63 @@ object GopherKernel {
     * Returns null iff a token slot is null or n <= 0; L < n yields the
     * empty array.
     */
+  /** Content-defined-chunking boundary positions (the q_cdc_dedup cut
+    * rule): for every 1-based char position i in [w, numChars], the
+    * portable md5 fold ([[graft.pipeline.Sampling.hexFold]]: first 4
+    * digest bytes, big-endian unsigned) of the trailing w-char window's
+    * UTF-8 bytes; i is a boundary iff fold % dMod == 0. Bit-identical to
+    * the composable `filter(transform(transform(sequence(w, len), i ->
+    * md5(substring(text, i-w+1, w))), ...)` chain — which allocated a
+    * w-char substring, a 32-char hex string, and an 8-term
+    * substring/instr fold PER CHARACTER POSITION (the suite's densest
+    * per-position expression after the winnow family got its kernels) —
+    * but digests each window in place over one byte buffer. Positions
+    * and window extents are CODE POINTS (the substring()/length() unit
+    * both engines count), so multi-byte text chunks identically.
+    * NULL text, w <= 0, or dMod <= 0 yields null; numChars < w yields
+    * the empty array (the expression's `IF(len < w, array(), ...)` arm).
+    */
+  def cdcBounds(text: UTF8String, w: Int, dMod: Int): ArrayData = {
+    if (w <= 0 || dMod <= 0) return null
+    val buf = text.getBytes
+    val nb = buf.length
+    // Char-start byte offsets: starts(c) = byte offset of 0-based char c.
+    var chars = 0
+    var off = 0
+    while (off < nb) {
+      chars += 1
+      off += UTF8String.numBytesForFirstByte(buf(off))
+    }
+    if (chars < w)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val starts = new Array[Int](chars + 1)
+    var c = 0
+    off = 0
+    while (off < nb) {
+      starts(c) = off
+      off += UTF8String.numBytesForFirstByte(buf(off))
+      c += 1
+    }
+    starts(chars) = nb
+    val md = DsirKernel.sharedMd5()
+    val out = new Array[Long](chars - w + 1)
+    var k = 0
+    var i = w // 1-based char position of the window END
+    while (i <= chars) {
+      val s0 = starts(i - w)
+      md.reset()
+      md.update(buf, s0, starts(i) - s0)
+      val d = md.digest()
+      val fold = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      if (fold % dMod == 0L) { out(k) = i.toLong; k += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+  }
+
   def gramFoldHashes(toks: ArrayData, n: Int): ArrayData = {
     if (n <= 0) return null
     val j0 = joined(toks)
@@ -439,4 +496,59 @@ case class GramFoldHashes(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GramFoldHashes =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native codegen'd content-defined-chunking boundary scan.
+  *
+  * `graft_cdc_bounds(text, w, d)` returns `array<bigint>` — the 1-based
+  * char positions where the portable md5 fold of the trailing w-char
+  * window is ≡ 0 (mod d), i.e. q_cdc_dedup's chunk cut points. The
+  * composable form evaluated an interpreted transform/filter chain
+  * allocating a substring + hex string + 8-term fold PER CHARACTER of
+  * every document — the suite's densest per-position expression after
+  * the winnow kernels landed; this kernel digests each window's byte
+  * span in place ([[GopherKernel.cdcBounds]]) with values bit-identical
+  * by construction. md5 stays the hash deliberately: the boundary RULE
+  * is the portable contract the DuckDB oracle recomputes from first
+  * principles (a production deployment would swap a gear/Rabin
+  * O(1)-slide hash — same contract, different constants). NULL text or
+  * non-positive w/d yields NULL; fewer than w chars yields the empty
+  * array.
+  */
+case class CdcBounds(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int, int), got " +
+          s"${a.catalogString}, ${b.catalogString}, ${c.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cdc_bounds"
+
+  override def nullSafeEval(t: Any, w: Any, d: Any): Any =
+    GopherKernel.cdcBounds(t.asInstanceOf[UTF8String],
+      w.asInstanceOf[Int], d.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, w, d) => {
+      val r = ctx.freshName("cdcBoundsArr")
+      s"""
+        final org.apache.spark.sql.catalyst.util.ArrayData $r =
+          graft.functions.GopherKernel.cdcBounds($t, $w, $d);
+        if ($r == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $r;
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): CdcBounds =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

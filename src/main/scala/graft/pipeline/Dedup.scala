@@ -1280,11 +1280,21 @@ object Dedup {
         // second inline copy of the rpad-20 normalization could silently
         // diverge from the candidate keys and drop every cross-key pair.
         val (keyed, _, _) = fuzzyParts(s, d)
+        // Verify BEFORE dedup (r14, the containment lesson): the r9 A/B
+        // measured candidate rows only ~4% duplicated (61.6M rows →
+        // 59.1M pairs on the saturating probe corpus), so the full-width
+        // distinct priced the whole candidate stream to collapse almost
+        // nothing. The τ-bounded levenshtein is a per-row codegen'd
+        // band-DP over two 20-char keys — cheaper than shuffling the
+        // pair for dedup — and the distinct moves AFTER it, where
+        // survivors are output-cardinality (dist is deterministic per
+        // pair, so dedup-after-verify is value-identical).
         val close = fuzzyCandidates(s, d)
-          .select(col("ka"), col("kb")).distinct()
+          .select(col("ka"), col("kb"))
           .withColumn("dist",
             levenshtein(col("ka"), col("kb"), TAU).cast("long"))
           .filter(col("dist") >= 0)
+          .distinct()
         val da = keyed.select(col("doc_id").as("ia"), col("k").as("ka"))
         val db = keyed.select(col("doc_id").as("ib"), col("k").as("kb"))
         val cross = close.join(da, "ka").join(db, "kb")
@@ -1334,19 +1344,16 @@ object Dedup {
   private val cdcDedup = QueryDef(
     "q_cdc_dedup",
     (s, d) => {
-      val fold = Sampling.hexFold("h")
       val base = graft.Tables.spreadForRowCpu(docs(s, d))
         .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      // Boundary scan through the native kernel (r14): values identical
+      // to the interpreted transform/filter chain it replaced (the md5
+      // window rule is the oracle contract; FunctionsSpec pins the
+      // differential), but each window digests in place instead of
+      // allocating substring + hex + an 8-term fold per char position.
       val ch = base
-        .withColumn("bounds", expr(
-          s"""IF(len < $CDC_W, CAST(array() AS array<bigint>),
-               filter(
-                 transform(
-                   transform(sequence($CDC_W, len),
-                     i -> md5(substring(text, i - ${CDC_W - 1}, $CDC_W))),
-                   (h, j) -> IF(($fold) % $CDC_D = 0,
-                     CAST(j + $CDC_W AS BIGINT), CAST(0 AS BIGINT))),
-                 x -> x > 0))"""))
+        .withColumn("bounds", call_function("graft_cdc_bounds",
+          col("text"), lit(CDC_W), lit(CDC_D)))
         .withColumn("cuts", expr(
           "array_distinct(concat(array(CAST(0 AS BIGINT)), bounds, array(len)))"))
         .withColumn("chunk", explode(expr(

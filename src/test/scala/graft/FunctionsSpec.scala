@@ -353,6 +353,66 @@ class FunctionsSpec extends SparkSpec {
       s"unicode byte-span digest diverged: $uni")
   }
 
+  test("graft_cdc_bounds equals the interpreted per-position md5 window chain") {
+    // The retained interpreted oracle: exactly the transform/filter chain
+    // q_cdc_dedup evaluated through r13 (and what its DuckDB oracle still
+    // computes from first principles).
+    val fold = pipeline.Sampling.hexFold("h")
+    def hofBounds(w: Int, d: Int) = expr(
+      s"""IF(len < $w, CAST(array() AS array<bigint>),
+           filter(
+             transform(
+               transform(sequence($w, len),
+                 i -> md5(substring(text, i - ${w - 1}, $w))),
+               (h, j) -> IF(($fold) % $d = 0,
+                 CAST(j + $w AS BIGINT), CAST(0 AS BIGINT))),
+             x -> x > 0))""")
+    val base = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val both = base.select(col("doc_id"),
+      call_function("graft_cdc_bounds", col("text"), lit(16), lit(64))
+        .as("native"),
+      hofBounds(16, 64).as("hof"))
+    assert(both.count() > 0)
+    val diff = both.filter(col("native") =!= col("hof"))
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+    // Multi-byte discipline: positions and window extents are CODE
+    // POINTS (substring()/length() units), which the ASCII corpus above
+    // cannot force — 2-, 3-, and 4-byte (astral) code points, a
+    // shorter-than-w text, the empty string, and NULL/invalid params.
+    // A small window + modulus makes boundaries dense enough to compare.
+    val uni = spark.sql(
+      """SELECT concat('é漢𝄞', repeat('aé漢𝄞 words and more ', 40)) AS text""")
+      .select(col("text"), length(col("text")).as("len"))
+      .select(
+        call_function("graft_cdc_bounds", col("text"), lit(5), lit(7))
+          .as("native"),
+        hofBounds(5, 7).as("hof"))
+      .collect().head
+    assert(uni.getSeq[Long](0).nonEmpty, "dense modulus must cut somewhere")
+    assert(uni.getSeq[Long](0) == uni.getSeq[Long](1),
+      s"unicode code-point window divergence: $uni")
+    val edge = spark.sql(
+      """SELECT graft_cdc_bounds('abc', 16, 64) AS short,
+           graft_cdc_bounds('', 16, 64) AS empty,
+           graft_cdc_bounds(CAST(NULL AS STRING), 16, 64) AS n1,
+           graft_cdc_bounds('abcdef', 0, 64) AS n2,
+           graft_cdc_bounds('abcdef', 16, 0) AS n3""").collect().head
+    assert(edge.getSeq[Any](0).isEmpty, "shorter than w must yield empty")
+    assert(edge.getSeq[Any](1).isEmpty, "empty text must yield empty")
+    assert((2 until 5).forall(edge.isNullAt), edge.toString)
+  }
+
+  test("graft_cdc_bounds participates in whole-stage codegen") {
+    val df = Tables.t(spark, sfDir, "documents")
+      .select(call_function("graft_cdc_bounds",
+        col("text"), lit(16), lit(64)).as("bounds"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_cdc_bounds.*"),
+      plan)
+  }
+
   test("graft_dsir_buckets equals the composable md5 hex fold") {
     // The retained interpreted oracle: explode non-empty tokens, md5 the
     // salted concat, fold the first 8 hex chars, mod B — exactly what the
