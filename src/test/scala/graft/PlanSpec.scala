@@ -659,16 +659,17 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop:\n$p")
     }
-    // q_fuzzy_join: the candidate pair-distinct must run over DISTINCT
-    // keys (the exact-key collapse), never doc ids — its output is the
-    // key pair.
+    // q_fuzzy_join: the survivor-dedup must run over DISTINCT keys (the
+    // exact-key collapse), never doc ids — its output is the verified
+    // key pair with its distance (r14: dedup moved AFTER the τ-bounded
+    // levenshtein, so `dist` rides the grouping; still key-grain).
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     val fuzzyPlan = SparkEntry.queries("q_fuzzy_join")(spark, sfDir)
       .queryExecution.executedPlan
     val distincts = flattenPlan(fuzzyPlan).collect {
       case a: BaseAggregateExec if a.groupingExpressions.nonEmpty &&
         a.aggregateExpressions.isEmpty => a }
-    assert(distincts.exists(_.output.map(_.name).toSet == Set("ka", "kb")),
+    assert(distincts.exists(_.output.map(_.name).toSet == Set("ka", "kb", "dist")),
       s"fuzzy pair-dedup not over collapsed keys:\n$fuzzyPlan")
   }
 

@@ -66,8 +66,16 @@ class StoreBudgetSpec extends SparkSpec {
       assert(Tables.storeRegistry.size() <= 3,
         s"registry ${Tables.storeRegistry.size()} exceeds cap 3")
       assert(Tables.storeEvictions.get() > evict0, "no eviction fired")
+      // Force-drain the condemned queue first: an eviction that raced a
+      // straggler thread from an earlier suite can condemn under the
+      // DEFAULT grace before this test's grace=0 write is observed; the
+      // assertion's subject is reclamation (no leak), deferred-deletion
+      // semantics are the dedicated grace test's.
+      Tables.sweepCondemnedStores(force = true)
       assert(!new java.io.File(firstDir).exists(),
-        "LRU victim's directory must be deleted")
+        "LRU victim's directory must be deleted (post forced sweep)")
+      assert(Tables.condemnedStores.isEmpty,
+        "forced sweep must drain the condemned queue")
       // Every surviving registry row points at a live directory.
       Tables.storeRegistry.forEach((d, _) =>
         assert(new java.io.File(d).exists(), s"registry row $d has no files"))
