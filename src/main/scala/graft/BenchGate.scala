@@ -89,10 +89,18 @@ final class ExtLoadSampler(
   t.setDaemon(true)
   t.start()
 
-  /** Stop sampling and return the pass's mean external share. */
+  /** Stop sampling and return the pass's mean external share.
+    *
+    * Joins the sampler thread (bounded) before reading the adders: without
+    * the join, the read can land between a sample's `sum.add` and
+    * `n.increment` (the pair is deliberately two adders, written sum-first)
+    * and skew the mean by up to half a sample — the r14 BenchGateSpec flake.
+    */
   def stopAndMean(): Double = {
     running = false
     t.interrupt()
+    try t.join(1000L)
+    catch { case _: InterruptedException => Thread.currentThread().interrupt() }
     ExtLoadSampler.mean(sum.sum(), n.sum())
   }
 }

@@ -47,6 +47,14 @@ object SfScale {
     * TPC-H replicas are pure key arithmetic and CorpusGen is seeded. */
   def build(spark: org.apache.spark.sql.SparkSession, src: String,
       out: String, f: Int = 10): Unit = {
+    // Invalidate any pre-existing completion sentinel FIRST: an in-place
+    // regeneration over a previously complete dir that crashes midway must
+    // leave the dir reading as incomplete, not half-overwritten-but-marked
+    // -usable (ADVICE r14). Re-written strictly last, below.
+    val donePath = new org.apache.hadoop.fs.Path(s"$out/$COMPLETE_MARKER")
+    val doneFs = donePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doneFs.delete(donePath, false)
+
     def copy(t: String): Unit =
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -97,9 +105,7 @@ object SfScale {
     // presence — a build that crashed mid-way (documents written, later
     // tables missing/truncated) must regenerate, not half-serve (ADVICE
     // r13). Through the Hadoop FS API so a shared-FS `out` works too.
-    val done = new org.apache.hadoop.fs.Path(s"$out/$COMPLETE_MARKER")
-    done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .create(done, true).close()
+    doneFs.create(donePath, true).close()
   }
 
   /** Name of the completion sentinel [[build]] writes last. */

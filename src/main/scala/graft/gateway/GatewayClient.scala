@@ -57,10 +57,17 @@ final class GatewayClient(
     out.println(s"""{"op": "handshake", "user": ${jstr(user)}, """ +
       s""""password": ${jstr(password)}}""")
     val resp = in.readLine()
-    if (resp == null || !resp.contains("\"ok\": true")) {
+    if (resp == null) {
+      // EOF before the handshake answer is a TRANSPORT failure (the
+      // connection died), not a server verdict — retryable, so a
+      // connection that drops during the re-handshake of a mid-fetch
+      // retry keeps failing over through port() instead of aborting.
       sock.close()
-      throw new GatewayRequestException(
-        s"handshake rejected: ${Option(resp).getOrElse("<EOF>")}")
+      throw new java.io.EOFException("handshake: connection closed before response")
+    }
+    if (!resp.contains("\"ok\": true")) {
+      sock.close()
+      throw new GatewayRequestException(s"handshake rejected: $resp")
     }
     new Conn(sock, in, out)
   }

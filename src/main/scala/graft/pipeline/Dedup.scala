@@ -120,7 +120,11 @@ object Dedup {
   private def evictCache(
       c: java.util.concurrent.ConcurrentHashMap[String, (String, String)]): Unit = {
     c.values.forEach { case (_, dir) =>
-      Tables.deleteStoreFiles(dir)
+      // Grace-windowed, same as LRU eviction/supersede (ADVICE r14): a
+      // lazy plan served from this dir before the evict may not have
+      // executed yet. Specs that need observable immediate deletion set
+      // storeEvictionGraceMs = 0 or force-sweep.
+      Tables.condemnStoreDir(dir)
       Tables.deregisterStoreDir(dir)
     }
     c.clear()

@@ -276,8 +276,10 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(canon(SparkEntry.queries(name)(cluster, sfDir)) == expected(name))
       assert(Tables.tempBuildCount == builds,
         "warm re-serve across executor JVMs rebuilt the store")
-      // Eviction deletes through the Hadoop FS over the shared root.
+      // Eviction condemns (grace window, ADVICE r14); the deadline sweep
+      // deletes through the Hadoop FS over the shared root.
       pipeline.Dedup.evictSharedStores()
+      Tables.sweepCondemnedStores(force = true)
       val leftover = java.nio.file.Files.walk(sharedRoot).iterator()
       var files = 0
       while (leftover.hasNext) {

@@ -161,8 +161,10 @@ class StoreBudgetSpec extends SparkSpec {
       assert(dir != null && dir.startsWith(root.toString),
         s"store dir $dir must land under the configured root $root")
       assert(new java.io.File(dir).exists())
-      // Eviction through the helper removes the shared-FS files too.
+      // Eviction through the helper condemns the shared-FS files (grace
+      // window, ADVICE r14); a sweep past the deadline removes them.
       pipeline.Dedup.evictSharedStores()
+      Tables.sweepCondemnedStores(force = true)
       assert(!new java.io.File(dir).exists())
     } finally {
       spark.conf.unset("spark.graft.store.root")
