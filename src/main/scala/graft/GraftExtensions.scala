@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{ArgmaxCosine, CdcBounds, CosineSimilarity, DsirBuckets, GopherStats, GramFoldHashes, GramHashes, GramProfile, JaccardSimilarity, LshSignatures, WinnowSelect}
+import graft.functions.{ArgmaxCosine, CdcBounds, CosineSimilarity, DsirBuckets, GopherStats, GramFoldHashes, GramHashes, GramProfile, JaccardSimilarity, LshSignatures, OverlapCount, WinnowSelect}
 
 /** Session extensions: graft's native functions, injected at session build
   * (`spark.sql.extensions=graft.GraftExtensions`). This is the sanctioned
@@ -126,6 +126,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "graft_jaccard(a, b) takes two sorted-distinct array<bigint> arguments")
         JaccardSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_overlap"),
+      new ExpressionInfo(classOf[OverlapCount].getName, "graft_overlap"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_overlap(a, b) takes two sorted-distinct array<bigint> arguments")
+        OverlapCount(children.head, children(1))
       }))
   }
 }

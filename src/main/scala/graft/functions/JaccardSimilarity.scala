@@ -76,3 +76,73 @@ case class JaccardSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): JaccardSimilarity =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native codegen'd intersection COUNT over two SORTED, DISTINCT long
+  * arrays — the [[JaccardSimilarity]] merge-walk returning the raw
+  * overlap instead of the normalized ratio. Containment verification
+  * (ref dist/src/logical_plan/dedup.rs semantics; Dedup.scala's
+  * q_dedup_containment) needs `|A ∩ B|` compared against `ceil(t·|A|)`
+  * in INTEGER space — a Jaccard double can't serve without reintroducing
+  * float-boundary risk, and the composable `size(array_intersect(a,b))`
+  * builds a per-row hash set + output array, which at sf1 is ~26M
+  * allocations in the suite's hottest verify loop (VERDICT r14 next #5:
+  * cut the grid probe's allocation pressure).
+  *
+  * Contract: inputs sorted ascending, no duplicates (the
+  * `hashedShingles` store guarantees it). NULL on null input.
+  */
+case class OverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_overlap"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+        final int $n = $a.numElements();
+        final int $m = $b.numElements();
+        int $i = 0; int $j = 0; long $inter = 0L;
+        while ($i < $n && $j < $m) {
+          final long $xv = $a.getLong($i);
+          final long $yv = $b.getLong($j);
+          if ($xv == $yv) { $inter++; $i++; $j++; }
+          else if ($xv < $yv) { $i++; } else { $j++; }
+        }
+        ${ev.value} = $inter;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): OverlapCount =
+    copy(left = newLeft, right = newRight)
+}

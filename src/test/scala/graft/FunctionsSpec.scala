@@ -60,6 +60,27 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_overlap equals the array_intersect count on random sorted sets") {
+    val df = spark.range(0, 2000)
+      .selectExpr("id",
+        "array_sort(array_distinct(transform(sequence(1, 1 + cast(id % 37 as int)), " +
+          "i -> xxhash64(concat(cast(id % 13 as string), '-', cast(i % 29 as string)))))) as sa",
+        "array_sort(array_distinct(transform(sequence(1, 1 + cast(id % 23 as int)), " +
+          "i -> xxhash64(concat(cast(id % 7 as string), '-', cast(i % 31 as string)))))) as sb")
+      .selectExpr("graft_overlap(sa, sb) as native",
+        "cast(size(array_intersect(sa, sb)) as bigint) as composed",
+        "graft_overlap(sa, sa) as self", "size(sa) as na")
+    df.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), r.toString)
+      assert(r.getLong(2) == r.getInt(3).toLong, r.toString)
+    }
+    val nulls = spark.sql(
+      """SELECT graft_overlap(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n1,
+           graft_overlap(array(1L), CAST(NULL AS ARRAY<BIGINT>)) AS n2,
+           graft_overlap(CAST(array() AS ARRAY<BIGINT>), array(1L, 2L)) AS z""").collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.getLong(2) == 0L)
+  }
+
   test("graft_lsh_sigs matches the composable HOF signature formulation bit-for-bit") {
     val (tables, bits) = (16, 8)
     val flat = pipeline.Similarity.hyperplanes(tables, bits).flatten.flatten.toSeq
