@@ -184,19 +184,25 @@ object Bench {
 
   /** The round tag for durable artifacts. The driver does not export a
     * round env (every prior driver full-record landed timestamp-named),
-    * so when the env is absent, infer the CURRENT round from the highest
-    * driver-written CORRECTNESS_r{N}.json + 1 — those files exist for
-    * every completed round and only the driver writes them. Falls back
-    * to a timestamp when none are present (fresh checkout dev run). */
+    * so when the env is absent, infer the CURRENT round from the driver's
+    * own root artifacts: BENCH_r{N} lands at round N's END, so the round
+    * being benched is maxBench + 1 — unless the driver already wrote this
+    * round's CORRECTNESS_r{N} (it may order verify before bench), in
+    * which case that N IS the current round. `max(maxCorr, maxBench + 1)`
+    * covers both orders. Falls back to a timestamp when no artifacts
+    * exist (fresh checkout dev run). */
   private def roundTag(): String =
     sys.env.get("SPARK_GRAFT_ROUND").orElse(sys.env.get("GRAFT_ROUND"))
       .orElse {
         val cwd = java.nio.file.Paths.get(sys.props("user.dir"))
-        val re = "CORRECTNESS_r(\\d+)\\.json".r
-        val rounds = Option(cwd.toFile.list()).toSeq.flatten.collect {
-          case re(n) => n.toInt
-        }
-        if (rounds.isEmpty) None else Some("%02d".format(rounds.max + 1))
+        val corrRe = "CORRECTNESS_r(\\d+)\\.json".r
+        val benchRe = "BENCH_r(\\d+)\\.json".r
+        val files = Option(cwd.toFile.list()).toSeq.flatten
+        val corr = files.collect { case corrRe(n) => n.toInt }
+        val bench = files.collect { case benchRe(n) => n.toInt }
+        if (corr.isEmpty && bench.isEmpty) None
+        else Some("%02d".format(math.max(
+          corr.maxOption.getOrElse(0), bench.maxOption.getOrElse(0) + 1)))
       }
       .getOrElse(java.time.LocalDateTime.now()
         .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")))

@@ -102,30 +102,6 @@ final class GatewayClient(
     throw new IllegalStateException("unreachable")
   }
 
-  /** One request line -> streamed `{"row": ...}` lines + terminator.
-    * Returns the raw row lines. EOF before the terminator is a transport
-    * failure (partial stream) and retries with the partials DISCARDED. */
-  private def streamed(req: String, what: String): Vector[String] =
-    withRetry(what) { c =>
-      c.out.println(req)
-      val rows = Vector.newBuilder[String]
-      var line = c.in.readLine()
-      while (line != null && line.startsWith("{\"row\"")) {
-        rows += line
-        line = c.in.readLine()
-      }
-      if (line == null)
-        throw new java.io.EOFException(s"$what: stream died before terminator")
-      if (line.contains("\"ok\": false"))
-        throw new GatewayRequestException(s"$what rejected: $line")
-      if (!line.contains("\"ok\": true"))
-        // Neither a row nor a parseable terminator: a connection killed
-        // MID-LINE hands BufferedReader.readLine the truncated fragment as
-        // a final "line" — that is a transport failure, not a server
-        // answer, and must retry like the EOF it is.
-        throw new java.io.EOFException(s"$what: truncated stream: $line")
-      rows.result()
-    }
 
   /** Submit SQL; returns (jobId, partitionCount). */
   def submit(sql: String): (String, Int) = withRetry("submit") { c =>
@@ -146,10 +122,69 @@ final class GatewayClient(
   }
 
   /** Fetch one partition's rows (raw row-JSON lines), retrying transport
-    * failures with the reference's backoff discipline. */
-  def fetchPartition(jobId: String, partition: Int): Vector[String] =
-    streamed(s"""{"op": "fetch", "job_id": ${jstr(jobId)}, """ +
-      s""""partition": $partition}""", s"fetch p$partition")
+    * failures with the reference's backoff discipline.
+    *
+    * Retries RESUME at the row boundary (VERDICT r14 design item): a
+    * mid-stream drop keeps the rows already received and re-issues the
+    * fetch with `"offset": <kept>`, so a multi-GB partition re-streams
+    * only the tail instead of the reference's whole-ticket re-stream.
+    * Two safety rails keep resumed results row-identical to a clean run:
+    *   - the last line buffered before a transport failure is DROPPED
+    *     before computing the offset — a connection killed MID-LINE hands
+    *     BufferedReader.readLine the truncated fragment as a final
+    *     "line"; every earlier line was proven newline-complete by the
+    *     line after it;
+    *   - a REJECTED resume (ok:false while an offset was sent — job
+    *     evicted between attempts, offset past the end after a
+    *     recompute, or a server without offset support) falls back to
+    *     one whole-ticket re-fetch with the partials discarded, the
+    *     reference's original discipline. */
+  def fetchPartition(jobId: String, partition: Int): Vector[String] = {
+    val what = s"fetch p$partition"
+    var acc = Vector.empty[String]
+    var resume = true
+    var attempt = 0
+    while (true) {
+      if (!resume) acc = Vector.empty
+      val off = acc.size.toLong
+      var appended = 0
+      try {
+        if (conn == null) conn = connect()
+        val c = conn
+        val offField = if (off > 0) s""", "offset": $off""" else ""
+        c.out.println(s"""{"op": "fetch", "job_id": ${jstr(jobId)}, """ +
+          s""""partition": $partition$offField}""")
+        var line = c.in.readLine()
+        while (line != null && line.startsWith("{\"row\"")) {
+          acc = acc :+ line
+          appended += 1
+          line = c.in.readLine()
+        }
+        if (line == null)
+          throw new java.io.EOFException(s"$what: stream died before terminator")
+        if (line.contains("\"ok\": false")) {
+          if (off > 0 && resume) resume = false // fall back, loop re-fetches whole
+          else throw new GatewayRequestException(s"$what rejected: $line")
+        } else if (!line.contains("\"ok\": true")) {
+          // Neither a row nor a parseable terminator: a mid-line kill's
+          // truncated fragment — a transport failure, not a server answer.
+          throw new java.io.EOFException(s"$what: truncated stream: $line")
+        } else {
+          return acc
+        }
+      } catch {
+        case e: java.io.IOException =>
+          dropConn()
+          if (appended > 0) acc = acc.init // last line may be truncated
+          if (attempt >= maxRetries)
+            throw new GatewayTransportException(
+              s"$what failed after ${attempt + 1} attempts", e)
+          sleeper(GatewayClient.backoffMs(attempt, jitterFrac()))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Submit + fetch every partition in ticket order. */
   def fetchAll(sql: String): Vector[String] = {

@@ -16,6 +16,11 @@ import scala.util.control.NonFatal
   * unauthenticated error as a bad password; the client re-handshakes.
   * `maxTokens` caps the issued-token map when no TTL would prune it:
   * past the cap, each handshake evicts the oldest live token. */
+/** A fetch resume offset the partition cannot satisfy — answered as a
+  * protocol `ok:false` (the client falls back to a whole-ticket
+  * re-fetch); the job handle is deliberately NOT evicted. */
+final class FetchOffsetException(msg: String) extends RuntimeException(msg)
+
 final case class GatewayAuth(user: String = "admin", password: String = "admin123",
     tokenTtl: Option[scala.concurrent.duration.FiniteDuration] = None,
     maxTokens: Int = 4096) {
@@ -277,6 +282,16 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
         val jobId = field(line, "job_id").getOrElse(
           throw new IllegalArgumentException("fetch requires job_id"))
         val p = field(line, "partition").getOrElse("0").toInt
+        // Resume offset (100-TB hardening over the reference's whole-task
+        // re-fetch, runtime.rs:499-525): a retry after a mid-stream drop
+        // asks for rows FROM `offset`, so a multi-GB partition re-streams
+        // only the tail. The ticket re-executes either way (that is the
+        // reference's discipline); what the offset saves is the WIRE. Row
+        // order is stable per computation token — the stream pages over
+        // the cached final stage and throws PartitionRecomputeException on
+        // a token/boundary mismatch — so skip-k resumes exactly where the
+        // dropped stream stopped.
+        val off = field(line, "offset").map(_.toLong).getOrElse(0L)
         val h = handles.getOrElse(jobId,
           throw new IllegalStateException(s"unknown job $jobId"))
         // Bounded streaming: rows go straight from ≤fetchPageSize-row pages
@@ -285,8 +300,20 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
         // (dist/src/runtime.rs:253-303) end to end.
         val n = {
           val stream = h.fetchStream(Ticket(jobId, p))
-          try streamRows(stream, out)
-          catch { case e: Throwable => handles.remove(jobId); throw e }
+          try {
+            var skipped = 0L
+            while (skipped < off && stream.hasNext) { stream.next(); skipped += 1 }
+            if (skipped < off)
+              // A served answer, not a failure: the client falls back to a
+              // whole-ticket re-fetch. The handle stays live for it.
+              throw new FetchOffsetException(
+                s"offset $off beyond partition end ($skipped rows)")
+            streamRows(stream, out)
+          }
+          catch {
+            case e: FetchOffsetException => throw e
+            case e: Throwable => handles.remove(jobId); throw e
+          }
           finally stream.close()
         }
         // Evict once the job reaches a terminal state (all partitions

@@ -410,8 +410,12 @@ class GatewayServerSpec extends SparkSpec {
     def port: Int = server.getLocalPort
     private val killUsed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val kills = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Total server→client LINES pumped (newline bytes) — the wire-volume
+      * witness the resume-offset assertion reads: a whole-ticket re-fetch
+      * re-streams every pre-kill row, a resumed fetch only the tail. */
+    val downLines = new java.util.concurrent.atomic.AtomicInteger(0)
     private def pump(in: java.io.InputStream, out: java.io.OutputStream,
-        limit: Int, onLimit: () => Unit): Unit = {
+        limit: Int, onLimit: () => Unit, countLines: Boolean = false): Unit = {
       val t = new Thread(() => {
         val buf = new Array[Byte](1024)
         var moved = 0
@@ -421,6 +425,10 @@ class GatewayServerSpec extends SparkSpec {
             else math.max(1, math.min(buf.length, limit - moved)))
           while (n != -1 && !cut) {
             out.write(buf, 0, n); out.flush(); moved += n
+            if (countLines) {
+              var i = 0
+              while (i < n) { if (buf(i) == '\n') downLines.incrementAndGet(); i += 1 }
+            }
             if (limit >= 0 && moved >= limit) { onLimit(); cut = true }
             else n = in.read(buf, 0, if (limit < 0) buf.length
               else math.max(1, math.min(buf.length, limit - moved)))
@@ -441,7 +449,7 @@ class GatewayServerSpec extends SparkSpec {
             kills.incrementAndGet()
             try cli.close() catch { case _: java.io.IOException => () }
             try up.close() catch { case _: java.io.IOException => () }
-          })
+          }, countLines = true)
       } catch { case _: java.io.IOException => () }
     })
     acceptor.setDaemon(true); acceptor.start()
@@ -469,6 +477,64 @@ class GatewayServerSpec extends SparkSpec {
       assert(got == truth, "retried fetch diverged from the direct fetch")
     } finally {
       flaky.close(); direct.close(); proxy.close(); srv.close(); rt.close()
+    }
+  }
+
+  test("client fetch retry resumes at the row boundary: a late mid-stream " +
+      "drop re-streams only the partition tail, rows identical") {
+    val rt = new JobRuntime(spark)
+    val srv = new GatewayServer(rt)
+    // Kill AFTER ~800 of partition 0's 1000 row lines (~26 B each, plus
+    // ~250 B of handshake/submit acks): a whole-ticket re-fetch would put
+    // those ~800 lines on the wire twice, a resumed fetch only the ~200
+    // tail rows (plus one re-fetched boundary row).
+    val proxy = new FlakyProxy(srv.boundPort, killAfterBytes = 21000)
+    val sql = "SELECT id, id * id AS sq FROM range(0, 2000, 1, 2)"
+    val direct = new graft.gateway.GatewayClient("127.0.0.1", () => srv.boundPort)
+    val flaky = new graft.gateway.GatewayClient("127.0.0.1", () => proxy.port,
+      sleeper = _ => (), jitterFrac = () => 0.0)
+    try {
+      val truth = direct.fetchAll(sql)
+      val got = flaky.fetchAll(sql)
+      assert(proxy.kills.get() == 1, "the proxy never killed a stream")
+      assert(got == truth, "resumed fetch diverged from the direct fetch")
+      // Wire-volume witness: ~2000 row lines + ~10 protocol lines + the
+      // ~200-row resumed tail ≈ 2210; a whole-ticket re-fetch ≈ 2810.
+      val lines = proxy.downLines.get()
+      assert(lines < 2500,
+        s"$lines server->client lines: the retry re-streamed the pre-kill " +
+          "rows instead of resuming at the offset")
+      assert(lines > 2000, s"only $lines lines moved — kill landed too early")
+    } finally {
+      flaky.close(); direct.close(); proxy.close(); srv.close(); rt.close()
+    }
+  }
+
+  test("fetch offset: skips served rows; an offset past the end answers " +
+      "ok:false and keeps the ticket fetchable") {
+    withServer { (_, in, out) =>
+      // Two partitions so draining partition 0 does NOT complete the job
+      // (terminal-state handle eviction would otherwise hide the probes).
+      out.println("""{"op": "submit", "sql": "SELECT id FROM range(0, 10, 1, 2)"}""")
+      val resp = in.readLine()
+      val jobId = """"job_id": "([^"]+)"""".r.findFirstMatchIn(resp).get.group(1)
+      // Resume from row 3 of partition 0 (rows 0-4): exactly 3, 4 stream.
+      out.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": 0, "offset": 3}""")
+      var line = in.readLine()
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (line.startsWith("{\"row\"")) { rows += line; line = in.readLine() }
+      assert(line.contains("\"ok\": true") && line.contains("\"rows\": 2"), line)
+      assert(rows.toSeq == Seq(3, 4).map(i => s"""{"row": [$i]}"""), rows)
+      // Offset beyond the partition: a served rejection, not an eviction.
+      out.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": 0, "offset": 99}""")
+      val rej = in.readLine()
+      assert(rej.contains("\"ok\": false") && rej.contains("beyond partition"), rej)
+      // The ticket is still live: a whole-ticket fetch delivers all 5.
+      out.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": 0}""")
+      line = in.readLine()
+      var n = 0
+      while (line.startsWith("{\"row\"")) { n += 1; line = in.readLine() }
+      assert(n == 5 && line.contains("\"ok\": true"), s"n=$n $line")
     }
   }
 
