@@ -65,9 +65,15 @@ final class GatewayClient(
       sock.close()
       throw new java.io.EOFException("handshake: connection closed before response")
     }
-    if (!resp.contains("\"ok\": true")) {
+    if (resp.contains("\"ok\": false")) {
       sock.close()
       throw new GatewayRequestException(s"handshake rejected: $resp")
+    }
+    if (!resp.contains("\"ok\": true")) {
+      // Neither verdict present: the connection died MID-ACK and readLine
+      // handed the fragment as a "line" — transport, retryable.
+      sock.close()
+      throw new java.io.EOFException(s"handshake: truncated ack: $resp")
     }
     new Conn(sock, in, out)
   }
@@ -112,11 +118,16 @@ final class GatewayClient(
       throw new GatewayRequestException(s"submit rejected: $resp")
     if (!resp.contains("\"ok\": true"))
       throw new java.io.EOFException(s"submit: truncated response: $resp")
+    // A served ack always carries BOTH fields; an `ok:true` line missing
+    // either is a connection killed MID-ACK (readLine hands the fragment
+    // as a "line") — a transport failure that must retry, not a protocol
+    // answer (found by the resume-sweep lane: a kill inside the submit
+    // ack kept `"ok": true` but cut `"partitions"`).
     val job = """"job_id": "([^"]+)"""".r.findFirstMatchIn(resp)
-      .getOrElse(throw new GatewayRequestException(s"no job_id in: $resp"))
+      .getOrElse(throw new java.io.EOFException(s"submit: truncated ack: $resp"))
       .group(1)
     val parts = """"partitions": (\d+)""".r.findFirstMatchIn(resp)
-      .getOrElse(throw new GatewayRequestException(s"no partitions in: $resp"))
+      .getOrElse(throw new java.io.EOFException(s"submit: truncated ack: $resp"))
       .group(1).toInt
     (job, parts)
   }

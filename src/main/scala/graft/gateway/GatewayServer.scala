@@ -259,6 +259,37 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
 
   private val handles = new scala.collection.concurrent.TrieMap[String, JobHandle]()
 
+  /** Grace window between a job reaching a terminal state and its handle
+    * leaving the map. The server CANNOT observe delivery: PrintWriter
+    * swallows write failures and TCP buffers absorb a whole small
+    * partition, so a client that died mid-stream looks exactly like a
+    * clean drain — evicting at the terminal-state instant would strand
+    * that client's retried fetch on "unknown job" (found by the
+    * resume-sweep lane on a single-partition job). Same serve-then-retry
+    * discipline as [[graft.Tables]]' store-eviction grace. Tests set 0
+    * for the immediate-eviction behavior. */
+  @volatile private[gateway] var handleGraceMs: Long = 60000L
+  private val condemnedHandles =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Start (or refresh) the eviction clock on a terminal job's handle. */
+  private def condemnHandle(jobId: String): Unit = {
+    val grace = handleGraceMs
+    if (grace <= 0L) { handles.remove(jobId); () }
+    else { condemnedHandles.put(jobId, System.currentTimeMillis() + grace); () }
+  }
+
+  /** Drop handles whose grace deadline passed — piggybacked on every
+    * dispatch, so a live gateway drains the queue with its own traffic. */
+  private def sweepHandles(): Unit = {
+    val now = System.currentTimeMillis()
+    val it = condemnedHandles.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue <= now) { handles.remove(e.getKey); it.remove() }
+    }
+  }
+
   private def streamRows(rows: Iterator[org.apache.spark.sql.Row], out: PrintWriter): Long = {
     var n = 0L
     rows.foreach { r =>
@@ -268,7 +299,8 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
     n
   }
 
-  private def dispatch(line: String, out: PrintWriter, raw: java.io.OutputStream): Unit =
+  private def dispatch(line: String, out: PrintWriter, raw: java.io.OutputStream): Unit = {
+    sweepHandles()
     field(line, "op") match {
       case Some("submit") =>
         val sql = field(line, "sql").getOrElse(
@@ -317,12 +349,13 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
           finally stream.close()
         }
         // Evict once the job reaches a terminal state (all partitions
-        // delivered → runtime cleaned up); otherwise the handle map — and
-        // the DataFrame/RDD it pins — grows without bound in a long-lived
-        // gateway.
+        // delivered → runtime cleaned up) — through the GRACE window:
+        // the handle map and the DataFrame/RDD it pins stay bounded in a
+        // long-lived gateway, but a client whose stream died into the
+        // TCP void can still re-fetch the ticket meanwhile.
         h.status match {
           case JobStatus.Completed | JobStatus.Cancelled | JobStatus.Failed(_) =>
-            handles.remove(jobId)
+            condemnHandle(jobId)
           case _ => ()
         }
         out.println(s"""{"ok": true, "rows": $n}""")
@@ -349,11 +382,16 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
             val written = ArrowCodec.write(h.schema, stream, raw, arrowBatchRows)
             raw.flush()
             written
-          } catch { case e: Throwable => handles.remove(jobId); throw e }
+          } catch {
+            // Raw-stream writes DO throw on a dead socket: transport loss,
+            // ticket stays fetchable (same rule as the text path above).
+            case e: java.io.IOException => throw e
+            case e: Throwable => handles.remove(jobId); throw e
+          }
           finally stream.close()
         h.status match {
           case JobStatus.Completed | JobStatus.Cancelled | JobStatus.Failed(_) =>
-            handles.remove(jobId)
+            condemnHandle(jobId)
           case _ => ()
         }
         out.println(s"""{"ok": true, "rows": $n}""")
@@ -369,12 +407,16 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
       case Some("cancel") =>
         field(line, "job_id").foreach { id =>
           runtime.cancel(id)
+          // Explicit cancel is a client statement, not an inference from a
+          // drained stream: evict immediately, no grace.
           handles.remove(id)
+          condemnedHandles.remove(id)
         }
         out.println("""{"ok": true}""")
       case other =>
         throw new IllegalArgumentException(s"unknown op: $other")
     }
+  }
 
   override def close(): Unit = {
     closed = true

@@ -389,8 +389,20 @@ final class JobRuntime(
     * listener correlation; gateway work never starves other pools'
     * health queries). */
   private[gateway] def rowStream(st: JobState, partition: Int): PartitionRowStream = {
-    if (!registry.containsKey(st.jobId))
-      throw new IllegalStateException(s"job ${st.jobId} is not live (cleaned up or cancelled)")
+    if (!registry.containsKey(st.jobId)) st.status match {
+      // A COMPLETED job can still be re-fetched while a caller holds its
+      // handle: completion is inferred from a drained stream, and a drain
+      // into a dead client socket looks identical to a real delivery (TCP
+      // buffers absorb whole small partitions). The server's handle grace
+      // window bounds how long this stays reachable; the pages RDD was
+      // unpersisted at cleanup, so the re-fetch recomputes — the same
+      // re-execution discipline as the reference's task retry
+      // (dist/src/runtime.rs:499-525). Cancelled/Failed/TTL'd stay dead.
+      case JobStatus.Completed => ()
+      case _ =>
+        throw new IllegalStateException(
+          s"job ${st.jobId} is not live (cleaned up or cancelled)")
+    }
     if (st.firstFetchAtMs < 0) st.firstFetchAtMs = System.currentTimeMillis()
     new PartitionRowStream(this, st, partition, st.pageSize)
   }

@@ -510,6 +510,35 @@ class GatewayServerSpec extends SparkSpec {
     }
   }
 
+  test("resume sweep: kills at protocol boundaries and mid-row all yield " +
+      "identical rows (handshake, first row, row boundary, terminator)") {
+    // The resume's correctness edges live at byte boundaries: a kill
+    // inside the handshake ack, before any row, exactly at a newline,
+    // mid-row, and inside the terminator line each exercise a different
+    // drop-last/offset combination. Every kill point must converge to the
+    // same relation.
+    val rt = new JobRuntime(spark)
+    val srv = new GatewayServer(rt)
+    val sql = "SELECT id, id * 3 AS t FROM range(0, 500, 1, 1)"
+    val direct = new graft.gateway.GatewayClient("127.0.0.1", () => srv.boundPort)
+    try {
+      val truth = direct.fetchAll(sql)
+      assert(truth.size == 500)
+      // ~180 B of acks, then 500 rows x ~22 B: points below 180 kill the
+      // handshake/submit, ~200 the first rows, 4000/7000 mid-stream
+      // (newline-aligned or not), 11000+ near the terminator.
+      for (kill <- Seq(60, 190, 2003, 4000, 7001, 9900, 11450)) {
+        val proxy = new FlakyProxy(srv.boundPort, killAfterBytes = kill)
+        val flaky = new graft.gateway.GatewayClient("127.0.0.1", () => proxy.port,
+          sleeper = _ => (), jitterFrac = () => 0.0)
+        try {
+          val got = flaky.fetchAll(sql)
+          assert(got == truth, s"kill@$kill diverged: got ${got.size} rows")
+        } finally { flaky.close(); proxy.close() }
+      }
+    } finally { direct.close(); srv.close(); rt.close() }
+  }
+
   test("fetch offset: skips served rows; an offset past the end answers " +
       "ok:false and keeps the ticket fetchable") {
     withServer { (_, in, out) =>
