@@ -49,10 +49,11 @@ final case class GatewayAuth(user: String = "admin", password: String = "admin12
   *   {"op": "submit", "sql": "...", "meta": {...}}
   *       -> {"ok": true, "job_id": "...", "partitions": N,
   *           "columns": [...]}
-  *   {"op": "fetch", "job_id": "...", "partition": P}
-  *       -> one {"row": [...]} line per row, then {"ok": true, "rows": N}
+  *   {"op": "fetch", "job_id": "...", "partition": P[, "offset": K]}
+  *       -> one {"row": [...]} line per row (from row K when an offset is
+  *       sent — the mid-stream-drop resume), then {"ok": true, "rows": N}
   *       (text mode — the human/debug wire)
-  *   {"op": "fetch_arrow", "job_id": "...", "partition": P}
+  *   {"op": "fetch_arrow", "job_id": "...", "partition": P[, "offset": K]}
   *       -> {"ok": true, "format": "arrow_ipc_stream"}\n, then one raw
   *       LZ4-compressed Arrow IPC stream (schema + one record batch per
   *       fetch page + EOS, self-delimiting), then {"ok": true, "rows": N}
@@ -363,6 +364,12 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
         val jobId = field(line, "job_id").getOrElse(
           throw new IllegalArgumentException("fetch_arrow requires job_id"))
         val p = field(line, "partition").getOrElse("0").toInt
+        // Same resume-offset contract as the text fetch: the ticket
+        // re-executes, the wire re-streams only rows FROM `offset`. The
+        // skip runs BEFORE the ack so an unsatisfiable offset answers a
+        // clean protocol `ok:false` (after the ack the client is reading
+        // raw Arrow bytes and a JSON error line would desync it).
+        val off = field(line, "offset").map(_.toLong).getOrElse(0L)
         val h = handles.getOrElse(jobId,
           throw new IllegalStateException(s"unknown job $jobId"))
         // Validate convertibility BEFORE the ack: once the ack line is out,
@@ -377,12 +384,18 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
         val stream = h.fetchStream(Ticket(jobId, p))
         val n =
           try {
+            var skipped = 0L
+            while (skipped < off && stream.hasNext) { stream.next(); skipped += 1 }
+            if (skipped < off)
+              throw new FetchOffsetException(
+                s"offset $off beyond partition end ($skipped rows)")
             out.println("""{"ok": true, "format": "arrow_ipc_stream"}""")
             out.flush()
             val written = ArrowCodec.write(h.schema, stream, raw, arrowBatchRows)
             raw.flush()
             written
           } catch {
+            case e: FetchOffsetException => throw e
             // Raw-stream writes DO throw on a dead socket: transport loss,
             // ticket stays fetchable (same rule as the text path above).
             case e: java.io.IOException => throw e

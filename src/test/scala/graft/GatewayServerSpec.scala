@@ -567,6 +567,56 @@ class GatewayServerSpec extends SparkSpec {
     }
   }
 
+  test("fetch_arrow offset: resumes the Arrow wire at a row boundary; " +
+      "past-the-end answers ok:false before any ack and keeps the ticket") {
+    // The binary wire's resume contract must reject BEFORE the ack line —
+    // after it the client reads raw Arrow bytes and a JSON error would
+    // desync the protocol. Also exercises Completed-job re-fetch: the
+    // first whole drain puts the single-partition job terminal, and the
+    // resumed fetches ride the handle grace window (recompute).
+    val rt = new JobRuntime(spark)
+    val srv = new GatewayServer(rt, arrowBatchRows = 128)
+    val sock = new Socket("127.0.0.1", srv.boundPort)
+    try {
+      val rawIn = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new PrintWriter(sock.getOutputStream, true)
+      def readLineRaw(): String = {
+        val sb = new StringBuilder
+        var b = rawIn.read()
+        while (b != -1 && b != '\n') { sb.append(b.toChar); b = rawIn.read() }
+        sb.toString
+      }
+      out.println(handshakeLine)
+      assert(readLineRaw().contains("\"ok\": true"))
+      out.println("""{"op": "submit", "sql": "SELECT id, id * 7 AS v FROM range(0, 1000, 1, 1)"}""")
+      val resp = readLineRaw()
+      assert(resp.contains("\"ok\": true"), resp)
+      val jobId = """"job_id": "([^"]+)"""".r.findFirstMatchIn(resp).get.group(1)
+      out.println(s"""{"op": "fetch_arrow", "job_id": "$jobId", "partition": 0}""")
+      assert(readLineRaw().contains("arrow_ipc_stream"))
+      val (_, all) = ArrowCodec.read(rawIn)
+      assert(all.size == 1000)
+      assert(readLineRaw().contains("\"rows\": 1000"))
+      // Resume mid-partition, NOT batch-aligned (offset 700, batches of
+      // 128): exactly the 300-row tail, row-identical.
+      out.println(s"""{"op": "fetch_arrow", "job_id": "$jobId", "partition": 0, "offset": 700}""")
+      assert(readLineRaw().contains("arrow_ipc_stream"))
+      val (_, tail) = ArrowCodec.read(rawIn)
+      assert(tail == all.drop(700), s"tail ${tail.size} diverged")
+      assert(readLineRaw().contains("\"rows\": 300"))
+      // Past the end: a served protocol rejection (no ack, no raw bytes)...
+      out.println(s"""{"op": "fetch_arrow", "job_id": "$jobId", "partition": 0, "offset": 1001}""")
+      val rej = readLineRaw()
+      assert(rej.contains("\"ok\": false") && rej.contains("beyond partition end"), rej)
+      // ...and the ticket is still fetchable afterwards.
+      out.println(s"""{"op": "fetch_arrow", "job_id": "$jobId", "partition": 0, "offset": 990}""")
+      assert(readLineRaw().contains("arrow_ipc_stream"))
+      val (_, last) = ArrowCodec.read(rawIn)
+      assert(last == all.drop(990))
+      assert(readLineRaw().contains("\"rows\": 10"))
+    } finally { sock.close(); srv.close(); rt.close() }
+  }
+
   test("client retry discipline: server-side errors do NOT retry; " +
       "transport failures stop after MAX_RETRIES; backoff is capped+jittered") {
     // Pure backoff schedule (the reference's x3 exponential <= 10 s).
