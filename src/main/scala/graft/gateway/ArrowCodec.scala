@@ -196,30 +196,60 @@ object ArrowCodec {
   }
 
   /** Decode one Arrow IPC stream (client side / tests). Reads up to the
-    * EOS marker and leaves `in` open. */
+    * EOS marker and leaves `in` open; throws on a truncated stream. */
   def read(in: InputStream): (StructType, Vector[Row]) = {
+    val (schema, rows, complete) = readResumable(in)
+    if (!complete)
+      throw new java.io.EOFException("arrow stream truncated before EOS")
+    (schema.getOrElse(
+      throw new java.io.EOFException("arrow stream truncated before schema")),
+      rows)
+  }
+
+  /** Decode as much of an Arrow IPC stream as the transport delivers:
+    * (schema if the schema message arrived, every row of every FULLY
+    * decoded record batch, whether the EOS marker was reached). The
+    * reader only exposes complete batches, so on a mid-stream drop the
+    * returned row count is an exact RESUME OFFSET — the retrying client
+    * keeps these rows and re-fetches with `"offset": rows.size`
+    * ([[GatewayClient.fetchPartitionArrow]]), re-streaming only the
+    * tail of a multi-GB partition. Decode failures (truncation shows up
+    * as EOF or a malformed-message error inside the reader) are folded
+    * into `complete = false`; a persistent corruption therefore spends
+    * the client's retry budget rather than being silently accepted. */
+  def readResumable(in: InputStream): (Option[StructType], Vector[Row], Boolean) = {
     val allocator = new RootAllocator()
     val reader = new ArrowStreamReader(in, allocator, CommonsCompressionFactory.INSTANCE)
     try {
-      val root = reader.getVectorSchemaRoot
-      val schema = toSparkSchema(root.getSchema)
       val out = Vector.newBuilder[Row]
-      while (reader.loadNextBatch()) {
-        val n = root.getRowCount
-        var i = 0
-        while (i < n) {
-          val vals = (0 until schema.length).map { c =>
-            val vec = root.getVector(c)
-            if (vec.isNull(i)) null else getValue(vec, i)
+      var schema: Option[StructType] = None
+      var complete = false
+      try {
+        val root = reader.getVectorSchemaRoot // reads the schema message
+        val sch = toSparkSchema(root.getSchema)
+        schema = Some(sch)
+        while (reader.loadNextBatch()) {
+          val n = root.getRowCount
+          var i = 0
+          while (i < n) {
+            val vals = (0 until sch.length).map { c =>
+              val vec = root.getVector(c)
+              if (vec.isNull(i)) null else getValue(vec, i)
+            }
+            out += Row.fromSeq(vals)
+            i += 1
           }
-          out += Row.fromSeq(vals)
-          i += 1
         }
-      }
-      (schema, out.result())
+        complete = true
+      } catch { case scala.util.control.NonFatal(_) => () }
+      (schema, out.result(), complete)
     } finally {
-      reader.close(false) // free vectors without closing `in`
-      allocator.close()
+      // Free vectors without closing `in`; a reader wedged by a truncated
+      // stream must not mask the result from its close (nor the allocator
+      // from its leak check — a partial batch's buffers die with the
+      // dropped connection, bounded at one batch per transport failure).
+      try { reader.close(false); allocator.close() }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 }

@@ -1,6 +1,6 @@
 package graft.gateway
 
-import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.io.PrintWriter
 import java.net.Socket
 import java.nio.charset.StandardCharsets
 
@@ -42,21 +42,34 @@ final class GatewayClient(
       () => java.util.concurrent.ThreadLocalRandom.current().nextDouble())
   extends AutoCloseable {
 
-  private final class Conn(val sock: Socket, val in: BufferedReader,
-      val out: PrintWriter)
+  /** One live connection. Control lines are read BYTE-WISE off a shared
+    * BufferedInputStream (same null-at-EOF / content-to-EOF semantics as
+    * BufferedReader.readLine) — a char-level reader's read-ahead would
+    * swallow the raw Arrow bytes that follow a `fetch_arrow` ack on the
+    * same stream. */
+  private final class Conn(val sock: Socket) {
+    val raw = new java.io.BufferedInputStream(sock.getInputStream)
+    val out = new PrintWriter(sock.getOutputStream, true)
+    def readLine(): String = {
+      val buf = new java.io.ByteArrayOutputStream(128)
+      var b = raw.read()
+      if (b == -1) return null
+      while (b != -1 && b != '\n') { buf.write(b); b = raw.read() }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    }
+  }
   private var conn: Conn = null
 
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   private def connect(): Conn = {
-    val sock = new Socket(host, port())
-    val in = new BufferedReader(
-      new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
-    val out = new PrintWriter(sock.getOutputStream, true)
+    val c = new Conn(new Socket(host, port()))
+    val sock = c.sock
+    val out = c.out
     out.println(s"""{"op": "handshake", "user": ${jstr(user)}, """ +
       s""""password": ${jstr(password)}}""")
-    val resp = in.readLine()
+    val resp = c.readLine()
     if (resp == null) {
       // EOF before the handshake answer is a TRANSPORT failure (the
       // connection died), not a server verdict — retryable, so a
@@ -75,7 +88,7 @@ final class GatewayClient(
       sock.close()
       throw new java.io.EOFException(s"handshake: truncated ack: $resp")
     }
-    new Conn(sock, in, out)
+    c
   }
 
   private def dropConn(): Unit = {
@@ -112,7 +125,7 @@ final class GatewayClient(
   /** Submit SQL; returns (jobId, partitionCount). */
   def submit(sql: String): (String, Int) = withRetry("submit") { c =>
     c.out.println(s"""{"op": "submit", "sql": ${jstr(sql)}}""")
-    val resp = c.in.readLine()
+    val resp = c.readLine()
     if (resp == null) throw new java.io.EOFException("submit: no response")
     if (resp.contains("\"ok\": false"))
       throw new GatewayRequestException(s"submit rejected: $resp")
@@ -165,11 +178,11 @@ final class GatewayClient(
         val offField = if (off > 0) s""", "offset": $off""" else ""
         c.out.println(s"""{"op": "fetch", "job_id": ${jstr(jobId)}, """ +
           s""""partition": $partition$offField}""")
-        var line = c.in.readLine()
+        var line = c.readLine()
         while (line != null && line.startsWith("{\"row\"")) {
           acc = acc :+ line
           appended += 1
-          line = c.in.readLine()
+          line = c.readLine()
         }
         if (line == null)
           throw new java.io.EOFException(s"$what: stream died before terminator")
@@ -201,6 +214,69 @@ final class GatewayClient(
   def fetchAll(sql: String): Vector[String] = {
     val (job, parts) = submit(sql)
     (0 until parts).iterator.flatMap(fetchPartition(job, _)).toVector
+  }
+
+  /** Fetch one partition over the binary Arrow wire (the reference's
+    * actual result encoding — LZ4 Arrow IPC), with the same retry +
+    * resume discipline as the text fetch. The resume unit is the RECORD
+    * BATCH: [[ArrowCodec.readResumable]] only exposes fully-decoded
+    * batches, so a mid-stream drop keeps their rows and re-fetches with
+    * `"offset": kept` — no mid-line truncation rail needed (batch decode
+    * is all-or-nothing, unlike text lines). A rejected resume falls back
+    * to one whole-ticket re-fetch, as in the text path. */
+  def fetchPartitionArrow(jobId: String, partition: Int): Vector[org.apache.spark.sql.Row] = {
+    val what = s"fetch_arrow p$partition"
+    var acc = Vector.empty[org.apache.spark.sql.Row]
+    var resume = true
+    var attempt = 0
+    while (true) {
+      if (!resume) acc = Vector.empty
+      val off = acc.size.toLong
+      try {
+        if (conn == null) conn = connect()
+        val c = conn
+        val offField = if (off > 0) s""", "offset": $off""" else ""
+        c.out.println(s"""{"op": "fetch_arrow", "job_id": ${jstr(jobId)}, """ +
+          s""""partition": $partition$offField}""")
+        val ack = c.readLine()
+        if (ack == null)
+          throw new java.io.EOFException(s"$what: no ack")
+        if (ack.contains("\"ok\": false")) {
+          if (off > 0 && resume) resume = false // fall back, loop re-fetches whole
+          else throw new GatewayRequestException(s"$what rejected: $ack")
+        } else if (!ack.contains("arrow_ipc_stream")) {
+          // A kill inside the ack hands the fragment as a "line".
+          throw new java.io.EOFException(s"$what: truncated ack: $ack")
+        } else {
+          val (_, rows, complete) = ArrowCodec.readResumable(c.raw)
+          acc = acc ++ rows
+          if (!complete)
+            throw new java.io.EOFException(s"$what: arrow stream died mid-batch")
+          val fin = c.readLine()
+          // Terminator lost after a complete body: the retry's offset
+          // equals the full row count, so it re-streams an EMPTY tail —
+          // convergent, nothing re-sent.
+          if (fin == null || !fin.contains("\"ok\": true"))
+            throw new java.io.EOFException(s"$what: truncated terminator: $fin")
+          return acc
+        }
+      } catch {
+        case e: java.io.IOException =>
+          dropConn()
+          if (attempt >= maxRetries)
+            throw new GatewayTransportException(
+              s"$what failed after ${attempt + 1} attempts", e)
+          sleeper(GatewayClient.backoffMs(attempt, jitterFrac()))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Submit + fetch every partition over the Arrow wire, in ticket order. */
+  def fetchAllArrow(sql: String): Vector[org.apache.spark.sql.Row] = {
+    val (job, parts) = submit(sql)
+    (0 until parts).iterator.flatMap(fetchPartitionArrow(job, _)).toVector
   }
 
   override def close(): Unit = dropConn()

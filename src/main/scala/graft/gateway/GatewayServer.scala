@@ -71,7 +71,8 @@ final case class GatewayAuth(user: String = "admin", password: String = "admin12
   */
 final class GatewayServer(runtime: JobRuntime, port: Int = 0,
     arrowBatchRows: Int = 4096,
-    auth: Option[GatewayAuth] = Some(GatewayAuth())) extends AutoCloseable {
+    auth: Option[GatewayAuth] = Some(GatewayAuth()),
+    handleGraceMs: Long = 60000L) extends AutoCloseable {
   private val server = new ServerSocket(port)
   private val pool = Executors.newCachedThreadPool(r => {
     val t = new Thread(r, "graft-gateway-conn"); t.setDaemon(true); t
@@ -260,16 +261,15 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
 
   private val handles = new scala.collection.concurrent.TrieMap[String, JobHandle]()
 
-  /** Grace window between a job reaching a terminal state and its handle
-    * leaving the map. The server CANNOT observe delivery: PrintWriter
-    * swallows write failures and TCP buffers absorb a whole small
-    * partition, so a client that died mid-stream looks exactly like a
-    * clean drain — evicting at the terminal-state instant would strand
-    * that client's retried fetch on "unknown job" (found by the
-    * resume-sweep lane on a single-partition job). Same serve-then-retry
-    * discipline as [[graft.Tables]]' store-eviction grace. Tests set 0
-    * for the immediate-eviction behavior. */
-  @volatile private[gateway] var handleGraceMs: Long = 60000L
+  // `handleGraceMs` (constructor): grace window between a job reaching a
+  // terminal state and its handle leaving the map. The server CANNOT
+  // observe delivery: PrintWriter swallows write failures and TCP buffers
+  // absorb a whole small partition, so a client that died mid-stream
+  // looks exactly like a clean drain — evicting at the terminal-state
+  // instant would strand that client's retried fetch on "unknown job"
+  // (found by the resume-sweep lane on a single-partition job). Same
+  // serve-then-retry discipline as [[graft.Tables]]' store-eviction
+  // grace. Construct with 0 for immediate eviction.
   private val condemnedHandles =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 

@@ -617,6 +617,65 @@ class GatewayServerSpec extends SparkSpec {
     } finally { sock.close(); srv.close(); rt.close() }
   }
 
+  test("arrow resume sweep: kills across the binary wire (handshake, ack, " +
+      "schema, mid-batch, terminator) all converge to identical rows") {
+    // The Arrow client's resume unit is the record batch (decode is
+    // all-or-nothing per batch), so kill points inside the schema
+    // message, inside a batch, between batches, and inside the trailing
+    // control line each exercise a different kept-rows/offset shape.
+    val rt = new JobRuntime(spark)
+    val srv = new GatewayServer(rt, arrowBatchRows = 64)
+    val sql = "SELECT id, id * 3 AS t FROM range(0, 500, 1, 1)"
+    val direct = new graft.gateway.GatewayClient("127.0.0.1", () => srv.boundPort)
+    try {
+      val truth = direct.fetchAllArrow(sql)
+      assert(truth.size == 500)
+      assert(truth(7) == org.apache.spark.sql.Row(7L, 21L))
+      for (kill <- Seq(60, 190, 400, 1200, 2500, 5000, 9000)) {
+        val proxy = new FlakyProxy(srv.boundPort, killAfterBytes = kill)
+        val flaky = new graft.gateway.GatewayClient("127.0.0.1", () => proxy.port,
+          sleeper = _ => (), jitterFrac = () => 0.0)
+        try {
+          val got = flaky.fetchAllArrow(sql)
+          assert(got == truth, s"kill@$kill diverged: got ${got.size} rows")
+        } finally { flaky.close(); proxy.close() }
+      }
+    } finally { direct.close(); srv.close(); rt.close() }
+  }
+
+  test("handle grace: a terminal ticket stays re-fetchable until the grace " +
+      "deadline, then sweeps to unknown; zero grace evicts immediately") {
+    val rt = new JobRuntime(spark)
+    val srv = new GatewayServer(rt, handleGraceMs = 400)
+    val client = new graft.gateway.GatewayClient("127.0.0.1", () => srv.boundPort)
+    try {
+      val (job, parts) = client.submit("SELECT id FROM range(0, 5, 1, 1)")
+      assert(parts == 1)
+      // Full drain puts the job terminal; the handle is condemned, not
+      // dropped — a client whose stream died into the TCP void can still
+      // come back for the ticket (recompute) inside the grace window.
+      assert(client.fetchPartition(job, 0).size == 5)
+      assert(client.fetchPartition(job, 0).size == 5)
+      Thread.sleep(600)
+      // Past the deadline the next dispatch sweeps the handle.
+      val e = intercept[graft.gateway.GatewayRequestException] {
+        client.fetchPartition(job, 0)
+      }
+      assert(e.getMessage.contains("unknown job"), e.getMessage)
+    } finally { client.close(); srv.close(); rt.close() }
+    val rt0 = new JobRuntime(spark)
+    val srv0 = new GatewayServer(rt0, handleGraceMs = 0)
+    val c0 = new graft.gateway.GatewayClient("127.0.0.1", () => srv0.boundPort)
+    try {
+      val (job, _) = c0.submit("SELECT id FROM range(0, 5, 1, 1)")
+      assert(c0.fetchPartition(job, 0).size == 5)
+      val e = intercept[graft.gateway.GatewayRequestException] {
+        c0.fetchPartition(job, 0)
+      }
+      assert(e.getMessage.contains("unknown job"), e.getMessage)
+    } finally { c0.close(); srv0.close(); rt0.close() }
+  }
+
   test("client retry discipline: server-side errors do NOT retry; " +
       "transport failures stop after MAX_RETRIES; backoff is capped+jittered") {
     // Pure backoff schedule (the reference's x3 exponential <= 10 s).
