@@ -281,7 +281,10 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
   }
 
   /** Drop handles whose grace deadline passed — piggybacked on every
-    * dispatch, so a live gateway drains the queue with its own traffic. */
+    * dispatch (a live gateway drains the queue with its own traffic) AND
+    * run by [[graceSweeper]] so a gateway that goes QUIET still frees
+    * what a condemned handle pins (the JobState + plan graph; the pages
+    * RDD was already unpersisted at runtime cleanup). */
   private def sweepHandles(): Unit = {
     val now = System.currentTimeMillis()
     val it = condemnedHandles.entrySet().iterator()
@@ -290,6 +293,24 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
       if (e.getValue <= now) { handles.remove(e.getKey); it.remove() }
     }
   }
+
+  /** Count of live + condemned-but-ungraced handles (observability /
+    * specs: the idle sweeper's effect is invisible through the protocol,
+    * since any probe op would itself sweep). */
+  def pinnedHandles: Int = handles.size
+
+  private val graceSweeper: Option[java.util.concurrent.ScheduledExecutorService] =
+    if (handleGraceMs <= 0L) None
+    else {
+      val ex = Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "graft-gateway-grace-sweeper")
+        t.setDaemon(true); t
+      })
+      val period = math.max(100L, handleGraceMs / 2)
+      ex.scheduleWithFixedDelay(() => sweepHandles(), period, period,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      Some(ex)
+    }
 
   private def streamRows(rows: Iterator[org.apache.spark.sql.Row], out: PrintWriter): Long = {
     var n = 0L
@@ -434,6 +455,7 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
   override def close(): Unit = {
     closed = true
     try server.close() catch { case NonFatal(_) => () }
+    graceSweeper.foreach(_.shutdownNow())
     pool.shutdownNow()
   }
 }

@@ -656,8 +656,14 @@ class GatewayServerSpec extends SparkSpec {
       // come back for the ticket (recompute) inside the grace window.
       assert(client.fetchPartition(job, 0).size == 5)
       assert(client.fetchPartition(job, 0).size == 5)
-      Thread.sleep(600)
-      // Past the deadline the next dispatch sweeps the handle.
+      assert(srv.pinnedHandles == 1)
+      // Past the deadline the handle is freed WITHOUT any dispatch — the
+      // idle grace sweeper (period grace/2, floor 100 ms) must not rely
+      // on client traffic to unpin a quiet gateway.
+      val deadline = System.currentTimeMillis() + 5000
+      while (srv.pinnedHandles > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(srv.pinnedHandles == 0, "idle sweeper left the handle pinned")
       val e = intercept[graft.gateway.GatewayRequestException] {
         client.fetchPartition(job, 0)
       }
