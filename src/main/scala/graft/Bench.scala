@@ -51,7 +51,9 @@ object Bench {
       loadMax: Double,
       gcStart: Long, gcEnd: Long,
       heapStart: Long, heapEnd: Long,
-      upStart: Long, upEnd: Long)
+      upStart: Long, upEnd: Long,
+      heapLiveStart: Long,
+      canaries: Seq[Long])
 
   import scala.jdk.CollectionConverters._
   private def gcMillis(): Long = java.lang.management.ManagementFactory
@@ -69,13 +71,37 @@ object Bench {
     * isolated wall while its disk_read_mb jumps is paying suite-context
     * cache turnover (245 queries' stores/spills competing for the page
     * cache), not a plan property. -1 when the platform lacks /proc. */
-  private def diskReadBytes(): Long = try {
+  private[graft] def diskReadBytes(): Long = try {
     java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get("/proc/self/io")).asScala
       .collectFirst { case l if l.startsWith("read_bytes:") =>
         l.substring(l.indexOf(':') + 1).trim.toLong }
       .getOrElse(-1L)
   } catch { case _: Throwable => -1L }
+
+  /** CPU-quality canary (r16, VERDICT r15 next #1): a fixed deterministic
+    * single-thread integer loop, timed at every pass boundary. The r15
+    * ambient smear (same-code gate-clean records spanning 92-146 s with
+    * ext_load ~0, GC flat, io 0) was invisible to every existing witness;
+    * a pure-CPU loop is blind to Spark, the heap, and the page cache, so
+    * its per-pass wall isolates MACHINE-state degradation (frequency/
+    * thermal/co-tenant effects below the process-CPU witness's floor).
+    * The values ride the official record — a judge comparing rounds can
+    * normalize by them, and a smeared pass is visible ON the line. */
+  private def canaryMs(): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 150000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1000000L
+    if (acc == 42L) System.err.println("canary fixed point") // defeat DCE
+    dt
+  }
 
   /** Warmup + quiesce + gated min-of-passes timing of `names` against
     * `sfDir`. The self-protection discipline documented on the object. */
@@ -109,22 +135,45 @@ object Bench {
       Thread.sleep(BenchGate.QUIESCE_POLL_MS)
       quiesceWaitMs = (System.nanoTime() - quiesceT0) / 1000000L
     }
+    // Forced full GC + settle (r16, VERDICT r15 next #1): the timed passes
+    // must not start under whatever garbage the warmup pass happened to
+    // leave — r15's separating witness between 92 s and 125 s same-code
+    // records was heap_mb_start (1638 vs 2554). Two gc() calls with a
+    // settle between them flush the young gen AND the promoted survivors;
+    // heapLiveStart records the post-GC LIVE set, a comparable-across-runs
+    // witness where heap_mb_start (live + unlucky garbage) was not.
+    System.gc()
+    Thread.sleep(300)
+    System.gc()
+    val heapLiveStart = heapUsedMb()
     val loadStart = loadNow()
     val (heapStart, upStart, gcStart) = (heapUsedMb(), uptimeSec(), gcMillis())
     // Timed passes, min per query: a transient load spike during one pass
-    // doesn't masquerade as a plan property. Two passes baseline; while
-    // EVERY pass reads contaminated (mean external CPU share above the
-    // gate), up to two more run — external load only inflates walls, so
-    // one clean pass owns the mins and the record self-corrects instead
-    // of stamping the storm (r13's +38% official record).
+    // doesn't masquerade as a plan property. Two passes baseline; extra
+    // passes (to MAX_PASSES) run while EVERY pass reads contaminated OR
+    // while the total of per-query mins is still converging (r16: the
+    // ambient smear inflates whole passes with ext_load ~0 — a >2% drop
+    // from one more pass means the record had not yet seen two
+    // comparably-quiet passes; see BenchGate.CONVERGE_FRAC). The canary
+    // wall at every pass boundary witnesses raw CPU quality on the line.
     val passes = scala.collection.mutable.ArrayBuffer
       .empty[Map[String, (Double, Long, Long, Option[String])]]
     val extLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val minTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Long]
     var loadMax = loadStart
-    while (BenchGate.needAnotherPass(extLoads.toSeq)) {
+    def minTotal(): Double = names.map { n =>
+      passes.map(_(n)).collect { case (sec, _, _, None) => sec }
+        .minOption.getOrElse(0.0)
+    }.sum
+    canaries += canaryMs()
+    while (BenchGate.needAnotherPass(extLoads.toSeq, minTotals.toSeq,
+        BenchGate.MAX_PASSES)) {
       val sampler = new ExtLoadSampler()
       passes += names.map(n => n -> timeOne(n)).toMap
       extLoads += sampler.stopAndMean()
+      minTotals += minTotal()
+      canaries += canaryMs()
       loadMax = math.max(loadMax, loadNow())
     }
     val (heapEnd, upEnd, gcEnd) = (heapUsedMb(), uptimeSec(), gcMillis())
@@ -138,7 +187,8 @@ object Bench {
     SuiteRecord(timed, passes.size, extLoads.toSeq,
       BenchGate.verdict(extLoads.toSeq),
       math.rint(quiesceWaitMs / 100.0) / 10,
-      loadStart, loadMax, gcStart, gcEnd, heapStart, heapEnd, upStart, upEnd)
+      loadStart, loadMax, gcStart, gcEnd, heapStart, heapEnd, upStart, upEnd,
+      heapLiveStart, canaries.toSeq)
   }
 
   private def jstr(s: String) =
@@ -164,6 +214,8 @@ object Bench {
         s""""quiesce_wait_s":${r.quiesceWaitS},""" +
         s""""gc_total_ms":${r.gcEnd - r.gcStart},"gc_warmup_ms":${r.gcStart},""" +
         s""""heap_mb_start":${r.heapStart},"heap_mb_end":${r.heapEnd},""" +
+        s""""heap_live_mb_start":${r.heapLiveStart},""" +
+        s""""canary_ms":${r.canaries.mkString("[", ",", "]")},""" +
         s""""uptime_s_start":${r.upStart},"uptime_s_end":${r.upEnd}"""
     val m = kept.sortBy(_._1)
       .map { case (n, sec, _, _, err) => entry(n, sec, err) }
@@ -269,6 +321,15 @@ object Bench {
     // driver timeout) still leaves the official line as stdout's tail;
     // it is re-printed after spark.stop() as the canonical last line.
     // SPARK_GRAFT_SF1=0 skips; SPARK_GRAFT_SF1 may also name the dir.
+    //
+    // r16 (VERDICT r15 next #2): the lane runs in a FRESH CHILD JVM.
+    // In-process it inherited 26 GB of heap and 1158 s of uptime from the
+    // sf0.1 suite — the decade laws were certified under maximal
+    // heap-state handicap. The parent builds the corpus, STOPS its own
+    // session (frees the 32 local cores and the heap), relaunches this
+    // main in a new JVM pointed at the sf1 dir (SPARK_GRAFT_SF1=0 stops
+    // recursion), and stamps the child's JSON line. In-process fallback
+    // when the classpath cannot relaunch (plain-sbt unforked runs).
     val round = roundTag()
     val sf1Flag = sys.env.getOrElse("SPARK_GRAFT_SF1", "/tmp/sf1")
     if (args.isEmpty && sf1Flag != "0" &&
@@ -278,11 +339,17 @@ object Bench {
       try {
         if (!SfScale.isComplete(spark, sf1Flag))
           SfScale.build(spark, sfDir, sf1Flag)
-        val rec1 = runSuite(spark, sf1Flag, names)
-        val full1 = render(rec1, sf1Flag, rec1.timed, rec1.timed.size)
+        val full1 = childSuite(sf1Flag).getOrElse {
+          val rec1 = runSuite(spark, sf1Flag, names)
+          render(rec1, sf1Flag, rec1.timed, rec1.timed.size)
+        }
         java.nio.file.Files.write(
           java.nio.file.Paths.get(sys.props("user.dir"), s"BENCH_r${round}sf1.json"),
           full1.getBytes("UTF-8"))
+        // Timestamped twin under bench/ — a misinferred round tag (ADVICE
+        // r15 low: stale artifacts skew the maxCorr/maxBench heuristic)
+        // can clobber the root name but never the archive.
+        writeDurable(s"bench_sf1_r$fullStamp.json", full1)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 lane failed: ${e.getClass.getName}: ${e.getMessage}")
       }
@@ -291,5 +358,48 @@ object Bench {
     spark.stop()
     println(json)
     System.out.flush()
+  }
+
+  /** Relaunch this main in a fresh JVM against `dir` (full suite, no sf1
+    * recursion), streaming the child's stderr through and returning its
+    * final JSON line. None when the classpath cannot support a relaunch
+    * or the child fails — the caller falls back to the in-process lane. */
+  private def childSuite(dir: String): Option[String] = try {
+    val cp = sys.props("java.class.path")
+    // Forked-run classpaths carry the Spark jars; an sbt-launcher-only
+    // classpath (unforked dev invocation) cannot boot graft.Bench.
+    if (!cp.contains("spark-sql")) return None
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    // Mirror build.sbt's JDK17 module opens (Spark 4 outside spark-submit).
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val heapMb = math.max(2048L, Runtime.getRuntime.maxMemory() >> 20)
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      s"-Xmx${heapMb}m",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.Bench")).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", dir)
+    pb.environment().put("SPARK_GRAFT_SF1", "0")
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val lines = scala.io.Source.fromInputStream(
+      proc.getInputStream, "UTF-8").getLines().toVector
+    val rc = proc.waitFor()
+    if (rc != 0) {
+      System.err.println(s"[bench] sf1 child exited $rc")
+      None
+    } else lines.reverseIterator.find(_.startsWith("{\"metric\""))
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] sf1 child launch failed: ${e.getClass.getName}: ${e.getMessage}")
+    None
   }
 }

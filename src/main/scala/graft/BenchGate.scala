@@ -39,6 +39,17 @@ object BenchGate {
 
   def passContaminated(extLoad: Double): Boolean = extLoad > EXT_LOAD_GATE
 
+  /** Convergence threshold for the min-of-passes total (r16, VERDICT r15
+    * next #1): one more pass runs while the LAST pass still moved the
+    * total of per-query mins by more than this fraction — a pass that
+    * lands on an ambient-smeared machine state (the r15 failure mode:
+    * same-code gate-clean records spanned 92-146 s with ext_load ~0)
+    * inflates every wall, so the next quiet pass pulls the min total down
+    * sharply and earns another try; two agreeing quiet passes stop at the
+    * baseline cost. 2%: quiet-pass jitter measures ~1-3% on this suite,
+    * smear measures 10-30%. */
+  val CONVERGE_FRAC = 0.02
+
   /** Run another timed pass? Always reach 2 (min-of-2 is the baseline
     * discipline); beyond that only while EVERY pass so far was
     * contaminated — one clean pass already owns every per-query min that
@@ -46,6 +57,22 @@ object BenchGate {
   def needAnotherPass(extLoads: Seq[Double], maxPasses: Int = MAX_PASSES): Boolean =
     if (extLoads.size < 2) true
     else extLoads.size < maxPasses && extLoads.forall(passContaminated)
+
+  /** r16 rule: contamination retries as before, PLUS ambient-convergence
+    * retries. `minTotals(k)` = total of per-query mins over the first
+    * k+1 passes; a last-pass improvement above [[CONVERGE_FRAC]] means
+    * the record had not yet seen two comparably-quiet passes. Bounded by
+    * `maxPasses` like every retry lane. */
+  def needAnotherPass(extLoads: Seq[Double], minTotals: Seq[Double],
+      maxPasses: Int): Boolean =
+    if (extLoads.size < 2) true
+    else if (extLoads.size >= maxPasses) false
+    else extLoads.forall(passContaminated) ||
+      (minTotals.size >= 2 && {
+        val prev = minTotals(minTotals.size - 2)
+        val cur = minTotals.last
+        prev - cur > prev * CONVERGE_FRAC
+      })
 
   /** The record's verdict: clean iff at least one pass ran clean —
     * external load can only INFLATE a wall, so per-query mins taken

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{ArgmaxCosine, CdcBounds, CosineSimilarity, DsirBuckets, GopherStats, GramFoldHashes, GramHashes, GramProfile, JaccardSimilarity, LshSignatures, OverlapCount, WinnowSelect}
+import graft.functions.{ArgmaxCosine, CdcBounds, CosineSimilarity, DsirBuckets, GopherStats, GramFoldHashes, GramHashes, GramProfile, JaccardSimilarity, LshSignatures, OverlapAtLeast, OverlapCount, WinnowSelect}
 
 /** Session extensions: graft's native functions, injected at session build
   * (`spark.sql.extensions=graft.GraftExtensions`). This is the sanctioned
@@ -134,6 +134,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "graft_overlap(a, b) takes two sorted-distinct array<bigint> arguments")
         OverlapCount(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_overlap_ge"),
+      new ExpressionInfo(classOf[OverlapAtLeast].getName, "graft_overlap_ge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_overlap_ge(a, b, needed) takes two sorted-distinct " +
+            "array<bigint> arguments and a bigint threshold")
+        OverlapAtLeast(children.head, children(1), children(2))
       }))
   }
 }

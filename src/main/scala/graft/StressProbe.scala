@@ -90,6 +90,8 @@ object StressProbe {
       for (p <- 0 until nParts) {
         out.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": $p}""")
         var line = in.readLine()
+        // Skip the r16 stream header (computation-token line).
+        if (line != null && line.contains("\"format\": \"rows\"")) line = in.readLine()
         while (line != null && line.startsWith("{\"row\"")) {
           got += 1; line = in.readLine()
         }

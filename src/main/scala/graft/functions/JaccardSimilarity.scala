@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -145,4 +145,84 @@ case class OverlapCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): OverlapCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** [[OverlapCount]]'s merge-walk with a POSITION-AWARE EARLY EXIT
+  * (VERDICT r15 stretch #7): the walk aborts the moment
+  * `inter + min(remaining(a), remaining(b)) < needed` — the tightest
+  * upper bound on the final overlap — because the pair can no longer
+  * reach the threshold. Containment verification compares the count
+  * against `needed = ceil(t·|a|)` and keeps only survivors, and ~97% of
+  * grid candidates are non-survivors whose walk this cuts short.
+  *
+  * Threshold-filter safety (the count feeds `filter(inter >= needed)` and,
+  * for survivors only, an output column): when the final overlap is
+  * ≥ `needed` the bound never trips, so survivors get the EXACT count;
+  * when it is < `needed` the returned partial count is ≤ the final count
+  * < `needed`, so the filter rejects exactly the same pairs. Do NOT use
+  * the returned value for anything but a ≥-needed comparison on
+  * non-survivors.
+  *
+  * Contract: inputs sorted ascending, no duplicates; `needed` is a
+  * non-null bigint. NULL on null array input.
+  */
+case class OverlapAtLeast(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(first.dataType) && ok(second.dataType) &&
+        third.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>, bigint), got " +
+        s"${first.dataType.catalogString}, ${second.dataType.catalogString}, " +
+        third.dataType.catalogString)
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_overlap_ge"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val needed = c.asInstanceOf[Long]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < n && j < m &&
+        inter + math.min(n - i, m - j) >= needed) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+        final int $n = $a.numElements();
+        final int $m = $b.numElements();
+        int $i = 0; int $j = 0; long $inter = 0L;
+        while ($i < $n && $j < $m &&
+            $inter + java.lang.Math.min($n - $i, $m - $j) >= $c) {
+          final long $xv = $a.getLong($i);
+          final long $yv = $b.getLong($j);
+          if ($xv == $yv) { $inter++; $i++; $j++; }
+          else if ($xv < $yv) { $i++; } else { $j++; }
+        }
+        ${ev.value} = $inter;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): OverlapAtLeast =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

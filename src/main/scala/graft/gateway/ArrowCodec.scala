@@ -248,7 +248,13 @@ object ArrowCodec {
       // stream must not mask the result from its close (nor the allocator
       // from its leak check — a partial batch's buffers die with the
       // dropped connection, bounded at one batch per transport failure).
-      try { reader.close(false); allocator.close() }
+      // SEPARATE try blocks (ADVICE r15): if the wedged reader throws on
+      // close, the allocator must still close — sharing one try leaked
+      // the Arrow direct-memory buffers permanently, compounding across
+      // retries in a long-lived flaky client.
+      try reader.close(false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      try allocator.close()
       catch { case scala.util.control.NonFatal(_) => () }
     }
   }

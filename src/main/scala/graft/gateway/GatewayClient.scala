@@ -168,17 +168,35 @@ final class GatewayClient(
     var acc = Vector.empty[String]
     var resume = true
     var attempt = 0
+    // Computation token of the stream `acc`'s rows came from (the fetch
+    // header carries it). Echoed as "ctoken" on an offset resume so the
+    // server can prove the resumed tail continues the SAME computation —
+    // without it, a cached-block loss between attempts could splice two
+    // row orders silently (ADVICE r15 high). Reset with acc on fallback.
+    var ctoken: Option[String] = None
     while (true) {
-      if (!resume) acc = Vector.empty
+      if (!resume) { acc = Vector.empty; ctoken = None }
       val off = acc.size.toLong
       var appended = 0
       try {
         if (conn == null) conn = connect()
         val c = conn
         val offField = if (off > 0) s""", "offset": $off""" else ""
+        val ctField = ctoken.filter(_ => off > 0)
+          .map(t => s""", "ctoken": ${jstr(t)}""").getOrElse("")
         c.out.println(s"""{"op": "fetch", "job_id": ${jstr(jobId)}, """ +
-          s""""partition": $partition$offField}""")
+          s""""partition": $partition$offField$ctField}""")
         var line = c.readLine()
+        // Stream header: {"ok": true, "format": "rows", "token": "..."} —
+        // remember the token BEFORE any row arrives (a mid-stream drop
+        // never delivers the terminator, so the token must lead). A header
+        // fragment from a mid-header kill lacks the token field and falls
+        // through to the truncated-stream transport rail below.
+        if (line != null && line.contains("\"format\": \"rows\"")) {
+          """"token": "(-?\d+)"""".r.findFirstMatchIn(line)
+            .foreach(m => ctoken = Some(m.group(1)))
+          line = c.readLine()
+        }
         while (line != null && line.startsWith("{\"row\"")) {
           acc = acc :+ line
           appended += 1
@@ -229,15 +247,20 @@ final class GatewayClient(
     var acc = Vector.empty[org.apache.spark.sql.Row]
     var resume = true
     var attempt = 0
+    // Same continuity echo as the text fetch: the ack's computation token
+    // rides back as "ctoken" on an offset resume (ADVICE r15 high).
+    var ctoken: Option[String] = None
     while (true) {
-      if (!resume) acc = Vector.empty
+      if (!resume) { acc = Vector.empty; ctoken = None }
       val off = acc.size.toLong
       try {
         if (conn == null) conn = connect()
         val c = conn
         val offField = if (off > 0) s""", "offset": $off""" else ""
+        val ctField = ctoken.filter(_ => off > 0)
+          .map(t => s""", "ctoken": ${jstr(t)}""").getOrElse("")
         c.out.println(s"""{"op": "fetch_arrow", "job_id": ${jstr(jobId)}, """ +
-          s""""partition": $partition$offField}""")
+          s""""partition": $partition$offField$ctField}""")
         val ack = c.readLine()
         if (ack == null)
           throw new java.io.EOFException(s"$what: no ack")
@@ -248,6 +271,8 @@ final class GatewayClient(
           // A kill inside the ack hands the fragment as a "line".
           throw new java.io.EOFException(s"$what: truncated ack: $ack")
         } else {
+          """"token": "(-?\d+)"""".r.findFirstMatchIn(ack)
+            .foreach(m => ctoken = Some(m.group(1)))
           val (_, rows, complete) = ArrowCodec.readResumable(c.raw)
           acc = acc ++ rows
           if (!complete)

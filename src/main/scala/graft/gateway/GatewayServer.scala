@@ -49,16 +49,23 @@ final case class GatewayAuth(user: String = "admin", password: String = "admin12
   *   {"op": "submit", "sql": "...", "meta": {...}}
   *       -> {"ok": true, "job_id": "...", "partitions": N,
   *           "columns": [...]}
-  *   {"op": "fetch", "job_id": "...", "partition": P[, "offset": K]}
-  *       -> one {"row": [...]} line per row (from row K when an offset is
-  *       sent — the mid-stream-drop resume), then {"ok": true, "rows": N}
-  *       (text mode — the human/debug wire)
-  *   {"op": "fetch_arrow", "job_id": "...", "partition": P[, "offset": K]}
-  *       -> {"ok": true, "format": "arrow_ipc_stream"}\n, then one raw
-  *       LZ4-compressed Arrow IPC stream (schema + one record batch per
-  *       fetch page + EOS, self-delimiting), then {"ok": true, "rows": N}
-  *       — the reference's result wire (LZ4 Arrow FlightData,
-  *       `networks/tonic/src/server.rs:109-141`)
+  *   {"op": "fetch", "job_id": "...", "partition": P[, "offset": K,
+  *    "ctoken": "T"]}
+  *       -> {"ok": true, "format": "rows", "token": "T"} header (T = the
+  *       partition's computation token, echoed back as "ctoken" on an
+  *       offset resume so the server can PROVE the kept prefix and the
+  *       resumed tail come from the same computation — a mismatch answers
+  *       ok:false and the client falls back to a whole-ticket re-fetch),
+  *       then one {"row": [...]} line per row (from row K when an offset
+  *       is sent — the mid-stream-drop resume), then
+  *       {"ok": true, "rows": N} (text mode — the human/debug wire)
+  *   {"op": "fetch_arrow", "job_id": "...", "partition": P[, "offset": K,
+  *    "ctoken": "T"]}
+  *       -> {"ok": true, "format": "arrow_ipc_stream", "token": "T"}\n,
+  *       then one raw LZ4-compressed Arrow IPC stream (schema + one record
+  *       batch per fetch page + EOS, self-delimiting), then
+  *       {"ok": true, "rows": N} — the reference's result wire (LZ4 Arrow
+  *       FlightData, `networks/tonic/src/server.rs:109-141`)
   *   {"op": "running_jobs"} / {"op": "cluster_nodes"} /
   *   {"op": "store_occupancy"}
   *       -> one {"row": [...]} per row, then {"ok": true, "rows": N}
@@ -346,6 +353,7 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
         // a token/boundary mismatch — so skip-k resumes exactly where the
         // dropped stream stopped.
         val off = field(line, "offset").map(_.toLong).getOrElse(0L)
+        val ctoken = field(line, "ctoken")
         val h = handles.getOrElse(jobId,
           throw new IllegalStateException(s"unknown job $jobId"))
         // Bounded streaming: rows go straight from ≤fetchPageSize-row pages
@@ -355,6 +363,20 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
         val n = {
           val stream = h.fetchStream(Ticket(jobId, p))
           try {
+            // Force the first page job: stamps the computation token the
+            // header carries and the resume-continuity check compares.
+            stream.hasNext
+            val tok = stream.computationToken
+            // Continuity (ADVICE r15 high): an offset resume must splice
+            // onto the SAME computation the client's kept prefix came from
+            // — recomputed row order is not guaranteed identical, so a
+            // token mismatch answers ok:false (handle stays live) and the
+            // client's whole-ticket fallback re-fetches self-consistently.
+            if (off > 0 && ctoken.exists(_ != tok.toString))
+              throw new FetchOffsetException(
+                s"computation token mismatch (kept ${ctoken.get}, current " +
+                  s"$tok): the partition was recomputed since the dropped " +
+                  "stream; re-fetch the whole ticket")
             var skipped = 0L
             while (skipped < off && stream.hasNext) { stream.next(); skipped += 1 }
             if (skipped < off)
@@ -362,10 +384,16 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
               // whole-ticket re-fetch. The handle stays live for it.
               throw new FetchOffsetException(
                 s"offset $off beyond partition end ($skipped rows)")
+            out.println(s"""{"ok": true, "format": "rows", """ +
+              s""""token": ${jstr(tok.toString)}}""")
             streamRows(stream, out)
           }
           catch {
             case e: FetchOffsetException => throw e
+            // Recoverable by contract: the ticket stays re-fetchable (a
+            // fresh stream re-reads the partition self-consistently), so
+            // the handle must survive for that re-fetch (ADVICE r15).
+            case e: PartitionRecomputeException => throw e
             case e: Throwable => handles.remove(jobId); throw e
           }
           finally stream.close()
@@ -391,6 +419,7 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
         // clean protocol `ok:false` (after the ack the client is reading
         // raw Arrow bytes and a JSON error line would desync it).
         val off = field(line, "offset").map(_.toLong).getOrElse(0L)
+        val ctoken = field(line, "ctoken")
         val h = handles.getOrElse(jobId,
           throw new IllegalStateException(s"unknown job $jobId"))
         // Validate convertibility BEFORE the ack: once the ack line is out,
@@ -405,18 +434,33 @@ final class GatewayServer(runtime: JobRuntime, port: Int = 0,
         val stream = h.fetchStream(Ticket(jobId, p))
         val n =
           try {
+            // Force the first page job before the ack: stamps the token the
+            // ack carries; a continuity or offset failure still answers a
+            // clean JSON ok:false (the client has not switched to raw
+            // Arrow bytes yet).
+            stream.hasNext
+            val tok = stream.computationToken
+            if (off > 0 && ctoken.exists(_ != tok.toString))
+              throw new FetchOffsetException(
+                s"computation token mismatch (kept ${ctoken.get}, current " +
+                  s"$tok): the partition was recomputed since the dropped " +
+                  "stream; re-fetch the whole ticket")
             var skipped = 0L
             while (skipped < off && stream.hasNext) { stream.next(); skipped += 1 }
             if (skipped < off)
               throw new FetchOffsetException(
                 s"offset $off beyond partition end ($skipped rows)")
-            out.println("""{"ok": true, "format": "arrow_ipc_stream"}""")
+            out.println(s"""{"ok": true, "format": "arrow_ipc_stream", """ +
+              s""""token": ${jstr(tok.toString)}}""")
             out.flush()
             val written = ArrowCodec.write(h.schema, stream, raw, arrowBatchRows)
             raw.flush()
             written
           } catch {
             case e: FetchOffsetException => throw e
+            // Recoverable by contract: ticket stays re-fetchable, handle
+            // survives for the client's fallback (ADVICE r15).
+            case e: PartitionRecomputeException => throw e
             // Raw-stream writes DO throw on a dead socket: transport loss,
             // ticket stays fetchable (same rule as the text path above).
             case e: java.io.IOException => throw e

@@ -171,6 +171,17 @@ final class PartitionRowStream private[gateway] (
   private object End
   private final case class Err(e: Throwable)
 
+  /** The partition's computation token as stamped by this stream's FIRST
+    * page job ([[PartitionRowStream.NO_TOKEN]] until that job returns; -1
+    * for an empty partition — no page ever materialized to stamp one).
+    * The gateway returns it to the client on the fetch header/ack and
+    * compares the echo on an offset resume: a mismatch means the client's
+    * kept prefix and this stream's tail come from DIFFERENT computations
+    * (recomputed row order is not guaranteed identical), so skip-K would
+    * silently splice two orderings (ADVICE r15 high). */
+  @volatile private var streamTokenV: Long = PartitionRowStream.NO_TOKEN
+  private[gateway] def computationToken: Long = streamTokenV
+
   private def offer(x: AnyRef): Unit = {
     while (!stopped && !queue.offer(x, 100, TimeUnit.MILLISECONDS)) {}
   }
@@ -208,7 +219,7 @@ final class PartitionRowStream private[gateway] (
             s"result partition $partition of job ${st.jobId} was recomputed " +
               s"with fewer pages ($skipped) than already streamed ($pageIdx); " +
               "refusing to deliver inconsistent rows — re-fetch the ticket")
-        if (pageIdx == 0) streamToken = token
+        if (pageIdx == 0) { streamToken = token; streamTokenV = token }
         else if (token != streamToken || (lastDelivered != null && boundary != lastDelivered))
           throw new PartitionRecomputeException(
             s"result partition $partition of job ${st.jobId} was recomputed " +
@@ -279,6 +290,15 @@ final class PartitionRowStream private[gateway] (
     stopped = true
     queue.clear()
   }
+}
+
+object PartitionRowStream {
+  /** [[PartitionRowStream.computationToken]] before the first page job
+    * returns. nanoTime can legally be ANY long, but a token is stamped at
+    * most once per stream and compared only against tokens of the same
+    * partition's materializations — MinValue colliding with a real stamp
+    * would only skip one detectable splice, never corrupt rows. */
+  val NO_TOKEN: Long = Long.MinValue
 }
 
 /** The gateway: submit SQL/DataFrames as tracked jobs, fetch per-partition
@@ -398,7 +418,17 @@ final class JobRuntime(
       // unpersisted at cleanup, so the re-fetch recomputes — the same
       // re-execution discipline as the reference's task retry
       // (dist/src/runtime.rs:499-525). Cancelled/Failed/TTL'd stay dead.
-      case JobStatus.Completed => ()
+      case JobStatus.Completed =>
+        // Re-persist for the grace re-fetch (ADVICE r15 medium): pages was
+        // unpersisted at cleanup, so WITHOUT a cache every page job would
+        // recompute the partition under a fresh nanoTime token and any
+        // multi-page re-fetch would die at page 1 with
+        // PartitionRecomputeException — the grace window only worked for
+        // single-page partitions. persist() after unpersist() re-marks the
+        // RDD (idempotent at the same level); the re-drain's cleanup
+        // unpersists again, so nothing is retained past the re-fetch.
+        try st.pages.persist(StorageLevel.MEMORY_AND_DISK)
+        catch { case scala.util.control.NonFatal(_) => () }
       case _ =>
         throw new IllegalStateException(
           s"job ${st.jobId} is not live (cleaned up or cancelled)")

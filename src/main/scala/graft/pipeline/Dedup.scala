@@ -353,12 +353,18 @@ object Dedup {
         col("n").as("na"))
       val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
       cands.join(a, "a_id").join(b, "b_id")
-        // graft_overlap: allocation-free merge-walk over the sorted hashed
-        // sets (r15; was size(array_intersect(..)) — a per-row hash set +
-        // output array, ~26M allocations at sf1 in the suite's hottest
-        // verify loop, the attributed source of the in-suite heap-state
-        // excess). Integer count, so the ceil(t·n) compare stays exact.
-        .withColumn("inter", expr("graft_overlap(sa, sb)"))
+        // graft_overlap_ge: allocation-free merge-walk over the sorted
+        // hashed sets (r15's graft_overlap replaced the per-pair hash set +
+        // output array of size(array_intersect(..)) — ~26M allocations at
+        // sf1) with the r16 POSITION-AWARE EARLY EXIT: the walk aborts once
+        // inter + min(remaining) < needed — the ~97% non-survivor majority
+        // stops after ~(1-t)·n steps instead of walking both sets to the
+        // end. Hash-safe: survivors (bound never trips) get the EXACT
+        // count for c_e6; non-survivors return a partial count strictly
+        // below `needed`, which the ≥-filter rejects exactly as before.
+        // needed = ceil(4·na/5) in integer form, same as the filter.
+        .withColumn("inter",
+          expr("graft_overlap_ge(sa, sb, (4 * na + 4) div 5)"))
         .filter(col("inter") * 5L >= col("na") * 4L)
         .select(col("a_id"), col("b_id"),
           expr("inter * 1000000L div na").as("c_e6"))

@@ -34,6 +34,31 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!BenchGate.needAnotherPass(Seq(0.5, 0.4, 0.05)))
   }
 
+  test("needAnotherPass (r16 convergence form): retries while the min-total " +
+      "still drops >2% per pass; stops on convergence and at the cap") {
+    val cap = BenchGate.MAX_PASSES
+    // Baseline two passes regardless of totals.
+    assert(BenchGate.needAnotherPass(Seq.empty, Seq.empty, cap))
+    assert(BenchGate.needAnotherPass(Seq(0.0), Seq(100.0), cap))
+    // Two quiet passes whose min-total barely moved: converged, stop.
+    assert(!BenchGate.needAnotherPass(Seq(0.0, 0.0), Seq(100.0, 99.5), cap))
+    // Pass 2 pulled the min-total down 20% (pass 1 was ambient-smeared
+    // with a clean ext_load — the r15 failure mode): run pass 3.
+    assert(BenchGate.needAnotherPass(Seq(0.0, 0.0), Seq(125.0, 100.0), cap))
+    // Pass 3 found another 5%: keep going; then converge.
+    assert(BenchGate.needAnotherPass(
+      Seq(0.0, 0.0, 0.0), Seq(125.0, 100.0, 95.0), cap))
+    assert(!BenchGate.needAnotherPass(
+      Seq(0.0, 0.0, 0.0), Seq(125.0, 100.0, 99.2), cap))
+    // Hard cap holds even while still improving.
+    assert(!BenchGate.needAnotherPass(
+      Seq(0.0, 0.0, 0.0, 0.0), Seq(125.0, 100.0, 90.0, 80.0), cap))
+    // All-contaminated still retries (the r13 lane), same cap.
+    assert(BenchGate.needAnotherPass(Seq(0.5, 0.4), Seq(100.0, 100.0), cap))
+    assert(!BenchGate.needAnotherPass(
+      Seq(0.5, 0.4, 0.3, 0.2), Seq(100.0, 100.0, 100.0, 100.0), cap))
+  }
+
   test("keepQuiescing: bounded, gated on system CPU, blind witness never blocks") {
     assert(BenchGate.keepQuiescing(0L, 0.9))
     assert(!BenchGate.keepQuiescing(0L, 0.05)) // quiet machine: start now

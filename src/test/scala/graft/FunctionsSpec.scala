@@ -81,6 +81,56 @@ class FunctionsSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.getLong(2) == 0L)
   }
 
+  test("graft_overlap_ge: exact for survivors, filter-equivalent for all; " +
+      "early exit never flips a threshold verdict") {
+    // The early-exit contract on random sorted sets across a SWEEP of
+    // thresholds: for every pair and needed,
+    //   - bounded >= needed  <=>  exact >= needed (the filter semantics);
+    //   - bounded == exact whenever exact >= needed (survivors exact).
+    // The containment verify uses needed = (4*n+4) div 5; the sweep also
+    // covers 0 (bound never trips -> always exact), 1, the exact overlap
+    // itself, overlap+1 (tightest non-survivor), and n+m (absurd).
+    val rows = spark.range(0, 2000)
+      .selectExpr("id",
+        "array_sort(array_distinct(transform(sequence(1, 1 + cast(id % 37 as int)), " +
+          "i -> xxhash64(concat(cast(id % 13 as string), '-', cast(i % 29 as string)))))) as sa",
+        "array_sort(array_distinct(transform(sequence(1, 1 + cast(id % 23 as int)), " +
+          "i -> xxhash64(concat(cast(id % 7 as string), '-', cast(i % 31 as string)))))) as sb")
+      .selectExpr(
+        "graft_overlap(sa, sb) as exact", "size(sa) as na", "size(sb) as nb",
+        "graft_overlap_ge(sa, sb, 0L) as b0",
+        "graft_overlap_ge(sa, sb, 1L) as b1",
+        "graft_overlap_ge(sa, sb, (4 * size(sa) + 4) div 5) as bceil",
+        "graft_overlap_ge(sa, sb, graft_overlap(sa, sb)) as bexact",
+        "graft_overlap_ge(sa, sb, graft_overlap(sa, sb) + 1L) as bover",
+        "graft_overlap_ge(sa, sb, cast(size(sa) + size(sb) as bigint)) as babsurd")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(0); val na = r.getInt(1)
+      val needCeil = (4L * na + 4L) / 5L
+      assert(r.getLong(3) == exact, s"needed=0 must walk to the end: $r")
+      assert(r.getLong(4) == exact || exact == 0, s"needed=1: $r")
+      // Filter equivalence + survivor exactness at the containment bound.
+      val bceil = r.getLong(5)
+      assert((bceil >= needCeil) == (exact >= needCeil), r.toString)
+      if (exact >= needCeil) assert(bceil == exact, r.toString)
+      // Tightest survivor: needed == exact -> bound never trips.
+      assert(r.getLong(6) == exact, s"needed=exact must stay exact: $r")
+      // Tightest non-survivor: must land strictly below needed.
+      assert(r.getLong(7) <= exact && r.getLong(7) < exact + 1, r.toString)
+      assert(r.getLong(8) < r.getInt(1) + r.getInt(2), s"absurd needed: $r")
+    }
+    // Identical-set and empty/null edges.
+    val edge = spark.sql(
+      """SELECT graft_overlap_ge(array(1L,2L,3L), array(1L,2L,3L), 3L) AS allhit,
+           graft_overlap_ge(array(1L,2L,3L), array(4L,5L,6L), 1L) AS nohit,
+           graft_overlap_ge(CAST(array() AS ARRAY<BIGINT>), array(1L), 1L) AS empt,
+           graft_overlap_ge(CAST(NULL AS ARRAY<BIGINT>), array(1L), 1L) AS n1""").collect().head
+    assert(edge.getLong(0) == 3L && edge.getLong(1) < 1L && edge.getLong(2) == 0L
+      && edge.isNullAt(3), edge.toString)
+  }
+
   test("graft_lsh_sigs matches the composable HOF signature formulation bit-for-bit") {
     val (tables, bits) = (16, 8)
     val flat = pipeline.Similarity.hyperplanes(tables, bits).flatten.flatten.toSeq

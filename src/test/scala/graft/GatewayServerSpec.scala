@@ -15,6 +15,13 @@ class GatewayServerSpec extends SparkSpec {
   private val handshakeLine =
     """{"op": "handshake", "user": "admin", "password": "admin123"}"""
 
+  /** First post-fetch line, skipping the r16 stream header (the
+    * computation-token line that now leads every text fetch). */
+  private def readPastHeader(read: () => String): String = {
+    val l = read()
+    if (l != null && l.contains("\"format\": \"rows\"")) read() else l
+  }
+
   private def withServer[A](f: (Socket, BufferedReader, PrintWriter) => A): A = {
     val rt = new JobRuntime(spark)
     val srv = new GatewayServer(rt)
@@ -40,7 +47,7 @@ class GatewayServerSpec extends SparkSpec {
       var rows = 0
       for (p <- 0 until 4) {
         out.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": $p}""")
-        var line = in.readLine()
+        var line = readPastHeader(() => in.readLine())
         while (line.startsWith("{\"row\"")) { rows += 1; line = in.readLine() }
         assert(line.contains("\"ok\": true"), line)
       }
@@ -219,7 +226,7 @@ class GatewayServerSpec extends SparkSpec {
       val (s2, in2, out2) = connect()
       try {
         out2.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": 0, "token": "$token"}""")
-        var line = in2.readLine()
+        var line = readPastHeader(() => in2.readLine())
         var rows = 0
         while (line.startsWith("{\"row\"")) { rows += 1; line = in2.readLine() }
         assert(rows == 1 && line.contains("\"ok\": true"), line)
@@ -384,7 +391,7 @@ class GatewayServerSpec extends SparkSpec {
       assert(!err.contains("arrow_ipc_stream"), err)
       // The connection still speaks the protocol: text fetch delivers rows.
       out.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": 0}""")
-      var line = in.readLine()
+      var line = readPastHeader(() => in.readLine())
       var rows = 0
       while (line.startsWith("{\"row\"")) { rows += 1; line = in.readLine() }
       assert(rows == 10 && line.contains("\"ok\": true"), line)
@@ -549,7 +556,7 @@ class GatewayServerSpec extends SparkSpec {
       val jobId = """"job_id": "([^"]+)"""".r.findFirstMatchIn(resp).get.group(1)
       // Resume from row 3 of partition 0 (rows 0-4): exactly 3, 4 stream.
       out.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": 0, "offset": 3}""")
-      var line = in.readLine()
+      var line = readPastHeader(() => in.readLine())
       val rows = scala.collection.mutable.ArrayBuffer.empty[String]
       while (line.startsWith("{\"row\"")) { rows += line; line = in.readLine() }
       assert(line.contains("\"ok\": true") && line.contains("\"rows\": 2"), line)
@@ -560,11 +567,72 @@ class GatewayServerSpec extends SparkSpec {
       assert(rej.contains("\"ok\": false") && rej.contains("beyond partition"), rej)
       // The ticket is still live: a whole-ticket fetch delivers all 5.
       out.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": 0}""")
-      line = in.readLine()
+      line = readPastHeader(() => in.readLine())
       var n = 0
       while (line.startsWith("{\"row\"")) { n += 1; line = in.readLine() }
       assert(n == 5 && line.contains("\"ok\": true"), s"n=$n $line")
     }
+  }
+
+  test("fetch resume continuity: a ctoken from a different computation is " +
+      "refused ok:false (no eviction) and the whole-ticket fetch still serves") {
+    // ADVICE r15 high: without the token echo, a resume could silently
+    // splice rows of two different computations. The server must prove
+    // continuity and refuse the splice as a SERVED answer.
+    withServer { (_, in, out) =>
+      out.println("""{"op": "submit", "sql": "SELECT id FROM range(0, 10, 1, 2)"}""")
+      val resp = in.readLine()
+      val jobId = """"job_id": "([^"]+)"""".r.findFirstMatchIn(resp).get.group(1)
+      out.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": 0}""")
+      val hdr = in.readLine()
+      assert(hdr.contains("\"format\": \"rows\""), hdr)
+      val tok = """"token": "(-?\d+)"""".r.findFirstMatchIn(hdr).get.group(1)
+      var line = in.readLine()
+      var rows = 0
+      while (line.startsWith("{\"row\"")) { rows += 1; line = in.readLine() }
+      assert(rows == 5 && line.contains("\"ok\": true"), line)
+      // Resume claiming a DIFFERENT computation token: a served rejection.
+      val stale = (tok.toLong + 1L).toString
+      out.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": 0, """ +
+        s""""offset": 2, "ctoken": "$stale"}""")
+      val rej = in.readLine()
+      assert(rej.contains("\"ok\": false") && rej.contains("token mismatch"), rej)
+      // The handle survived the rejection: a matching ctoken resumes, and
+      // a whole-ticket fetch still serves all 5 rows.
+      out.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": 0, """ +
+        s""""offset": 2, "ctoken": "$tok"}""")
+      line = readPastHeader(() => in.readLine())
+      var tail = 0
+      while (line.startsWith("{\"row\"")) { tail += 1; line = in.readLine() }
+      assert(tail == 3 && line.contains("\"ok\": true"), s"tail=$tail $line")
+      out.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": 0}""")
+      line = readPastHeader(() => in.readLine())
+      var n = 0
+      while (line.startsWith("{\"row\"")) { n += 1; line = in.readLine() }
+      assert(n == 5 && line.contains("\"ok\": true"), s"n=$n $line")
+    }
+  }
+
+  test("completed-job grace re-fetch survives MULTI-PAGE partitions: pages " +
+      "re-persisted, recompute never evicts the handle (ADVICE r15 medium)") {
+    // 100 rows at fetchPageSize 16 = 7 pages. Before r16 the grace
+    // re-fetch recomputed EVERY page job under a fresh token (pages was
+    // unpersisted at cleanup), threw PartitionRecomputeException at page 1,
+    // and the dispatch catch-all evicted the handle — the client's
+    // whole-ticket fallback then got "unknown job".
+    val rt = new JobRuntime(spark,
+      graft.gateway.GatewayConfig(fetchPageSize = 16))
+    val srv = new GatewayServer(rt, handleGraceMs = 60000)
+    val client = new graft.gateway.GatewayClient("127.0.0.1", () => srv.boundPort)
+    try {
+      val (job, parts) = client.submit("SELECT id, id * 2 AS d FROM range(0, 100, 1, 1)")
+      assert(parts == 1)
+      val first = client.fetchPartition(job, 0)
+      assert(first.size == 100) // drain → terminal → cleanup unpersisted pages
+      val again = client.fetchPartition(job, 0)
+      assert(again == first, "grace re-fetch diverged from the first drain")
+      assert(srv.pinnedHandles == 1, "recompute must not evict the handle")
+    } finally { client.close(); srv.close(); rt.close() }
   }
 
   test("fetch_arrow offset: resumes the Arrow wire at a row boundary; " +

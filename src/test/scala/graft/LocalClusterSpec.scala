@@ -379,6 +379,8 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       // Partition 0 over the text protocol...
       out.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": 0}""")
       var line = readLineRaw()
+      // Skip the r16 stream header (computation-token line).
+      if (line.contains("\"format\": \"rows\"")) line = readLineRaw()
       var textRows = 0
       while (line.startsWith("{\"row\"")) { textRows += 1; line = readLineRaw() }
       assert(line.contains("\"ok\": true"), line)
@@ -447,6 +449,8 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
               for (p <- 0 until nParts) {
                 out.println(s"""{"op": "fetch", "job_id": "$jobId", "partition": $p}""")
                 var line = in.readLine()
+                // Skip the r16 stream header (computation-token line).
+                if (line.contains("\"format\": \"rows\"")) line = in.readLine()
                 while (line.startsWith("{\"row\"")) { rows += 1; line = in.readLine() }
                 assert(line.contains("\"ok\": true"), line)
               }
