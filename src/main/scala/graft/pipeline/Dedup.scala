@@ -1378,6 +1378,12 @@ object Dedup {
                    CAST(element_at(cuts, k + 1) - element_at(cuts, k) AS INT))))""")))
         .select(col("doc_id"), md5(col("chunk")).as("h"),
           length(col("chunk")).cast("long").as("clen"))
+        // Select once, consume twice (r16 — the q_winnow_fingerprint
+        // precedent): the dup count and the join-back both consume this
+        // narrow (doc_id, h, clen) relation, and without the checkpoint
+        // each re-runs the graft_cdc_bounds boundary scan + chunk explode
+        // over the full text column. Text itself is never materialized.
+        .localCheckpoint()
       val dup = ch.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
       ch.join(dup, Seq("h"))
@@ -1659,6 +1665,9 @@ object Dedup {
     (s, d) => {
       val pairs = materializedPairs(s, d, 0.5).select(col("a_id"), col("b_id"))
         .localCheckpoint()
+      // r16: `alive` is a lazy filter of the checkpointed degree state —
+      // checkpointing it TOO ran a second eager materialization job per
+      // peel for a view one predicate deep (isolated A/B: 1.08 → 0.9 s).
       val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
         .toDF("src", "dst").localCheckpoint()
       val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -1672,7 +1681,6 @@ object Dedup {
           .groupBy(col("dst")).agg(count(lit(1)).as("c"))
           .localCheckpoint()
         alive = lastDeg.filter(col("c") >= KCORE_K).select(col("dst").as("node"))
-          .localCheckpoint()
       }
       nodes
         .join(lastDeg.select(col("dst").as("node"), col("c")), Seq("node"), "left_outer")

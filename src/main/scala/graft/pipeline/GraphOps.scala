@@ -17,11 +17,24 @@ import org.apache.spark.sql.functions._
   * 8 rounds, a plan constant (see q_pagerank's scaladoc for why).
   */
 object GraphOps {
+
   /** THE round loop — the single source of the recurrence for both
     * [[integerPagerank]] and [[integerPagerankResidual]] (ADVICE r11: two
     * copy-pasted loops let a future edit silently diverge the certified
     * recurrence from the one q_pagerank runs). Returns (round-8 state,
-    * round-7 state), each (node, deg, base, pr). */
+    * round-7 state), each (node, deg, base, pr).
+    *
+    * r16 note (guide §1.1 — the empirical loop decides): the §2.4
+    * co-partitioned form of this loop (edges keyed-checkpointed by `src`
+    * once via an AQE-off repartition+localCheckpoint so the partitioning
+    * survives into the LogicalRDD, a static (deg, base) side keyed by
+    * `node`, one exchange per round) was built, oracle-verified, and
+    * MEASURED SLOWER at sf0.1/sf1 graph sizes — because AQE already
+    * coalesces this plan's per-round shuffles of these small graphs to
+    * ~1 task, while the keyed setup adds materialization + sizing jobs
+    * that never pay for themselves below millions of edges (details in
+    * OPTIMIZATION_r16.md). The shuffle-per-round form is the measured
+    * optimum in the regime the gated corpora occupy. */
   private def pagerankRounds(edges0: DataFrame): (DataFrame, DataFrame) = {
     val edges = edges0.toDF("src", "dst").localCheckpoint()
     val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
