@@ -37,33 +37,49 @@ object GraphOps {
     * optimum in the regime the gated corpora occupy. */
   private def pagerankRounds(edges0: DataFrame): (DataFrame, DataFrame) = {
     val edges = edges0.toDF("src", "dst").localCheckpoint()
+    // r16 (guide §1.2 step 1 — fewer materialization jobs, same recurrence):
+    // (node, deg, base) never changes across rounds, so it is checkpointed
+    // ONCE as a static side instead of being re-derived from (and carried
+    // through) every per-round checkpoint. The old loop referenced `ranks`
+    // twice per round (contrib AND the update's left side), which forced a
+    // checkpoint every round to stop 2^k subtree duplication; the update
+    // now reads the static side, `ranks` is referenced exactly once per
+    // round, and the whole 8-round chain plans linearly — one checkpoint
+    // at round 7 (the residual consumer needs a stable r7 to join against
+    // r8 without recomputing rounds 1-7 twice) replaces eight. Values are
+    // bit-identical: same joins, same int64 recurrence, same left_outer
+    // null handling (differential specs + oracle re-verified).
     val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node")
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    var ranks = nodes.crossJoin(broadcast(nn))
+    val base = nodes
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
       .select(col("node"), col("deg"),
         expr("(15 * (1000000000 div n)) div 100").as("base"),
-        expr("1000000000 div n").as("pr"))
+        expr("1000000000 div n").as("pr0"))
       .localCheckpoint()
+    var ranks = base.select(
+      col("node"), col("deg"), col("base"), col("pr0").as("pr"))
     var prev = ranks
-    for (_ <- 1 to 8) {
+    for (r <- 1 to 8) {
       prev = ranks
       val contrib = edges.join(ranks, edges("src") === ranks("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-      ranks = ranks.select(col("node"), col("deg"), col("base"))
+      ranks = base.select(col("node"), col("deg"), col("base"))
         .join(contrib, col("node") === col("dst"), "left_outer")
         .select(col("node"), col("deg"), col("base"),
           (col("base") + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
-        .localCheckpoint()
+      if (r == 7) ranks = ranks.localCheckpoint()
     }
     (ranks, prev)
   }
 
   /** Power iteration over a symmetrized (src, dst) edge relation. Each
     * round is one node-keyed equi join plus a dst-keyed partial-agg
-    * shuffle of (node, long) pairs; per-round localCheckpoint caps
-    * lineage (the BPE-round precedent). Returns (node, deg, pr). */
+    * shuffle of (node, long) pairs; the static (node, deg, base) side is
+    * checkpointed once and the single-reference round chain plans
+    * linearly (one checkpoint at round 7 for the residual consumer).
+    * Returns (node, deg, pr). */
   def integerPagerank(edges0: DataFrame): DataFrame =
     pagerankRounds(edges0)._1.select(col("node"), col("deg"), col("pr"))
 
@@ -114,7 +130,7 @@ object GraphOps {
     *
     * Scale shape: per round one node-keyed equi join, a (node, label)
     * partial-agg shuffle, and a per-node window argmax PARTITIONED by the
-    * node key (never a global window); per-round localCheckpoint caps
+    * node key (never a global window); a mid-loop localCheckpoint caps
     * lineage. Labels are node ids — longs — so nothing wider than an
     * (id, id, count) triple ever moves. */
   val LPA_ROUNDS = 4
@@ -127,14 +143,19 @@ object GraphOps {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    for (_ <- 1 to LPA_ROUNDS) {
+    // r16 (guide §1.2 step 1): `labels` is referenced exactly once per
+    // round, so the chain plans linearly without per-round checkpoints —
+    // one mid-loop checkpoint (round 2) bounds plan depth at two rounds
+    // and halves the eager materialization jobs. Same joins, same pinned
+    // (count desc, label) argmax; differential spec + oracle unchanged.
+    for (r <- 1 to LPA_ROUNDS) {
       labels = edges.join(labels, edges("src") === labels("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("dst")).orderBy(col("c").desc, col("label"))))
         .filter(col("rn") === 1)
         .select(col("dst").as("node"), col("label"))
-        .localCheckpoint()
+      if (r == 2) labels = labels.localCheckpoint()
     }
     labels
   }
