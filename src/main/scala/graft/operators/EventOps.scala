@@ -281,9 +281,8 @@ object EventOps {
     * Sketch VALUES are implementation-specific (no cross-engine value
     * oracle exists), but the sketch's error CONTRACT is checkable: the
     * gated output is `(w_start, n_events, within_2pct)` where Spark
-    * co-computes the exact distinct (pre-grouped on (w_start, user_id)
-    * so exact, event count and sketch share one pass — see the builder
-    * comment) and tests
+    * co-computes the exact distinct (in a SEPARATE aggregation joined at
+    * window grain — see the builder comment) and tests
     * |hll − exact| <= max([[HOP_HLL_TOL]]·exact, [[HOP_HLL_ABS]]) per
     * window; the DuckDB
     * oracle computes the same windows exactly, where the bound holds
@@ -337,29 +336,19 @@ object EventOps {
   private val hoppingWindowApproxCert = QueryDef(
     "q_hopping_window_approx_cert",
     (s, d) => {
-      // Certification shape, r16 (guide §2.3/§2.4 — one pass, no Expand,
-      // no join): pre-group the exploded frame on (w_start, user_id) —
-      // one map-side-combinable exchange — then roll up to window grain
-      // computing ALL THREE of exact-distinct (count of pre-deduped
-      // rows), n_events (sum of per-user counts) and the HLL sketch in
-      // one hash aggregate. HLL insertion is idempotent (registers take
-      // max over the value's hash), so the sketch over the deduped
-      // (w_start, user_id) set is REGISTER-IDENTICAL to the sketch over
-      // the raw stream — the estimate, and therefore the gated boolean,
-      // cannot move. Replaces the r9 split shape (exact and sketch in
-      // separate full-frame aggregations joined at window grain): that
-      // shape avoided the fused distinct+HLL Expand (measured 3.1 s
-      // fused vs ~2 s split at sf0.1) but paid the events scan + 5x
-      // explode + a w_start exchange TWICE; this pays the explode once
-      // and still never plans an Expand. Oracle unchanged.
-      hoppingFrame(s, d)
-        .groupBy(col("w_start"), col("user_id"))
-        .agg(count(lit(1)).as("c"))
+      // Certification shape: exact and sketch in SEPARATE aggregations
+      // joined on the window key, NOT one fused agg — a combined
+      // distinct + HLL aggregate plans an Expand that doubles the 66M
+      // exploded rows and drags the per-window sketch buffers through the
+      // distinct branch's hash map (measured 3.1 s fused vs ~2 s split at
+      // sf0.1). The join is window-grain (~30k rows), free.
+      val exact = hoppingFrame(s, d)
         .groupBy(col("w_start"))
-        .agg(sum(col("c")).as("n_events"),
-          count(lit(1)).as("n_users"),
-          approx_count_distinct(col("user_id"), HOP_HLL_TOL)
-            .as("n_users_approx"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+      hoppingApproxProductionPlan(s, d)
+        .select(col("w_start"), col("n_users_approx"))
+        .join(exact, Seq("w_start"))
         .select(col("w_start"), col("n_events"),
           (abs(col("n_users_approx") - col("n_users")) <=
             greatest(col("n_users").cast("double") * HOP_HLL_TOL,
