@@ -1592,18 +1592,22 @@ object TextAnalysis {
     * individual document passes the per-doc repetition gates — this is the
     * corpus-grain complement to q_quality_gopher's per-doc signals.
     *
-    * Scale shape: gram instances shuffle once on (source, order, gram) —
-    * the vocab/tfidf key discipline, uniform hashed text keys, never
-    * documents — collapse to per-type counts, then rollup to ≤ n_sources
-    * rows. Ratios are floor-e6 over exact int64 counts.
+    * Scale shape: gram instances shuffle once on (source, gram) — the
+    * vocab/tfidf key discipline, uniform hashed text keys, never documents
+    * — collapse to per-type counts, then rollup to ≤ n_sources rows.
+    * Ratios are floor-e6 over exact int64 counts.
     *
-    * r16: both gram orders ride ONE tokenize+explode pass and ONE
-    * instance-grain exchange keyed (source, o, g) — the unigram and
-    * bigram branches previously scanned/tokenized documents twice and met
-    * again in a per-source join; the order tag in the aggregate key keeps
-    * the two type namespaces exact, and the final ≤ n_sources pivot
-    * reproduces the old left_outer null shape (a source with no bigram
-    * instances yields null bigram columns either way). */
+    * r16 MEASURED AND KEPT AS-IS: fusing both gram orders into one
+    * explode (one scan, one exchange, no join) was slower at every
+    * measurable scale — +23% with struct-tagged (o, g) instance rows
+    * (per-row named_struct allocation), still +16% with bare-string
+    * instances keyed (source, g) alone (the unigram/bigram namespaces
+    * cannot collide: tokens carry no space, bigrams exactly one) because
+    * `concat(toks, bigrams)` copies every token byte into a combined
+    * UnsafeArray that the split branches never materialize. The second
+    * document scan the fusion removes is page-cache-served here and
+    * column-pruned to (source, text) at any scale; don't re-try without
+    * a disk-bound corpus. */
   private val distinctNgrams = QueryDef(
     "q_distinct_ngrams",
     (s, d) => {
@@ -1611,28 +1615,20 @@ object TextAnalysis {
         .select(col("source"),
           expr("filter(split(text, ' '), x -> x != '')").as("toks"))
         .withColumn("n", size(col("toks")))
-      val inst = base.filter(col("n") >= 1)
+      val uni = base.filter(col("n") >= 1)
+        .select(col("source"), explode(col("toks")).as("g"))
+      val bi = base.filter(col("n") >= 2)
         .select(col("source"), explode(expr(
-          """concat(
-               transform(toks, t -> named_struct('o', 1, 'g', t)),
-               CASE WHEN n >= 2 THEN transform(sequence(0, n - 2),
-                   i -> named_struct('o', 2,
-                     'g', concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2))))
-                 ELSE CAST(array() AS ARRAY<STRUCT<o: INT, g: STRING>>) END)"""))
-          .as("og"))
-        .select(col("source"), col("og.o").as("o"), col("og.g").as("g"))
-      inst.groupBy(col("source"), col("o"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("source"), col("o"))
-        .agg(sum(col("c")).as("tot"), count(lit(1)).as("dst"))
-        .groupBy(col("source"))
-        .agg(max(when(col("o") === 1, col("tot"))).as("n_unigrams"),
-          max(when(col("o") === 1, col("dst"))).as("d1"),
-          max(when(col("o") === 2, col("tot"))).as("n_bigrams"),
-          max(when(col("o") === 2, col("dst"))).as("d2"))
-        .select(col("source"), col("n_unigrams"), col("d1"),
-          expr("d1 * CAST(1000000 AS BIGINT) div n_unigrams").as("distinct1_e6"),
-          col("n_bigrams"), col("d2"),
-          expr("d2 * CAST(1000000 AS BIGINT) div n_bigrams").as("distinct2_e6"))
+          """transform(sequence(0, n - 2),
+               i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""))
+          .as("g"))
+      def roll(inst: DataFrame, tot: String, dst: String, frac: String) =
+        inst.groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as(tot), count(lit(1)).as(dst))
+          .withColumn(frac, expr(s"$dst * CAST(1000000 AS BIGINT) div $tot"))
+      roll(uni, "n_unigrams", "d1", "distinct1_e6")
+        .join(roll(bi, "n_bigrams", "d2", "distinct2_e6"), Seq("source"), "left_outer")
     },
     Some("""WITH t AS (
         SELECT source, list_filter(string_split(text, ' '), x -> x != '') AS toks
