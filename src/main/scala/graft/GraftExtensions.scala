@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{ArgmaxCosine, CdcBounds, CosineSimilarity, DsirBuckets, GopherStats, GramFoldHashes, GramHashes, GramProfile, JaccardSimilarity, LshSignatures, OverlapAtLeast, OverlapCount, WinnowSelect}
+import graft.functions.{ArgmaxCosine, CdcBounds, CosineSimilarity, DsirBuckets, GopherStats, GramFoldHashes, GramHashes, GramProfile, JaccardSimilarity, LshSignatures, OverlapAtLeast, OverlapCount, PqAdc, PqEncode, WinnowSelect}
 
 /** Session extensions: graft's native functions, injected at session build
   * (`spark.sql.extensions=graft.GraftExtensions`). This is the sanctioned
@@ -134,6 +134,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "graft_overlap(a, b) takes two sorted-distinct array<bigint> arguments")
         OverlapCount(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "graft_pq_encode(vec, cb, sd, ks) takes " +
+            "(array<double>, array<double>, int, int)")
+        PqEncode(children.head, children(1), children(2), children(3))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_pq_adc(dtf, codes, ks) takes (array<double>, array<int>, int)")
+        PqAdc(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_overlap_ge"),

@@ -975,11 +975,16 @@ object Similarity {
     (s, d) => {
       val cbFlat = pqCodebooks(s, d).flatten.flatten.map(_.toDouble).toSeq
       val cents = semCentroids(s, d, IVF_K)
+      // Encoding via the native graft_pq_encode kernel (r17, guide §4):
+      // the composable transform(sequence, mm -> pqArgmin(...)) form ran
+      // M x Ks interpreted aggregate() HOFs per CORPUS vector — with the
+      // candidate distance evaluated twice whenever the IF-accumulator
+      // improved. One fused codegen loop, bit-identical argmin (integer
+      // grid, strict-< lowest-id ties; differential in FunctionsSpec).
       val assigned = semAssign(semQuantized(s, d), cents)
-        .withColumn("pq_cb", typedLit(cbFlat))
         .select(col("vec_id"), col("cl").as("cell"), col("qv"),
-          expr(s"transform(sequence(0, ${PQ_M - 1}), mm -> " +
-            pqArgmin("qv", s"mm * $PQ_SD", "mm") + ")").as("codes"))
+          call_function("graft_pq_encode", col("qv"), typedLit(cbFlat),
+            lit(PQ_SD), lit(PQ_KS)).as("codes"))
         .localCheckpoint()
       val centroids = s.createDataFrame(
         cents.map { case (i, c) => (i, c.toSeq) })
@@ -1002,11 +1007,15 @@ object Similarity {
         .select(col("qid"), col("dtf"), col("cell")))
       // ADC scan: codes index the broadcast distance table; only
       // (qid, nid, adc) reaches the shortlist rank.
+      // ADC via the native graft_pq_adc kernel (r17, guide §4): the
+      // aggregate() HOF ran interpreted once per (query, candidate) row —
+      // the inner loop of the posting-list scan. Same left-to-right
+      // lookup-sum fused into whole-stage codegen (exact integers, so the
+      // sum is bit-identical; differential in FunctionsSpec).
       val short = probes.join(assigned.filter(col("vec_id") >= NQ), Seq("cell"))
         .select(col("qid"), col("vec_id").as("nid"),
-          expr(s"""aggregate(sequence(0, ${PQ_M - 1}), CAST(0 AS DOUBLE),
-              (sa, sm) -> sa + element_at(dtf, sm * $PQ_KS + element_at(codes, sm + 1) + 1))""")
-            .as("adc"))
+          call_function("graft_pq_adc", col("dtf"), col("codes"),
+            lit(PQ_KS)).as("adc"))
         .withColumn("pr", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))))
         .filter(col("pr") <= PQ_RERANK)

@@ -196,9 +196,17 @@ object TextAnalysis {
       val toks = docs(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
+      // r17 (guide §2.4, compute-once): df is derivable from tf's KEYS —
+      // the distinct (doc_id, tok) pairs ARE the tf groups — so the
+      // second corpus tokenize+explode+distinct pass the old df branch
+      // ran is gone. tf is localCheckpoint'd because it now feeds two
+      // consumers (the join's left side and the df rollup); without it
+      // each consumer re-runs the whole explode+aggregate (the
+      // q_cdc_dedup select-once precedent). The checkpointed relation is
+      // the NARROW (doc_id, tok, tf) type table, not document text.
       val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val df = toks.select(col("doc_id"), col("tok")).distinct()
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .localCheckpoint()
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       // Corpus size as a broadcast one-row scalar: the plan stays fully
       // lazy (no side job at build time) and the count fuses into the
       // same execution as everything else.
@@ -263,6 +271,23 @@ object TextAnalysis {
         AND n_chars <= p75 + 1.5 * (p75 - p25)
       GROUP BY lang"""))
 
+  /** The exploded word-trigram relation (doc_id, gram) — ONE construction
+    * shared by q_boilerplate_ngrams and q_decontaminate (ADVICE r16: the
+    * transform expr was duplicated verbatim at both sites; an edit to one
+    * could silently diverge the gram format between the two queries).
+    * Direct element_at concat (r16): concat_ws(slice(...)) allocated a
+    * 3-element array per gram; identical strings (split yields no nulls,
+    * so concat == concat_ws over these elements). */
+  private def docTrigrams(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks)-3),
+             i -> concat(element_at(toks, i + 1), ' ',
+               element_at(toks, i + 2), ' ', element_at(toks, i + 3)))"""))
+        .as("gram"))
+
   /** Boilerplate phrase detection (the C4-style cleaning pass, adapted to
     * this corpus's bag-of-words text): word trigrams shared by many
     * documents are template/boilerplate candidates. Per-doc trigram
@@ -272,17 +297,7 @@ object TextAnalysis {
   private val boilerplate = QueryDef(
     "q_boilerplate_ngrams",
     (s, d) => {
-      val grams = docs(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          // r16: direct element_at concat — concat_ws(slice(...)) allocated
-          // a 3-element array per gram; identical strings (split yields no
-          // nulls, so concat == concat_ws over these elements).
-          """transform(sequence(0, size(toks)-3),
-               i -> concat(element_at(toks, i + 1), ' ',
-                 element_at(toks, i + 2), ' ', element_at(toks, i + 3)))"""))
-          .as("gram"))
+      val grams = docTrigrams(s, d)
       grams.groupBy(col("gram"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occur"))
@@ -420,17 +435,7 @@ object TextAnalysis {
   private val decontaminate = QueryDef(
     "q_decontaminate",
     (s, d) => {
-      val g = docs(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          // r16: direct element_at concat — concat_ws(slice(...)) allocated
-          // a 3-element array per gram; identical strings (split yields no
-          // nulls, so concat == concat_ws over these elements).
-          """transform(sequence(0, size(toks)-3),
-               i -> concat(element_at(toks, i + 1), ' ',
-                 element_at(toks, i + 2), ' ', element_at(toks, i + 3)))"""))
-          .as("gram"))
+      val g = docTrigrams(s, d)
       val evalGrams = broadcast(
         g.filter(col("doc_id") % 97 === 0).select(col("gram")).distinct())
       // ONE pass over the corpus grams: a broadcast marker join + a single

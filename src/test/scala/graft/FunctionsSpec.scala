@@ -550,6 +550,100 @@ class FunctionsSpec extends SparkSpec {
       plan)
   }
 
+  // ---------------------------------------------------------------- PQ ops
+  // The exact HOF formulations graft_pq_encode / graft_pq_adc replaced in
+  // q_ann_ivfpq (Similarity.pqArgmin / the ADC aggregate), rebuilt here as
+  // the differential oracle: integer-valued doubles, left-to-right sums,
+  // strict-< argmin with lowest-id ties.
+  private val PQ_T_M = 8
+  private val PQ_T_SD = 8
+  private val PQ_T_KS = 8
+  private def pqTestD2(vec: String, off: String, base: String): String =
+    s"""aggregate(sequence(0, ${PQ_T_SD - 1}), CAST(0 AS DOUBLE),
+        (pa, pi) -> pa +
+          (element_at($vec, $off + pi + 1) - element_at(t_cb, ($base) * $PQ_T_SD + pi + 1)) *
+          (element_at($vec, $off + pi + 1) - element_at(t_cb, ($base) * $PQ_T_SD + pi + 1)))"""
+  private def pqTestArgmin(vec: String, off: String, mm: String): String =
+    s"""aggregate(sequence(0, ${PQ_T_KS - 1}),
+        named_struct('c', 0, 'bd', CAST(1e18 AS DOUBLE)),
+        (acc, cc) -> IF(${pqTestD2(vec, off, s"($mm) * $PQ_T_KS + cc")} < acc.bd,
+          named_struct('c', cc, 'bd', ${pqTestD2(vec, off, s"($mm) * $PQ_T_KS + cc")}),
+          acc)).c"""
+
+  test("graft_pq_encode is bit-identical to the HOF argmin formulation") {
+    // Deterministic integer-valued vectors/codebook on the quantization
+    // grid (components within the SEM_Q scale class), ties included: the
+    // modulus keeps repeated values common enough that the lowest-id
+    // tie-break is actually exercised.
+    val cbFlat = (0 until PQ_T_M * PQ_T_KS * PQ_T_SD).map(i =>
+      ((i * 2654435761L) % 997 - 498).toDouble)
+    val df = spark.range(0, 400)
+      .selectExpr(
+        "id",
+        s"transform(sequence(0, ${PQ_T_M * PQ_T_SD - 1}), " +
+          "i -> cast(pmod(xxhash64(id, i), 997) - 498 as double)) as qv")
+      .withColumn("t_cb", typedLit(cbFlat))
+      .selectExpr(
+        s"graft_pq_encode(qv, t_cb, $PQ_T_SD, $PQ_T_KS) as native",
+        s"transform(sequence(0, ${PQ_T_M - 1}), mm -> " +
+          pqTestArgmin("qv", s"mm * $PQ_T_SD", "mm") + ") as hof")
+    df.collect().foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1), r.toString)
+    }
+  }
+
+  test("graft_pq_adc is bit-identical to the HOF lookup-sum, and both " +
+      "kernels participate in whole-stage codegen") {
+    val df = spark.range(0, 400)
+      .selectExpr(
+        s"transform(sequence(0, ${PQ_T_M * PQ_T_KS - 1}), " +
+          "i -> cast(pmod(xxhash64(id, i, 7L), 100000) as double)) as dtf",
+        s"transform(sequence(0, ${PQ_T_M - 1}), " +
+          s"i -> cast(pmod(xxhash64(id, i, 11L), $PQ_T_KS) as int)) as codes")
+      .selectExpr(
+        s"graft_pq_adc(dtf, codes, $PQ_T_KS) as native",
+        s"""aggregate(sequence(0, ${PQ_T_M - 1}), CAST(0 AS DOUBLE),
+            (sa, sm) -> sa + element_at(dtf, sm * $PQ_T_KS + element_at(codes, sm + 1) + 1)) as hof""")
+    df.collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), r.toString)
+    }
+    val codegen = spark.range(0, 4)
+      .selectExpr(
+        s"transform(sequence(0, ${PQ_T_M * PQ_T_SD - 1}), " +
+          "i -> cast(pmod(xxhash64(id, i), 997) as double)) as qv",
+        s"transform(sequence(0, ${PQ_T_M * PQ_T_KS - 1}), " +
+          "i -> cast(i as double)) as dtf")
+      .selectExpr(
+        s"graft_pq_adc(dtf, graft_pq_encode(qv, qv, $PQ_T_SD, 1), 1) as x")
+    codegen.collect()
+    val plan = codegen.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_pq_adc\\(dtf.*graft_pq_encode.*"),
+      plan)
+  }
+
+  test("graft_pq_encode / graft_pq_adc null and contract edges") {
+    val r = spark.sql(
+      s"""SELECT
+           graft_pq_encode(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d), 1, 1) AS n1,
+           graft_pq_encode(array(1.0d, 2.0d), array(1.0d, 2.0d), 3, 1) AS n2,
+           graft_pq_encode(array(1.0d, 2.0d), array(1.0d), 1, 2) AS n3,
+           graft_pq_encode(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d), 1, 1) AS n4,
+           graft_pq_adc(array(1.0d, 2.0d), array(5), 2) AS n5,
+           graft_pq_adc(array(1.0d, 2.0d), array(0), 0) AS n6,
+           graft_pq_adc(CAST(NULL AS ARRAY<DOUBLE>), array(0), 1) AS n7,
+           graft_pq_encode(array(3.0d, 4.0d), array(9.0d, 4.0d), 1, 2) AS tie_free,
+           graft_pq_adc(array(10.0d, 20.0d, 30.0d, 40.0d), array(1, 1), 2) AS ok""")
+      .collect().head
+    assert((0 until 7).forall(r.isNullAt), r.toString)
+    // argmin picks index 1 (|3-4| < |3-9| on the first subspace... vec is
+    // 2 dims, sd=1 -> M=2: subspace 0 compares 3 vs {9,4} -> code 1;
+    // subspace 1 uses the SAME ks=2 codebook layout: cb[(1*2+cc)*1] is out
+    // of the 2-entry codebook -> the length guard (cb must be M*ks*sd = 4)
+    // makes this NULL instead. Re-check: 2*2*1 = 4 != 2 -> NULL.
+    assert(r.isNullAt(7), r.toString)
+    assert(r.getDouble(8) == 20.0 + 40.0, r.toString)
+  }
+
   test("graft_gram_fold_hashes participates in whole-stage codegen") {
     // The winnow build's actual composition (q_winnow_fingerprint):
     // fold-hash the grams, winnow-select the minima — one fused stage.
