@@ -570,7 +570,20 @@ object Similarity {
       // ceil(n/CELL) blocks; every ORDERED pair (u,v) meets exactly once
       // at (p = blk_u, q = blk_v); the numbered repartition keeps AQE
       // from re-fusing the cells.
-      val SEM_CELL = 2048
+      //
+      // CELL = 512 (r17; was 2048): the cell side bounds PER-TASK pair
+      // work at CELL² fused-cosine evals — 2048² ≈ 4.2M evals ≈ seconds
+      // of single-task wall wherever a cluster exceeds one cell, and at
+      // the fixed-k gate (k = 8) the whole quadratic stage sat on
+      // ≤ k·nblk² grid keys. The cap is scale-neutral, not a core-count
+      // tune: grid replication shuffles n·ceil(n/CELL) rows per side per
+      // cluster ≈ pairs/CELL vector rows, so at 512 the exchange adds
+      // ~1 byte per 64-dim pair eval (~3% of the pair compute) while the
+      // straggler bound tightens 16x; replication only approaches the
+      // compute cost below CELL ≈ 64. Measured (isolated sf1 A/B, 3
+      // runs/side, interleaved): q_dedup_semantic 2048 → 512 disjoint
+      // faster; oracle unchanged (the grid is layout-only).
+      val SEM_CELL = 512
       // Cluster sizes via a k-row aggregate + broadcast-back (k <= sqrt N
       // by construction — metadata, not data): a count WINDOW over cl
       // would cost a full extra vector-row shuffle just to learn sizes.
