@@ -588,17 +588,28 @@ object Curation {
       // xxhash64 over each gram's byte span in one joined buffer —
       // identical values to xxhash64(concat_ws(' ', slice(toks, i, 8)))
       // with zero gram-string allocations (FunctionsSpec differential).
-      val grams = base.select(col("doc_id"), col("n"), explode(
+      //
+      // r17 (guide §2.4, compute-once): ONE kernel pass and ONE join.
+      // The old shape ran the scan+split+kernel+explode subtree TWICE
+      // (the sharedness aggregate and the semi join each re-derived
+      // `grams`) and paid a third doc-keyed outer join to re-attach
+      // n_spans — but a doc with n tokens emits exactly n-7 grams, so
+      // n_spans IS count(*) per doc over the checkpointed gram relation,
+      // and the semi-join hit count is a left-outer marker sum (shared
+      // is distinct per g, so the marker matches each instance at most
+      // once). The checkpointed relation is the narrow (doc_id, g) span
+      // table, never text.
+      val grams = base.select(col("doc_id"), explode(
         call_function("graft_gram_hashes", col("toks"), lit(8))).as("g"))
+        .localCheckpoint()
       val shared = grams.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
         .select(col("g"))
-      val hits = grams.join(shared, Seq("g"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
-      base.select(col("doc_id"), (col("n") - 7).cast("long").as("n_spans"))
-        .join(hits, Seq("doc_id"), "left_outer")
-        .na.fill(0L, Seq("n_dup"))
+      grams.join(shared.withColumn("hit", lit(1L)), Seq("g"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_dup"))
         .select(col("doc_id"), col("n_spans"), col("n_dup"),
           floor(col("n_dup").cast(DoubleType) / col("n_spans") * 1e6).as("dup_frac_e6"))
     },

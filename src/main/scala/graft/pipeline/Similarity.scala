@@ -581,8 +581,10 @@ object Similarity {
       // ~1 byte per 64-dim pair eval (~3% of the pair compute) while the
       // straggler bound tightens 16x; replication only approaches the
       // compute cost below CELL ≈ 64. Measured (isolated sf1 A/B, 3
-      // runs/side, interleaved): q_dedup_semantic 2048 → 512 disjoint
-      // faster; oracle unchanged (the grid is layout-only).
+      // runs/side, interleaved): ranges OVERLAP, midpoints −6.2% (fixed
+      // k) / −2.9% (adaptive) — kept on the per-task-work-cap rule (the
+      // r16 kcore precedent), not on a wall claim; oracle unchanged (the
+      // grid is layout-only).
       val SEM_CELL = 512
       // Cluster sizes via a k-row aggregate + broadcast-back (k <= sqrt N
       // by construction — metadata, not data): a count WINDOW over cl

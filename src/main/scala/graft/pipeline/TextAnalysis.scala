@@ -336,18 +336,32 @@ object TextAnalysis {
       val toks = docs(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // r17 (guide §2.4, compute-once): ONE corpus tokenize+explode pass.
+      // The old shape re-derived `toks` THREE times per call (dl for the
+      // stats scalar, dl for the score join, the term-filtered tf) — one
+      // doc-grain aggregate now carries dl and the per-term counts
+      // together, the (doc, term, tf) rows unfold from it by a 3-wide
+      // explode (tf > 0 keeps exactly the pairs the filtered groupBy
+      // produced), and dl is already a column, so the dl join is gone.
+      // localCheckpoint: `per` feeds the stats scalar AND the score rows;
+      // it is the narrow doc-grain (doc_id, dl, tf...) table, never text.
+      val per = toks.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("dl"),
+        terms.map(t =>
+          sum(when(col("tok") === t, 1L)).as(s"tf_$t")): _*)
+        .localCheckpoint()
       // Corpus size and avgdl as one broadcast scalar row — no side jobs
       // at build time, same arithmetic tree as before (sum(dl)/n_docs).
       val n = docs(s, d).agg(count(lit(1)).cast(DoubleType).as("n_docs"))
-      val stats = dl.agg(sum(col("dl")).cast(DoubleType).as("sumdl"))
+      val stats = per.agg(sum(col("dl")).cast(DoubleType).as("sumdl"))
         .crossJoin(broadcast(n))
         .select((col("sumdl") / col("n_docs")).as("avgdl"), col("n_docs"))
-      val tf = toks.filter(col("tok").isin(terms: _*))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val tf = per.select(col("doc_id"), col("dl"),
+          explode(map(terms.flatMap(t =>
+            Seq(lit(t), col(s"tf_$t"))): _*)).as(Seq("tok", "tf")))
+        .filter(col("tf") > 0)
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       tf.join(broadcast(df), "tok")
-        .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn("score_e6", floor(
           log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
