@@ -1180,14 +1180,8 @@ object Similarity {
     * system's top-K misses it). All integer-e6 arithmetic — no floats to
     * drift between engines. Both inputs are tiny (NQ×K rows), so the
     * metric joins are driver-negligible regardless of corpus scale. */
-  private def retrievalMetrics(sys0: DataFrame, truth: DataFrame,
+  private def retrievalMetrics(sys: DataFrame, truth: DataFrame,
       name: String): DataFrame = {
-    // r17 (guide §2.4, compute-once): the system result is an NQ×K-row
-    // relation, but the recall and MRR branches below are TWO consumers —
-    // uncheckpointed, the ENTIRE ANN pipeline behind it (index probe +
-    // re-rank) executed twice per metric row. Materialize the ≤50 rows
-    // once; the truth side already reads the persisted brute store.
-    val sys = sys0.localCheckpoint()
     val hits = sys.select(col("qid"), col("nid"))
       .join(truth.select(col("qid"), col("nid")), Seq("qid", "nid"))
       .agg(count(lit(1)).as("hits"))

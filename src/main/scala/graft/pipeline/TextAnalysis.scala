@@ -641,11 +641,7 @@ object TextAnalysis {
       // The MODEL side comes from the shared bigram store (identical
       // counts); the doc-grain `inst` above remains — per-doc scoring is
       // this query's output grain and cannot collapse to bigram types.
-      // r17 localCheckpoint: c2 has FOUR consumers below (left/right
-      // margins, the type total, the cost join) — uncheckpointed, each
-      // re-read the store parquet and re-ran the (prev, cur) rollup. The
-      // materialized relation is bigram-TYPE grain (vocab-bounded).
-      val c2 = bigramCounts(s, d).localCheckpoint()
+      val c2 = bigramCounts(s, d)
       // One pass over the type table per side: c1 = token count of prev,
       // n1fw = distinct continuations of prev; n1bw = distinct contexts of
       // cur; t = total bigram types (the continuation-model denominator).
@@ -719,9 +715,7 @@ object TextAnalysis {
     (s, d) => {
       // (prev, cur) counts from the shared bigram store — identical
       // values, one corpus explode per JVM instead of one per query.
-      // r17 localCheckpoint: four consumers (margins, total, the scored
-      // join) re-read the store and re-rolled the type table otherwise.
-      val c2 = bigramCounts(s, d).localCheckpoint()
+      val c2 = bigramCounts(s, d)
       val cl = c2.groupBy(col("prev")).agg(sum(col("c2")).as("cl"))
       val cr = c2.groupBy(col("cur")).agg(sum(col("c2")).as("cr"))
       val t = c2.agg(sum(col("c2")).as("t"))
@@ -779,15 +773,11 @@ object TextAnalysis {
       // Bigram counts from the shared store (one corpus explode per JVM);
       // identical values to the inline (prev, cur) aggregate by sum-over-
       // source construction.
-      // r17 localCheckpoint: the symmetrization below reads `und` twice
-      // (forward + reversed edges) — uncheckpointed, each union branch
-      // re-read the store and re-ran the rollup+distinct. Edge-grain.
       val und = bigramCounts(s, d)
         .filter(col("c2") >= 3 && col("prev") =!= col("cur"))
         .select(least(col("prev"), col("cur")).as("a"),
           greatest(col("prev"), col("cur")).as("b"))
         .distinct()
-        .localCheckpoint()
       GraphOps.integerPagerank(
           und.union(und.select(col("b"), col("a"))))
         .orderBy(col("pr").desc, col("node"))
