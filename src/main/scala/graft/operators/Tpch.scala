@@ -561,9 +561,6 @@ object Tpch {
   private val q2 = QueryDef(
     "q_tpch_q2",
     (s, d) => {
-      val catalog = t(s, d, "lineitem")
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(min(col("l_extendedprice")).as("supply_cost"))
       val n = broadcast(t(s, d, "nation")
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
       val r = broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")
@@ -575,6 +572,20 @@ object Tpch {
       val p = broadcast(t(s, d, "part")
         .filter(col("p_type") === "STANDARD" && col("p_size").between(10, 20))
         .select(col("p_partkey")))
+      // r17 (guide §3.2: reduce the big side BEFORE shuffling it): the
+      // part and regional-supplier dimension filters are per-(part, supp)
+      // predicates, and MIN over a pair's lineitems is a per-pair
+      // aggregate — so broadcast-semi-joining the fact against both
+      // filtered dimensions BEFORE the (part, supp) exchange drops every
+      // never-qualifying row from the catalog aggregation's shuffle
+      // (previously both filters applied only after it). Pairs removed
+      // here are exactly the pairs the post-agg joins discarded.
+      val catalog = t(s, d, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(regional.select(col("s_suppkey").as("rs_suppkey"))),
+          col("l_suppkey") === col("rs_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("supply_cost"))
       // Part filter BEFORE the per-part minimum: it restricts which parts,
       // never which suppliers, so the minimum is unchanged — and the window
       // input shrinks to qualifying parts only. The window (bounded by
