@@ -589,19 +589,20 @@ object Curation {
       // identical values to xxhash64(concat_ws(' ', slice(toks, i, 8)))
       // with zero gram-string allocations (FunctionsSpec differential).
       //
-      // r17 (guide §2.4, compute-once): ONE kernel pass and ONE join.
-      // The old shape ran the scan+split+kernel+explode subtree TWICE
-      // (the sharedness aggregate and the semi join each re-derived
-      // `grams`) and paid a third doc-keyed outer join to re-attach
-      // n_spans — but a doc with n tokens emits exactly n-7 grams, so
-      // n_spans IS count(*) per doc over the checkpointed gram relation,
-      // and the semi-join hit count is a left-outer marker sum (shared
-      // is distinct per g, so the marker matches each instance at most
-      // once). The checkpointed relation is the narrow (doc_id, g) span
-      // table, never text.
+      // r17 (guide §2.4): ONE join instead of three relation passes. A
+      // doc with n tokens emits exactly n-7 grams, so n_spans IS
+      // count(*) per doc over the gram relation, and the semi-join hit
+      // count is a left-outer marker sum (shared is distinct per g, so
+      // the marker matches each instance at most once) — the third
+      // doc-keyed outer join against `base` is gone. `grams` itself
+      // stays LAZY (two consumers, kernel runs twice): a
+      // localCheckpoint of the token-grain span relation measured
+      // −29.6% DISJOINT at sf0.1 but +21.8% DISJOINT at sf1 — the
+      // materialization loses to the page-cache-served kernel re-scan
+      // exactly like r16's distinct-ngrams fusion, and the decade
+      // measurement is the one that predicts 100 TB.
       val grams = base.select(col("doc_id"), explode(
         call_function("graft_gram_hashes", col("toks"), lit(8))).as("g"))
-        .localCheckpoint()
       val shared = grams.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
