@@ -290,17 +290,9 @@ object Dedup {
       // Rank EVERY (doc, shingle) by global rarity — the prefix filter
       // needs it on the A side, and the position filter (below) needs it
       // on the container side too.
-      // r17 localCheckpoint: `ranked` feeds BOTH grid sides (prefixA's
-      // chain and ys). AQE's runtime exchange reuse already shuffles the
-      // underlying exchange once, but the rarity WINDOW (a full
-      // per-doc sort of the corpus-shingle-grain relation) sits ABOVE
-      // that exchange and ran once per consumer. Narrow (shingle,
-      // doc_id, n, df, rk) rows. Measured: isolated A/B at sf1 — see
-      // OPTIMIZATION_r17.md.
       val ranked = exploded.join(dfreq, "shingle")
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
-        .localCheckpoint()
       val prefixA = ranked
         .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
         .select(col("doc_id"), col("n"), col("shingle"), col("rk"))
