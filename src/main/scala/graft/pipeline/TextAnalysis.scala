@@ -199,13 +199,14 @@ object TextAnalysis {
       // r17 (guide §2.4, compute-once): df is derivable from tf's KEYS —
       // the distinct (doc_id, tok) pairs ARE the tf groups — so the
       // second corpus tokenize+explode+distinct pass the old df branch
-      // ran is gone. tf is localCheckpoint'd because it now feeds two
-      // consumers (the join's left side and the df rollup); without it
-      // each consumer re-runs the whole explode+aggregate (the
-      // q_cdc_dedup select-once precedent). The checkpointed relation is
-      // the NARROW (doc_id, tok, tf) type table, not document text.
+      // ran is gone. No checkpoint: the two consumers now share an
+      // IDENTICAL canonical subtree up to the (doc_id, tok) exchange,
+      // which AQE's runtime exchange reuse computes once (the old
+      // distinct branch had a DIFFERENT partial-aggregate below its
+      // exchange, so nothing was reusable); a checkpoint here would
+      // execute the upstream stages at plan-build time and break the
+      // build-laziness contract QueriesSpec pins.
       val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       // Corpus size as a broadcast one-row scalar: the plan stays fully
       // lazy (no side job at build time) and the count fuses into the
@@ -343,13 +344,16 @@ object TextAnalysis {
       // together, the (doc, term, tf) rows unfold from it by a 3-wide
       // explode (tf > 0 keeps exactly the pairs the filtered groupBy
       // produced), and dl is already a column, so the dl join is gone.
-      // localCheckpoint: `per` feeds the stats scalar AND the score rows;
-      // it is the narrow doc-grain (doc_id, dl, tf...) table, never text.
+      // `per` feeds the stats scalar AND the score rows as the SAME
+      // canonical subtree, so AQE's runtime exchange reuse computes its
+      // doc-keyed exchange once (no checkpoint — that would execute the
+      // upstream stages at plan-build time, breaking the build-laziness
+      // contract QueriesSpec pins; only the cheap doc-grain final
+      // aggregate above the reused exchange evaluates per consumer).
       val per = toks.groupBy(col("doc_id")).agg(
         count(lit(1)).as("dl"),
         terms.map(t =>
           sum(when(col("tok") === t, 1L)).as(s"tf_$t")): _*)
-        .localCheckpoint()
       // Corpus size and avgdl as one broadcast scalar row — no side jobs
       // at build time, same arithmetic tree as before (sum(dl)/n_docs).
       val n = docs(s, d).agg(count(lit(1)).cast(DoubleType).as("n_docs"))
